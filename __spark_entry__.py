@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship query (multi-way broadcast join + grouped
+  agg) over sf0.001.
+- ``queries()`` — every implemented operator: the 30 declared relational
+  queries (SURVEY.md §2.12) plus the LLM-data-pipeline operators
+  (dedup / similarity / text analysis).
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL per query where
+  SQL-expressible; omitted for property-tested ops (streaming, LSH).
 """
 
 from __future__ import annotations
@@ -13,26 +15,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from airflow_spark.queries import ORACLE_SQL, RELATIONAL_QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: region×nation×customer broadcast joins + grouped agg."""
+    return RELATIONAL_QUERIES["q05"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(RELATIONAL_QUERIES)
+    try:
+        from airflow_spark.operators.registry import OPERATOR_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(OPERATOR_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(ORACLE_SQL)
+    try:
+        from airflow_spark.operators.registry import OPERATOR_ORACLE_SQL
+
+        out.update(OPERATOR_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

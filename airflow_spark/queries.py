@@ -1,0 +1,636 @@
+"""Declared relational query registry (SURVEY.md §2.12 — the t2 contract).
+
+Each query is implemented with the **DataFrame API** (declarative →
+Catalyst picks the physical plan: broadcast vs sort-merge joins, partial
+aggregation, TakeOrderedAndProject for top-k, subquery-free scalar
+lookups via broadcast 1-row joins) and paired with a single ANSI-SQL
+oracle text that DuckDB runs over the same parquet tables.
+
+Correctness conventions (verified row-for-row vs DuckDB over sf0.01):
+- total ORDER BY on unique/non-null keys for every LIMIT query,
+- doubles rounded to 2 decimals before hashing (FP agg order),
+- timestamps second-truncated or cast to DATE,
+- explicit NULLS LAST on nullable sort keys (Spark default ASC =
+  NULLS FIRST; DuckDB = NULLS LAST),
+- every computed column aliased identically in DataFrame and SQL.
+
+Operator coverage is noted per query against the SURVEY.md §2 inventory
+(P=projection/filter, J=join, A=aggregation, W=window, T=top-k,
+F=scalar function, S=scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Q01-Q30 DataFrame builders
+# ---------------------------------------------------------------------------
+
+
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-scan + P1 projection + T3 limit. Column pruning reaches the scan."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 conjunctive filter + IN + LIKE (predicates push to parquet)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.where(
+            F.col("o_orderstatus").isin("F", "O")
+            & (F.col("o_totalprice") > 1000.0)
+            & F.col("o_orderpriority").like("1%")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 null/presence validation as a violation count (expectation core)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.where(F.col("value").isNull() | F.col("props").isNull())
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+    )
+
+
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi inner join; nation is tiny → Catalyst auto-broadcasts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.nation, t.customer.c_nationkey == t.nation.n_nationkey)
+        .select("c_custkey", "n_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join + grouped agg + rounding (A-family)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + F14 coalesce default."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey, "left")
+        .select(
+            "o_orderkey", F.coalesce("c_name", F.lit("UNKNOWN")).alias("cname")
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 existence semantics → left-semi join (no row duplication)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders, t.customer.c_custkey == t.orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 absence semantics → left-anti join against a filtered build side."""
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t.customer.join(
+            urgent, t.customer.c_custkey == urgent.o_custkey, "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A grouped agg, TPC-H Q1 style: partial→final HashAggregate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.max("l_shipdate").cast("date").alias("last_ship"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 freshness: per-key max(ts) vs a global cutoff (DNS_Requests
+    analog, dags/DNS_Requests.py:129-136). The scalar subquery becomes a
+    broadcast 1-row cross join — no driver round-trip, no full-shuffle."""
+    t = load_tables(spark, sf_dir)
+    cutoff = t.events.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("cutoff_ts")
+    )
+    return (
+        t.events.groupBy("user_id")
+        .agg(F.max("ts").alias("max_ts"))
+        .join(F.broadcast(cutoff))
+        .where(F.col("max_ts") < F.col("cutoff_ts"))
+        .select(
+            "user_id", F.date_trunc("second", "max_ts").alias("last_seen")
+        )
+        .orderBy("user_id")
+    )
+
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 threshold violations (Speedtest analog, dags/Speedtest.py:91-96)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.where((F.col("event_type") == "error") & (F.col("value") < 10.0))
+        .select("event_id", "user_id", F.round("value", 2).alias("v"))
+        .orderBy("event_id")
+    )
+
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 last-event-per-key ranking (querylog limit=1 analog)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    )
+
+
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 lag analytic — inter-event deltas per key."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t.events.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 tumbling hourly buckets (batch form of window(ts, '1 hour'))."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("h", "event_type")
+    )
+
+
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 top-k → TakeOrderedAndProject (no global sort materialized)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op UNION (distinct) — Cloudflare_Apps ip-merge analog."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .union(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT (distinct) — F-custkeys minus P-custkeys."""
+    t = load_tables(spark, sf_dir)
+    f_keys = t.orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    p_keys = t.orders.where(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("k")
+    )
+    return f_keys.subtract(p_keys).orderBy("k").limit(100)
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F4 string functions + case-insensitive match."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.part.where(F.lower(F.col("p_name")).like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("head"),
+            F.length("p_name").alias("n_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+def _event_category():
+    return (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type") == "purchase", "revenue")
+        .when(F.col("event_type") == "signup", "growth")
+        .otherwise("ops")
+    )
+
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 CASE conditional mapping (Cloudflare_Apps match/case analog,
+    dags/Cloudflare_Apps.py:79-90)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(_event_category().alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("category")
+    )
+
+
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 tolerant cast (Speedtest float() try/except analog)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.where(F.col("event_type").try_cast("double").isNull())
+        .agg(F.count(F.lit(1)).alias("n_noncastable"))
+    )
+
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/K4 retention cutoff (Airflow_Cleanup analog) — scalar cutoff as
+    a broadcast 1-row join."""
+    t = load_tables(spark, sf_dir)
+    cutoff = t.events.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cutoff_ts")
+    )
+    return (
+        t.events.join(F.broadcast(cutoff))
+        .where(F.col("ts") < F.col("cutoff_ts"))
+        .select("event_id")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ratio aggregate (disk-usage percentage analog)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            2,
+        ).alias("pct_f")
+    )
+
+
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count distinct (exact)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets; NULLS LAST pinned (Spark/DuckDB divergence)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.nation.join(
+            F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey
+        )
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("r_name").asc_nulls_last(), F.col("n_name").asc_nulls_last()
+        )
+    )
+
+
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM op: key-based exact dedup on documents (12-char text prefix).
+    Group-min keeps one representative per duplicate group — the scalable
+    dedup shape (map-side partial agg, shuffle only the 12-char key)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.groupBy(F.substring("text", 1, 12).alias("pfx"))
+        .agg(
+            F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+        )
+        .where(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM op: text stats per language (corpus profiling)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 date-part aggregation (monthly revenue buckets)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 two-step lookup join (get_dns_zone_id analog,
+    plugins/cloudflare/cloudflare_api.py:11-30): scalar lookups become
+    broadcast 1-row joins, not driver collects."""
+    t = load_tables(spark, sf_dir)
+    min_region = t.region.agg(F.min("r_name").alias("r_name"))
+    region_key = t.region.join(F.broadcast(min_region), "r_name").select(
+        "r_regionkey"
+    )
+    return (
+        t.nation.join(
+            F.broadcast(region_key),
+            t.nation.n_regionkey == region_key.r_regionkey,
+            "left_semi",
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/P9 per-key threshold verdict (Speedtest per-device analog)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            F.when(F.min("value") >= 5.0, "ok").otherwise("below").alias("verdict")
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "q01": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+    "q02": """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F','O') AND o_totalprice > 1000.0
+  AND o_orderpriority LIKE '1%'
+ORDER BY o_orderkey LIMIT 100
+""",
+    "q03": """
+SELECT count(*) AS n_bad FROM events WHERE value IS NULL OR props IS NULL
+""",
+    "q04": """
+SELECT c.c_custkey, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY c.c_custkey LIMIT 100
+""",
+    "q05": """
+SELECT r.r_name, n.n_name, count(*) AS cnt, round(sum(c.c_acctbal), 2) AS bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""",
+    "q06": """
+SELECT o.o_orderkey, coalesce(c.c_name, 'UNKNOWN') AS cname
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey LIMIT 100
+""",
+    "q07": """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey LIMIT 100
+""",
+    "q08": """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey LIMIT 100
+""",
+    "q09": """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       cast(max(l_shipdate) AS DATE) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "q10": """
+SELECT user_id, date_trunc('second', max(ts)) AS last_seen
+FROM events
+GROUP BY user_id
+HAVING max(ts) < (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+ORDER BY user_id
+""",
+    "q11": """
+SELECT event_id, user_id, round(value, 2) AS v
+FROM events
+WHERE event_type = 'error' AND value < 10.0
+ORDER BY event_id
+""",
+    "q12": """
+SELECT user_id, event_id
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+    "q13": """
+SELECT user_id, event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 2) AS delta
+FROM events
+ORDER BY user_id, event_id LIMIT 200
+""",
+    "q14": """
+SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY h, event_type
+""",
+    "q15": """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    "q16": """
+SELECT c_nationkey AS k FROM customer
+UNION SELECT s_nationkey FROM supplier ORDER BY k
+""",
+    "q17": """
+SELECT c_nationkey AS k FROM customer
+INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
+""",
+    "q18": """
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY k LIMIT 100
+""",
+    "q19": """
+SELECT p_partkey, upper(substr(p_name, 1, 5)) AS head,
+       length(p_name) AS n_len, p_brand || ':' || p_type AS tag
+FROM part
+WHERE lower(p_name) LIKE '%a%'
+ORDER BY p_partkey LIMIT 100
+""",
+    "q20": """
+SELECT CASE event_type WHEN 'click' THEN 'engagement'
+                       WHEN 'view' THEN 'engagement'
+                       WHEN 'purchase' THEN 'revenue'
+                       WHEN 'signup' THEN 'growth'
+                       ELSE 'ops' END AS category,
+       count(*) AS cnt
+FROM events
+GROUP BY CASE event_type WHEN 'click' THEN 'engagement'
+                         WHEN 'view' THEN 'engagement'
+                         WHEN 'purchase' THEN 'revenue'
+                         WHEN 'signup' THEN 'growth'
+                         ELSE 'ops' END
+ORDER BY category
+""",
+    "q21": """
+SELECT count(*) AS n_noncastable
+FROM events WHERE try_cast(event_type AS DOUBLE) IS NULL
+""",
+    "q22": """
+SELECT event_id FROM events
+WHERE ts < (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+ORDER BY event_id LIMIT 100
+""",
+    "q23": """
+SELECT round(100.0 * sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             / count(*), 2) AS pct_f
+FROM orders
+""",
+    "q24": """
+SELECT count(DISTINCT o_custkey) AS n_cust FROM orders
+""",
+    "q25": """
+SELECT r_name, n_name, count(*) AS cnt
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS LAST, n_name NULLS LAST
+""",
+    "q26": """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY substr(text, 1, 12) HAVING count(*) > 1
+ORDER BY keep_id
+""",
+    "q27": """
+SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    "q28": """
+SELECT extract(year FROM o_orderdate) AS y,
+       extract(month FROM o_orderdate) AS m,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY extract(year FROM o_orderdate), extract(month FROM o_orderdate)
+ORDER BY y, m
+""",
+    "q29": """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_regionkey = (SELECT r_regionkey FROM region
+                     WHERE r_name = (SELECT min(r_name) FROM region))
+ORDER BY n_nationkey
+""",
+    "q30": """
+SELECT user_id,
+       CASE WHEN min(value) >= 5.0 THEN 'ok' ELSE 'below' END AS verdict
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+}
+
+RELATIONAL_QUERIES: dict[str, QueryFn] = {
+    "q01": q01, "q02": q02, "q03": q03, "q04": q04, "q05": q05,
+    "q06": q06, "q07": q07, "q08": q08, "q09": q09, "q10": q10,
+    "q11": q11, "q12": q12, "q13": q13, "q14": q14, "q15": q15,
+    "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
+    "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
+    "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
+}

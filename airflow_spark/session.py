@@ -1,0 +1,70 @@
+"""SparkSession factory and session normalization.
+
+The engine is designed for a multi-executor cluster; locally we run
+``local[N]``. All correctness-relevant session settings are applied
+idempotently to *existing* sessions too (the verify driver hands us its
+own session), via :func:`normalize_session`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-settable confs required for correct + fast execution.
+#: - UTC pin: deterministic timestamp semantics vs the DuckDB oracle.
+#: - nanosAsLong: Spark 4.x refuses parquet TIMESTAMP(NANOS)
+#:   (PARQUET_TYPE_ILLEGAL); we read ns as long and rebuild µs
+#:   timestamps in the catalog view (see catalog.py).
+#: - AQE: runtime re-planning (coalesce partitions, skew joins) — the
+#:   100 TB posture.
+_SESSION_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def normalize_session(spark: SparkSession) -> SparkSession:
+    """Apply required session confs to an existing session (idempotent)."""
+    for k, v in _SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime on this build — builder-time
+            # sessions from get_session() already carry it.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "airflow_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a normalized local session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to the core count — right-sized for local mode;
+    on a real cluster AQE coalescing makes the initial number mostly a
+    ceiling.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+    master = f"local[{cpus}]" if cpus and cpus > 0 else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus if cpus and cpus > 0 else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _SESSION_CONFS.items():
+        builder = builder.config(k, v)
+    return normalize_session(builder.getOrCreate())

@@ -1,0 +1,38 @@
+"""t2 correctness: every declared relational query hash-matches DuckDB.
+
+Runs at sf0.001 for speed in CI; the driver runs the same contract at
+sf0.01 (verified separately). Marked queries with empty-at-sf0.001
+results still check row-count equality (both engines agree on empty).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from airflow_spark.oracle import compare
+from airflow_spark.queries import ORACLE_SQL, RELATIONAL_QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(RELATIONAL_QUERIES))
+def test_query_matches_oracle(spark, sf_smoke, name):
+    fn = RELATIONAL_QUERIES[name]
+    rec = compare(spark, sf_smoke, name, fn(spark, sf_smoke), ORACLE_SQL[name])
+    assert rec["ok"], rec
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"r_name", "n_name", "cnt", "bal"}
+
+
+def test_registry_alignment():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    assert set(sqls) <= set(qs), "oracle_sql keys must be a subset of queries"
+    assert len(qs) >= 30
