@@ -1,0 +1,69 @@
+"""Text column functions — tokenization, shingling, character-class
+ratios. All built-in-function compositions (no UDFs): they compile into
+whole-stage codegen and vectorize over parquet scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens_ws(text: Column | str) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_ws(text))
+
+
+#: BPE-ish pre-tokenizer: GPT-2-style contractions / letter runs /
+#: number runs / punctuation runs / whitespace-prefixed pieces.
+_BPEISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def token_count_bpeish(text: Column | str) -> Column:
+    """Count of BPE-style pre-token pieces — a cheap, deterministic
+    proxy for LLM token counts (regexp_count is JVM-side)."""
+    return F.regexp_count(_col(text), F.lit(_BPEISH))
+
+
+def char_shingles(text: Column | str, k: int = 5, lowercase: bool = True) -> Column:
+    """Array of all k-character shingles of the text (positions
+    1..len-k+1). Built from sequence+transform — one codegen expression,
+    no explode until the caller chooses to."""
+    c = _col(text)
+    if lowercase:
+        c = F.lower(c)
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
+
+
+def _class_count(text: Column | str, pattern: str) -> Column:
+    return F.regexp_count(_col(text), F.lit(pattern))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    return _class_count(c, r"[^\w\s]") / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    return _class_count(c, r"[0-9]") / F.greatest(F.length(c), F.lit(1))
+
+
+def upper_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    return _class_count(c, r"[A-Z]") / F.greatest(F.length(c), F.lit(1))
+
+
+def whitespace_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    return _class_count(c, r"\s") / F.greatest(F.length(c), F.lit(1))

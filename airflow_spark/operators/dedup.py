@@ -1,0 +1,361 @@
+"""Deduplication operators for large text corpora.
+
+Five strategies, all shuffle-light by construction (the 100 TB posture):
+
+- **exact** (`dedup_exact`, `exact_text_groups`): group on a 128-bit
+  content hash, not the full text — the shuffle moves 16-byte keys.
+- **MinHash + LSH** (`minhash_signatures`, `minhash_candidate_pairs`,
+  `dedup_minhash`): shingle → k minhashes (ONE shuffle: groupBy doc) →
+  band buckets → pairs emerge from same-bucket grouping. Jaccard is
+  estimated from signature agreement — candidate verification never
+  re-joins the shingle sets.
+- **SimHash** (`simhash_signatures`, `simhash_neardup_pairs`): 64-bit
+  signatures via per-bit token votes; near-dup candidates from 16-bit
+  band equality (any pair within Hamming distance 3 shares ≥1 of 4
+  bands), verified with `bit_count(xor)`.
+- **n-gram Jaccard** (`ngram_jaccard_pairs`): exact Jaccard via a
+  shingle-inverted-index self-join, with a document-frequency cap that
+  drops stop-shingles (the skew guard that makes this survive scale).
+- **embedding cosine** (see similarity.py `cosine_neardup_pairs`):
+  random-hyperplane LSH buckets, exact cosine only within buckets.
+
+Reference analog: the corpus has no dedup (it is an orchestrator); this
+implements the north-star LLM-pipeline extension declared in
+SURVEY.md §2 M5. Everything is built-in-function DataFrame code — no
+Python UDFs anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, tokens_ws
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_by: str | None = None) -> DataFrame:
+    """Keep one row per distinct ``keys``. With ``order_by``, keep the
+    row with the smallest value (deterministic representative) via
+    min_by-style window; else ``dropDuplicates`` (any representative —
+    cheaper: map-side partial dedup before the shuffle)."""
+    if order_by is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_text_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by exact content: (content_hash, keep_id,
+    n_copies). Shuffles only the md5 key + id — never the document."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("content_hash"), id_col)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rows surviving exact-content dedup (min-id representative)."""
+    keep = exact_text_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — one row per doc.
+
+    Plan shape: shingle once → explode → ONE hash-aggregate computing
+    all k salted minima (map-side partial combine makes the shuffle
+    k×8 bytes per doc per partition, never the shingles themselves).
+    A projection-only variant (k nested transforms over the shingle
+    array) re-evaluates the shingle expression per hash — measured
+    ~30× slower — so the explode+agg form is deliberate."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), k=shingle_k))).alias(
+            "sh"
+        ),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(f"mh{i}:"), F.col("sh"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        shingled.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_candidate_pairs(
+    sigs: DataFrame,
+    num_bands: int = 32,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH banding: split the signature into ``num_bands`` bands, hash
+    each band, group by (band, hash). Pairs sharing any band are
+    candidates. ``max_bucket`` caps pathological buckets (boilerplate
+    text) — dropped buckets are the standard recall/cost trade at scale.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / num_bands).cast("int")
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.lit("band:"),
+                    b,
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                    .cast("array<string>")
+                    .cast("string"),
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    ids_sorted = F.array_sort("ids")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids_sorted,
+                    lambda a, i: F.transform(
+                        F.slice(ids_sorted, i + 2, F.size(ids_sorted)),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+def minhash_estimate_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature components
+    (the unbiased MinHash estimator) — verification without touching
+    the original shingle sets."""
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.size("sig_a")).cast("double").alias("jaccard_est"),
+        )
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard_est ≥ threshold)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    pairs = minhash_candidate_pairs(sigs, num_bands)
+    return minhash_estimate_jaccard(pairs, sigs).where(
+        F.col("jaccard_est") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of per-bit votes over token hashes.
+
+    Implemented as projections only: token array → xxhash64 per token →
+    64 per-bit vote folds (``aggregate``) → bits packed into a bigint.
+    No explode, no shuffle; the shift amounts are Python literals so
+    everything stays in codegen.
+    """
+    import functools
+
+    def _vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_ws(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    voted = hashed.select(
+        "id",
+        *[
+            F.aggregate("__h", F.lit(0), _vote(j)).alias(f"__v{j}")
+            for j in range(64)
+        ],
+    )
+    sig = functools.reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(
+                F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
+            ).otherwise(F.lit(0).cast("bigint"))
+            for j in range(64)
+        ],
+    )
+    return voted.select("id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sigs: DataFrame, max_hamming: int = 3, max_bucket: int = 256
+) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits. Candidates via the
+    4×16-bit band trick (Hamming ≤ 3 ⇒ at least one of 4 bands equal),
+    verified exactly with bit_count(xor). Only same-band docs meet —
+    no cross join."""
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.chunk")
+    buckets = (
+        banded.groupBy("band", "chunk")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("docs"))
+        .where((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    )
+    docs_sorted = F.array_sort("docs")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        docs_sorted,
+                        lambda a, i: F.transform(
+                            F.slice(docs_sorted, i + 2, F.size(docs_sorted)),
+                            lambda b: F.struct(
+                                a.id.alias("id_a"),
+                                b.id.alias("id_b"),
+                                F.bit_count(
+                                    a.simhash.bitwiseXOR(b.simhash)
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.distinct()
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index self-join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over k-char shingle sets for every pair sharing at
+    least one (non-stop) shingle.
+
+    Plan shape: explode distinct shingles → drop shingles with document
+    frequency > ``df_cap`` (stop-shingles create quadratic bucket
+    blowup; dropping them only loses pairs whose entire overlap is
+    boilerplate) → hash-join the inverted index with itself on shingle
+    → count common shingles per pair → join per-doc set sizes →
+    ``jaccard = common / (|A| + |B| - common)``.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), k=shingle_k))).alias(
+            "sh"
+        ),
+    )
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
+    filtered = shingled.join(
+        sh_df.where(F.col("sh_df") <= df_cap).select("sh"), "sh"
+    )
+    left = filtered.select(F.col("id").alias("id_a"), "sh")
+    right = filtered.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        left.join(right, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

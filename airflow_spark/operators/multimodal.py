@@ -1,0 +1,158 @@
+"""Multimodal column handling: image/audio/video as opaque binary
+columns with typed metadata structs.
+
+The Spark-side plumbing is real and tested — schemas, Arrow-batched
+``mapInPandas`` pipelines, partition sizing — while the codec layer is
+stubbed: this container has no image/audio libraries, so decode either
+raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake derived from the bytes (test mode). Swapping in a
+real codec (PIL/ffmpeg) changes ONE function (`_decode_image_impl`),
+not the distributed plan.
+
+Scale notes:
+- media rows are large → ``media_repartition`` right-sizes partitions
+  by estimated bytes, not row count, to keep Arrow batches bounded;
+- feature extraction is ``mapInPandas`` (one Python worker per
+  partition, Arrow transfer) — never a row-at-a-time UDF;
+- derived features (small) are split from payloads (huge) early, so
+  downstream joins/aggregations never shuffle the binary column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical media column convention: payload + typed metadata.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_image_impl(data: bytes, strict: bool = False) -> dict:
+    """STUB — no image codec in this container.
+
+    strict=True → NotImplementedError (production posture: fail loudly).
+    strict=False → deterministic fake decode derived from a SHA-256 of
+    the payload (stable across runs/machines), exercising the full
+    distributed path with realistic shapes.
+    """
+    if strict:
+        raise NotImplementedError(
+            "image decode requires a codec (e.g. PIL); not available here"
+        )
+    h = hashlib.sha256(data).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = h[2] / 255.0
+    emb = [((h[(3 + i) % 32] / 127.5) - 1.0) for i in range(16)]
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_luma": float(mean_luma),
+        "embedding": [float(x) for x in emb],
+    }
+
+
+def extract_image_features(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The returned frame carries ONLY small columns — the binary payload
+    stays behind, so downstream plans never shuffle megabyte rows.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mime, data in zip(
+                pdf[id_col], pdf["__mime"], pdf[data_col]
+            ):
+                raw = bytes(data)
+                dec = _decode_image_impl(raw, strict=strict)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "mime": mime,
+                        "n_bytes": len(raw),
+                        "sha256": hashlib.sha256(raw).hexdigest(),
+                        "width": dec["width"],
+                        "height": dec["height"],
+                        "mean_luma": dec["mean_luma"],
+                        "embedding": dec["embedding"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    src = df.withColumn("__mime", F.col("meta.mime")) if "meta" in df.columns else (
+        df.withColumn("__mime", F.lit(None).cast("string"))
+    )
+    return src.select(id_col, "__mime", data_col).mapInPandas(
+        _extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def media_repartition(
+    df: DataFrame,
+    data_col: str = "data",
+    target_partition_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Right-size partitions by *byte volume* (binary rows are huge —
+    row-count partitioning starves or OOMs executors). One cheap agg
+    estimates total bytes, then a hash repartition spreads rows."""
+    stats = df.select(
+        F.sum(F.length(F.col(data_col))).alias("total")
+    ).first()
+    total = stats["total"] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per sampled timestamp
+    (frame decode itself is the stubbed codec step). Demonstrates the
+    explode-based fan-out shape: metadata drives the expansion, the
+    binary payload is NOT duplicated per frame row."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

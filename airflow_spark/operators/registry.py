@@ -1,0 +1,194 @@
+"""Driver-facing registry for the LLM-data-pipeline operators.
+
+Each entry is a ``(spark, sf_dir) -> DataFrame`` callable over the
+driver testdata. SQL-expressible ops carry a DuckDB oracle; the
+LSH/embedding family is declared rows-only (float accumulation order
+and hash salts are not portable SQL) and is property-tested in
+``tests/test_llm_ops.py`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from . import dedup, similarity, text
+
+# ---------------------------------------------------------------------------
+# SQL-expressible operator queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content dedup groups: one keep-id per distinct md5(text)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        dedup.exact_text_groups(t.documents)
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+        .limit(200)
+    )
+
+
+def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts (space-arithmetic form: portable SQL)."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return (
+        t.documents.select(
+            "doc_id",
+            (F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + 1).alias(
+                "n_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content fingerprints (md5 hex)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("fp_md5")
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable quality features: length, space count, word density."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    n_spaces = F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit("")))
+    return (
+        t.documents.select(
+            "doc_id",
+            F.length(c).alias("n_chars_calc"),
+            n_spaces.alias("n_spaces"),
+            F.round(
+                (n_spaces + 1).cast("double") / F.greatest(F.length(c), F.lit(1)), 4
+            ).alias("word_density"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only operator queries (deterministic, but not portable SQL)
+# ---------------------------------------------------------------------------
+
+
+def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over documents (est. Jaccard ≥ 0.8)."""
+    t = load_tables(spark, sf_dir)
+    return dedup.dedup_minhash(t.documents, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) over documents."""
+    sigs = dedup.simhash_signatures(load_tables(spark, sf_dir).documents)
+    return dedup.simhash_neardup_pairs(sigs).orderBy("id_a", "id_b")
+
+
+def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.8 over documents."""
+    t = load_tables(spark, sf_dir)
+    return (
+        dedup.ngram_jaccard_pairs(t.documents, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def op_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0."""
+    t = load_tables(spark, sf_dir)
+    qv = [float(x) for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.cosine_topk(
+        t.embeddings.where(F.col("vec_id") != 0), qv, k=10
+    )
+
+
+def op_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for the same probe vector."""
+    t = load_tables(spark, sf_dir)
+    qv = [float(x) for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_topk(
+        t.embeddings.where(F.col("vec_id") != 0), qv, k=10, num_bits=8, n_probe=4
+    )
+
+
+def op_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.95) via sign-LSH."""
+    t = load_tables(spark, sf_dir)
+    return similarity.cosine_neardup_pairs(t.embeddings, threshold=0.95, dim=64).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language distribution over documents."""
+    t = load_tables(spark, sf_dir)
+    return (
+        text.with_lang_id(t.documents)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def op_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution (bucketed to 0.1) over documents."""
+    t = load_tables(spark, sf_dir)
+    return (
+        text.with_quality_score(t.documents)
+        .groupBy(F.round(F.floor(F.col("quality_score") * 10) / 10, 1).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+OPERATOR_QUERIES = {
+    "op_dedup_exact": op_dedup_exact,
+    "op_token_count": op_token_count,
+    "op_fingerprint": op_fingerprint,
+    "op_text_quality": op_text_quality,
+    "op_dedup_minhash": op_dedup_minhash,
+    "op_dedup_simhash": op_dedup_simhash,
+    "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
+    "op_similarity_topk": op_similarity_topk,
+    "op_similarity_ann": op_similarity_ann,
+    "op_embedding_neardup": op_embedding_neardup,
+    "op_lang_id": op_lang_id,
+    "op_quality_score": op_quality_score,
+}
+
+OPERATOR_ORACLE_SQL = {
+    "op_dedup_exact": """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+ORDER BY keep_id LIMIT 200
+""",
+    "op_token_count": """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+FROM documents ORDER BY doc_id LIMIT 200
+""",
+    "op_fingerprint": """
+SELECT doc_id, md5(text) AS fp_md5
+FROM documents ORDER BY doc_id LIMIT 200
+""",
+    "op_text_quality": """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       round(cast(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+             / greatest(length(text), 1), 4) AS word_density
+FROM documents ORDER BY doc_id LIMIT 200
+""",
+}

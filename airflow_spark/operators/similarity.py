@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force top-k for one query vector. The dot
+  product is a codegen'd higher-order function over the scan; top-k is
+  TakeOrderedAndProject (no global sort, no collect).
+- ``cosine_topk_many``: brute-force top-k for a small *set* of query
+  vectors — broadcast the queries, one pass over the corpus, per-query
+  window top-k.
+- ``RandomHyperplaneLSH`` + ``ann_topk``: the scale path. B sign-bits
+  from fixed pseudo-random hyperplanes bucket the corpus; a query
+  probes its own bucket plus the ``n_probe`` nearest buckets (1-bit
+  flips first). At 100 TB the corpus side can be written bucketed
+  (partitionBy bucket) so a probe prunes partitions instead of
+  scanning.
+- ``cosine_neardup_pairs``: embedding near-duplicate detection —
+  LSH buckets → exact cosine only within buckets (never a cross join).
+
+Hyperplanes are generated from a seeded ``numpy`` RNG → plan literals,
+so results are deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, lit_vector
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one query vector.
+    Deterministic output: score rounded, ties broken by id."""
+    q = lit_vector(query_vec)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def cosine_topk_many(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k per query for a small query set: broadcast-join the
+    queries against every corpus row (one corpus pass), then window
+    top-k per query. Use ``ann_topk`` when the query set is large."""
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("__qv")
+        )
+    )
+    scored = df.crossJoin(q).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
+class RandomHyperplaneLSH:
+    """Sign-bit LSH for cosine similarity with deterministic planes."""
+
+    def __init__(self, dim: int, num_bits: int = 16, seed: int = 42):
+        self.dim = dim
+        self.num_bits = num_bits
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_bits, dim))
+
+    def bucket_col(self, vec_col: Column | str) -> Column:
+        """Pack sign(v·plane_j) bits into an int bucket id — one codegen
+        expression per plane, no UDF."""
+        v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        bucket = F.lit(0).cast("bigint")
+        for j in range(self.num_bits):
+            plane = self.planes[j]
+            d = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            )
+        return bucket
+
+    def bucket_of(self, vec: list[float]) -> int:
+        b = 0
+        for j in range(self.num_bits):
+            if float(np.dot(self.planes[j], np.asarray(vec, dtype=float))) > 0:
+                b |= 1 << j
+        return b
+
+    def probe_buckets(self, vec: list[float], n_probe: int = 1) -> list[int]:
+        """The query's bucket plus (n_probe-1) 1-bit-flip neighbors,
+        nearest hyperplane first (smallest |margin| = most likely
+        misassigned bit)."""
+        v = np.asarray(vec, dtype=float)
+        base = self.bucket_of(vec)
+        margins = sorted(
+            range(self.num_bits), key=lambda j: abs(float(np.dot(self.planes[j], v)))
+        )
+        out = [base]
+        for j in margins:
+            if len(out) >= n_probe:
+                break
+            out.append(base ^ (1 << j))
+        return out
+
+
+def ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bits: int = 8,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's probe
+    buckets. The bucket predicate is a plain column filter — with a
+    bucket-partitioned corpus layout it becomes partition pruning."""
+    lsh = RandomHyperplaneLSH(len(query_vec), num_bits, seed)
+    probes = lsh.probe_buckets(query_vec, n_probe)
+    bucketed = df.withColumn("__bucket", lsh.bucket_col(vec_col))
+    cand = bucketed.where(F.col("__bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bits: int = 12,
+    seed: int = 42,
+    max_bucket: int = 512,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine
+    within buckets only. A pair with cosine ≥ threshold collides with
+    probability (1 - θ/π)^num_bits — tune num_bits for recall/cost."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    lsh = RandomHyperplaneLSH(dim, num_bits, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh.bucket_col(vec_col).alias("bucket"),
+    )
+    buckets = (
+        b.groupBy("bucket")
+        .agg(F.collect_list(F.struct("id", "v")).alias("docs"))
+        .where((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    )
+    docs_sorted = F.array_sort("docs")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    docs_sorted,
+                    lambda a, i: F.transform(
+                        F.slice(docs_sorted, i + 2, F.size(docs_sorted)),
+                        lambda c: F.struct(
+                            a["id"].alias("id_a"),
+                            c["id"].alias("id_b"),
+                            F.round(cosine_similarity(a["v"], c["v"]), 6).alias(
+                                "cosine"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", "p.cosine")
+    return pairs.where(F.col("cosine") >= threshold).distinct()

@@ -1,0 +1,161 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure built-in-function DataFrame code (codegen'd, vectorized over
+the scan) — these run as projections with zero shuffles, so they cost
+one corpus pass at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    char_shingles,
+    digit_ratio,
+    punct_ratio,
+    token_count_bpeish,
+    token_count_ws,
+    tokens_ws,
+    upper_ratio,
+    whitespace_ratio,
+)
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword + script heuristic)
+# ---------------------------------------------------------------------------
+
+#: Compact per-language stopword profiles (top function words).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "on", "at", "by", "this", "are", "be", "or", "an"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "dem", "sich", "des"],
+    "fr": ["le", "la", "les", "et", "est", "une", "un", "des", "du", "dans",
+           "que", "qui", "pour", "pas", "sur", "avec", "au", "ce", "il"],
+    "es": ["el", "la", "los", "las", "y", "es", "una", "un", "de", "en",
+           "que", "por", "para", "con", "no", "se", "del", "su", "al"],
+    "zh": [],  # identified by script, not stopwords
+}
+
+
+def lang_id_col(text: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Predicted language code. CJK script ratio decides 'zh'; otherwise
+    argmax of stopword hit-rate per language profile (ties → 'und' if
+    no stopword hits at all). One codegen expression — no UDF, no
+    shuffle, no external model."""
+    if profiles is None:
+        profiles = LANG_PROFILES
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(tokens_ws(c), lambda t: F.lower(t))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    cjk = F.regexp_count(c, F.lit(r"[一-鿿]")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    def _hits(words: list[str]):
+        # Factory keeps the lambda unary (a 2-arg lambda would receive
+        # the element index as its second argument).
+        ws = tuple(words)
+        return lambda t: t.isin(*ws)
+
+    scores = [
+        F.struct(
+            (F.size(F.filter(toks, _hits(words))) / n_toks).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in profiles.items()
+        if words
+    ]
+    best = F.array_max(F.array(*scores))
+    return (
+        F.when(cjk > 0.2, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    return df.withColumn(out_col, lang_id_col(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1]:
+    length band, mean word length band, stopword presence, low symbol
+    noise. The shape follows public corpus-filtering heuristics
+    (Gopher/C4-style rules); weights are transparent and tunable."""
+    if stopwords is None:
+        stopwords = LANG_PROFILES["en"]
+    c = F.col(text_col)
+    toks = F.transform(tokens_ws(c), lambda t: F.lower(t))
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = (F.length(c) - F.size(toks) + 1) / n_toks
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*stopwords))
+    ) / n_toks
+
+    len_ok = (F.length(c) >= 50) & (F.length(c) <= 100_000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    noise = punct_ratio(c) + digit_ratio(c)
+
+    score = (
+        F.when(len_ok, 0.3).otherwise(0.0)
+        + F.when(wlen_ok, 0.2).otherwise(0.0)
+        + F.least(stop_ratio * 2.5, F.lit(0.3))
+        + F.greatest(F.lit(0.2) - noise, F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_tokens", token_count_ws(c))
+        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 4))
+        .withColumn("digit_ratio", F.round(digit_ratio(c), 4))
+        .withColumn("upper_ratio", F.round(upper_ratio(c), 4))
+        .withColumn("ws_ratio", F.round(whitespace_ratio(c), 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts as columns."""
+    return df.withColumn("n_tokens_ws", token_count_ws(F.col(text_col))).withColumn(
+        "n_tokens_bpe", token_count_bpeish(F.col(text_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def with_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 8,
+    sketch_size: int = 8,
+) -> DataFrame:
+    """Two fingerprints per document:
+    - ``fp_md5``: exact-content hash (dedup key),
+    - ``fp_sketch``: min-k sketch of rolling k-gram hashes (a compact
+      winnowing-style near-dup signature; equal sketches ⇒ very likely
+      near-identical prefixe/content)."""
+    c = F.col(text_col)
+    hashes = F.transform(char_shingles(c, k=shingle_k), lambda s: F.xxhash64(s))
+    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, sketch_size)
+    return df.withColumn("fp_md5", F.md5(c.cast("binary"))).withColumn(
+        "fp_sketch", sketch
+    )

@@ -1,0 +1,381 @@
+"""Pipeline core: DAG declaration + synchronous driver execution.
+
+Maps the reference's Airflow surface 1:1 (SURVEY.md §2.9):
+
+- ``Pipeline(...)``        ↔ ``@dag(...)`` (O1: id, schedule, params,
+  timeout, on_failure, catchup, tags)
+- ``@pipeline.task(...)``  ↔ ``@task`` (O2) with ``depends_on`` edges
+  (O3 ``a >> b``), per-task ``retries``/``retry_delay`` (O5) and the
+  run-level wall-clock budget (O6 ``dagrun_timeout``)
+- ``expand_over=``         ↔ dynamic task mapping ``.expand()`` (O4):
+  one logical task applied per element of an upstream list, with
+  per-element failure isolation (one stale key fails its element,
+  others proceed; the task reports every violation, not just the
+  first — SURVEY.md §7 hard-part 5)
+- ``pipeline.run/test``    ↔ scheduled run / ``dag.test()`` (O10)
+- failure → notifier (O9), profile guards (O12) via ``ctx.profile``
+
+Heavy data stays in DataFrames inside task bodies; the driver only
+topo-sorts, retries, and threads small values (the XCom analog) between
+tasks. Evaluation time is an explicit injected ``run_ts`` — never
+wall-clock inside task logic (SURVEY.md §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import logging
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .notifier import LogNotifier, Notifier
+
+logger = logging.getLogger("airflow_spark.pipeline")
+
+
+class TaskFailure(RuntimeError):
+    """A task exhausted its retries."""
+
+
+@dataclass
+class Context:
+    """Run context injected into every task (the Airflow ``params`` /
+    ``Variable`` / XCom surface)."""
+
+    spark: SparkSession
+    run_id: str
+    run_ts: dt.datetime
+    params: dict[str, Any] = field(default_factory=dict)
+    variables: dict[str, str] = field(default_factory=dict)
+    profile: str = "dev"
+    outputs: dict[str, Any] = field(default_factory=dict)
+    #: set for expand_over elements: the element value
+    map_element: Any = None
+
+    def var(self, key: str, default: str | None = None) -> str | None:
+        """Variable.get analog (S5) with default."""
+        return self.variables.get(key, default)
+
+    def param(self, key: str, default: Any = None) -> Any:
+        return self.params.get(key, default)
+
+    def xcom(self, task_name: str) -> Any:
+        """Output of an upstream task (XCom pull analog)."""
+        return self.outputs[task_name]
+
+
+@dataclass
+class TaskDef:
+    name: str
+    fn: Callable[..., Any]
+    depends_on: list[str] = field(default_factory=list)
+    retries: int = 0
+    retry_delay: float = 0.0
+    expand_over: str | None = None
+    when: Callable[[Context], bool] | None = None
+
+
+@dataclass
+class TaskResult:
+    name: str
+    status: str  # success | failed | skipped | upstream_failed
+    attempts: int = 0
+    error: str | None = None
+    elapsed: float = 0.0
+    #: per-element statuses for expanded tasks
+    elements: list[dict] | None = None
+
+
+@dataclass
+class PipelineRun:
+    run_id: str
+    status: str
+    tasks: dict[str, TaskResult]
+    started: dt.datetime
+    elapsed: float
+
+    @property
+    def ok(self) -> bool:
+        return self.status == "success"
+
+
+@dataclass
+class Param:
+    """Typed, defaulted run parameter (O1 params — JSON-schema-ish)."""
+
+    default: Any
+    type: str = "string"  # integer | number | string | boolean
+    description: str = ""
+
+    _CASTS = {"integer": int, "number": float, "string": str, "boolean": bool}
+
+    def resolve(self, value: Any) -> Any:
+        if value is None:
+            return self.default
+        cast = self._CASTS.get(self.type)
+        if cast is None:
+            return value
+        try:
+            return cast(value)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"param value {value!r} is not {self.type}") from e
+
+
+class Pipeline:
+    """A named DAG of Spark tasks with driver-side orchestration."""
+
+    def __init__(
+        self,
+        name: str,
+        schedule: str | None = None,
+        params: dict[str, Param] | None = None,
+        timeout_s: float | None = None,
+        default_retries: int = 0,
+        default_retry_delay: float = 0.0,
+        on_failure: Notifier | None = None,
+        catchup: bool = False,
+        tags: list[str] | None = None,
+        description: str = "",
+    ):
+        self.name = name
+        self.schedule = schedule
+        self.params = params or {}
+        self.timeout_s = timeout_s
+        self.default_retries = default_retries
+        self.default_retry_delay = default_retry_delay
+        self.on_failure = on_failure or LogNotifier()
+        self.catchup = catchup
+        self.tags = tags or []
+        self.description = description
+        self.tasks: dict[str, TaskDef] = {}
+
+    # -- declaration ------------------------------------------------------
+
+    def task(
+        self,
+        fn: Callable[..., Any] | None = None,
+        *,
+        name: str | None = None,
+        depends_on: list[str] | None = None,
+        retries: int | None = None,
+        retry_delay: float | None = None,
+        expand_over: str | None = None,
+        when: Callable[[Context], bool] | None = None,
+    ):
+        """Register a task. ``fn(ctx)`` (or ``fn(ctx, element)`` when
+        ``expand_over`` names an upstream task whose output is a list).
+        ``when`` is the conditional-pruning guard (P11)."""
+
+        def deco(f: Callable[..., Any]) -> Callable[..., Any]:
+            tname = name or f.__name__
+            if tname in self.tasks:
+                raise ValueError(f"duplicate task name {tname!r}")
+            deps = list(depends_on or [])
+            if expand_over and expand_over not in deps:
+                deps.append(expand_over)
+            self.tasks[tname] = TaskDef(
+                name=tname,
+                fn=f,
+                depends_on=deps,
+                retries=self.default_retries if retries is None else retries,
+                retry_delay=(
+                    self.default_retry_delay if retry_delay is None else retry_delay
+                ),
+                expand_over=expand_over,
+                when=when,
+            )
+            return f
+
+        return deco(fn) if fn is not None else deco
+
+    # -- execution --------------------------------------------------------
+
+    def _topo_order(self) -> list[str]:
+        ts = TopologicalSorter(
+            {name: set(t.depends_on) for name, t in self.tasks.items()}
+        )
+        for name, t in self.tasks.items():
+            for dep in t.depends_on:
+                if dep not in self.tasks:
+                    raise ValueError(f"task {name!r} depends on unknown {dep!r}")
+        return list(ts.static_order())
+
+    def _run_with_retries(
+        self, t: TaskDef, call: Callable[[], Any], deadline: float | None
+    ) -> tuple[Any, int]:
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                return call(), attempts
+            except Exception:
+                if attempts > t.retries:
+                    raise
+                if deadline is not None and time.monotonic() >= deadline:
+                    raise
+                logger.warning(
+                    "task %s attempt %d/%d failed; retrying in %.1fs",
+                    t.name, attempts, t.retries + 1, t.retry_delay,
+                )
+                if t.retry_delay:
+                    time.sleep(t.retry_delay)
+
+    def run(
+        self,
+        spark: SparkSession,
+        params: dict[str, Any] | None = None,
+        variables: dict[str, str] | None = None,
+        run_ts: dt.datetime | None = None,
+        profile: str = "dev",
+        run_id: str | None = None,
+        state_store=None,
+    ) -> PipelineRun:
+        """Execute the DAG synchronously (one Spark action per task).
+
+        Failure semantics: a failed task (post-retries) marks all
+        transitive dependents ``upstream_failed``, other branches keep
+        running; the run is ``failed`` and the notifier fires once.
+        """
+        run_ts = run_ts or dt.datetime.now(dt.timezone.utc)
+        run_id = run_id or f"{self.name}__{run_ts.strftime('%Y%m%dT%H%M%S')}"
+        resolved = {
+            key: p.resolve((params or {}).get(key)) for key, p in self.params.items()
+        }
+        for key, val in (params or {}).items():
+            if key not in resolved:
+                resolved[key] = val
+        ctx = Context(
+            spark=spark,
+            run_id=run_id,
+            run_ts=run_ts,
+            params=resolved,
+            variables=variables or {},
+            profile=profile,
+        )
+        started = dt.datetime.now(dt.timezone.utc)
+        t0 = time.monotonic()
+        deadline = t0 + self.timeout_s if self.timeout_s else None
+        results: dict[str, TaskResult] = {}
+        failed_any = False
+        first_error: str | None = None
+
+        for tname in self._topo_order():
+            t = self.tasks[tname]
+            bad_dep = next(
+                (
+                    d
+                    for d in t.depends_on
+                    if results[d].status in ("failed", "upstream_failed")
+                ),
+                None,
+            )
+            if bad_dep is not None:
+                results[tname] = TaskResult(tname, "upstream_failed")
+                continue
+            if deadline is not None and time.monotonic() >= deadline:
+                results[tname] = TaskResult(
+                    tname, "failed", error="pipeline timeout budget exhausted"
+                )
+                failed_any = True
+                first_error = first_error or results[tname].error
+                continue
+            if t.when is not None and not t.when(ctx):
+                results[tname] = TaskResult(tname, "skipped")
+                ctx.outputs[tname] = None
+                continue
+
+            el_t0 = time.monotonic()
+            if t.expand_over is not None:
+                res = self._run_expanded(t, ctx, deadline)
+            else:
+                res = self._run_single(t, ctx, deadline)
+            res.elapsed = round(time.monotonic() - el_t0, 3)
+            results[tname] = res
+            if res.status == "failed":
+                failed_any = True
+                first_error = first_error or res.error
+
+        status = "failed" if failed_any else "success"
+        run = PipelineRun(
+            run_id=run_id,
+            status=status,
+            tasks=results,
+            started=started,
+            elapsed=round(time.monotonic() - t0, 3),
+        )
+        if failed_any:
+            self.on_failure.notify(
+                {
+                    "pipeline": self.name,
+                    "run_id": run_id,
+                    "error": first_error or "task failure",
+                    "tasks": {k: v.status for k, v in results.items()},
+                }
+            )
+        if state_store is not None:
+            state_store.record_run(self, run)
+        return run
+
+    def _run_single(self, t: TaskDef, ctx: Context, deadline) -> TaskResult:
+        try:
+            out, attempts = self._run_with_retries(t, lambda: t.fn(ctx), deadline)
+            ctx.outputs[t.name] = out
+            return TaskResult(t.name, "success", attempts=attempts)
+        except Exception as e:  # noqa: BLE001 — task bodies may raise anything
+            ctx.outputs[t.name] = None
+            return TaskResult(
+                t.name, "failed", attempts=t.retries + 1,
+                error=f"{type(e).__name__}: {e}",
+            )
+
+    def _run_expanded(self, t: TaskDef, ctx: Context, deadline) -> TaskResult:
+        """Dynamic mapping (O4) with per-element failure isolation: every
+        element runs; the task fails with the full violation list."""
+        source = ctx.outputs.get(t.expand_over)
+        if source is None:
+            return TaskResult(
+                t.name, "failed",
+                error=f"expand_over {t.expand_over!r} produced no list",
+            )
+        elements = list(source)
+        el_results: list[dict] = []
+        failures: list[str] = []
+        outs = []
+        for el in elements:
+            try:
+                out, attempts = self._run_with_retries(
+                    t, lambda el=el: t.fn(ctx, el), deadline
+                )
+                outs.append(out)
+                el_results.append(
+                    {"element": el, "status": "success", "attempts": attempts}
+                )
+            except Exception as e:  # noqa: BLE001
+                el_results.append(
+                    {
+                        "element": el,
+                        "status": "failed",
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+                )
+                failures.append(f"{el!r}: {type(e).__name__}: {e}")
+        ctx.outputs[t.name] = outs
+        if failures:
+            return TaskResult(
+                t.name, "failed",
+                error=f"{len(failures)}/{len(elements)} elements failed: "
+                + "; ".join(failures[:5]),
+                elements=el_results,
+            )
+        return TaskResult(t.name, "success", attempts=1, elements=el_results)
+
+    def test(self, spark: SparkSession, **kwargs) -> PipelineRun:
+        """dag.test() analog (O10): synchronous in-process run, no
+        state store, no scheduler."""
+        kwargs.pop("state_store", None)
+        return self.run(spark, **kwargs)

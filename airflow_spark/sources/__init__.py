@@ -1,0 +1,12 @@
+"""Source/sink adapters: JSON-payload ingestion (REST-shaped, with
+injectable fetchers), delimited-list sources, filesystem scans, and
+guarded sinks."""
+
+from .http import (  # noqa: F401
+    CollectingSink,
+    HttpError,
+    fetch_per_key,
+    http_json_source,
+    http_sink,
+)
+from .lists import delimited_list, list_to_df  # noqa: F401

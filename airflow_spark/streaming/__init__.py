@@ -1,0 +1,11 @@
+"""Structured-Streaming monitors — the streaming form of the
+reference's cron-polling checks (SURVEY.md §2.11)."""
+
+from .monitors import (  # noqa: F401
+    freshness_monitor,
+    last_seen_monitor,
+    session_window_counts,
+    sliding_window_counts,
+    threshold_monitor,
+    tumbling_window_counts,
+)

@@ -1,0 +1,179 @@
+"""Streaming freshness/threshold monitors over an event stream.
+
+The reference approximates streaming by polling every 5-60 min and
+checking event-time staleness (dags/DNS_Requests.py:97-136 per-client
+freshness; dags/Cloudflare_Apps.py:54 5-min polls). These operators are
+the Structured-Streaming-native forms, built so the SAME function works
+on a batch DataFrame (tests, backfill) and a streaming one (readStream)
+— the transformations are identical; only the source/sink differ.
+
+Late data: watermarks bound state (`withWatermark`) — the
+catchup=False "drop what's too old" posture. Stateful per-key
+alert-once monitoring uses applyInPandasWithState with per-key
+timeouts (last_seen_monitor).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-window per-key counts (W3). Works batch or streaming; the
+    watermark only applies on a streaming source."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, window_len).alias("win"), F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Sliding-window counts — the '5-min checks of hourly freshness'
+    shape (dags/Cloudflare_Apps.py:54)."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window_len, slide).alias("win"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session windows per key (activity bursts separated by ≥ gap)."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("win"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def freshness_monitor(
+    events: DataFrame,
+    keys: DataFrame,
+    cutoff: dt.datetime,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Stale keys: expected keys whose latest event is missing or older
+    than ``cutoff`` (A1 — the DNS_Requests per-client freshness check,
+    dags/DNS_Requests.py:129-136, with run_ts injected as ``cutoff``).
+    Returns (key, last_seen nullable)."""
+    latest = events.groupBy(key_col).agg(F.max(ts_col).alias("last_seen"))
+    return (
+        keys.join(latest, key_col, "left")
+        .where(
+            F.col("last_seen").isNull() | (F.col("last_seen") < F.lit(cutoff))
+        )
+        .select(key_col, "last_seen")
+    )
+
+
+def threshold_monitor(
+    readings: DataFrame,
+    limits: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    limit_col: str = "limit",
+) -> DataFrame:
+    """Per-key threshold violations (P9 — Speedtest per-device limits,
+    dags/Speedtest.py:91-96): readings joined to broadcast limits,
+    violation where value < limit."""
+    return (
+        readings.join(F.broadcast(limits), key_col)
+        .where(F.col(value_col) < F.col(limit_col))
+        .select(key_col, value_col, limit_col)
+    )
+
+
+LAST_SEEN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("alerted", T.BooleanType()),
+    ]
+)
+
+LAST_SEEN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("status", T.StringType()),  # alive | stale_alert
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+
+def _last_seen_fn(stale_after_s: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, alerted = state.get
+            if not alerted:
+                state.update((last_ts, True))
+                yield pd.DataFrame(
+                    [{"user_id": user_id, "status": "stale_alert", "last_ts": last_ts}]
+                )
+            return
+        max_ts = None
+        for pdf in pdfs:
+            m = pd.to_datetime(pdf["ts"]).max()
+            if max_ts is None or m > max_ts:
+                max_ts = m
+        prev = state.get if state.exists else (None, False)
+        if prev[0] is not None and (max_ts is None or prev[0] > max_ts):
+            max_ts = prev[0]
+        state.update((max_ts, False))  # fresh data clears the alert latch
+        state.setTimeoutDuration(stale_after_s * 1000)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "status": "alive", "last_ts": max_ts}]
+        )
+
+    return fn
+
+
+def last_seen_monitor(
+    events: DataFrame,
+    stale_after_s: int = 3600,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Stateful per-key last-seen with alert-once semantics (the
+    streaming form of the DNS freshness DAG): emits 'alive' on new
+    data, one 'stale_alert' when a key goes quiet past the timeout,
+    re-arms when the key returns. Requires a streaming source with
+    update output mode (processing-time timeouts)."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _last_seen_fn(stale_after_s),
+        outputStructType=LAST_SEEN_OUTPUT_SCHEMA,
+        stateStructType=LAST_SEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,235 @@
+"""Property tests for the LLM-data operators (dedup / similarity /
+text / multimodal). These cover the semantics the oracle can't:
+near-dup recall on planted duplicates, cosine self-similarity,
+dedup idempotence, deterministic stubs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spark.functions.vectors import cosine_similarity, lit_vector
+from airflow_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep green forest while the sun slowly sets behind the hills"
+    )
+    near = base.replace("quick", "swift")  # near-dup of 0
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0
+        (2, near),            # near dup of 0
+        (3, "completely different content about database query engines and "
+            "distributed joins with hash partitioning across many executors"),
+        (4, "der schnelle braune fuchs springt über den faulen hund und die "
+            "sonne geht langsam hinter den hügeln unter"),
+        (5, "le renard brun rapide saute par dessus le chien paresseux et le "
+            "soleil se couche lentement derrière les collines"),
+        (6, "el zorro marrón rápido salta sobre el perro perezoso y el sol se "
+            "pone lentamente detrás de las colinas"),
+        (7, "这是一个中文文档 关于分布式查询引擎 和大规模数据处理 的简单测试文本"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = dedup.dedup_exact_text(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # dup group keeps min doc_id
+    assert ids == {0, 2, 3, 4, 5, 6, 7}
+
+
+def test_exact_dedup_idempotent(docs):
+    once = dedup.dedup_exact_text(docs)
+    twice = dedup.dedup_exact_text(once)
+    assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    )
+
+
+def test_minhash_finds_planted_dups(docs):
+    pairs = dedup.dedup_minhash(docs, threshold=0.5, num_hashes=64, num_bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup: jaccard est 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    assert not any({a, b} == {0, 3} for a, b in got)  # unrelated not paired
+
+
+def test_minhash_exact_dup_estimates_one(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=64)
+    pairs = dedup.minhash_candidate_pairs(sigs, num_bands=16)
+    est = dedup.minhash_estimate_jaccard(pairs, sigs)
+    row = est.where((F.col("id_a") == 0) & (F.col("id_b") == 1)).first()
+    assert row is not None and row["jaccard_est"] == 1.0
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    sigs = dedup.simhash_signatures(docs)
+    pairs = dedup.simhash_neardup_pairs(sigs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, shingle_k=5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows.get((0, 1)) == 1.0
+    assert (0, 2) in rows and 0.5 <= rows[(0, 2)] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    out = df.select(
+        cosine_similarity("embedding", lit_vector([1.0, 2.0, 3.0])).alias("c")
+    ).first()
+    assert math.isclose(out["c"], 1.0, abs_tol=1e-9)
+
+
+def test_cosine_topk_ordering(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r["id"] for r in out] == [1, 2]
+    assert out[0]["score"] == 1.0
+
+
+def test_ann_recall_on_clustered_data(spark):
+    # ANN's contract is recall on *actual* near neighbors (cosine ≫ 0).
+    # Plant a tight cluster around the query among random noise.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal(16)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(20):  # planted neighbors: small perturbations of q
+        v = q + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20, 220):  # noise
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = [float(x) for x in q]
+    brute = similarity.cosine_topk(df, qv, k=5).collect()
+    # probe the base bucket + every 1-bit flip (hamming ≤ 1 coverage)
+    ann = similarity.ann_topk(df, qv, k=5, num_bits=8, n_probe=9).collect()
+    overlap = {r["id"] for r in brute} & {r["id"] for r in ann}
+    assert len(overlap) >= 3, (brute, ann)
+    assert sum(r["id"] < 20 for r in ann) >= 3  # ANN hits mostly planted
+
+
+def test_embedding_neardup_self_consistency(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.cosine_neardup_pairs(df, threshold=0.99, num_bits=4, dim=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any({a, b} == {1, 3} for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_on_real_languages(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in text.with_lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[5] == "fr"
+    assert out[6] == "es"
+    assert out[7] == "zh"
+
+
+def test_quality_score_range_and_monotonicity(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    junk = "@@@@ #### $$$$ 1234 %%%% ^^^^ &&&& 9999 !!!!"
+    df = spark.createDataFrame([(1, good), (2, junk)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["quality_score"] for r in text.with_quality_score(df).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, it's 42 tokens!")], ["doc_id", "text"])
+    r = text.with_token_counts(df).first()
+    assert r["n_tokens_ws"] == 5
+    assert r["n_tokens_bpe"] >= 7  # pieces: hello/ world/,/ it/'s/ 42/ tokens/!
+
+
+def test_fingerprint_deterministic_and_distinct(docs):
+    out = text.with_fingerprint(docs).select("doc_id", "fp_md5", "fp_sketch").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["fp_md5"] == by_id[1]["fp_md5"]
+    assert by_id[0]["fp_md5"] != by_id[3]["fp_md5"]
+    assert by_id[0]["fp_sketch"] == by_id[1]["fp_sketch"]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark):
+    rows = [
+        (1, b"\x89PNG fake image bytes 1", ("image/png", None, None, None, None, None)),
+        (2, b"\x89PNG fake image bytes 2", ("image/png", None, None, None, None, None)),
+        (3, b"RIFF fake audio bytes", ("audio/wav", None, None, 5000, 16000, None)),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("meta", multimodal.MEDIA_META_SCHEMA),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_image_features_deterministic(spark):
+    df = _media_df(spark)
+    a = multimodal.extract_image_features(df).orderBy("media_id").collect()
+    b = multimodal.extract_image_features(df).orderBy("media_id").collect()
+    assert [r["sha256"] for r in a] == [r["sha256"] for r in b]
+    assert [r["mean_luma"] for r in a] == [r["mean_luma"] for r in b]
+    assert all(len(r["embedding"]) == 16 for r in a)
+    assert a[0]["sha256"] != a[1]["sha256"]
+
+
+def test_image_features_strict_raises(spark):
+    df = _media_df(spark)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_image_features(df, strict=True).collect()
+
+
+def test_sample_frames_plan(spark):
+    df = _media_df(spark)
+    frames = multimodal.sample_frames(df.where(F.col("media_id") == 3), every_ms=1000)
+    got = [r["frame_ts_ms"] for r in frames.collect()]
+    assert got == [0, 1000, 2000, 3000, 4000]

@@ -1,0 +1,240 @@
+"""Pipeline engine tests: DAG ordering, retries, timeouts, expand
+fan-out isolation, expectations, notifier, params, scheduler cron,
+state store + vacuum.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spark.pipeline import (
+    CollectingNotifier,
+    ExpectationFailed,
+    Pipeline,
+    RunStateStore,
+    Scheduler,
+    cron_matches,
+    expect_empty,
+    expect_nonempty,
+    expect_schema,
+    next_fire,
+)
+from airflow_spark.pipeline.core import Param
+from airflow_spark.pipeline.scheduler import latest_fire_in
+
+UTC = dt.timezone.utc
+
+
+def test_topo_order_and_xcom(spark):
+    p = Pipeline("order")
+    seen = []
+
+    @p.task
+    def a(ctx):
+        seen.append("a")
+        return 41
+
+    @p.task(depends_on=["a"])
+    def b(ctx):
+        seen.append("b")
+        return ctx.xcom("a") + 1
+
+    run = p.test(spark)
+    assert run.ok and seen == ["a", "b"]
+
+
+def test_retries_then_success(spark):
+    p = Pipeline("retry")
+    calls = {"n": 0}
+
+    @p.task(retries=2, retry_delay=0.0)
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    run = p.test(spark)
+    assert run.ok and run.tasks["flaky"].attempts == 3
+
+
+def test_failure_marks_dependents_and_notifies(spark):
+    notifier = CollectingNotifier()
+    p = Pipeline("fail", on_failure=notifier)
+
+    @p.task
+    def bad(ctx):
+        raise ValueError("boom")
+
+    @p.task(depends_on=["bad"])
+    def never(ctx):
+        raise AssertionError("must not run")
+
+    @p.task
+    def independent(ctx):
+        return "ran"
+
+    run = p.test(spark)
+    assert not run.ok
+    assert run.tasks["bad"].status == "failed"
+    assert run.tasks["never"].status == "upstream_failed"
+    assert run.tasks["independent"].status == "success"
+    assert len(notifier.messages) == 1 and "fail" in notifier.messages[0]
+
+
+def test_expand_per_element_isolation(spark):
+    """One bad element fails its instance; others proceed; the error
+    reports every failing element (SURVEY §7 hard-part 5)."""
+    p = Pipeline("expand")
+
+    @p.task
+    def clients(ctx):
+        return ["c1", "bad", "c3"]
+
+    @p.task(expand_over="clients")
+    def check(ctx, client):
+        if client == "bad":
+            raise RuntimeError(f"{client} stale")
+        return f"{client}-ok"
+
+    run = p.test(spark)
+    assert run.tasks["check"].status == "failed"
+    el = {e["element"]: e["status"] for e in run.tasks["check"].elements}
+    assert el == {"c1": "success", "bad": "failed", "c3": "success"}
+    assert "bad" in run.tasks["check"].error
+
+
+def test_conditional_pruning_when_guard(spark):
+    p = Pipeline("prune")
+
+    @p.task(when=lambda ctx: ctx.profile == "prod")
+    def prod_only(ctx):
+        return "x"
+
+    run = p.test(spark, profile="dev")
+    assert run.tasks["prod_only"].status == "skipped"
+    assert run.ok  # skip is not failure
+
+
+def test_params_typed_defaults_and_override(spark):
+    p = Pipeline(
+        "params",
+        params={"outdated_interval": Param(1, type="integer")},
+    )
+    got = {}
+
+    @p.task
+    def read(ctx):
+        got["v"] = ctx.param("outdated_interval")
+
+    p.test(spark)
+    assert got["v"] == 1
+    p.test(spark, params={"outdated_interval": "5"})
+    assert got["v"] == 5  # cast to int per Param type
+
+
+def test_pipeline_timeout_budget(spark):
+    import time
+
+    p = Pipeline("budget", timeout_s=0.2)
+
+    @p.task
+    def slow(ctx):
+        time.sleep(0.4)
+        return 1
+
+    @p.task(depends_on=["slow"])
+    def after(ctx):
+        return 2
+
+    run = p.test(spark)
+    assert not run.ok
+    assert run.tasks["after"].status in ("failed", "upstream_failed")
+
+
+def test_expectations(spark):
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    expect_nonempty(df, "should have rows")
+    expect_schema(df, {"id": "bigint", "v": "bigint"})
+    expect_empty(df.where(F.col("v") > 100), "no big values")
+    with pytest.raises(ExpectationFailed, match="negative"):
+        expect_empty(df.where(F.col("v") >= 0), "negative check")
+    with pytest.raises(ExpectationFailed):
+        expect_schema(df, {"missing_col": "string"})
+
+
+# ---------------------------------------------------------------------------
+# Scheduler
+# ---------------------------------------------------------------------------
+
+
+def test_cron_matching():
+    t = dt.datetime(2026, 8, 13, 14, 5, tzinfo=UTC)
+    assert cron_matches("*/5 * * * *", t)
+    assert not cron_matches("0 * * * *", t)
+    assert cron_matches("5 14 13 8 *", t)
+    assert cron_matches("@daily", dt.datetime(2026, 8, 13, 0, 0, tzinfo=UTC))
+    assert cron_matches("0 */6 * * *", dt.datetime(2026, 8, 13, 18, 0, tzinfo=UTC))
+
+
+def test_next_fire_and_catchup_latest_only():
+    after = dt.datetime(2026, 8, 13, 14, 2, tzinfo=UTC)
+    assert next_fire("*/5 * * * *", after) == dt.datetime(
+        2026, 8, 13, 14, 5, tzinfo=UTC
+    )
+    # 3 hours of downtime on an hourly schedule → only the latest fires
+    fire = latest_fire_in(
+        "0 * * * *",
+        dt.datetime(2026, 8, 13, 11, 0, tzinfo=UTC),
+        dt.datetime(2026, 8, 13, 14, 30, tzinfo=UTC),
+    )
+    assert fire == dt.datetime(2026, 8, 13, 14, 0, tzinfo=UTC)
+
+
+def test_scheduler_fires_and_dedupes(spark):
+    p = Pipeline("sched", schedule="0 * * * *")
+    fired = []
+
+    @p.task
+    def tick(ctx):
+        fired.append(ctx.run_ts)
+
+    s = Scheduler(spark)
+    s.register(p)
+    now = dt.datetime(2026, 8, 13, 15, 30, tzinfo=UTC)
+    runs = s.run_pending(now)
+    assert len(runs) == 1 and fired[-1] == dt.datetime(2026, 8, 13, 15, 0, tzinfo=UTC)
+    # same poll window again → nothing new (catchup=False, already ran)
+    assert s.run_pending(now) == []
+    # next hour → fires once
+    later = dt.datetime(2026, 8, 13, 16, 1, tzinfo=UTC)
+    assert len(s.run_pending(later)) == 1
+
+
+# ---------------------------------------------------------------------------
+# State store
+# ---------------------------------------------------------------------------
+
+
+def test_state_store_records_and_vacuums(spark, tmp_path):
+    store = RunStateStore(spark, str(tmp_path / "runs"))
+    p = Pipeline("stateful")
+
+    @p.task
+    def t1(ctx):
+        return 1
+
+    p.run(spark, state_store=store)
+    p.run(spark, state_store=store)
+    assert store.runs().count() == 2
+    latest = store.latest("stateful")
+    assert latest is not None and latest["status"] == "success"
+    # vacuum with generous retention keeps everything
+    kept = store.vacuum(dt.timedelta(days=7))
+    assert kept == 2
+    # zero retention drops all
+    kept = store.vacuum(dt.timedelta(seconds=0))
+    assert kept == 0

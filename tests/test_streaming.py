@@ -1,0 +1,174 @@
+"""Streaming monitor tests.
+
+Property-based per SURVEY §5.2-3: window counts are conserved vs batch
+aggregation; freshness/threshold monitors verified on synthetic fixtures;
+the stateful last-seen logic unit-tested with a fake GroupState (the
+deterministic path) plus a live availableNow streaming smoke run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_spark.catalog import load_table
+from airflow_spark.streaming import (
+    freshness_monitor,
+    session_window_counts,
+    sliding_window_counts,
+    threshold_monitor,
+    tumbling_window_counts,
+)
+from airflow_spark.streaming.monitors import _last_seen_fn
+
+
+def test_tumbling_counts_conserved_batch(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    win = tumbling_window_counts(events, "1 hour")
+    total = win.agg(F.sum("cnt").alias("n")).first()["n"]
+    assert total == events.count()
+
+
+def test_sliding_counts_multiplicity(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    win = sliding_window_counts(events, "1 hour", "30 minutes")
+    # every event falls in exactly 2 sliding windows (1h len / 30m slide)
+    total = win.agg(F.sum("cnt").alias("n")).first()["n"]
+    assert total == 2 * events.count()
+
+
+def test_session_windows_split_on_gap(spark):
+    base = dt.datetime(2026, 1, 1, 12, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),   # same session (gap 30m)
+        (1, base + dt.timedelta(hours=2)),      # new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = session_window_counts(df, gap="30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["cnt"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_freshness_monitor_stale_and_missing(spark):
+    base = dt.datetime(2026, 1, 1, 12, 0)
+    events = spark.createDataFrame(
+        [(1, base), (2, base - dt.timedelta(hours=3))], ["user_id", "ts"]
+    )
+    keys = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    cutoff = base - dt.timedelta(hours=1)
+    out = {r["user_id"]: r["last_seen"] for r in
+           freshness_monitor(events, keys, cutoff).collect()}
+    assert set(out) == {2, 3}          # 2 stale, 3 never seen; 1 fresh
+    assert out[3] is None
+
+
+def test_threshold_monitor_per_key_limits(spark):
+    readings = spark.createDataFrame(
+        [(1, 50.0), (1, 5.0), (2, 3.0)], ["user_id", "value"]
+    )
+    limits = spark.createDataFrame([(1, 10.0), (2, 1.0)], ["user_id", "limit"])
+    out = threshold_monitor(readings, limits).collect()
+    assert [(r["user_id"], r["value"]) for r in out] == [(1, 5.0)]
+
+
+# ---------------------------------------------------------------------------
+# Stateful last-seen (unit via fake state + live smoke)
+# ---------------------------------------------------------------------------
+
+
+class FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("no state")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _run(fn, key, batches, state):
+    return list(fn(key, iter(batches), state))
+
+
+def test_last_seen_alive_then_alert_once_then_rearm():
+    fn = _last_seen_fn(stale_after_s=60)
+    st = FakeState()
+    ts1 = pd.Timestamp("2026-01-01 12:00:00")
+
+    out = _run(fn, (7,), [pd.DataFrame({"ts": [ts1]})], st)
+    assert out[0]["status"].iloc[0] == "alive"
+    assert st._v[1] is False and st.timeout_ms == 60_000
+
+    # timeout fires → exactly one stale alert, latch set
+    st.hasTimedOut = True
+    out = _run(fn, (7,), [], st)
+    assert out[0]["status"].iloc[0] == "stale_alert"
+    assert st._v[1] is True
+    # second timeout → no duplicate alert
+    assert _run(fn, (7,), [], st) == []
+
+    # key returns → alive again, latch cleared, newer ts kept
+    st.hasTimedOut = False
+    ts2 = pd.Timestamp("2026-01-01 13:00:00")
+    out = _run(fn, (7,), [pd.DataFrame({"ts": [ts2]})], st)
+    assert out[0]["status"].iloc[0] == "alive"
+    assert st._v == (ts2, False)
+
+
+def test_last_seen_keeps_max_ts_across_batches():
+    fn = _last_seen_fn(stale_after_s=60)
+    st = FakeState(value=(pd.Timestamp("2026-01-01 14:00:00"), False))
+    older = pd.Timestamp("2026-01-01 13:00:00")
+    out = _run(fn, (7,), [pd.DataFrame({"ts": [older]})], st)
+    # state keeps the later timestamp even when the batch is older
+    assert st._v[0] == pd.Timestamp("2026-01-01 14:00:00")
+    assert out[0]["status"].iloc[0] == "alive"
+
+
+@pytest.mark.slow
+def test_streaming_tumbling_availablenow_conserves_counts(spark, sf_smoke, tmp_path):
+    from airflow_spark.streaming import tumbling_window_counts
+
+    batch = load_table(spark, sf_smoke, "events")
+    # file-stream source needs a directory: symlink the parquet in
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    q = (
+        tumbling_window_counts(stream, "1 hour", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(cnt) AS n FROM win_counts").first()["n"]
+    assert total == batch.count()
