@@ -45,6 +45,21 @@ def char_shingles(text: Column | str, k: int = 5, lowercase: bool = True) -> Col
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
 
 
+def word_shingles(text: Column | str, n: int = 3, lowercase: bool = True) -> Column:
+    """Array of n-word shingles (token n-grams). Far more selective
+    than char shingles on small-vocabulary text — the right default for
+    document-level Jaccard."""
+    c = _col(text)
+    if lowercase:
+        c = F.lower(c)
+    toks = tokens_ws(c)
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
 def _class_count(text: Column | str, pattern: str) -> Column:
     return F.regexp_count(_col(text), F.lit(pattern))
 

@@ -32,6 +32,18 @@ from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, tokens_ws
 
+def _ensure_parallelism(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Small inputs arrive as 1-2 partitions (one parquet file); per-doc
+    heavy operators (shingling, k-way hashing) would then run on one
+    core. Repartition up to the cluster's default parallelism — a
+    trivial shuffle at small scale, a no-op at 100 TB where the scan is
+    already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, id_col) if id_col else df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -94,7 +106,7 @@ def minhash_signatures(
     A projection-only variant (k nested transforms over the shingle
     array) re-evaluates the shingle expression per hash — measured
     ~30× slower — so the explode+agg form is deliberate."""
-    shingled = df.select(
+    shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_shingles(F.col(text_col), k=shingle_k))).alias(
             "sh"
@@ -223,7 +235,7 @@ def simhash_signatures(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    hashed = df.select(
+    hashed = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.transform(tokens_ws(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
     )
@@ -314,9 +326,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 5,
     df_cap: int = 1000,
+    mode: str = "char",
 ) -> DataFrame:
-    """Exact Jaccard over k-char shingle sets for every pair sharing at
+    """Exact Jaccard over n-gram shingle sets for every pair sharing at
     least one (non-stop) shingle.
+
+    ``mode='char'`` uses k-char shingles; ``mode='word'`` uses k-word
+    shingles — far more selective on small-vocabulary text (char
+    shingles there are near-universal → quadratic pair blowup).
 
     Plan shape: explode distinct shingles → drop shingles with document
     frequency > ``df_cap`` (stop-shingles create quadratic bucket
@@ -325,11 +342,12 @@ def ngram_jaccard_pairs(
     → count common shingles per pair → join per-doc set sizes →
     ``jaccard = common / (|A| + |B| - common)``.
     """
-    shingled = df.select(
+    from ..functions.text import word_shingles
+
+    mk = char_shingles if mode == "char" else word_shingles
+    shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(char_shingles(F.col(text_col), k=shingle_k))).alias(
-            "sh"
-        ),
+        F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
     )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))

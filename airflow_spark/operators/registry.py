@@ -96,10 +96,11 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.8 over documents."""
+    """Exact n-gram Jaccard pairs ≥ 0.8 over documents (word 3-grams:
+    selective even on small-vocabulary corpora)."""
     t = load_tables(spark, sf_dir)
     return (
-        dedup.ngram_jaccard_pairs(t.documents, threshold=0.8)
+        dedup.ngram_jaccard_pairs(t.documents, threshold=0.8, mode="word", shingle_k=3)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
