@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from . import dedup, similarity, text
+from . import dedup, relational, similarity, text
 
 # ---------------------------------------------------------------------------
 # SQL-expressible operator queries (oracle-checked)
@@ -78,9 +78,108 @@ def op_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each error event matched to the latest
+    preceding purchase by the same user (merge-join formulation, one
+    shuffle — the DuckDB oracle uses native ASOF JOIN)."""
+    t = load_tables(spark, sf_dir)
+    errors = t.events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event"), "ts"
+    )
+    joined = relational.asof_join(
+        errors, purchases, key="user_id", right_cols=["purchase_event"]
+    )
+    return (
+        joined.where(F.col("purchase_event_r").isNotNull())
+        .select("event_id", "user_id", F.col("purchase_event_r").alias("purchase_id"))
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+def op_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketed equi-join: error events inside
+    [purchase_ts, purchase_ts + 2h) windows of the same user."""
+    t = load_tables(spark, sf_dir)
+    errors = t.events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    windows = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("end"),
+    )
+    joined = relational.interval_join(
+        errors, windows, key="user_id", bucket="1 hour"
+    )
+    return (
+        joined.select("event_id", "purchase_id")
+        .orderBy("event_id", "purchase_id")
+        .limit(200)
+    )
+
+
+def op_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 frame-spec window: cumulative customer spend over time."""
+    t = load_tables(spark, sf_dir)
+    out = relational.running_total(
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        value_col="o_totalprice",
+    )
+    return (
+        out.select(
+            "o_custkey", "o_orderkey", F.round("running_total", 2).alias("running_total")
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over order status × priority."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 JSON path extraction over events.props (different dialect
+    functions, identical values: Spark get_json_object vs DuckDB
+    json_extract_string)."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t.events.select((k % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("k_mod")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only operator queries (deterministic, but not portable SQL)
 # ---------------------------------------------------------------------------
+
+
+def op_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (accuracy property-tested vs
+    exact; not oracle-hashable — estimator differs across engines)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx")
+    )
 
 
 def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +254,12 @@ def op_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 OPERATOR_QUERIES = {
+    "op_asof_join": op_asof_join,
+    "op_interval_join": op_interval_join,
+    "op_running_total": op_running_total,
+    "op_cube": op_cube,
+    "op_json_extract": op_json_extract,
+    "op_approx_count_distinct": op_approx_count_distinct,
     "op_dedup_exact": op_dedup_exact,
     "op_token_count": op_token_count,
     "op_fingerprint": op_fingerprint,
@@ -170,6 +275,45 @@ OPERATOR_QUERIES = {
 }
 
 OPERATOR_ORACLE_SQL = {
+    "op_asof_join": """
+SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+ORDER BY e.event_id LIMIT 200
+""",
+    "op_interval_join": """
+SELECT e.event_id, p.event_id AS purchase_id
+FROM events e
+JOIN events p
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 2 HOUR
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+ORDER BY e.event_id, purchase_id LIMIT 200
+""",
+    "op_running_total": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey LIMIT 200
+""",
+    "op_cube": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""",
+    "op_json_extract": """
+SELECT cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS cnt
+FROM events
+GROUP BY k_mod ORDER BY k_mod
+""",
     "op_dedup_exact": """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)

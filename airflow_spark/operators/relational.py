@@ -1,0 +1,135 @@
+"""Relational operators Spark lacks as single calls — built as
+shuffle-efficient compositions (SURVEY.md §2.3 'declared engine
+capabilities'): as-of joins and interval (range) joins.
+
+Both avoid the naive non-equi-join plan (BroadcastNestedLoopJoin /
+cartesian at scale):
+
+- ``asof_join``: union both sides, ONE shuffle on (key), sort within
+  partitions, carry the most recent right row forward with
+  last(ignorenulls) — the merge-join formulation of as-of.
+- ``interval_join``: explode each interval into the time buckets it
+  covers, equi-join on (key, bucket), residual-filter the exact range —
+  turning an inequality join into a hash join whose fan-out is bounded
+  by interval_span / bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` on the same key (backward as-of, inclusive).
+
+    One shuffle (hash on key), one sort per partition — the same cost
+    as a sort-merge join, with no row explosion. Left rows keep all
+    their columns; matched right columns arrive suffixed, NULL when no
+    right row precedes the left row.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != key]
+    lcols = left.columns
+
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # right rows sort before left rows at equal ts → '<=' semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("__is_left") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Join left events to right intervals: same key and
+    ``start <= ts < end``.
+
+    The interval side explodes into every ``bucket`` it covers; the
+    event side computes its bucket; the join is a plain (key, bucket)
+    hash join with the exact range as a residual filter — no
+    BroadcastNestedLoopJoin, scalable on both sides. Choose ``bucket``
+    near the typical interval length (fan-out = span/bucket + 1).
+    """
+    ev = left.withColumn("__bucket", F.date_trunc(_unit(bucket), F.col(left_ts)))
+    iv = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(_unit(bucket), F.col(start_col)),
+                F.date_trunc(_unit(bucket), F.col(end_col)),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, [key, "__bucket"])
+        .where((F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col)))
+        .drop("__bucket")
+    )
+
+
+def _unit(bucket: str) -> str:
+    # '1 hour' → 'hour' (date_trunc unit); only single-unit buckets
+    parts = bucket.split()
+    if len(parts) != 2 or parts[0] != "1":
+        raise ValueError(f"bucket must be a single unit like '1 hour', got {bucket!r}")
+    return parts[1].rstrip("s")
+
+
+def running_total(
+    df: DataFrame,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """W4 frame-spec aggregate: cumulative sum per key (rows unbounded
+    preceding → current)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))

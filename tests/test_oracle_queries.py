@@ -20,6 +20,26 @@ def test_query_matches_oracle(spark, sf_smoke, name):
     assert rec["ok"], rec
 
 
+def _operator_oracle_names():
+    from airflow_spark.operators.registry import OPERATOR_ORACLE_SQL
+
+    return sorted(OPERATOR_ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _operator_oracle_names())
+def test_operator_matches_oracle(spark, sf_smoke, name):
+    from airflow_spark.operators.registry import (
+        OPERATOR_ORACLE_SQL,
+        OPERATOR_QUERIES,
+    )
+
+    fn = OPERATOR_QUERIES[name]
+    rec = compare(
+        spark, sf_smoke, name, fn(spark, sf_smoke), OPERATOR_ORACLE_SQL[name]
+    )
+    assert rec["ok"], rec
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

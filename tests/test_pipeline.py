@@ -238,3 +238,31 @@ def test_state_store_records_and_vacuums(spark, tmp_path):
     # zero retention drops all
     kept = store.vacuum(dt.timedelta(seconds=0))
     assert kept == 0
+
+
+# ---------------------------------------------------------------------------
+# Filesystem scan source
+# ---------------------------------------------------------------------------
+
+
+def test_filesystem_scan_and_retention(spark, tmp_path):
+    import os
+    import time
+
+    from airflow_spark.sources.files import expired_files, filesystem_scan
+
+    old = tmp_path / "old.log"
+    new = tmp_path / "new.log"
+    old.write_text("x" * 100)
+    new.write_text("y" * 10)
+    past = time.time() - 30 * 86400
+    os.utime(old, (past, past))
+
+    files = filesystem_scan(spark, str(tmp_path), glob="*.log")
+    rows = {r["path"].split("/")[-1]: r for r in files.collect()}
+    assert set(rows) == {"old.log", "new.log"}
+    assert rows["old.log"]["length"] == 100
+
+    cutoff = dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=7)
+    expired = expired_files(files, cutoff).collect()
+    assert [r["path"].split("/")[-1] for r in expired] == ["old.log"]

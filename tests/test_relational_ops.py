@@ -1,0 +1,91 @@
+"""Semantics tests for the composed relational operators (as-of join,
+interval join, running totals, approx distinct)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from airflow_spark.operators import relational
+
+BASE = dt.datetime(2026, 1, 1, 12, 0)
+
+
+def _m(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _m(10), "l1"), (1, _m(30), "l2"), (2, _m(5), "l3")],
+        ["k", "ts", "lname"],
+    )
+    right = spark.createDataFrame(
+        [(1, _m(0), "r0"), (1, _m(10), "r1"), (1, _m(25), "r2"), (2, _m(50), "r9")],
+        ["k", "ts", "rname"],
+    )
+    out = {
+        r["lname"]: r["rname_r"]
+        for r in relational.asof_join(left, right, key="k",
+                                      right_cols=["rname"]).collect()
+    }
+    assert out["l1"] == "r1"   # equal ts matches (inclusive)
+    assert out["l2"] == "r2"   # latest preceding
+    assert out["l3"] is None   # nothing precedes → NULL
+
+
+def test_asof_no_row_explosion(spark):
+    left = spark.createDataFrame([(1, _m(i)) for i in range(10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, _m(i), i) for i in range(0, 10, 2)], ["k", "ts", "v"]
+    )
+    out = relational.asof_join(left, right, key="k", right_cols=["v"])
+    assert out.count() == 10  # exactly one output row per left row
+
+
+def test_interval_join_bounds(spark):
+    events = spark.createDataFrame(
+        [(1, _m(0), "at_start"), (1, _m(59), "inside"), (1, _m(60), "at_end"),
+         (1, _m(-1), "before"), (2, _m(30), "wrong_key")],
+        ["k", "ts", "name"],
+    )
+    intervals = spark.createDataFrame(
+        [(1, _m(0), _m(60), "w1")], ["k", "start", "end", "wname"]
+    )
+    got = {
+        r["name"]
+        for r in relational.interval_join(events, intervals, key="k").collect()
+    }
+    assert got == {"at_start", "inside"}  # [start, end) and key-matched
+
+
+def test_interval_join_spanning_buckets(spark):
+    # a 3h interval must catch events in every covered hourly bucket
+    events = spark.createDataFrame(
+        [(1, _m(30)), (1, _m(90)), (1, _m(150))], ["k", "ts"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, _m(0), _m(180), "w")], ["k", "start", "end", "wname"]
+    )
+    assert relational.interval_join(events, intervals, key="k").count() == 3
+
+
+def test_running_total_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0)], ["k", "seq", "v"]
+    )
+    out = relational.running_total(df, key="k", order_by=["seq"], value_col="v")
+    got = {(r["k"], r["seq"]): r["running_total"] for r in out.collect()}
+    assert got == {(1, 1): 10.0, (1, 2): 15.0, (2, 1): 7.0}
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_correct):
+    from airflow_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_correct).orders
+    exact = orders.agg(F.countDistinct("o_custkey").alias("n")).first()["n"]
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.05
