@@ -277,9 +277,17 @@ def build_cloudflare_apps(
             joined.where(F.col("record_id").isNull()),
             "DNS record not found for (name, type)",  # :79-81
         )
-        # only update records whose content drifted (idempotent upsert)
+        # only update records whose content drifted (idempotent upsert);
+        # stamped comment ↔ f"...{datetime.now()}" (cloudflare_api.py:101,
+        # F13) — from the injected run_ts, never wall-clock
         updates = joined.where(F.col("content") != F.col("ip")).select(
-            "record_id", "dns_name", "rtype", "ip"
+            "record_id",
+            "dns_name",
+            "rtype",
+            "ip",
+            F.date_format(
+                F.lit(ctx.run_ts.replace(tzinfo=None)), "yyyy-MM-dd HH:mm:ss"
+            ).alias("comment"),
         )
         from ..sources.http import http_sink
 

@@ -1,0 +1,131 @@
+"""Source/sink adapter tests (S1-S4 payload shapes, executor-side
+per-key fetch, sink guards) and the health endpoint (O14)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from airflow_spark.pipeline import Pipeline, RunStateStore, Scheduler
+from airflow_spark.pipeline.health import health
+from airflow_spark.sources import (
+    CollectingSink,
+    delimited_list,
+    fetch_per_key,
+    http_json_source,
+    http_sink,
+    list_to_df,
+)
+from airflow_spark.sources.http import map_payload_source
+
+DICT_SCHEMA = T.StructType(
+    [
+        T.StructField("running", T.BooleanType()),
+        T.StructField("protection_enabled", T.BooleanType()),
+    ]
+)
+
+
+def test_http_json_source_dict_payload(spark):
+    df = http_json_source(
+        spark,
+        "http://dns/status",
+        DICT_SCHEMA,
+        fetcher=lambda url: {"running": True, "protection_enabled": True},
+    )
+    assert df.count() == 1 and df.first()["running"] is True
+
+
+def test_http_json_source_list_and_envelope(spark):
+    schema = "id string, name string"
+    # array payload (S2)
+    df = http_json_source(
+        spark, "u", schema, fetcher=lambda u: [{"id": "1", "name": "a"}]
+    )
+    assert df.count() == 1
+    # result-envelope unwrap (S4: cloudflare_api.py result lists)
+    df2 = http_json_source(
+        spark,
+        "u",
+        schema,
+        fetcher=lambda u: {"result": [{"id": "1", "name": "a"},
+                                      {"id": "2", "name": "b"}]},
+        element_path="result",
+    )
+    assert df2.count() == 2
+
+
+def test_map_payload_source(spark):
+    # {folder: stats} map → (folder, *stats) rows (S3)
+    df = map_payload_source(
+        spark,
+        "u",
+        "folder",
+        T.StructType([T.StructField("errors", T.LongType())]),
+        fetcher=lambda u: {"docs": {"errors": 0}, "media": {"errors": 2}},
+    )
+    got = {r["folder"]: r["errors"] for r in df.collect()}
+    assert got == {"docs": 0, "media": 2}
+
+
+def test_fetch_per_key_runs_on_executors(spark):
+    # closure (not module-level fn): cloudpickle ships it by value, so
+    # executors don't need the test module on their path
+    def fake_querylog(url: str) -> dict:
+        client = url.rsplit("=", 1)[-1]
+        return {"client": client, "n": len(client)}
+
+    keys = list_to_df(spark, ["c1", "c22", "c333"], "client")
+    out = fetch_per_key(
+        keys,
+        fake_querylog,
+        "http://dns/querylog?search={key}",
+        key_col="client",
+        out_schema=T.StructType(
+            [
+                T.StructField("client", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+    )
+    got = {r["client"]: r["n"] for r in out.collect()}
+    assert got == {"c1": 2, "c22": 3, "c333": 4}
+
+
+def test_http_sink_profile_guard_and_cap(spark):
+    df = spark.createDataFrame([("r1", "1.2.3.4")], ["record_id", "ip"])
+    sink = CollectingSink()
+    assert http_sink(df, sink, "rec/{record_id}", profile="dev") == 0
+    assert sink.posts == []
+    assert http_sink(df, sink, "rec/{record_id}", profile="prod") == 1
+    assert sink.posts[0][0] == "rec/r1"
+    big = spark.range(20).withColumnRenamed("id", "record_id")
+    with pytest.raises(ValueError, match="max_rows"):
+        http_sink(big, sink, "rec/{record_id}", profile="prod", max_rows=10)
+
+
+def test_delimited_list_edge_cases():
+    assert delimited_list("a|b|c") == ["a", "b", "c"]
+    assert delimited_list(" a | b ") == ["a", "b"]
+    assert delimited_list("") == []
+    assert delimited_list(None) == []
+    assert delimited_list("a||b") == ["a", "b"]
+
+
+def test_health_endpoint(spark, tmp_path):
+    h = health(spark)
+    assert h["status"] == "healthy" and h["spark"]["status"] == "healthy"
+
+    store = RunStateStore(spark, str(tmp_path / "runs"))
+    p = Pipeline("hp", schedule="0 * * * *")
+
+    @p.task
+    def t(ctx):
+        return 1
+
+    p.run(spark, state_store=store)
+    sched = Scheduler(spark)
+    sched.register(p)
+    h2 = health(spark, scheduler=sched, state_store=store)
+    assert h2["state_store"]["n_runs"] == 1
+    assert "hp" in h2["scheduler"]["pipelines"]
