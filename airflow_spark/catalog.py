@@ -45,8 +45,19 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: (session id, sf_dir, name) → DataFrame. DataFrames are immutable
+#: lazy plans, so caching them across queries is safe and removes
+#: repeated file-listing/footer reads (measurable driver latency when a
+#: registry of 40+ queries each re-opens its inputs).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table with catalog normalization applied."""
+    """Load one table with catalog normalization applied (cached)."""
+    key = (id(spark), sf_dir, name)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
     normalize_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -54,22 +65,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    _CACHE[key] = df
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """Load every table present in ``sf_dir``; attribute access by name."""
-    out = {}
-    for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = load_table(spark, sf_dir, name)
-    return SimpleNamespace(**out)
+class Tables:
+    """Lazy table namespace: a table's parquet is only opened when the
+    attribute is touched, so a query pays for the 1-3 tables it uses,
+    not the whole catalog."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in TABLE_NAMES:
+            raise AttributeError(name)
+        return load_table(self._spark, self._sf_dir, name)
+
+    def available(self) -> list[str]:
+        return [
+            n
+            for n in TABLE_NAMES
+            if os.path.exists(os.path.join(self._sf_dir, f"{n}.parquet"))
+        ]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    """Lazy namespace over every table in ``sf_dir``."""
+    return Tables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
-    """Create/replace a temp view per table; returns the DataFrames too."""
-    tables = load_tables(spark, sf_dir)
-    for name, df in vars(tables).items():
+    """Create/replace a temp view per present table; returns them."""
+    t = Tables(spark, sf_dir)
+    out = {}
+    for name in t.available():
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
-    return tables
+        out[name] = df
+    return SimpleNamespace(**out)

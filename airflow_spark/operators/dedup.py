@@ -205,8 +205,13 @@ def dedup_minhash(
     num_bands: int = 32,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard_est ≥ threshold)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    """Near-duplicate pairs (id_a < id_b, jaccard_est ≥ threshold).
+
+    The signature frame feeds the banding AND both sides of the
+    verification join — persist it so the shingle+128-min aggregation
+    runs once, not three times (signatures are ~1 KB/doc: safely
+    cacheable at any scale, spills to disk if not)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
     pairs = minhash_candidate_pairs(sigs, num_bands)
     return minhash_estimate_jaccard(pairs, sigs).where(
         F.col("jaccard_est") >= threshold
@@ -345,10 +350,12 @@ def ngram_jaccard_pairs(
     from ..functions.text import word_shingles
 
     mk = char_shingles if mode == "char" else word_shingles
+    # the inverted index feeds doc sizes, shingle DF counts, and both
+    # join sides — persist so shingling runs once, not four times
     shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
-    )
+    ).persist()
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
     filtered = shingled.join(
