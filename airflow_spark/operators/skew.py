@@ -1,0 +1,65 @@
+"""Skew-mitigation utilities: salted joins and two-phase aggregation.
+
+AQE's skew-join splitting (enabled session-wide here) handles most
+skew at runtime; these utilities are the *explicit* forms for the cases
+AQE can't rescue:
+
+- ``salted_join``: a known-skewed key set on the big side — salt the
+  big side N ways, replicate the small side per salt, join on
+  (key, salt). The hot key's rows spread over N tasks instead of one
+  straggler.
+- ``salted_collect``: collect_list/collect_set per key has no partial
+  aggregation (all values of a hot key land on one task). Two phases —
+  collect per (key, salt), then flatten per key — bound the per-task
+  state to 1/N of the hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big.key`` is skewed: salt big rows by a stable
+    hash of their full row id-space, explode ``small`` once per salt,
+    join on (key, salt). Output equals the plain join."""
+    big_s = big.withColumn(
+        "__salt", (F.pmod(F.xxhash64(*big.columns), F.lit(num_salts))).cast("int")
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+def salted_collect(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    num_salts: int = 16,
+    as_set: bool = False,
+) -> DataFrame:
+    """collect_list/set per key in two phases so a hot key never
+    funnels through a single task's memory: (key, salt) partial
+    collects → flatten per key. Returns (key, values)."""
+    fn = F.collect_set if as_set else F.collect_list
+    partial = (
+        df.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(num_salts))
+        )
+        .groupBy(key, "__salt")
+        .agg(fn(value_col).alias("__part"))
+    )
+    out = partial.groupBy(key).agg(
+        F.flatten(F.collect_list("__part")).alias("values")
+    )
+    if as_set:
+        out = out.select(key, F.array_distinct("values").alias("values"))
+    return out

@@ -172,3 +172,37 @@ def test_streaming_tumbling_availablenow_conserves_counts(spark, sf_smoke, tmp_p
     q.awaitTermination(120)
     total = spark.sql("SELECT sum(cnt) AS n FROM win_counts").first()["n"]
     assert total == batch.count()
+
+
+def test_alert_stream_notifies_per_violation(spark, sf_smoke, tmp_path):
+    """End-to-end streaming alert path: file stream → threshold filter →
+    foreachBatch → notifier (availableNow, deterministic)."""
+    from airflow_spark.streaming.runner import alert_stream
+
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    violations = stream.where(
+        (F.col("event_type") == "error") & (F.col("value") < 2.0)
+    ).select("event_id", "user_id", "value")
+
+    alerts = []
+    q = alert_stream(
+        violations,
+        alerts.append,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    batch = load_table(spark, sf_smoke, "events").where(
+        (F.col("event_type") == "error") & (F.col("value") < 2.0)
+    )
+    assert len(alerts) == batch.count() > 0
+    assert all("batch_id" in a and "event_id" in a for a in alerts)
