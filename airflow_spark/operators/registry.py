@@ -154,6 +154,19 @@ def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value
+    list keeps the plan one-pass — no distinct-values pre-query)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
 def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 JSON path extraction over events.props (different dialect
     functions, identical values: Spark get_json_object vs DuckDB
@@ -258,6 +271,7 @@ OPERATOR_QUERIES = {
     "op_interval_join": op_interval_join,
     "op_running_total": op_running_total,
     "op_cube": op_cube,
+    "op_pivot": op_pivot,
     "op_json_extract": op_json_extract,
     "op_approx_count_distinct": op_approx_count_distinct,
     "op_dedup_exact": op_dedup_exact,
@@ -307,6 +321,15 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+""",
+    "op_pivot": """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY user_id ORDER BY user_id
 """,
     "op_json_extract": """
 SELECT cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

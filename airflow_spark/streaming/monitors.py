@@ -114,6 +114,25 @@ def threshold_monitor(
     )
 
 
+def dedupe_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-id semantics for at-least-once sources (the
+    streaming side of catchup=False late-data handling, SURVEY §2.11):
+    duplicates within the watermark horizon are dropped with bounded
+    state (``dropDuplicatesWithinWatermark``); batch frames just
+    ``dropDuplicates``."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 LAST_SEEN_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts", T.TimestampType()),

@@ -206,3 +206,44 @@ def test_alert_stream_notifies_per_violation(spark, sf_smoke, tmp_path):
     )
     assert len(alerts) == batch.count() > 0
     assert all("batch_id" in a and "event_id" in a for a in alerts)
+
+
+def test_dedupe_events_stream_drops_replayed_file(spark, sf_smoke, tmp_path):
+    """At-least-once replay: the same parquet delivered twice must not
+    double-count after dropDuplicatesWithinWatermark."""
+    from airflow_spark.streaming import dedupe_events
+
+    stream_dir = tmp_path / "dup"
+    stream_dir.mkdir()
+    (stream_dir / "a.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    (stream_dir / "b.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    counts = dedupe_events(stream, watermark="10 years").groupBy().count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("dedup_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    total = spark.sql("SELECT max(count) c FROM dedup_counts").first()["c"]
+    n_batch = load_table(spark, sf_smoke, "events").count()
+    assert total == n_batch  # 2x delivery, 1x counted
+
+
+def test_dedupe_events_batch(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1)), (1, dt.datetime(2026, 1, 1)), (2, dt.datetime(2026, 1, 1))],
+        ["event_id", "ts"],
+    )
+    from airflow_spark.streaming import dedupe_events
+
+    assert dedupe_events(df).count() == 2
