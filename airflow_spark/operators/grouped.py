@@ -1,0 +1,64 @@
+"""Per-key custom logic: the expressions-first policy, demonstrated.
+
+``normalize_per_key`` exists in two equivalent forms:
+- **expression form** (default): window mean/std — stays JVM-side in
+  whole-stage codegen; this is the one to use.
+- **applyInPandas form**: the Arrow-batched escape hatch for logic that
+  genuinely can't be expressed as columns (iterative fits, scipy calls).
+  Kept here as the reference pattern — grouped, batched, schema-declared
+  — and tested equal to the expression form.
+
+The policy (SURVEY.md §2.10): reach for applyInPandas only when the
+expression form can't express the semantics, because the Arrow hop +
+Python worker costs ~10-100× on the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_per_key(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Z-score per key, pure expressions (two window aggregates fused
+    into one window spec — no Python)."""
+    w = Window.partitionBy(key)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
+    return df.withColumn("z", z)
+
+
+def normalize_per_key_pandas(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Same semantics via applyInPandas (the escape-hatch pattern)."""
+    fields = df.schema.fields + [T.StructField("z", T.DoubleType())]
+    schema = T.StructType(fields)
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf[value_col].std(ddof=1)
+        if pd.isna(std) or std == 0:
+            pdf["z"] = 0.0
+        else:
+            pdf["z"] = (pdf[value_col] - pdf[value_col].mean()) / std
+        return pdf
+
+    return df.groupBy(key).applyInPandas(_norm, schema)
+
+
+def grouped_quantiles(
+    df: DataFrame, key: str, value_col: str, probs: list[float] | None = None
+) -> DataFrame:
+    """Per-key exact quantiles via percentile (single grouped agg —
+    demonstrates that even 'per-key custom stats' usually have an
+    expression form)."""
+    probs = probs or [0.5, 0.95, 0.99]
+    return df.groupBy(key).agg(
+        *[
+            F.percentile(value_col, F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in probs
+        ]
+    )

@@ -89,3 +89,31 @@ def test_approx_count_distinct_within_tolerance(spark, sf_correct):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
     ).first()["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_normalize_expression_equals_pandas(spark):
+    from airflow_spark.operators import grouped
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [("b", 10.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    expr_out = {
+        (r["k"], r["v"]): round(r["z"], 9)
+        for r in grouped.normalize_per_key(df, "k", "v").collect()
+    }
+    pandas_out = {
+        (r["k"], r["v"]): round(r["z"], 9)
+        for r in grouped.normalize_per_key_pandas(df, "k", "v").collect()
+    }
+    assert expr_out == pandas_out
+    assert pandas_out[("b", 10.0)] == 0.0  # zero-std guard
+
+
+def test_grouped_quantiles(spark):
+    from airflow_spark.operators import grouped
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], ["k", "v"]
+    )
+    r = grouped.grouped_quantiles(df, "k", "v").first()
+    assert r["p50"] == 50.5
+    assert round(r["p95"], 2) == 95.05
