@@ -1,0 +1,73 @@
+"""Table sinks: partitioned parquet writes and small-file compaction.
+
+The engine's bulk sink (REST sinks in http.py are for small
+control-plane results). Layout rules for 100 TB:
+
+- partition by low-cardinality time/tenant columns so readers prune
+  (`PartitionFilters` in the scan),
+- size files near the reader's split size (small files are the #1
+  operational failure of big parquet lakes) — ``compact`` rewrites a
+  partition tree to target file counts based on measured bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    rows_per_byte_hint: float | None = None,
+) -> None:
+    """Write parquet partitioned by ``partition_by``. Within each
+    partition directory, files are right-sized by repartitioning on the
+    partition columns (one shuffle, then parquet's own row-group
+    sizing)."""
+    w = df
+    if partition_by:
+        # co-locate rows of one output partition in one task so each
+        # directory gets few, large files instead of tasks × dirs shards
+        w = df.repartition(*[F.col(c) for c in partition_by])
+        writer = w.write.mode(mode).partitionBy(*partition_by)
+    else:
+        writer = w.write.mode(mode)
+    writer.parquet(path)
+
+
+def table_bytes(spark: SparkSession, path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet tree into ~bytes/target files (returns the new
+    file count). Reads its own footprint to decide the output width —
+    measure, don't guess."""
+    size = table_bytes(spark, path)
+    n_files = max(1, round(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (same filesystem)
+    bak = path.rstrip("/") + ".__old__"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(bak)
+    return n_files

@@ -54,14 +54,92 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
+    # reference-DAG parity pipelines at fixture scale (BASELINE.md:
+    # each must complete far under the reference's 60 s DagRun budget)
+    pipeline_timings = _bench_pipelines(spark)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "wall_sec_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "pipelines": pipeline_timings,
         "sf": sf,
     }))
+
+
+def _bench_pipelines(spark) -> dict[str, float]:
+    import datetime as dt
+
+    from airflow_spark.pipelines import (
+        build_airflow_cleanup,
+        build_backups,
+        build_cloudflare_apps,
+        build_cloudflare_ddns,
+        build_dns_requests,
+        build_speedtest,
+    )
+    from airflow_spark.sources import CollectingSink
+    from airflow_spark.sources import fixtures as fx
+
+    run_ts = fx.BASE_TS.replace(tzinfo=dt.timezone.utc)
+    sink = CollectingSink()
+    builds = {
+        "DNS-Requests": (
+            lambda: build_dns_requests(
+                {
+                    "adguard_status": fx.adguard_status(spark),
+                    "adguard_querylog": fx.adguard_querylog(spark),
+                }
+            ),
+            {"variables": {"DNS_CLIENTS": "c1|c2"}},
+        ),
+        "Speedtest": (
+            lambda: build_speedtest({"ha_entities": fx.ha_entities(spark)}),
+            {"variables": {"SPEEDTEST_DEVICES": "dev1"}},
+        ),
+        "Backups": (
+            lambda: build_backups(
+                {
+                    "syncthing_health": fx.syncthing_health(spark),
+                    "syncthing_folders": fx.syncthing_folders(spark),
+                    "syncthing_folder_stats": fx.syncthing_folder_stats(spark),
+                }
+            ),
+            {"variables": {"BACKUP_DEVICES": "nas|offsite"}},
+        ),
+        "Cloudflare-Apps": (
+            lambda: build_cloudflare_apps(
+                {
+                    "ip_inventory": fx.ip_inventory(spark),
+                    "cloudflare_dns_records": fx.cloudflare_dns_records(spark),
+                    "cloudflare_policies": fx.cloudflare_policies(spark),
+                },
+                sink,
+            ),
+            {"profile": "prod"},
+        ),
+        "Cloudflare-DDNS": (
+            lambda: build_cloudflare_ddns({"own_ip": fx.own_ip(spark)}, sink),
+            {"profile": "prod"},
+        ),
+        "Airflow-Cleanup": (
+            lambda: build_airflow_cleanup(
+                {"files": fx.files_listing(spark), "disk": fx.disk_usage(spark)},
+                deleter=lambda p: None,
+            ),
+            {"variables": {"HOST": "x"}},
+        ),
+    }
+    out: dict[str, float] = {}
+    for name, (build, kw) in builds.items():
+        t0 = time.perf_counter()
+        run = build().test(spark, run_ts=run_ts, **kw)
+        out[name] = round(time.perf_counter() - t0, 4)
+        if not run.ok:
+            out[name] = -out[name]  # negative marks a failed parity run
+    return out
 
 
 if __name__ == "__main__":

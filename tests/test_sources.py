@@ -129,3 +129,24 @@ def test_health_endpoint(spark, tmp_path):
     h2 = health(spark, scheduler=sched, state_store=store)
     assert h2["state_store"]["n_runs"] == 1
     assert "hp" in h2["scheduler"]["pipelines"]
+
+
+def test_write_partitioned_prunes_and_compacts(spark, tmp_path):
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.plans import audit_plan
+    from airflow_spark.sources.tables import compact, write_partitioned
+
+    events = load_tables(spark, "/root/testdata/sf0.001").events
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        events.withColumn("etype", events.event_type), out, ["etype"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning reaches the scan for a partition-key filter
+    pruned = back.where(back.etype == "error")
+    a = audit_plan(pruned)
+    assert "PartitionFilters" in a["plan"] and "etype" in a["plan"]
+    n_files = compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    assert n_files >= 1
+    assert spark.read.parquet(out).count() == events.count()
