@@ -236,6 +236,16 @@ def op_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-10 for the same probe vector (k-means
+    cells trained on a seeded sample; deterministic)."""
+    t = load_tables(spark, sf_dir)
+    qv = [float(x) for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = t.embeddings.where(F.col("vec_id") != 0)
+    index = similarity.IVFIndex.train(corpus, k=8, seed=42)
+    return similarity.ivf_topk(corpus, qv, k=10, index=index, n_probe=3)
+
+
 def op_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via sign-LSH."""
     t = load_tables(spark, sf_dir)
@@ -283,6 +293,7 @@ OPERATOR_QUERIES = {
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
     "op_similarity_topk": op_similarity_topk,
     "op_similarity_ann": op_similarity_ann,
+    "op_similarity_ivf": op_similarity_ivf,
     "op_embedding_neardup": op_embedding_neardup,
     "op_lang_id": op_lang_id,
     "op_quality_score": op_quality_score,

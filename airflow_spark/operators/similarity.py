@@ -151,6 +151,99 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+class IVFIndex:
+    """Inverted-file (IVF) ANN index: k-means centroids partition the
+    corpus; a query scans only its ``n_probe`` nearest cells.
+
+    Centroids are trained driver-side on a bounded sample (k-means is
+    tiny: k×dim floats) and shipped into the plan as literals — the
+    cluster assignment is a pure codegen expression, and at scale the
+    corpus can be written ``partitionBy(cell)`` so probing prunes
+    partitions instead of filtering rows.
+    """
+
+    def __init__(self, centroids: "np.ndarray"):
+        self.centroids = centroids  # (k, dim), L2-normalized
+
+    @classmethod
+    def train(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        k: int = 16,
+        sample_rows: int = 10_000,
+        iters: int = 10,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """Spherical k-means on a driver-side sample (seeded,
+        deterministic)."""
+        sample = np.asarray(
+            [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+            dtype=float,
+        )
+        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(len(sample), size=k, replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(sample @ cent.T, axis=1)
+            for j in range(k):
+                members = sample[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    cent[j] = c / max(np.linalg.norm(c), 1e-12)
+        return cls(cent)
+
+    def cell_col(self, vec_col: Column | str) -> Column:
+        """argmax-dot cluster id as one codegen expression (array of
+        per-centroid dots → struct-max picks the best cell)."""
+        v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        scored = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(j).alias("cell"),
+            )
+            for j, c in enumerate(self.centroids)
+        ]
+        return F.array_max(F.array(*scored))["cell"]
+
+    def probe_cells(self, vec: list[float], n_probe: int = 2) -> list[int]:
+        v = np.asarray(vec, dtype=float)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(self.centroids @ v))
+        return [int(j) for j in order[:n_probe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: IVFIndex | None = None,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only inside the query's
+    probed cells. Pass a pre-trained ``index`` to amortize training
+    across queries (the production shape)."""
+    if index is None:
+        index = IVFIndex.train(df, vec_col, k=n_cells, seed=seed)
+    cells = index.probe_cells(query_vec, n_probe)
+    cand = df.withColumn("__cell", index.cell_col(vec_col)).where(
+        F.col("__cell").isin(cells)
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

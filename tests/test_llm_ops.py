@@ -233,3 +233,38 @@ def test_sample_frames_plan(spark):
     frames = multimodal.sample_frames(df.where(F.col("media_id") == 3), every_ms=1000)
     got = [r["frame_ts_ms"] for r in frames.collect()]
     assert got == [0, 1000, 2000, 3000, 4000]
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(16)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(20):
+        v = q + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(20, 220):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qv = [float(x) for x in q]
+    brute = similarity.cosine_topk(df, qv, k=5).collect()
+    index = similarity.IVFIndex.train(df, k=8, seed=42)
+    ann = similarity.ivf_topk(df, qv, k=5, index=index, n_probe=2).collect()
+    overlap = {r["id"] for r in brute} & {r["id"] for r in ann}
+    # the planted cluster lands in one cell; probing its cell recovers it
+    assert len(overlap) >= 4, (brute, ann)
+
+
+def test_ivf_cells_partition_corpus(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    index = similarity.IVFIndex.train(df, k=4, seed=1)
+    cells = df.select(index.cell_col("embedding").alias("c")).groupBy("c").count()
+    got = {r["c"]: r["count"] for r in cells.collect()}
+    assert sum(got.values()) == 100          # total partition of the corpus
+    assert set(got) <= {0, 1, 2, 3} and len(got) >= 2
