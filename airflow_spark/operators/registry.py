@@ -167,6 +167,38 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per key (Spark percentile ≡ DuckDB
+    quantile_cont, verified)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 2).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def op_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: trim/pad/replace/substr/reverse over
+    part names (all portable built-ins, F-family coverage)."""
+    t = load_tables(spark, sf_dir)
+    name = F.col("p_name")
+    return (
+        t.part.select(
+            "p_partkey",
+            F.trim(name).alias("t"),
+            F.lpad(F.col("p_brand"), 12, "_").alias("padded"),
+            F.replace(name, F.lit(" "), F.lit("-")).alias("dashed"),
+            F.reverse(F.substring(name, 1, 6)).alias("rev6"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
 def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 JSON path extraction over events.props (different dialect
     functions, identical values: Spark get_json_object vs DuckDB
@@ -282,6 +314,8 @@ OPERATOR_QUERIES = {
     "op_running_total": op_running_total,
     "op_cube": op_cube,
     "op_pivot": op_pivot,
+    "op_percentile": op_percentile,
+    "op_string_funcs": op_string_funcs,
     "op_json_extract": op_json_extract,
     "op_approx_count_distinct": op_approx_count_distinct,
     "op_dedup_exact": op_dedup_exact,
@@ -341,6 +375,17 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "op_percentile": """
+SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50,
+       round(quantile_cont(value, 0.95), 2) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "op_string_funcs": """
+SELECT p_partkey, trim(p_name) AS t, lpad(p_brand, 12, '_') AS padded,
+       replace(p_name, ' ', '-') AS dashed,
+       reverse(substr(p_name, 1, 6)) AS rev6
+FROM part ORDER BY p_partkey LIMIT 100
 """,
     "op_json_extract": """
 SELECT cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
