@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Reproduce the driver's correctness gate locally: run every
+``queries()`` entry and compare oracle-backed ones against DuckDB.
+
+Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Defaults to /root/testdata/sf0.01 and all queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from airflow_spark.oracle import compare  # noqa: E402
+from airflow_spark.session import get_session  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args[1:] if args and os.path.isdir(args[0]) else args)
+
+    import __spark_entry__ as e
+
+    spark = get_session(app_name="check-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, sqls = e.queries(), e.oracle_sql()
+    t0 = time.time()
+    results, failures = {}, []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        try:
+            if name in sqls:
+                rec = compare(spark, sf_dir, name, qs[name](spark, sf_dir), sqls[name])
+                results[name] = "ok" if rec["ok"] else "MISMATCH"
+                if not rec["ok"]:
+                    failures.append((name, rec))
+            else:
+                results[name] = f"rows-only:{qs[name](spark, sf_dir).count()}"
+        except Exception as ex:  # noqa: BLE001
+            results[name] = f"ERROR:{type(ex).__name__}"
+            failures.append((name, str(ex)[:200]))
+    print(json.dumps({
+        "sf_dir": sf_dir,
+        "elapsed_s": round(time.time() - t0, 1),
+        "n_queries": len(results),
+        "n_failures": len(failures),
+        "results": results,
+    }, indent=2))
+    for name, detail in failures:
+        print(f"FAIL {name}: {detail}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

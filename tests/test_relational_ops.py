@@ -117,3 +117,15 @@ def test_grouped_quantiles(spark):
     r = grouped.grouped_quantiles(df, "k", "v").first()
     assert r["p50"] == 50.5
     assert round(r["p95"], 2) == 95.05
+
+
+def test_udtf_tick_expander(spark):
+    from airflow_spark.functions.udtf import TickExpander
+
+    spark.udtf.register("tick_expander", TickExpander)
+    out = spark.sql(
+        "SELECT t.* FROM VALUES ('a', 0, 10, 3), ('b', 5, 6, 1) AS v(k, s, e, st), "
+        "LATERAL tick_expander(v.k, v.s, v.e, v.st) t"
+    ).collect()
+    got = sorted((r["key"], r["tick"]) for r in out)
+    assert got == [("a", 0), ("a", 3), ("a", 6), ("a", 9), ("b", 5)]
