@@ -141,6 +141,7 @@ class Pipeline:
         catchup: bool = False,
         tags: list[str] | None = None,
         description: str = "",
+        max_parallel_tasks: int = 4,
     ):
         self.name = name
         self.schedule = schedule
@@ -152,6 +153,9 @@ class Pipeline:
         self.catchup = catchup
         self.tags = tags or []
         self.description = description
+        #: independent tasks run concurrently (LocalExecutor analog —
+        #: Spark job submission is thread-safe; each task is a job)
+        self.max_parallel_tasks = max(1, max_parallel_tasks)
         self.tasks: dict[str, TaskDef] = {}
 
     # -- declaration ------------------------------------------------------
@@ -264,41 +268,60 @@ class Pipeline:
         failed_any = False
         first_error: str | None = None
 
-        for tname in self._topo_order():
-            t = self.tasks[tname]
-            bad_dep = next(
-                (
-                    d
-                    for d in t.depends_on
-                    if results[d].status in ("failed", "upstream_failed")
-                ),
-                None,
-            )
-            if bad_dep is not None:
-                results[tname] = TaskResult(tname, "upstream_failed")
-                continue
-            if deadline is not None and time.monotonic() >= deadline:
-                results[tname] = TaskResult(
-                    tname, "failed", error="pipeline timeout budget exhausted"
-                )
-                failed_any = True
-                first_error = first_error or results[tname].error
-                continue
-            if t.when is not None and not t.when(ctx):
-                results[tname] = TaskResult(tname, "skipped")
-                ctx.outputs[tname] = None
-                continue
+        self._topo_order()  # validates the graph (cycles, unknown deps)
+        pending = set(self.tasks)
+        running: dict = {}
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-            el_t0 = time.monotonic()
-            if t.expand_over is not None:
-                res = self._run_expanded(t, ctx, deadline)
-            else:
-                res = self._run_single(t, ctx, deadline)
-            res.elapsed = round(time.monotonic() - el_t0, 3)
-            results[tname] = res
-            if res.status == "failed":
-                failed_any = True
-                first_error = first_error or res.error
+        # ready-queue executor: independent tasks run concurrently up to
+        # max_parallel_tasks (each task = one Spark job; submission is
+        # thread-safe). Dependency/failure semantics identical to the
+        # sequential form.
+        with ThreadPoolExecutor(max_workers=self.max_parallel_tasks) as pool:
+            while pending or running:
+                for tname in sorted(pending):
+                    t = self.tasks[tname]
+                    if not all(d in results for d in t.depends_on):
+                        continue
+                    bad_dep = next(
+                        (
+                            d
+                            for d in t.depends_on
+                            if results[d].status in ("failed", "upstream_failed")
+                        ),
+                        None,
+                    )
+                    if bad_dep is not None:
+                        results[tname] = TaskResult(tname, "upstream_failed")
+                        pending.discard(tname)
+                        continue
+                    if deadline is not None and time.monotonic() >= deadline:
+                        results[tname] = TaskResult(
+                            tname, "failed",
+                            error="pipeline timeout budget exhausted",
+                        )
+                        failed_any = True
+                        first_error = first_error or results[tname].error
+                        pending.discard(tname)
+                        continue
+                    if t.when is not None and not t.when(ctx):
+                        results[tname] = TaskResult(tname, "skipped")
+                        ctx.outputs[tname] = None
+                        pending.discard(tname)
+                        continue
+                    running[pool.submit(self._exec_task, t, ctx, deadline)] = tname
+                    pending.discard(tname)
+                if running:
+                    done, _ = wait(
+                        set(running), return_when=FIRST_COMPLETED, timeout=1.0
+                    )
+                    for fut in done:
+                        tname = running.pop(fut)
+                        res = fut.result()
+                        results[tname] = res
+                        if res.status == "failed":
+                            failed_any = True
+                            first_error = first_error or res.error
 
         status = "failed" if failed_any else "success"
         run = PipelineRun(
@@ -320,6 +343,15 @@ class Pipeline:
         if state_store is not None:
             state_store.record_run(self, run)
         return run
+
+    def _exec_task(self, t: TaskDef, ctx: Context, deadline) -> TaskResult:
+        el_t0 = time.monotonic()
+        if t.expand_over is not None:
+            res = self._run_expanded(t, ctx, deadline)
+        else:
+            res = self._run_single(t, ctx, deadline)
+        res.elapsed = round(time.monotonic() - el_t0, 3)
+        return res
 
     def _run_single(self, t: TaskDef, ctx: Context, deadline) -> TaskResult:
         try:

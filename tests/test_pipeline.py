@@ -266,3 +266,51 @@ def test_filesystem_scan_and_retention(spark, tmp_path):
     cutoff = dt.datetime.now(dt.timezone.utc) - dt.timedelta(days=7)
     expired = expired_files(files, cutoff).collect()
     assert [r["path"].split("/")[-1] for r in expired] == ["old.log"]
+
+
+def test_independent_tasks_run_concurrently(spark):
+    import time as _time
+
+    p = Pipeline("parallel", max_parallel_tasks=4)
+
+    for i in range(3):
+        @p.task(name=f"sleep_{i}")
+        def s(ctx):
+            _time.sleep(0.5)
+            return 1
+
+    t0 = _time.monotonic()
+    run = p.test(spark)
+    wall = _time.monotonic() - t0
+    assert run.ok
+    # 3 × 0.5s sleeps concurrently: well under the 1.5s sequential time
+    assert wall < 1.2, wall
+
+
+def test_parallel_respects_dependencies_and_failures(spark):
+    p = Pipeline("parallel_deps", max_parallel_tasks=4)
+    order = []
+
+    @p.task
+    def a(ctx):
+        order.append("a")
+        return 1
+
+    @p.task(depends_on=["a"])
+    def b(ctx):
+        order.append("b")
+        raise ValueError("boom")
+
+    @p.task(depends_on=["b"])
+    def c(ctx):
+        order.append("c")
+
+    @p.task
+    def d(ctx):
+        order.append("d")
+
+    run = p.test(spark)
+    assert order.index("a") < order.index("b")
+    assert "c" not in order
+    assert run.tasks["c"].status == "upstream_failed"
+    assert run.tasks["d"].status == "success"
