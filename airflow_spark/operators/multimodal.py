@@ -121,6 +121,75 @@ def extract_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mfcc", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
+    """STUB — no audio codec in this container (see _decode_image_impl
+    for the contract: strict raises; otherwise a deterministic fake
+    derived from the payload hash, preserving declared metadata)."""
+    if strict:
+        raise NotImplementedError(
+            "audio decode requires a codec (e.g. ffmpeg); not available here"
+        )
+    h = hashlib.sha256(data).digest()
+    return {
+        "duration_ms": int(meta.get("duration_ms") or (1000 + h[0] * 16)),
+        "sample_rate": int(meta.get("sample_rate") or 16000),
+        "mfcc": [((h[(5 + i) % 32] / 127.5) - 1.0) for i in range(13)],
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction (same plumbing contract
+    as extract_image_features: features out, payload stays behind)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data, dur, sr in zip(
+                pdf[id_col], pdf[data_col], pdf["__dur"], pdf["__sr"]
+            ):
+                raw = bytes(data)
+                meta = {
+                    "duration_ms": None if pd.isna(dur) else int(dur),
+                    "sample_rate": None if pd.isna(sr) else int(sr),
+                }
+                dec = _decode_audio_impl(raw, meta, strict=strict)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(raw),
+                        "sha256": hashlib.sha256(raw).hexdigest(),
+                        "duration_ms": dec["duration_ms"],
+                        "sample_rate": dec["sample_rate"],
+                        "mfcc": [float(x) for x in dec["mfcc"]],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    src = df.withColumn("__dur", F.col("meta.duration_ms")).withColumn(
+        "__sr", F.col("meta.sample_rate")
+    )
+    return src.select(id_col, data_col, "__dur", "__sr").mapInPandas(
+        _extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def media_repartition(
     df: DataFrame,
     data_col: str = "data",

@@ -268,3 +268,34 @@ def test_ivf_cells_partition_corpus(spark):
     got = {r["c"]: r["count"] for r in cells.collect()}
     assert sum(got.values()) == 100          # total partition of the corpus
     assert set(got) <= {0, 1, 2, 3} and len(got) >= 2
+
+
+def test_audio_features_deterministic_and_meta_preserved(spark):
+    df = _media_df(spark)
+    out = multimodal.extract_audio_features(
+        df.where(F.col("media_id") == 3)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["duration_ms"] == 5000 and r["sample_rate"] == 16000  # from meta
+    assert len(r["mfcc"]) == 13
+    again = multimodal.extract_audio_features(
+        df.where(F.col("media_id") == 3)
+    ).first()
+    assert again["mfcc"] == r["mfcc"]
+
+
+def test_cosine_topk_many_per_query(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])], ["query_id", "embedding"]
+    )
+    out = similarity.cosine_topk_many(corpus, queries, k=2)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+    assert sorted(by_q[100]) == [(1, 1), (2, 2)]
+    assert sorted(by_q[200])[0] == (1, 3)
