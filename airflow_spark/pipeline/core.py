@@ -78,6 +78,11 @@ class TaskDef:
     retry_delay: float = 0.0
     expand_over: str | None = None
     when: Callable[[Context], bool] | None = None
+    #: per-task wall-clock ceiling (reference: 3600 s task execution
+    #: timeout, Dockerfile:38). Enforced by cancelling the task's Spark
+    #: job group — running jobs are interrupted; pure-Python sections
+    #: fail at their next Spark action.
+    task_timeout_s: float | None = None
 
 
 @dataclass
@@ -170,6 +175,7 @@ class Pipeline:
         retry_delay: float | None = None,
         expand_over: str | None = None,
         when: Callable[[Context], bool] | None = None,
+        task_timeout_s: float | None = None,
     ):
         """Register a task. ``fn(ctx)`` (or ``fn(ctx, element)`` when
         ``expand_over`` names an upstream task whose output is a list).
@@ -192,6 +198,7 @@ class Pipeline:
                 ),
                 expand_over=expand_over,
                 when=when,
+                task_timeout_s=task_timeout_s,
             )
             return f
 
@@ -353,9 +360,50 @@ class Pipeline:
         res.elapsed = round(time.monotonic() - el_t0, 3)
         return res
 
+    def _call_with_task_timeout(self, t: TaskDef, ctx: Context, call):
+        """Run one attempt under the per-task ceiling: tag this thread's
+        Spark jobs with a job group and cancel the group on timeout
+        (interrupting running executors)."""
+        if t.task_timeout_s is None:
+            return call()
+        import threading
+
+        sc = ctx.spark.sparkContext
+        group = f"{self.name}.{t.name}.{ctx.run_id}"
+        sc.setJobGroup(group, f"task {t.name}", interruptOnCancel=True)
+        timed_out = threading.Event()
+        finished = threading.Event()
+
+        def _watchdog():
+            if finished.wait(t.task_timeout_s):
+                return
+            timed_out.set()
+            # cancel repeatedly: a one-shot cancel races with job
+            # submission (a job that registers after the cancel would
+            # survive it)
+            while not finished.wait(0.5):
+                sc.cancelJobGroup(group)
+
+        watchdog = threading.Thread(target=_watchdog, daemon=True)
+        watchdog.start()
+        try:
+            return call()
+        except Exception as e:
+            if timed_out.is_set():
+                raise TaskFailure(
+                    f"task exceeded task_timeout_s={t.task_timeout_s}"
+                ) from e
+            raise
+        finally:
+            finished.set()
+            sc.setJobGroup("", "")
+
     def _run_single(self, t: TaskDef, ctx: Context, deadline) -> TaskResult:
         try:
-            out, attempts = self._run_with_retries(t, lambda: t.fn(ctx), deadline)
+            out, attempts = self._run_with_retries(
+                t, lambda: self._call_with_task_timeout(t, ctx, lambda: t.fn(ctx)),
+                deadline,
+            )
             ctx.outputs[t.name] = out
             return TaskResult(t.name, "success", attempts=attempts)
         except Exception as e:  # noqa: BLE001 — task bodies may raise anything

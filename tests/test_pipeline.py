@@ -314,3 +314,23 @@ def test_parallel_respects_dependencies_and_failures(spark):
     assert "c" not in order
     assert run.tasks["c"].status == "upstream_failed"
     assert run.tasks["d"].status == "success"
+
+
+def test_task_timeout_cancels_spark_job(spark):
+    import time as _time
+
+    p = Pipeline("task_budget")
+
+    @p.task(task_timeout_s=2.0)
+    def runaway(ctx):
+        # a Spark job that would run for minutes unassisted
+        return ctx.spark.range(200_000_000_000, numPartitions=4).filter(
+            "id % 7 = 3"
+        ).count()
+
+    t0 = _time.monotonic()
+    run = p.test(spark)
+    wall = _time.monotonic() - t0
+    assert run.tasks["runaway"].status == "failed"
+    assert "task_timeout_s" in run.tasks["runaway"].error
+    assert wall < 30, wall  # cancelled, not run to completion
