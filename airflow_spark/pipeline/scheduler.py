@@ -130,3 +130,26 @@ class Scheduler:
             self.run_pending()
             polls += 1
             time.sleep(poll_s)
+
+
+def backfill(
+    spark,
+    pipeline,
+    start: dt.datetime,
+    end: dt.datetime,
+    max_runs: int = 1000,
+    **run_kwargs,
+) -> list:
+    """Explicit backfill: run every cron interval in (start, end] in
+    order, each with its interval's ``run_ts`` (deterministic
+    reprocessing). catchup=False remains the *default* posture
+    (run_pending fires latest-only); backfill is the opt-in manual
+    path — bounded by ``max_runs`` to prevent storms."""
+    runs = []
+    t = start
+    while len(runs) < max_runs:
+        t = next_fire(pipeline.schedule, t)
+        if t > end:
+            break
+        runs.append(pipeline.run(spark, run_ts=t, **run_kwargs))
+    return runs

@@ -334,3 +334,25 @@ def test_task_timeout_cancels_spark_job(spark):
     assert run.tasks["runaway"].status == "failed"
     assert "task_timeout_s" in run.tasks["runaway"].error
     assert wall < 30, wall  # cancelled, not run to completion
+
+
+def test_backfill_runs_each_interval_in_order(spark):
+    from airflow_spark.pipeline.scheduler import backfill
+
+    p = Pipeline("bf", schedule="0 * * * *")
+    fired = []
+
+    @p.task
+    def tick(ctx):
+        fired.append(ctx.run_ts)
+
+    runs = backfill(
+        spark,
+        p,
+        dt.datetime(2026, 8, 13, 10, 0, tzinfo=UTC),
+        dt.datetime(2026, 8, 13, 13, 0, tzinfo=UTC),
+    )
+    assert len(runs) == 3 and all(r.ok for r in runs)
+    assert fired == [
+        dt.datetime(2026, 8, 13, h, 0, tzinfo=UTC) for h in (11, 12, 13)
+    ]
