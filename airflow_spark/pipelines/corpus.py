@@ -1,0 +1,98 @@
+"""Corpus-preparation pipeline: the LLM-data operators composed through
+the orchestration layer — what a training-data team would actually run
+on the 100 TB corpus.
+
+Stages (each a task = one Spark job, with expectations as gates):
+
+    profile ─▶ exact_dedup ─▶ near_dedup ─▶ quality_filter ─▶ annotate ─▶ publish
+                                                   │
+                                               (stats side-outputs via xcom)
+
+Shuffle budget: exact dedup shuffles md5 keys; near-dedup shuffles
+minhash signatures; everything else is projections. The publish step
+writes a partitioned parquet table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..pipeline.core import Context, Param, Pipeline
+from ..pipeline.expectations import expect_nonempty, expect_schema
+from ..sources.tables import write_partitioned
+
+
+def build_corpus_pipeline(
+    source: "callable",
+    output_path: str | None = None,
+    **pipeline_kw,
+) -> Pipeline:
+    """``source(ctx) -> DataFrame[doc_id, text, lang, ...]``."""
+    p = Pipeline(
+        "corpus-prep",
+        params={
+            "min_quality": Param(0.4, type="number"),
+            "near_dup_threshold": Param(0.8, type="number"),
+        },
+        **pipeline_kw,
+    )
+
+    @p.task
+    def profile(ctx: Context) -> dict:
+        docs = source(ctx)
+        expect_schema(docs, {"doc_id": "bigint", "text": "string"})
+        expect_nonempty(docs, "empty corpus")
+        ctx.outputs["_docs"] = docs
+        return {"n_docs": docs.count()}
+
+    @p.task(depends_on=["profile"])
+    def exact_dedup(ctx: Context) -> dict:
+        docs = ctx.outputs["_docs"]
+        kept = dedup.dedup_exact_text(docs)
+        ctx.outputs["_exact"] = kept
+        return {"n_after_exact": kept.count()}
+
+    @p.task(depends_on=["exact_dedup"])
+    def near_dedup(ctx: Context) -> dict:
+        docs: DataFrame = ctx.outputs["_exact"]
+        thr = float(ctx.param("near_dup_threshold"))
+        pairs = dedup.dedup_minhash(docs, threshold=thr)
+        # drop the higher id of each near-dup pair (min-id survivor,
+        # same keep rule as exact dedup)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        kept = docs.join(losers, "doc_id", "left_anti")
+        ctx.outputs["_near"] = kept
+        return {"n_after_near": kept.count()}
+
+    @p.task(depends_on=["near_dedup"])
+    def quality_filter(ctx: Context) -> dict:
+        docs = ctx.outputs["_near"]
+        scored = text.with_quality_score(docs)
+        kept = scored.where(
+            F.col("quality_score") >= float(ctx.param("min_quality"))
+        )
+        ctx.outputs["_quality"] = kept
+        return {"n_after_quality": kept.count()}
+
+    @p.task(depends_on=["quality_filter"])
+    def annotate(ctx: Context) -> dict:
+        docs = ctx.outputs["_quality"]
+        out = text.with_fingerprint(text.with_token_counts(text.with_lang_id(docs)))
+        ctx.outputs["_final"] = out
+        return {"n_final": out.count()}
+
+    @p.task(depends_on=["annotate"])
+    def publish(ctx: Context) -> dict:
+        out: DataFrame = ctx.outputs["_final"]
+        if output_path:
+            write_partitioned(
+                out.withColumn("lang_part", F.col("lang_pred")),
+                output_path,
+                ["lang_part"],
+            )
+            return {"published_to": output_path}
+        return {"published_to": None}
+
+    return p

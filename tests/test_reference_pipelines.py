@@ -300,3 +300,41 @@ def test_cleanup_disk_threshold_and_host_skip(spark):
     # on the guarded host the check is pruned entirely (P11, :75-76)
     run2 = p.test(spark, run_ts=RUN_TS, variables={"HOST": "prod-host"})
     assert run2.tasks["check_disk_usage"].status == "skipped" and run2.ok
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep pipeline (LLM ops composed through the orchestrator)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from airflow_spark.pipelines.corpus import build_corpus_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep green forest while the sun slowly sets behind the hills"
+    )
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup → dropped
+        (2, base.replace("quick", "swift")),        # near dup → dropped
+        (3, "a longer piece of reasonable english text about engines that "
+            "keeps the stopword ratio and the word lengths in a sane band "
+            "so the quality gate is happy with it overall"),
+        (4, "@@ ## $$ 11 %% ^^ && 99 !!"),          # junk → quality-filtered
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "doc_id", F.col("doc_id").cast("bigint")
+    )
+    out_path = str(tmp_path / "corpus_out")
+    p = build_corpus_pipeline(lambda ctx: docs, output_path=out_path)
+    run = p.test(spark, params={"min_quality": 0.5, "near_dup_threshold": 0.6})
+    assert run.ok, {k: (v.status, v.error) for k, v in run.tasks.items()}
+
+    published = spark.read.parquet(out_path)
+    kept = sorted(r["doc_id"] for r in published.select("doc_id").collect())
+    assert kept == [0, 3]  # dups and junk gone, survivors annotated
+    cols = set(published.columns)
+    assert {"lang_pred", "n_tokens_ws", "fp_md5", "quality_score"} <= cols
