@@ -83,6 +83,11 @@ class TaskDef:
     #: job group — running jobs are interrupted; pure-Python sections
     #: fail at their next Spark action.
     task_timeout_s: float | None = None
+    #: retry only these exception types (None = retry everything).
+    #: Deterministic failures (expectation violations, bad schema)
+    #: should NOT burn retries — reference retries exist for transient
+    #: HTTP faults (dags/DNS_Requests.py:13-17).
+    retry_on: tuple[type, ...] | None = None
 
 
 @dataclass
@@ -176,6 +181,7 @@ class Pipeline:
         expand_over: str | None = None,
         when: Callable[[Context], bool] | None = None,
         task_timeout_s: float | None = None,
+        retry_on: tuple[type, ...] | None = None,
     ):
         """Register a task. ``fn(ctx)`` (or ``fn(ctx, element)`` when
         ``expand_over`` names an upstream task whose output is a list).
@@ -199,6 +205,7 @@ class Pipeline:
                 expand_over=expand_over,
                 when=when,
                 task_timeout_s=task_timeout_s,
+                retry_on=retry_on,
             )
             return f
 
@@ -224,7 +231,9 @@ class Pipeline:
             attempts += 1
             try:
                 return call(), attempts
-            except Exception:
+            except Exception as e:
+                if t.retry_on is not None and not isinstance(e, t.retry_on):
+                    raise  # non-retryable class: fail fast
                 if attempts > t.retries:
                     raise
                 if deadline is not None and time.monotonic() >= deadline:

@@ -356,3 +356,28 @@ def test_backfill_runs_each_interval_in_order(spark):
     assert fired == [
         dt.datetime(2026, 8, 13, h, 0, tzinfo=UTC) for h in (11, 12, 13)
     ]
+
+
+def test_retry_on_classifies_exceptions(spark):
+    from airflow_spark.sources.http import HttpError
+
+    p = Pipeline("retry_on")
+    calls = {"transient": 0, "deterministic": 0}
+
+    @p.task(retries=3, retry_delay=0.0, retry_on=(HttpError,))
+    def transient(ctx):
+        calls["transient"] += 1
+        if calls["transient"] < 3:
+            raise HttpError("503")
+        return "ok"
+
+    @p.task(retries=3, retry_delay=0.0, retry_on=(HttpError,))
+    def deterministic(ctx):
+        calls["deterministic"] += 1
+        raise ExpectationFailed("data is bad")  # not retryable → 1 attempt
+
+    run = p.test(spark)
+    assert run.tasks["transient"].status == "success"
+    assert calls["transient"] == 3
+    assert run.tasks["deterministic"].status == "failed"
+    assert calls["deterministic"] == 1  # failed fast, no retry burn

@@ -50,3 +50,34 @@ def test_q09_partial_aggregation(spark, sf):
 def test_q04_small_dim_autobroadcast(spark, sf):
     a = audit_plan(RELATIONAL_QUERIES["q04"](spark, sf))
     assert a["n_broadcast_joins"] >= 1 and a["n_sortmerge_joins"] == 0, a["plan"]
+
+
+def test_minhash_plan_shape(spark, sf):
+    """Regression guard on the dedup plan: no cartesian product, partial
+    aggregation present (map-side combine for the 128-min aggregate)."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(load_tables(spark, sf).documents)
+    a = audit_plan(sigs)
+    assert not a["has_cartesian"]
+    assert a["partial_agg"], a["plan"]
+
+
+def test_asof_join_single_shuffle(spark, sf):
+    """The as-of join must cost one hash partition per side (no
+    BroadcastNestedLoopJoin, no row explosion)."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.relational import asof_join
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf)
+    errors = t.events.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), "ts"
+    )
+    out = asof_join(errors, purchases, key="user_id", right_cols=["pid"])
+    a = audit_plan(out)
+    assert not a["has_bnl_join"] and not a["has_cartesian"], a["plan"]
