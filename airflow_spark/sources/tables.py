@@ -41,6 +41,49 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | list[str],
+) -> int:
+    """Keyed upsert into a parquet table (K1 idempotent-upsert
+    semantics at table scale): rows in ``updates`` replace same-key
+    rows; others are kept; new keys are inserted. Returns final count.
+
+    Plain parquet has no transaction log, so this is read-merge-swap:
+    anti-join the existing table against the update keys (one shuffle
+    on the key), union the updates, write to a temp dir, swap. At
+    serious scale the same merge runs per partition-directory, or on a
+    table format with a log (Delta/Iceberg) — the merge plan is
+    identical.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    exists = os.path.isdir(path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
+    )
+    if exists:
+        current = spark.read.parquet(path)
+        kept = current.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    tmp = path.rstrip("/") + ".__upsert__"
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if exists:
+        bak = path.rstrip("/") + ".__old__"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        import shutil
+
+        shutil.rmtree(bak)
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        os.rename(tmp, path)
+    return n
+
+
 def table_bytes(spark: SparkSession, path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):

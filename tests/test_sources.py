@@ -150,3 +150,28 @@ def test_write_partitioned_prunes_and_compacts(spark, tmp_path):
     n_files = compact(spark, out, target_file_bytes=10 * 1024 * 1024)
     assert n_files >= 1
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_upsert_parquet_replace_keep_insert(spark, tmp_path):
+    from airflow_spark.sources.tables import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["id", "name", "v"]
+    )
+    n = upsert_parquet(spark, path, base, "id")
+    assert n == 3
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0), (4, "d", 4.0)], ["id", "name", "v"]
+    )
+    n = upsert_parquet(spark, path, updates, "id")
+    assert n == 4
+    got = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+    # idempotence: replaying the same updates changes nothing
+    n = upsert_parquet(spark, path, updates, "id")
+    assert n == 4
+    got2 = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
