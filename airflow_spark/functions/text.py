@@ -60,6 +60,46 @@ def word_shingles(text: Column | str, n: int = 3, lowercase: bool = True) -> Col
     )
 
 
+def normalize_text(
+    text: Column | str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> Column:
+    """Canonical text normalization for dedup keys / shingling inputs:
+    optional lowercase, control-char strip, whitespace collapse. Pure
+    regexp/lower composition — codegen'd."""
+    c = _col(text)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+#: PII patterns (public, standard shapes). Order matters: specific
+#: shapes (email, card, SSN) before the greedy phone digit-run, so a
+#: card number isn't half-eaten as a "phone".
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b", "<CARD>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace common PII shapes with typed placeholders — a chain of
+    regexp_replace expressions (one corpus pass, no UDF)."""
+    c = _col(text)
+    for pat, repl in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def _class_count(text: Column | str, pattern: str) -> Column:
     return F.regexp_count(_col(text), F.lit(pattern))
 

@@ -299,3 +299,39 @@ def test_cosine_topk_many_per_query(spark):
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
     assert sorted(by_q[100]) == [(1, 1), (2, 2)]
     assert sorted(by_q[200])[0] == (1, 3)
+
+
+def test_normalize_text(spark):
+    from airflow_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([(1, "  Hello\x07   WORLD \t foo  ")], ["id", "t"])
+    out = df.select(normalize_text("t").alias("n")).first()["n"]
+    assert out == "hello world foo"
+
+
+def test_redact_pii(spark):
+    from airflow_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.com or call +1 (555) 123-4567; "
+             "card 4111 1111 1111 1111, ssn 123-45-6789, host 10.0.0.1")],
+        ["id", "t"],
+    )
+    out = df.select(redact_pii("t").alias("r")).first()["r"]
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<CARD>" in out
+    assert "<SSN>" in out and "<IP>" in out
+    assert "example.com" not in out and "4111" not in out
+
+
+def test_registry_covers_coverage_doc():
+    """Every op_*/qNN name referenced in COVERAGE.md must exist in the
+    driver registry (docs can't drift from code)."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = set(e.queries())
+    doc = open("/root/repo/COVERAGE.md").read()
+    referenced = set(re.findall(r"`(op_[a-z_]+|q\d{2})`", doc))
+    missing = referenced - qs
+    assert not missing, missing
