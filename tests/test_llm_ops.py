@@ -335,3 +335,33 @@ def test_registry_covers_coverage_doc():
     referenced = set(re.findall(r"`(op_[a-z_]+|q\d{2})`", doc))
     missing = referenced - qs
     assert not missing, missing
+
+
+def test_lsh_bucket_partitioned_layout_prunes(spark, tmp_path):
+    """The scale path for ANN: corpus written partitionBy(bucket) →
+    probing filters become partition pruning (PartitionFilters in the
+    scan), so a query touches probe-bucket files only."""
+    import numpy as np
+
+    from airflow_spark.plans import audit_plan
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    lsh = similarity.RandomHyperplaneLSH(dim=8, num_bits=4, seed=9)
+    out = str(tmp_path / "corpus_lsh")
+    df.withColumn("bucket", lsh.bucket_col("embedding")).write.partitionBy(
+        "bucket"
+    ).parquet(out)
+
+    corpus = spark.read.parquet(out)
+    qv = [float(x) for x in rng.standard_normal(8)]
+    probes = lsh.probe_buckets(qv, n_probe=3)
+    cand = corpus.where(F.col("bucket").isin(probes))
+    a = audit_plan(cand)
+    assert "PartitionFilters" in a["plan"] and "bucket" in a["plan"]
+    # pruned candidate set matches the computed-bucket filter exactly
+    recomputed = df.withColumn("b", lsh.bucket_col("embedding")).where(
+        F.col("b").isin(probes)
+    )
+    assert cand.count() == recomputed.count()
