@@ -247,3 +247,40 @@ def test_dedupe_events_batch(spark):
     from airflow_spark.streaming import dedupe_events
 
     assert dedupe_events(df).count() == 2
+
+
+def test_incremental_ingest_exactly_once_across_runs(spark, tmp_path):
+    """Two scheduled drains over a growing directory: each run picks up
+    only new files; replaying with the same checkpoint adds nothing."""
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.streaming.incremental import incremental_task
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "ingested")
+
+    def drop_files(prefix, n):
+        df = spark.createDataFrame(
+            [(f"{prefix}-{i}", i) for i in range(n)], ["name", "v"]
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    drop_files("a", 5)
+    p = Pipeline("ingest", schedule="*/5 * * * *")
+    p.task(name="drain")(
+        incremental_task(str(src), "name string, v bigint", ckpt, out)
+    )
+
+    run1 = p.test(spark)
+    assert run1.ok, run1.tasks["drain"].error
+    assert spark.read.parquet(out).count() == 5
+
+    drop_files("b", 3)  # new arrivals between schedule fires
+    run2 = p.test(spark)
+    assert run2.ok
+    assert spark.read.parquet(out).count() == 8
+
+    run3 = p.test(spark)  # nothing new → no duplicates
+    assert run3.ok
+    assert spark.read.parquet(out).count() == 8
