@@ -167,6 +167,24 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their customer's own
+    average) expressed as a window aggregate — the decorrelated plan
+    Catalyst would build, stated directly: one shuffle on the key
+    instead of a per-row subquery."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    return (
+        t.orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
 def op_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles per key (Spark percentile ≡ DuckDB
     quantile_cont, verified)."""
@@ -314,6 +332,7 @@ OPERATOR_QUERIES = {
     "op_running_total": op_running_total,
     "op_cube": op_cube,
     "op_pivot": op_pivot,
+    "op_above_own_avg": op_above_own_avg,
     "op_percentile": op_percentile,
     "op_string_funcs": op_string_funcs,
     "op_json_extract": op_json_extract,
@@ -375,6 +394,12 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "op_above_own_avg": """
+SELECT o_orderkey FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey LIMIT 200
 """,
     "op_percentile": """
 SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50,
