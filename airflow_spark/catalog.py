@@ -105,3 +105,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
         df.createOrReplaceTempView(name)
         out[name] = df
     return SimpleNamespace(**out)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run arbitrary Spark SQL against the catalog (views registered
+    on demand) — the drop-in path for users migrating SQL workloads."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

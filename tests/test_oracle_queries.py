@@ -56,3 +56,16 @@ def test_registry_alignment():
     sqls = e.oracle_sql()
     assert set(sqls) <= set(qs), "oracle_sql keys must be a subset of queries"
     assert len(qs) >= 30
+
+
+def test_catalog_sql_passthrough(spark, sf_smoke):
+    from airflow_spark.catalog import sql
+
+    df = sql(
+        spark, sf_smoke,
+        "SELECT n.n_name, count(*) AS cnt FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY cnt DESC, n.n_name LIMIT 3",
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and rows[0]["cnt"] >= rows[-1]["cnt"]
