@@ -152,10 +152,20 @@ def minhash_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    buckets = (
+    # Count first, collect second: a degenerate bucket (millions of
+    # identical docs) must be dropped BEFORE any task materializes its
+    # member array — the count aggregate has map-side combine; the
+    # collect then only ever sees buckets ≤ max_bucket.
+    ok_buckets = (
         banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band_id", "band_hash")
+    )
+    buckets = (
+        banded.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
     ids_sorted = F.array_sort("ids")
     pairs = buckets.select(
@@ -287,10 +297,18 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.chunk")
-    buckets = (
+    # count-first bucket guard (see minhash_candidate_pairs): never
+    # materialize a hot bucket's member array
+    ok = (
         banded.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "chunk")
+    )
+    buckets = (
+        banded.join(ok, ["band", "chunk"], "left_semi")
+        .groupBy("band", "chunk")
         .agg(F.collect_list(F.struct("id", "simhash")).alias("docs"))
-        .where((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )
     docs_sorted = F.array_sort("docs")
     pairs = (

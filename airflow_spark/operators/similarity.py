@@ -265,10 +265,18 @@ def cosine_neardup_pairs(
         F.col(vec_col).alias("v"),
         lsh.bucket_col(vec_col).alias("bucket"),
     )
-    buckets = (
+    # count-first bucket guard (see dedup.minhash_candidate_pairs):
+    # drop hot buckets before materializing any member array
+    ok = (
         b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("bucket")
+    )
+    buckets = (
+        b.join(ok, ["bucket"], "left_semi")
+        .groupBy("bucket")
         .agg(F.collect_list(F.struct("id", "v")).alias("docs"))
-        .where((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )
     docs_sorted = F.array_sort("docs")
     pairs = buckets.select(
