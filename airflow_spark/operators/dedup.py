@@ -338,6 +338,77 @@ def simhash_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Pair graph → duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph (id_a, id_b) →
+    (id, cluster) with cluster = min id of the component (the survivor
+    under the min-id keep rule).
+
+    Iterative min-label propagation with join steps — each iteration is
+    one shuffle on id; near-dup components are shallow (chains of a few
+    hops), so convergence is fast. Deterministic. Stops early at
+    fixpoint (checked via count of changed labels)."""
+    edges = (
+        pairs.select("id_a", "id_b")
+        .union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every near-dup cluster member except the min-id survivor
+    (the complete dedup: pairs → components → one kept per group)."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (inverted-index self-join)
 # ---------------------------------------------------------------------------
 

@@ -365,3 +365,21 @@ def test_lsh_bucket_partitioned_layout_prunes(spark, tmp_path):
         F.col("b").isin(probes)
     )
     assert cand.count() == recomputed.count()
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # a-b, b-c, and separate d-e: components {a,b,c} and {d,e}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_keep_representatives_end_to_end(docs):
+    pairs = dedup.dedup_minhash(docs, threshold=0.5, num_hashes=64, num_bands=16)
+    kept = dedup.keep_representatives(docs, pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 0,1,2 form one near-dup component -> only 0 survives
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert set(ids) >= {0, 3, 4, 5, 6, 7} - {1, 2}
