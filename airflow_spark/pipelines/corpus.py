@@ -59,10 +59,10 @@ def build_corpus_pipeline(
         docs: DataFrame = ctx.outputs["_exact"]
         thr = float(ctx.param("near_dup_threshold"))
         pairs = dedup.dedup_minhash(docs, threshold=thr)
-        # drop the higher id of each near-dup pair (min-id survivor,
-        # same keep rule as exact dedup)
-        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        kept = docs.join(losers, "doc_id", "left_anti")
+        # exact survivor selection: pairs → connected components →
+        # min-id survivor per component (pair-wise dropping would keep
+        # extra members of chain-shaped components)
+        kept = dedup.keep_representatives(docs, pairs)
         ctx.outputs["_near"] = kept
         return {"n_after_near": kept.count()}
 
