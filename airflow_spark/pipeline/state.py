@@ -43,7 +43,17 @@ class RunStateStore:
                 run.status,
                 run.started.replace(tzinfo=None),
                 float(run.elapsed),
-                json.dumps({k: v.status for k, v in run.tasks.items()}),
+                json.dumps(
+                    {
+                        k: {
+                            "status": v.status,
+                            "attempts": v.attempts,
+                            "elapsed_s": v.elapsed,
+                            "error": v.error,
+                        }
+                        for k, v in run.tasks.items()
+                    }
+                ),
             )
         ]
         df = self.spark.createDataFrame(row, RUN_SCHEMA)

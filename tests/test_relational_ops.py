@@ -129,3 +129,40 @@ def test_udtf_tick_expander(spark):
     ).collect()
     got = sorted((r["key"], r["tick"]) for r in out)
     assert got == [("a", 0), ("a", 3), ("a", 6), ("a", 9), ("b", 5)]
+
+
+def test_asof_join_matches_python_reference(spark):
+    """Randomized check against a brute-force reference: for every left
+    row, the matched right value must be the one with the greatest
+    ts <= left.ts on the same key (None when absent)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        left = [
+            (rng.randint(1, 3), rng.randint(0, 50)) for _ in range(rng.randint(1, 15))
+        ]
+        right = [
+            (rng.randint(1, 3), rng.randint(0, 50), i)
+            for i in range(rng.randint(1, 12))
+        ]
+        # unique (key, ts) on the right: as-of output is otherwise
+        # ambiguous (both engines would tie-break arbitrarily)
+        seen = set()
+        right = [
+            r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+        ]
+        ldf = spark.createDataFrame(
+            [(k, _m(t), i) for i, (k, t) in enumerate(left)], ["k", "ts", "lid"]
+        )
+        rdf = spark.createDataFrame(
+            [(k, _m(t), v) for k, t, v in right], ["k", "ts", "v"]
+        )
+        got = {
+            r["lid"]: r["v_r"]
+            for r in relational.asof_join(ldf, rdf, key="k", right_cols=["v"]).collect()
+        }
+        for i, (k, t) in enumerate(left):
+            candidates = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+            expect = max(candidates)[1] if candidates else None
+            assert got[i] == expect, (trial, i, k, t, candidates, got[i])
