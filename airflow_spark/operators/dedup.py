@@ -337,6 +337,61 @@ def simhash_neardup_pairs(
     return pairs.distinct()
 
 
+def incremental_neardup(
+    spark,
+    new_docs: DataFrame,
+    sig_store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against corpus history, without
+    recomputing history: signatures live in a persistent store
+    (parquet, upserted per batch); banding runs over new ∪ history but
+    only pairs touching a new doc are returned.
+
+    Cost per batch: signature computation for the batch only + one
+    banded join against the store (shuffle of signatures, never text).
+    Returns (id_a, id_b, jaccard_est, is_historical_pair=false-side).
+    """
+    import os
+
+    from ..sources.tables import upsert_parquet
+
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    ).persist()
+    have_store = os.path.isdir(sig_store_path) and any(
+        f.endswith(".parquet") for _r, _d, fs in os.walk(sig_store_path) for f in fs
+    )
+    if have_store:
+        history = spark.read.parquet(sig_store_path)
+        allsigs = history.unionByName(new_sigs).persist()
+    else:
+        allsigs = new_sigs
+    pairs = minhash_candidate_pairs(allsigs, num_bands)
+    nid = new_sigs.select("id")
+    touching_new = (
+        pairs.join(nid.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .unionByName(
+            pairs.join(nid.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
+        )
+        .distinct()
+    )
+    out = minhash_estimate_jaccard(touching_new, allsigs).where(
+        F.col("jaccard_est") >= threshold
+    )
+    # sever lineage from the store BEFORE rewriting it (the upsert
+    # swaps the directory out from under the lazy plan)
+    out = out.localCheckpoint(eager=True)
+    upsert_parquet(spark, sig_store_path, new_sigs, "id")
+    new_sigs.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Pair graph → duplicate clusters
 # ---------------------------------------------------------------------------

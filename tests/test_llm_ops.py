@@ -383,3 +383,30 @@ def test_keep_representatives_end_to_end(docs):
     # 0,1,2 form one near-dup component -> only 0 survives
     assert 0 in ids and 1 not in ids and 2 not in ids
     assert set(ids) >= {0, 3, 4, 5, 6, 7} - {1, 2}
+
+
+def test_incremental_neardup_against_history(spark, docs, tmp_path):
+    store = str(tmp_path / "sig_store")
+    # batch 1: the base corpus (docs 0-7) — pairs within the batch
+    batch1 = docs
+    p1 = dedup.incremental_neardup(spark, batch1, store, threshold=0.5,
+                                   num_hashes=64, num_bands=16)
+    got1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+    assert (0, 1) in got1  # exact dup found within the batch
+
+    # batch 2: one new doc near-duplicating historical doc 0
+    base = batch1.where(F.col("doc_id") == 0).first()["text"]
+    batch2 = spark.createDataFrame(
+        [(100, base.replace("lazy", "idle")),
+         (101, "entirely unrelated new content about satellites and orbits")],
+        ["doc_id", "text"],
+    )
+    p2 = dedup.incremental_neardup(spark, batch2, store, threshold=0.5,
+                                   num_hashes=64, num_bands=16)
+    got2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    # new doc 100 matches HISTORY (0 and its dup 1) without recomputing it
+    assert any(a in (0, 1) and b == 100 for a, b in got2), got2
+    # every returned pair touches the new batch
+    assert all(a >= 100 or b >= 100 for a, b in got2), got2
+    # store now holds all 10 signatures
+    assert spark.read.parquet(store).count() == 10
