@@ -190,6 +190,108 @@ def extract_audio_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    data_col: str = "data",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Resize plan: payload in, payload out (the one multimodal op that
+    must carry binary through the shuffle — batches stay Arrow-bounded
+    via media_repartition upstream). Codec stubbed: the fake 'resized'
+    payload is a deterministic digest + header so downstream plumbing
+    (size change, schema, partitioning) is real."""
+    w, h = target
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                if strict:
+                    raise NotImplementedError(
+                        "image resize requires a codec (e.g. PIL)"
+                    )
+                fake = hashlib.sha256(raw).digest() * ((w * h) // 32 + 1)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "data": fake[: w * h],  # 1 byte/px fake grayscale
+                        "width": w,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select(id_col, data_col).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_video_features(
+    df: DataFrame,
+    every_ms: int = 1000,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Per-sampled-frame features: the frame plan (sample_frames) joined
+    back to the payload once, then Arrow-batched 'decode' per frame.
+    The join ships the binary to each frame row's task exactly once per
+    media row (frames of one video stay in one partition)."""
+    frames = sample_frames(df, every_ms, id_col)
+    joined = frames.join(df.select(id_col, data_col), id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, ts, data in zip(
+                pdf[id_col], pdf["frame_ts_ms"], pdf[data_col]
+            ):
+                raw = bytes(data)
+                if strict:
+                    raise NotImplementedError(
+                        "video decode requires a codec (e.g. ffmpeg)"
+                    )
+                h = hashlib.sha256(raw + int(ts).to_bytes(8, "big")).digest()
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "frame_ts_ms": int(ts),
+                        "sha256": h.hex(),
+                        "mean_luma": h[0] / 255.0,
+                        "embedding": [((h[(1 + i) % 32] / 127.5) - 1.0) for i in range(8)],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FEATURES_SCHEMA]
+            )
+
+    return joined.mapInPandas(_extract, VIDEO_FEATURES_SCHEMA)
+
+
 def media_repartition(
     df: DataFrame,
     data_col: str = "data",

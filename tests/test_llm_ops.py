@@ -410,3 +410,22 @@ def test_incremental_neardup_against_history(spark, docs, tmp_path):
     assert all(a >= 100 or b >= 100 for a, b in got2), got2
     # store now holds all 10 signatures
     assert spark.read.parquet(store).count() == 10
+
+
+def test_resize_images_shapes(spark):
+    df = _media_df(spark)
+    out = multimodal.resize_images(df, target=(32, 32)).orderBy("media_id").collect()
+    assert len(out) == 3
+    assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+    assert all(len(r["data"]) == 32 * 32 for r in out)
+    assert out[0]["data"] != out[1]["data"]  # content-derived, distinct
+
+
+def test_video_features_per_frame(spark):
+    df = _media_df(spark).where(F.col("media_id") == 3)  # 5000ms media
+    out = multimodal.extract_video_features(df, every_ms=2000).orderBy(
+        "frame_ts_ms"
+    ).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 2000, 4000]
+    assert len({r["sha256"] for r in out}) == 3  # frame-distinct features
+    assert all(len(r["embedding"]) == 8 for r in out)
