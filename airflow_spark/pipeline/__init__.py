@@ -15,6 +15,8 @@ from .expectations import (  # noqa: F401
     expect_schema,
     expect_that,
 )
+from .core import Param  # noqa: F401
+from .health import health  # noqa: F401
 from .notifier import CollectingNotifier, LogNotifier  # noqa: F401
-from .scheduler import Scheduler, cron_matches, next_fire  # noqa: F401
+from .scheduler import Scheduler, backfill, cron_matches, next_fire  # noqa: F401
 from .state import RunStateStore  # noqa: F401
