@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from . import dedup, relational, similarity, text
+from . import dedup, relational, sampling, similarity, text
 
 # ---------------------------------------------------------------------------
 # SQL-expressible operator queries (oracle-checked)
@@ -164,6 +164,18 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
         .orderBy("user_id")
+    )
+
+
+def op_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sample of documents (training-data
+    stratified take: window rank over the unique key)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        sampling.stratified_take(
+            t.documents.select("doc_id", "lang"), "lang", 10, order_by="doc_id"
+        )
+        .orderBy("lang", "doc_id")
     )
 
 
@@ -332,6 +344,7 @@ OPERATOR_QUERIES = {
     "op_running_total": op_running_total,
     "op_cube": op_cube,
     "op_pivot": op_pivot,
+    "op_stratified_take": op_stratified_take,
     "op_above_own_avg": op_above_own_avg,
     "op_percentile": op_percentile,
     "op_string_funcs": op_string_funcs,
@@ -394,6 +407,13 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "op_stratified_take": """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents) t
+WHERE rn <= 10 ORDER BY lang, doc_id
 """,
     "op_above_own_avg": """
 SELECT o_orderkey FROM orders o

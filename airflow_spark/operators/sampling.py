@@ -1,0 +1,71 @@
+"""Sampling operators for training-data pipelines.
+
+- ``stratified_take``: exact, deterministic per-class top-n (window
+  rank over a total order) — reproducible across runs and engines.
+- ``stratified_sample``: approximate per-class fraction sampling
+  (``sampleBy`` — one pass, no shuffle, seed-stable).
+- ``split_by_hash``: deterministic train/validation/test assignment by
+  id hash — stable under data growth (a row's split never changes when
+  other rows arrive), the property random splits lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    order_by: str | Column | None = None,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, deterministic:
+    ranked by ``order_by`` (default: the stratum's natural first
+    column order is NOT deterministic, so order_by should be a unique
+    key)."""
+    order = F.col(order_by) if isinstance(order_by, str) else order_by
+    w = Window.partitionBy(strata_col).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-class fraction sampling (approximate counts, seed-stable,
+    single pass)."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashing its id: stable,
+    deterministic, independent of row order and of other rows.
+
+    ``weights`` maps split name → fraction (must sum to ~1)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(1_000_000))
+    expr: Column | None = None
+    acc = 0.0
+    for name, frac in weights.items():
+        acc += frac
+        cond = bucket < int(acc * 1_000_000)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # guard the float edge: the last bucket takes any remainder
+    last = list(weights)[-1]
+    return df.withColumn(out_col, expr.otherwise(last))

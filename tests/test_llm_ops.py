@@ -429,3 +429,38 @@ def test_video_features_per_frame(spark):
     assert [r["frame_ts_ms"] for r in out] == [0, 2000, 4000]
     assert len({r["sha256"] for r in out}) == 3  # frame-distinct features
     assert all(len(r["embedding"]) == 8 for r in out)
+
+
+def test_split_by_hash_properties(spark):
+    from airflow_spark.operators.sampling import split_by_hash
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = split_by_hash(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).persist()
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000            # complete + disjoint
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    # stability: a row's split is independent of the rest of the data
+    subset = split_by_hash(
+        df.where(F.col("doc_id") < 100), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    full_first100 = {r["doc_id"]: r["split"] for r in out.where(F.col("doc_id") < 100).collect()}
+    sub = {r["doc_id"]: r["split"] for r in subset.collect()}
+    assert sub == full_first100
+    out.unpersist()
+
+
+def test_stratified_take_exact_and_deterministic(spark, docs):
+    from airflow_spark.operators.sampling import stratified_take
+
+    labeled = docs.withColumn("cls", F.col("doc_id") % 2)
+    a = stratified_take(labeled, "cls", 2, order_by="doc_id").collect()
+    b = stratified_take(labeled, "cls", 2, order_by="doc_id").collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    per_cls = {}
+    for r in a:
+        per_cls.setdefault(r["cls"], []).append(r["doc_id"])
+    assert all(len(v) == 2 for v in per_cls.values())
