@@ -1,0 +1,44 @@
+"""Sequence packing: assign documents to ~fixed-token-budget packs.
+
+Training pipelines concatenate documents into fixed-length sequences;
+the assignment step is a running-total partition: pack k = the docs
+whose cumulative token count lands in [k·B, (k+1)·B). Expressed as a
+window cumulative sum — one sort-shuffle, no driver loop, deterministic
+given a total order.
+
+This is the streaming-friendly first-fit-in-order approximation (packs
+can overflow by at most one document); exact bin-packing is NP-hard
+and never worth a shuffle's cost at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    pack_budget: int,
+    order_by: str = "doc_id",
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Assign ``out_col`` = floor((cumsum_before) / budget) in
+    ``order_by`` order. Docs larger than the budget get their own
+    pack(s) downstream — they still receive a deterministic id here."""
+    w = (
+        Window.orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(out_col, F.floor(cum / pack_budget).cast("long"))
+
+
+def pack_stats(packed: DataFrame, token_col: str, pack_col: str = "pack_id") -> DataFrame:
+    """Per-pack fill statistics (docs, tokens, utilization vs budget is
+    the caller's division)."""
+    return packed.groupBy(pack_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("n_tokens"),
+    )

@@ -167,6 +167,23 @@ def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2000-char budgets (n_chars as the token
+    proxy): per-pack doc/char totals, deterministic in doc_id order."""
+    from . import packing
+
+    t = load_tables(spark, sf_dir)
+    packed = packing.pack_sequences(
+        t.documents.select("doc_id", "n_chars"), "n_chars", 2000
+    )
+    return (
+        packing.pack_stats(packed, "n_chars")
+        .select("pack_id", "n_docs", "n_tokens")
+        .orderBy("pack_id")
+        .limit(200)
+    )
+
+
 def op_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sample of documents (training-data
     stratified take: window rank over the unique key)."""
@@ -344,6 +361,7 @@ OPERATOR_QUERIES = {
     "op_running_total": op_running_total,
     "op_cube": op_cube,
     "op_pivot": op_pivot,
+    "op_sequence_pack": op_sequence_pack,
     "op_stratified_take": op_stratified_take,
     "op_above_own_avg": op_above_own_avg,
     "op_percentile": op_percentile,
@@ -407,6 +425,15 @@ SELECT user_id,
        sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "op_sequence_pack": """
+SELECT pack_id, count(*) AS n_docs, sum(n_chars) AS n_tokens
+FROM (SELECT doc_id, n_chars,
+             cast(floor((sum(n_chars) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_chars) / 2000) AS BIGINT) AS pack_id
+      FROM documents) t
+GROUP BY pack_id ORDER BY pack_id LIMIT 200
 """,
     "op_stratified_take": """
 SELECT doc_id, lang

@@ -464,3 +464,22 @@ def test_stratified_take_exact_and_deterministic(spark, docs):
     for r in a:
         per_cls.setdefault(r["cls"], []).append(r["doc_id"])
     assert all(len(v) == 2 for v in per_cls.values())
+
+
+def test_pack_sequences_budget_property(spark):
+    from airflow_spark.operators.packing import pack_sequences, pack_stats
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    packed = pack_sequences(df, "n_tok", pack_budget=1000)
+    stats = pack_stats(packed, "n_tok").collect()
+    total = sum(r["n_tokens"] for r in stats)
+    assert total == sum(t for _, t in rows)  # every doc packed exactly once
+    # each pack starts under budget; overflow bounded by one doc (<500)
+    for r in stats:
+        assert r["n_tokens"] < 1000 + 500
+    # deterministic
+    again = pack_sequences(df, "n_tok", pack_budget=1000)
+    assert sorted((r["doc_id"], r["pack_id"]) for r in packed.collect()) == sorted(
+        (r["doc_id"], r["pack_id"]) for r in again.collect()
+    )
