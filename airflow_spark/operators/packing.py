@@ -23,16 +23,34 @@ def pack_sequences(
     pack_budget: int,
     order_by: str = "doc_id",
     out_col: str = "pack_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign ``out_col`` = floor((cumsum_before) / budget) in
     ``order_by`` order. Docs larger than the budget get their own
-    pack(s) downstream — they still receive a deterministic id here."""
+    pack(s) downstream — they still receive a deterministic id here.
+
+    **Scale note**: without ``shard_col`` the window is global — one
+    sorted partition, fine for test scale, a straggler at corpus
+    scale. Production packs per shard: pass ``shard_col`` (e.g.
+    ``pmod(xxhash64(id), n_shards)``) and each shard packs
+    independently in parallel; pack ids are (shard, local) made
+    globally unique by composition."""
+    if shard_col is None:
+        w = Window.orderBy(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        cum = F.sum(token_col).over(w) - F.col(token_col)
+        return df.withColumn(out_col, F.floor(cum / pack_budget).cast("long"))
     w = (
-        Window.orderBy(order_by)
+        Window.partitionBy(shard_col)
+        .orderBy(order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum(token_col).over(w) - F.col(token_col)
-    return df.withColumn(out_col, F.floor(cum / pack_budget).cast("long"))
+    local = F.floor(cum / pack_budget).cast("long")
+    # globally unique pack id: (shard, local) packed into one long
+    return df.withColumn(
+        out_col,
+        (F.col(shard_col).cast("long") * F.lit(1_000_000_000) + local),
+    )
 
 
 def pack_stats(packed: DataFrame, token_col: str, pack_col: str = "pack_id") -> DataFrame:

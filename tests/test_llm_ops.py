@@ -483,3 +483,17 @@ def test_pack_sequences_budget_property(spark):
     assert sorted((r["doc_id"], r["pack_id"]) for r in packed.collect()) == sorted(
         (r["doc_id"], r["pack_id"]) for r in again.collect()
     )
+
+
+def test_pack_sequences_sharded_parallel_form(spark):
+    from airflow_spark.operators.packing import pack_sequences, pack_stats
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"]).withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    )
+    packed = pack_sequences(df, "n_tok", 1000, shard_col="shard")
+    stats = pack_stats(packed, "n_tok").collect()
+    assert sum(r["n_tokens"] for r in stats) == sum(t for _, t in rows)
+    for r in stats:
+        assert r["n_tokens"] < 1000 + 500  # same budget bound per shard-pack
