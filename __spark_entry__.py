@@ -11,11 +11,19 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from airflow_spark.queries import ORACLE_SQL, RELATIONAL_QUERIES
+# make the sibling package importable even when this file is loaded by
+# path from a different working directory
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from airflow_spark.queries import ORACLE_SQL, RELATIONAL_QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
