@@ -75,14 +75,20 @@ def cosine_topk_many(
     )
 
 
+def lsh_planes(dim: int, num_bits: int = 16, seed: int = 42) -> "np.ndarray":
+    """The deterministic hyperplane matrix shared by the Spark operators
+    and the DuckDB oracle-SQL builder (same seed → same literals)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_bits, dim))
+
+
 class RandomHyperplaneLSH:
     """Sign-bit LSH for cosine similarity with deterministic planes."""
 
     def __init__(self, dim: int, num_bits: int = 16, seed: int = 42):
         self.dim = dim
         self.num_bits = num_bits
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((num_bits, dim))
+        self.planes = lsh_planes(dim, num_bits, seed)
 
     def bucket_col(self, vec_col: Column | str) -> Column:
         """Pack sign(v·plane_j) bits into an int bucket id — one codegen
@@ -242,6 +248,27 @@ def ivf_topk(
         F.col("__cell").isin(cells)
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-bucket occupancy of the sign-LSH partitioning: bucket id,
+    member count, min member id. This is the planning view a 100 TB
+    layout job uses to choose ``partitionBy(bucket)`` file layout, and
+    it attests the same ``bucket_col`` expression that ``ann_topk`` and
+    ``cosine_neardup_pairs`` filter on — one scan, one hash-agg."""
+    dim = len(df.select(vec_col).first()[0])
+    lsh = RandomHyperplaneLSH(dim, num_bits, seed)
+    return (
+        df.select(F.col(id_col).alias("id"), lsh.bucket_col(vec_col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("id").alias("min_id"))
+    )
 
 
 def cosine_neardup_pairs(

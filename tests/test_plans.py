@@ -64,6 +64,16 @@ def test_minhash_plan_shape(spark, sf):
     assert a["partial_agg"], a["plan"]
 
 
+def test_sequence_pack_is_sharded(spark, sf):
+    """The registry packing op must pack per shard in parallel — no
+    single-partition global window sort (round-1 scale flag)."""
+    from airflow_spark.operators.registry import op_sequence_pack
+
+    a = audit_plan(op_sequence_pack(spark, sf))
+    assert "Exchange SinglePartition" not in a["plan"], a["plan"]
+    assert "hashpartitioning(shard" in a["plan"], a["plan"]
+
+
 def test_asof_join_single_shuffle(spark, sf):
     """The as-of join must cost one hash partition per side (no
     BroadcastNestedLoopJoin, no row explosion)."""
