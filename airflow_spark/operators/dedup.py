@@ -39,7 +39,12 @@ def _ensure_parallelism(df: DataFrame, id_col: str | None = None) -> DataFrame:
     trivial shuffle at small scale, a no-op at 100 TB where the scan is
     already wide."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    # Lineage-safe width probe: count source files from the analyzed
+    # plan (no .rdd conversion, no job). Plenty of files -> the scan is
+    # already wide; a derived frame (no leaf files) has already passed
+    # a shuffle at spark.sql.shuffle.partitions width — leave both be.
+    n_files = len(df.inputFiles())
+    if n_files == 0 or n_files >= max(2, target // 2):
         return df
     return df.repartition(target, id_col) if id_col else df.repartition(target)
 
@@ -398,7 +403,7 @@ def incremental_neardup(
 
 
 def dedup_clusters(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, require_convergence: bool = True
 ) -> DataFrame:
     """Connected components over a near-dup pair graph (id_a, id_b) →
     (id, cluster) with cluster = min id of the component (the survivor
@@ -407,7 +412,11 @@ def dedup_clusters(
     Iterative min-label propagation with join steps — each iteration is
     one shuffle on id; near-dup components are shallow (chains of a few
     hops), so convergence is fast. Deterministic. Stops early at
-    fixpoint (checked via count of changed labels)."""
+    fixpoint (checked via count of changed labels). If the fixpoint is
+    not reached within ``max_iters`` (a component of graph diameter >
+    max_iters), partial clusters would silently retain duplicates — so
+    that raises unless ``require_convergence=False`` (then it warns and
+    returns the partial labels)."""
     edges = (
         pairs.select("id_a", "id_b")
         .union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
@@ -420,6 +429,7 @@ def dedup_clusters(
         .withColumn("cluster", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -446,8 +456,20 @@ def dedup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"dedup_clusters did not reach a fixpoint in {max_iters} "
+            "iterations (a component has diameter > max_iters); the "
+            "partial labels would keep extra duplicates"
+        )
+        if require_convergence:
+            raise RuntimeError(msg + " — raise max_iters")
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 

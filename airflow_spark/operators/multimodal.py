@@ -54,17 +54,141 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_impl(data: bytes, strict: bool = False) -> dict:
-    """STUB — no image codec in this container.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    strict=True → NotImplementedError (production posture: fail loudly).
-    strict=False → deterministic fake decode derived from a SHA-256 of
+
+def _decode_png(data: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline filter
+    reconstruction, filters 0-4 per the public PNG spec) for 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced. Returns
+    ``{width, height, luma}`` (luma = float HxW array) or None if the
+    payload isn't a PNG this path handles."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_MAGIC:
+        return None
+    pos, idat = 8, []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        kind = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if kind == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk[:13]
+            )
+        elif kind == b"IDAT":
+            idat.append(chunk)
+        elif kind == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if w is None or depth != 8 or channels is None or interlace != 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    p = 0
+    for row in range(h):
+        ft = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += 1 + stride
+        prev = out[row - 1].astype(np.int32) if row else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    q = a + b - c
+                    pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        out[row] = cur
+    px = out.reshape(h, w, channels).astype(np.float64)
+    if channels >= 3:
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    else:
+        luma = px[..., 0]
+    return {"width": int(w), "height": int(h), "luma": luma}
+
+
+def _try_real_decode(data: bytes):
+    """Real codec chain: Pillow (JPEG/PNG/WebP/...) when installed,
+    else the stdlib PNG path. None when nothing can decode."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data))
+        gray = img.convert("L")
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "luma": np.asarray(gray, dtype=np.float64),
+        }
+    except ImportError:
+        pass
+    except Exception:
+        return None  # Pillow present but payload undecodable
+    return _decode_png(data)
+
+
+def _luma_features(luma) -> dict:
+    """mean luma + a 4x4 block-mean luma grid as a 16-dim embedding in
+    [-1, 1] — deterministic, resolution-independent."""
+    import numpy as np
+
+    mean = float(luma.mean()) / 255.0
+    emb = []
+    for rows in np.array_split(luma, 4, axis=0):
+        for block in np.array_split(rows, 4, axis=1):
+            v = float(block.mean()) if block.size else 0.0
+            emb.append(v / 127.5 - 1.0)
+    return {"mean_luma": mean, "embedding": [float(x) for x in emb]}
+
+
+def _decode_image_impl(data: bytes, strict: bool = False) -> dict:
+    """Image decode: REAL when a codec can handle the payload (Pillow
+    if installed; a pure-stdlib PNG decoder otherwise — so 8-bit PNGs
+    decode for real even in codec-less containers). For undecodable
+    payloads: strict=True raises (production posture: fail loudly);
+    strict=False yields a deterministic fake derived from a SHA-256 of
     the payload (stable across runs/machines), exercising the full
     distributed path with realistic shapes.
     """
+    real = _try_real_decode(data)
+    if real is not None:
+        return {
+            "width": real["width"],
+            "height": real["height"],
+            **_luma_features(real["luma"]),
+        }
     if strict:
         raise NotImplementedError(
-            "image decode requires a codec (e.g. PIL); not available here"
+            "no codec could decode this payload (stdlib path handles "
+            "8-bit PNG; install Pillow for JPEG/WebP/...)"
         )
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
@@ -209,25 +333,45 @@ def resize_images(
 ) -> DataFrame:
     """Resize plan: payload in, payload out (the one multimodal op that
     must carry binary through the shuffle — batches stay Arrow-bounded
-    via media_repartition upstream). Codec stubbed: the fake 'resized'
-    payload is a deterministic digest + header so downstream plumbing
-    (size change, schema, partitioning) is real."""
+    via media_repartition upstream). REAL nearest-neighbor grayscale
+    resize when a codec decodes the payload (Pillow / stdlib PNG);
+    otherwise strict raises, non-strict emits a deterministic fake
+    payload so downstream plumbing (size change, schema, partitioning)
+    is still exercised."""
     w, h = target
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = []
             for mid, data in zip(pdf[id_col], pdf[data_col]):
                 raw = bytes(data)
-                if strict:
-                    raise NotImplementedError(
-                        "image resize requires a codec (e.g. PIL)"
+                real = _try_real_decode(raw)
+                if real is not None:
+                    luma = real["luma"]
+                    yi = np.minimum(
+                        np.arange(h) * luma.shape[0] // h, luma.shape[0] - 1
                     )
-                fake = hashlib.sha256(raw).digest() * ((w * h) // 32 + 1)
+                    xi = np.minimum(
+                        np.arange(w) * luma.shape[1] // w, luma.shape[1] - 1
+                    )
+                    payload = (
+                        luma[np.ix_(yi, xi)].round().astype(np.uint8).tobytes()
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "image resize: no codec could decode this payload "
+                        "(stdlib path handles 8-bit PNG; install Pillow "
+                        "for JPEG/WebP/...)"
+                    )
+                else:
+                    fake = hashlib.sha256(raw).digest() * ((w * h) // 32 + 1)
+                    payload = fake[: w * h]
                 out.append(
                     {
                         "media_id": int(mid),
-                        "data": fake[: w * h],  # 1 byte/px fake grayscale
+                        "data": payload,  # 1 byte/px grayscale
                         "width": w,
                         "height": h,
                     }

@@ -22,9 +22,14 @@ def stratified_take(
     order_by: str | Column | None = None,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, deterministic:
-    ranked by ``order_by`` (default: the stratum's natural first
-    column order is NOT deterministic, so order_by should be a unique
-    key)."""
+    ranked by ``order_by``, which must be given (a unique key) — there
+    is no implicit default order in a distributed table, so omitting it
+    is an error rather than a silently nondeterministic sample."""
+    if order_by is None:
+        raise ValueError(
+            "stratified_take requires order_by (a unique key column): "
+            "without a total order the per-stratum take is nondeterministic"
+        )
     order = F.col(order_by) if isinstance(order_by, str) else order_by
     w = Window.partitionBy(strata_col).orderBy(order)
     return (

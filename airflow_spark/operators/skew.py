@@ -29,7 +29,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``big.key`` is skewed: salt big rows by a stable
     hash of their full row id-space, explode ``small`` once per salt,
-    join on (key, salt). Output equals the plain join."""
+    join on (key, salt). Output equals the plain join for ``how`` in
+    ('inner', 'left') — other join types would duplicate unmatched
+    small-side rows once per salt (or silently change semi/anti
+    semantics), so they are rejected."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r}: "
+            "the small side is replicated per salt, so right/full/semi/"
+            "anti joins would duplicate or drop rows"
+        )
     big_s = big.withColumn(
         "__salt", (F.pmod(F.xxhash64(*big.columns), F.lit(num_salts))).cast("int")
     )

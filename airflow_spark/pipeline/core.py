@@ -56,6 +56,9 @@ class Context:
     outputs: dict[str, Any] = field(default_factory=dict)
     #: set for expand_over elements: the element value
     map_element: Any = None
+    #: pipeline name + state store, for cross-run XCom pulls
+    pipeline: str = ""
+    state_store: Any = None
 
     def var(self, key: str, default: str | None = None) -> str | None:
         """Variable.get analog (S5) with default."""
@@ -67,6 +70,17 @@ class Context:
     def xcom(self, task_name: str) -> Any:
         """Output of an upstream task (XCom pull analog)."""
         return self.outputs[task_name]
+
+    def xcom_prev(self, task_name: str, run_id: str | None = None, default=None):
+        """Persisted output of ``task_name`` from a PRIOR run (cross-run
+        XCom pull — the Airflow metadata-DB XCom analog). Requires the
+        run to have a ``state_store``; the current run's outputs are not
+        yet recorded, so "latest" is the previous completed run."""
+        if self.state_store is None:
+            return default
+        return self.state_store.xcom_pull(
+            self.pipeline, task_name, run_id=run_id, default=default
+        )
 
 
 @dataclass
@@ -108,6 +122,9 @@ class PipelineRun:
     tasks: dict[str, TaskResult]
     started: dt.datetime
     elapsed: float
+    #: task outputs at end of run (XCom); JSON-serializable entries are
+    #: persisted by RunStateStore.record_run for cross-run pulls
+    outputs: dict[str, Any] = field(default_factory=dict)
 
     @property
     def ok(self) -> bool:
@@ -276,6 +293,8 @@ class Pipeline:
             params=resolved,
             variables=variables or {},
             profile=profile,
+            pipeline=self.name,
+            state_store=state_store,
         )
         started = dt.datetime.now(dt.timezone.utc)
         t0 = time.monotonic()
@@ -346,6 +365,7 @@ class Pipeline:
             tasks=results,
             started=started,
             elapsed=round(time.monotonic() - t0, 3),
+            outputs=dict(ctx.outputs),
         )
         if failed_any:
             self.on_failure.notify(
@@ -438,7 +458,11 @@ class Pipeline:
         for el in elements:
             try:
                 out, attempts = self._run_with_retries(
-                    t, lambda el=el: t.fn(ctx, el), deadline
+                    t,
+                    lambda el=el: self._call_with_task_timeout(
+                        t, ctx, lambda: t.fn(ctx, el)
+                    ),
+                    deadline,
                 )
                 outs.append(out)
                 el_results.append(

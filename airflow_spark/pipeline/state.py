@@ -28,11 +28,25 @@ RUN_SCHEMA = T.StructType(
     ]
 )
 
+XCOM_SCHEMA = T.StructType(
+    [
+        T.StructField("pipeline", T.StringType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("task", T.StringType()),
+        T.StructField("value_json", T.StringType()),
+        T.StructField("recorded", T.TimestampType()),
+    ]
+)
+
 
 class RunStateStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        #: XCom table lives in an underscore-prefixed subdir so the
+        #: ``runs()`` parquet read (which treats ``_*`` paths as hidden
+        #: metadata) never mixes the two schemas.
+        self.xcom_path = os.path.join(path, "_xcom")
         os.makedirs(path, exist_ok=True)
 
     def record_run(self, pipeline, run) -> None:
@@ -58,6 +72,59 @@ class RunStateStore:
         ]
         df = self.spark.createDataFrame(row, RUN_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
+        self._record_xcom(pipeline.name, run)
+
+    # -- XCom persistence (Airflow metadata-DB XCom table analog,
+    # compose.yml:129-145): small JSON-serializable task outputs are
+    # durable per (pipeline, run_id, task), so a later run / backfill /
+    # resume can consume a prior run's outputs via ``xcom_pull`` or
+    # ``ctx.xcom_prev``. DataFrames and other non-JSON values are
+    # deliberately NOT persisted — heavy data belongs in table sinks,
+    # XCom is a control-plane channel.
+
+    def _record_xcom(self, pipeline_name: str, run) -> None:
+        outputs = getattr(run, "outputs", None) or {}
+        rows = []
+        for task, val in outputs.items():
+            try:
+                payload = json.dumps(val)
+            except (TypeError, ValueError):
+                continue  # non-JSON output (e.g. a DataFrame): skip
+            rows.append(
+                (
+                    pipeline_name,
+                    run.run_id,
+                    task,
+                    payload,
+                    run.started.replace(tzinfo=None),
+                )
+            )
+        if rows:
+            self.spark.createDataFrame(rows, XCOM_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.xcom_path)
+
+    def xcoms(self) -> DataFrame:
+        return self.spark.read.schema(XCOM_SCHEMA).parquet(self.xcom_path)
+
+    def xcom_pull(
+        self,
+        pipeline: str,
+        task: str,
+        run_id: str | None = None,
+        default=None,
+    ):
+        """Value of ``task``'s persisted output for ``run_id`` (or the
+        most recent run that recorded one). ``default`` when absent."""
+        if not os.path.isdir(self.xcom_path):
+            return default
+        df = self.xcoms().where(
+            (F.col("pipeline") == pipeline) & (F.col("task") == task)
+        )
+        if run_id is not None:
+            df = df.where(F.col("run_id") == run_id)
+        rows = df.orderBy(F.col("recorded").desc()).limit(1).collect()
+        return json.loads(rows[0]["value_json"]) if rows else default
 
     def runs(self) -> DataFrame:
         return self.spark.read.schema(RUN_SCHEMA).parquet(self.path)
@@ -81,9 +148,22 @@ class RunStateStore:
         kept = self.runs().where(F.col("started") >= F.lit(cutoff))
         rows = kept.collect()  # state table is small by construction
         for f in os.listdir(self.path):
-            os.remove(os.path.join(self.path, f))
+            full = os.path.join(self.path, f)
+            if os.path.isfile(full):  # leave the _xcom subdir intact
+                os.remove(full)
         if rows:
             self.spark.createDataFrame(rows, RUN_SCHEMA).coalesce(1).write.mode(
                 "append"
             ).parquet(self.path)
+        # same retention applies to the XCom table
+        if os.path.isdir(self.xcom_path):
+            xkept = self.xcoms().where(F.col("recorded") >= F.lit(cutoff)).collect()
+            for f in os.listdir(self.xcom_path):
+                full = os.path.join(self.xcom_path, f)
+                if os.path.isfile(full):
+                    os.remove(full)
+            if xkept:
+                self.spark.createDataFrame(xkept, XCOM_SCHEMA).coalesce(
+                    1
+                ).write.mode("append").parquet(self.xcom_path)
         return len(rows)

@@ -129,15 +129,21 @@ def build_speedtest(sources: dict[str, Provider], **pipeline_kw) -> Pipeline:
         entities = sources["ha_entities"](ctx).where(F.col("device") == device)
         # tolerant float cast, default 0.0 on non-castable (:70-89, F8)
         val = F.coalesce(F.col("state").try_cast("double"), F.lit(0.0))
-        speeds = (
-            entities.where(
-                F.col("entity_id").isin(
-                    "sensor.speedtest_upload", "sensor.speedtest_download"  # :74,82
-                )
+        # The reference defaults a missing sensor reading to 0.0 and
+        # fails the assert when a nonzero limit is set (:70-89) — so an
+        # absent entity must surface as speed 0.0, not as "no row":
+        # left-join the expected entity set to the readings.
+        expected = ctx.spark.createDataFrame(
+            [("sensor.speedtest_upload",), ("sensor.speedtest_download",)],
+            ["entity_id"],
+        )
+        readings = entities.where(
+            F.col("entity_id").isin(
+                "sensor.speedtest_upload", "sensor.speedtest_download"  # :74,82
             )
-            .select(
-                F.col("entity_id"), val.alias("speed")
-            )
+        ).select(F.col("entity_id"), val.alias("speed"))
+        speeds = expected.join(readings, "entity_id", "left").select(
+            "entity_id", F.coalesce(F.col("speed"), F.lit(0.0)).alias("speed")
         )
         limits = {
             "sensor.speedtest_upload": float(

@@ -9,4 +9,5 @@ from .http import (  # noqa: F401
     http_json_source,
     http_sink,
 )
+from .http_client import RequestsFetcher, RequestsPoster  # noqa: F401
 from .lists import delimited_list, list_to_df  # noqa: F401

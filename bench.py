@@ -59,14 +59,53 @@ def main() -> None:
     pipeline_timings = _bench_pipelines(spark)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "wall_sec_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "pipelines": pipeline_timings,
         "sf": sf,
-    }))
+    }
+    regressions = _flag_regressions(timings, sf)
+    if regressions is not None:
+        out["regressions"] = regressions
+    print(json.dumps(out))
+
+
+def _flag_regressions(
+    timings: dict[str, float], sf: float | None
+) -> dict[str, float] | None:
+    """Compare per-query wall times against the most recent recorded
+    round (BENCH_r*.json at the repo root) and flag any query > 1.5x
+    its prior time (ignoring sub-0.5 s noise). None when no comparable
+    recording exists."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    for path in reversed(recs):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed", rec)
+            prior = parsed.get("queries", {})
+            if rec.get("sf", parsed.get("sf")) != sf or not prior:
+                continue
+        except (OSError, ValueError):
+            continue
+        flags = {
+            name: round(t / prior[name], 2)
+            for name, t in timings.items()
+            if name in prior and prior[name] > 0 and t > 0.5
+            and t / prior[name] > 1.5
+        }
+        return flags
+    return None
 
 
 def _bench_pipelines(spark) -> dict[str, float]:

@@ -90,3 +90,13 @@ def test_salted_collect_matches_plain(spark):
         for r in skew.salted_collect(df, "k", "v", num_salts=8, as_set=True).collect()
     }
     assert out_set["b"] == [1]
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    # right/full/semi/anti would duplicate (or silently drop) the
+    # salt-replicated small side — must be an explicit error
+    big = spark.createDataFrame([("a", 1)], ["k", "v"])
+    small = spark.createDataFrame([("a", "x")], ["k", "name"])
+    for how in ("right", "full", "left_semi", "left_anti", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(big, small, "k", num_salts=4, how=how)

@@ -497,3 +497,151 @@ def test_pack_sequences_sharded_parallel_form(spark):
     assert sum(r["n_tokens"] for r in stats) == sum(t for _, t in rows)
     for r in stats:
         assert r["n_tokens"] < 1000 + 500  # same budget bound per shard-pack
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    # a chain of diameter 7 cannot reach fixpoint in 3 iterations:
+    # silent partial clusters would keep duplicates, so it must raise
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.dedup_clusters(chain, max_iters=3)
+    with pytest.warns(UserWarning, match="fixpoint"):
+        partial = dedup.dedup_clusters(
+            chain, max_iters=3, require_convergence=False
+        )
+    assert partial.count() == 8  # partial labels still returned
+
+
+def test_stratified_take_requires_order_by(spark, docs):
+    from airflow_spark.operators.sampling import stratified_take
+
+    with pytest.raises(ValueError, match="order_by"):
+        stratified_take(docs, "lang", 5, order_by=None)
+
+
+# ---------------------------------------------------------------------------
+# real image decode (stdlib PNG path; Pillow path when installed)
+# ---------------------------------------------------------------------------
+
+
+def _encode_png(px, filters=None):
+    """Minimal PNG writer (public spec): 8-bit RGB, one filter byte per
+    scanline. ``filters[r]`` picks the filter for row r (0-4), encoding
+    with the same predictors the decoder must invert — a round-trip
+    over every filter type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    filters = filters or [0] * h
+
+    def chunk(kind, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + kind
+            + payload
+            + struct.pack(">I", zlib.crc32(kind + payload) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        orig = px[r].reshape(-1).astype(np.int32)
+        ft = filters[r]
+        line = np.zeros(w * ch, dtype=np.int32)
+        for i in range(w * ch):
+            a = int(orig[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (int(orig[i]) - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = orig
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_strict(spark):
+    # strict=True would raise for an undecodable payload — a green run
+    # proves the REAL decode path handled this actual PNG
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    png = _encode_png(px, filters=[0, 1, 2, 3, 4, 2, 1, 0])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("meta", multimodal.MEDIA_META_SCHEMA),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("image/png", None, None, None, None, None))],
+        schema,
+    )
+    row = multimodal.extract_image_features(df, strict=True).first()
+    assert (row["width"], row["height"]) == (8, 8)
+    expect_luma = float(
+        (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
+    ) / 255.0
+    assert abs(row["mean_luma"] - expect_luma) < 1e-9
+    assert len(row["embedding"]) == 16
+    # real resize: 8x8 -> 4x4 nearest-neighbor grayscale payload
+    out = multimodal.resize_images(df, target=(4, 4), strict=True).first()
+    assert out["width"] == 4 and len(bytes(out["data"])) == 16
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    expected = luma[::2, ::2].round().astype(np.uint8).tobytes()
+    assert bytes(out["data"]) == expected
+
+
+def test_real_jpeg_decode_with_pillow(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — Pillow-only path
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:8] = 255
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="JPEG")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("meta", multimodal.MEDIA_META_SCHEMA),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), ("image/jpeg", None, None, None, None, None))],
+        schema,
+    )
+    row = multimodal.extract_image_features(df, strict=True).first()
+    assert (row["width"], row["height"]) == (16, 16)
+    assert 0.4 < row["mean_luma"] < 0.6  # half white / half black

@@ -381,3 +381,82 @@ def test_retry_on_classifies_exceptions(spark):
     assert calls["transient"] == 3
     assert run.tasks["deterministic"].status == "failed"
     assert calls["deterministic"] == 1  # failed fast, no retry burn
+
+
+def test_task_timeout_applies_to_expanded_tasks(spark):
+    # task_timeout_s must bound each mapped element, not be silently
+    # ignored for expand_over tasks
+    import time as _time
+
+    p = Pipeline("expand_budget")
+
+    @p.task
+    def items(ctx):
+        return ["fast", "slow"]
+
+    @p.task(expand_over="items", task_timeout_s=2.0)
+    def work(ctx, el):
+        if el == "slow":
+            return ctx.spark.range(200_000_000_000, numPartitions=4).filter(
+                "id % 7 = 3"
+            ).count()
+        return el
+
+    t0 = _time.monotonic()
+    run = p.test(spark)
+    wall = _time.monotonic() - t0
+    el = {e["element"]: e["status"] for e in run.tasks["work"].elements}
+    assert el["fast"] == "success" and el["slow"] == "failed"
+    assert "task_timeout_s" in run.tasks["work"].error
+    assert wall < 30, wall  # cancelled, not run to completion
+
+
+def test_xcom_persists_across_runs(spark, tmp_path):
+    # metadata-DB XCom analog: run 1's output is durable; run 2 (a
+    # fresh process in production) pulls it via ctx.xcom_prev
+    store = RunStateStore(spark, str(tmp_path / "runs"))
+    p = Pipeline("xp")
+
+    @p.task
+    def counter(ctx):
+        return ctx.xcom_prev("counter", default=0) + 10
+
+    @p.task
+    def heavy(ctx):
+        return ctx.spark.range(3)  # NOT JSON — must be skipped, not crash
+
+    r1 = p.run(spark, state_store=store, run_id="r1")
+    r2 = p.run(spark, state_store=store, run_id="r2")
+    assert r1.ok and r2.ok
+    assert store.xcom_pull("xp", "counter", run_id="r1") == 10
+    assert store.xcom_pull("xp", "counter", run_id="r2") == 20
+    assert store.xcom_pull("xp", "counter") == 20  # latest wins
+    assert store.xcom_pull("xp", "heavy", default="absent") == "absent"
+    # runs table unpolluted by the _xcom subdir
+    assert store.runs().count() == 2
+
+
+def test_xcom_vacuum_respects_retention(spark, tmp_path):
+    store = RunStateStore(spark, str(tmp_path / "runs"))
+    p = Pipeline("xv")
+
+    @p.task
+    def t(ctx):
+        return "kept"
+
+    old = dt.datetime(2026, 1, 1, tzinfo=UTC)
+    new = dt.datetime(2026, 8, 1, tzinfo=UTC)
+    p.run(spark, state_store=store, run_id="old", run_ts=old)
+    p.run(spark, state_store=store, run_id="new", run_ts=new)
+    # make recorded timestamps follow run_ts deterministically: vacuum
+    # keys on the run's started wall-clock, both just written, so use a
+    # cutoff between "now - huge" and now to drop nothing, then a
+    # future cutoff to drop everything
+    kept = store.vacuum(dt.timedelta(days=365), now=dt.datetime.now(UTC))
+    assert kept == 2 and store.xcoms().count() == 2
+    kept = store.vacuum(
+        dt.timedelta(seconds=0),
+        now=dt.datetime.now(UTC) + dt.timedelta(days=1),
+    )
+    assert kept == 0
+    assert store.xcom_pull("xv", "t", default=None) is None

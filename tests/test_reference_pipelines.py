@@ -338,3 +338,21 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert kept == [0, 3]  # dups and junk gone, survivors annotated
     cols = set(published.columns)
     assert {"lang_pred", "n_tokens_ws", "fp_md5", "quality_score"} <= cols
+
+
+def test_speedtest_missing_sensor_counts_as_zero(spark):
+    # a device with NO speedtest sensor rows: the reference defaults
+    # the reading to 0.0 and fails a nonzero limit — absence must be a
+    # violation, not a silent pass
+    df = spark.createDataFrame(
+        [("dev1", "sensor.unrelated", "1.0")],
+        "device string, entity_id string, state string",
+    )
+    p = build_speedtest({"ha_entities": lambda ctx: df})
+    run = p.test(
+        spark,
+        variables={"SPEEDTEST_DEVICES": "dev1", "SPEEDTEST_dev1_UPLOAD": "10.0"},
+        run_ts=RUN_TS,
+    )
+    assert run.tasks["speed_test"].status == "failed"
+    assert "below threshold" in run.tasks["speed_test"].error

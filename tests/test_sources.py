@@ -175,3 +175,138 @@ def test_upsert_parquet_replace_keep_insert(spark, tmp_path):
     assert n == 4
     got2 = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# requests-backed client against a local stub server
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stub_server():
+    """Tiny local HTTP server reproducing the reference API shapes:
+    a result-envelope GET, a flaky endpoint, and a PATCH mutation whose
+    200 body can still report success=false (cloudflare_api.py:112)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    state = {"patches": [], "flaky_calls": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code, obj):
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/zones":
+                self._reply(
+                    200,
+                    {"result": [{"id": "z1", "name": "example.com"}]},
+                )
+            elif self.path == "/flaky":
+                state["flaky_calls"] += 1
+                if state["flaky_calls"] < 3:
+                    self._reply(503, {"error": "warming up"})
+                else:
+                    self._reply(200, {"ok": True})
+            elif self.path == "/secret":
+                if self.headers.get("Authorization") == "Bearer tok":
+                    self._reply(200, {"granted": True})
+                else:
+                    self._reply(403, {"error": "forbidden"})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_PATCH(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = _json.loads(self.rfile.read(n))
+            state["patches"].append((self.path, body))
+            self._reply(200, {"success": body.get("content") != "bad"})
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+
+
+def test_requests_fetcher_envelope_and_errors(spark, stub_server):
+    from airflow_spark.sources.http import HttpError
+    from airflow_spark.sources.http_client import RequestsFetcher
+
+    base, _ = stub_server
+    fetcher = RequestsFetcher()
+    df = http_json_source(
+        spark, f"{base}/zones", "id string, name string",
+        fetcher=fetcher, element_path="result",
+    )
+    assert [r["id"] for r in df.collect()] == ["z1"]
+    # non-2xx carries status + body (cloudflare_api.py:15-23 semantics)
+    with pytest.raises(HttpError, match="404"):
+        fetcher(f"{base}/nope")
+    # transport failure (nothing listening) is also HttpError
+    with pytest.raises(HttpError, match="transport"):
+        RequestsFetcher(timeout_s=0.5)("http://127.0.0.1:9/x")
+
+
+def test_requests_fetcher_bearer_and_retry_loop(spark, stub_server):
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.sources.http import HttpError
+    from airflow_spark.sources.http_client import RequestsFetcher
+
+    base, state = stub_server
+    with pytest.raises(HttpError, match="403"):
+        RequestsFetcher()(f"{base}/secret")
+    assert RequestsFetcher(bearer_token="tok")(f"{base}/secret") == {
+        "granted": True
+    }
+
+    # the O5 retry loop turns transient 5xx into eventual success
+    state["flaky_calls"] = 0
+    p = Pipeline("flaky")
+
+    @p.task(retries=3, retry_on=(HttpError,))
+    def poll(ctx):
+        return RequestsFetcher()(f"{base}/flaky")
+
+    run = p.test(spark)
+    assert run.ok and run.tasks["poll"].attempts == 3
+
+
+def test_requests_poster_success_flag_and_sink(spark, stub_server):
+    from airflow_spark.sources.http import HttpError
+    from airflow_spark.sources.http_client import RequestsPoster
+
+    base, state = stub_server
+    poster = RequestsPoster(method="PATCH", success_flag="success")
+    df = spark.createDataFrame(
+        [("r1", "1.2.3.4")], ["record_id", "content"]
+    )
+    n = http_sink(
+        df, poster, base + "/records/{record_id}", profile="prod"
+    )
+    assert n == 1
+    path, body = state["patches"][-1]
+    assert path == "/records/r1" and body["content"] == "1.2.3.4"
+    # 200-but-success=false raises (cloudflare_api.py:112-115)
+    with pytest.raises(HttpError, match="success=False"):
+        poster(base + "/records/r2", {"content": "bad"})
+
+
+def test_requests_fetcher_is_picklable():
+    import pickle
+
+    from airflow_spark.sources.http_client import RequestsFetcher
+
+    f = RequestsFetcher(bearer_token="tok", timeout_s=5.0)
+    f._sess()  # materialize the live session, then drop it on pickle
+    g = pickle.loads(pickle.dumps(f))
+    assert g.headers["Authorization"] == "Bearer tok" and g._session is None
