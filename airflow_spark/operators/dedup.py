@@ -233,22 +233,121 @@ def dedup_minhash(
     )
 
 
+def verify_pairs_exact_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    mode: str = "char",
+) -> DataFrame:
+    """Exact Jaccard for the given candidate pairs — the verification
+    leg of candidate-generation dedup (MinHash banding proposes, this
+    disposes).
+
+    Scale shape: the shingle explode is *restricted to candidate ids*
+    via a semi-join before it happens, so the exact computation touches
+    only the (tiny) candidate subset of the corpus, never all
+    documents. Pairs sharing zero shingles drop out (their Jaccard is 0
+    — below any useful threshold)."""
+    from ..functions.text import word_shingles
+
+    mk = char_shingles if mode == "char" else word_shingles
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
+        )
+        .join(ids, "id", "left_semi")
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_minhash_verified(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs with *exact* Jaccard ≥ threshold, candidates
+    from MinHash-LSH banding. The production-correct two-phase shape:
+    banding proposes O(corpus) candidates, exact verification (bounded
+    to candidate ids only) removes LSH false positives, so the output
+    contains no estimation error — at the cost of re-touching the
+    candidate documents' shingles (a tiny corpus fraction)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    cand = minhash_candidate_pairs(sigs, num_bands)
+    return verify_pairs_exact_jaccard(
+        cand, df, text_col, id_col, shingle_k, mode="char"
+    ).where(F.col("jaccard") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc: sign of per-bit votes over token hashes.
+    """SimHash per doc: sign of per-bit votes over token hashes.
 
-    Implemented as projections only: token array → xxhash64 per token →
-    64 per-bit vote folds (``aggregate``) → bits packed into a bigint.
+    Implemented as projections only: token array → hash per token →
+    per-bit vote folds (``aggregate``) → bits packed into a bigint.
     No explode, no shuffle; the shift amounts are Python literals so
     everything stays in codegen.
+
+    ``hash_fn='xxhash64'`` (default, fastest: JVM intrinsic) yields
+    64-bit signatures; ``hash_fn='md5'`` yields 60-bit signatures from
+    the first 15 hex chars of md5 — a *portable* hash every engine
+    computes identically, so the signature (and downstream Hamming
+    pairs) is reproducible outside Spark for cross-engine attestation.
     """
     import functools
+
+    num_bits = 64 if hash_fn == "xxhash64" else 60
+    if hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    elif hash_fn == "md5":
+        tok_hash = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint")
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
     def _vote(j: int):
         return lambda acc, h: acc + F.when(
@@ -257,13 +356,13 @@ def simhash_signatures(
 
     hashed = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.transform(tokens_ws(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__h"),
+        F.transform(tokens_ws(F.col(text_col)), tok_hash).alias("__h"),
     )
     voted = hashed.select(
         "id",
         *[
             F.aggregate("__h", F.lit(0), _vote(j)).alias(f"__v{j}")
-            for j in range(64)
+            for j in range(num_bits)
         ],
     )
     sig = functools.reduce(
@@ -272,19 +371,24 @@ def simhash_signatures(
             F.when(
                 F.col(f"__v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)
             ).otherwise(F.lit(0).cast("bigint"))
-            for j in range(64)
+            for j in range(num_bits)
         ],
     )
     return voted.select("id", sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(
-    sigs: DataFrame, max_hamming: int = 3, max_bucket: int = 256
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    num_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` bits. Candidates via the
-    4×16-bit band trick (Hamming ≤ 3 ⇒ at least one of 4 bands equal),
-    verified exactly with bit_count(xor). Only same-band docs meet —
-    no cross join."""
+    4-band trick (Hamming ≤ 3 ⇒ at least one of 4 equal-width bands is
+    equal — pigeonhole, so recall is exactly 1.0), verified with
+    bit_count(xor). Only same-band docs meet — no cross join."""
+    width = num_bits // 4
+    mask = (1 << width) - 1
     banded = sigs.select(
         "id",
         "simhash",
@@ -293,8 +397,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
                     for b in range(4)

@@ -279,15 +279,26 @@ def op_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs over documents (est. Jaccard ≥ 0.8)."""
+    """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8 (char
+    5-gram shingles). Hash-attestable: the oracle recomputes exact
+    all-pairs Jaccard in SQL; equality also attests banding recall = 1.0
+    on this corpus (verified locally before declaring)."""
     t = load_tables(spark, sf_dir)
-    return dedup.dedup_minhash(t.documents, threshold=0.8).orderBy("id_a", "id_b")
+    return (
+        dedup.dedup_minhash_verified(t.documents, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3) over documents."""
-    sigs = dedup.simhash_signatures(load_tables(spark, sf_dir).documents)
-    return dedup.simhash_neardup_pairs(sigs).orderBy("id_a", "id_b")
+    """SimHash near-dup pairs (Hamming ≤ 3) over documents, portable
+    md5-derived 60-bit signatures so the oracle can recompute the exact
+    same bits; 4×15-bit banding recall is exactly 1.0 by pigeonhole."""
+    sigs = dedup.simhash_signatures(
+        load_tables(spark, sf_dir).documents, hash_fn="md5"
+    )
+    return dedup.simhash_neardup_pairs(sigs, num_bits=60).orderBy("id_a", "id_b")
 
 
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +336,7 @@ def op_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     qv = [float(x) for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]]
     corpus = t.embeddings.where(F.col("vec_id") != 0)
-    index = similarity.IVFIndex.train(corpus, k=8, seed=42)
+    index = similarity.IVFIndex.train(corpus, k=8, seed=42, id_col="vec_id")
     return similarity.ivf_topk(corpus, qv, k=10, index=index, n_probe=3)
 
 
@@ -528,6 +539,47 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_similarity_ivf(k_cells: int = 8, n_probe: int = 3) -> str:
+    """IVF oracle: retrain the *identical* centroids parquet-side
+    (``ivf_centroids_from_parquet`` — same sorted sample, same seeded
+    k-means) and replicate cell assignment (argmax dot, ties → largest
+    cell like Spark's array_max-over-struct), probe selection (top
+    ``n_probe`` cells by query dot, ties → smallest cell like numpy's
+    stable argsort), and within-cell exact cosine top-k in DuckDB."""
+    import os
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    cent = similarity.ivf_centroids_from_parquet(path, k=k_cells, exclude_id=0)
+    rows = ",\n  ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in cent[j]))
+        for j in range(k_cells)
+    )
+    d_corpus = "list_dot_product(" + _QV.format(col="e.embedding") + ", q.qv)"
+    cell_sub = (
+        "(SELECT j FROM cent ORDER BY list_dot_product(cent.c, "
+        + _QV.format(col="e0.embedding")
+        + ") DESC, j DESC LIMIT 1)"
+    )
+    return f"""
+WITH cent(j, c) AS (VALUES {rows}),
+q AS (SELECT {_QV.format(col='embedding')} AS qv
+      FROM embeddings WHERE vec_id = 0),
+probes AS (SELECT j FROM cent, q
+           ORDER BY list_dot_product(c, q.qv) DESC, j LIMIT {n_probe}),
+e AS (SELECT vec_id, embedding, {cell_sub} AS cell
+      FROM embeddings e0 WHERE vec_id <> 0),
+s AS (SELECT e.vec_id AS id, {d_corpus} AS d,
+             {_NORM_F32.format(col='e.embedding')} AS na,
+             {_NORM_F64.format(col='q.qv')} AS nb
+      FROM e, q WHERE e.cell IN (SELECT j FROM probes))
+SELECT id, {_SQL_COSINE.format(d='d', na='na', nb='nb')} AS score
+FROM s ORDER BY score DESC, id LIMIT 10
+"""
+
+
 def _sql_strlist(words: list[str]) -> str:
     return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
 
@@ -601,6 +653,94 @@ s AS (
   FROM f)
 SELECT round(floor(qs * 10) / 10, 1) AS bucket, count(*) AS n_docs
 FROM s GROUP BY bucket ORDER BY bucket
+"""
+
+
+#: char 5-gram distinct shingle list of lower(text) — parity with
+#: functions.text.char_shingles(k=5)
+_SQL_CHAR_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(lower(text)) - 4, 0) + 1),"
+    " i -> substr(lower(text), i, 5)))"
+)
+
+#: word 3-gram distinct shingle list — parity with
+#: functions.text.word_shingles(n=3): lowercase, ws-tokenize, join 3-slices
+_SQL_WORD_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1),"
+    " i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+
+def _sql_exact_jaccard_pairs(shingle_expr: str, threshold: float,
+                             pre: str = "") -> str:
+    """All-pairs exact Jaccard ≥ threshold over per-doc distinct shingle
+    sets (inverted-index join — the oracle twin of
+    dedup.ngram_jaccard_pairs / dedup.dedup_minhash_verified)."""
+    return f"""
+WITH {pre}t AS (
+  SELECT doc_id AS id, {shingle_expr} AS shs
+  FROM {'tok' if pre else 'documents'}),
+sh AS (SELECT id, unnest(shs) AS sh FROM t),
+sizes AS (SELECT id, len(shs) AS n_sh FROM t),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+j AS (SELECT id_a, id_b,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS jac
+      FROM common JOIN sizes sa ON sa.id = common.id_a
+                  JOIN sizes sb ON sb.id = common.id_b)
+SELECT id_a, id_b, round(jac, 4) AS jaccard
+FROM j WHERE jac >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+def _sql_dedup_minhash() -> str:
+    # Attests BOTH exactness of the verified Jaccard values AND that
+    # LSH banding recall is 1.0 on this corpus (a missed pair would be
+    # a row-count mismatch).
+    return _sql_exact_jaccard_pairs(_SQL_CHAR_SHINGLES, 0.8)
+
+
+def _sql_dedup_ngram_jaccard() -> str:
+    pre = (
+        "tok AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+        " AS toks FROM documents),\n"
+    )
+    return _sql_exact_jaccard_pairs(_SQL_WORD_SHINGLES, 0.8, pre=pre)
+
+
+def _sql_dedup_simhash(num_bits: int = 60, max_hamming: int = 3) -> str:
+    """Portable SimHash twin: md5-derived 60-bit token hashes (identical
+    hex in every engine), per-bit majority votes, all-pairs Hamming —
+    all-pairs is exactly what 4-band candidates + verify computes,
+    because band recall is 1.0 by pigeonhole."""
+    # bit j set <=> strictly more 1-votes than 0-votes (Spark: sum of
+    # +1/-1 > 0). Bitwise-OR the per-bit contributions like the Spark
+    # side does — no aggregate, so no HUGEINT widening.
+    bit_terms = " | ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {j}) & 1) = 1))"
+        f" > len(hs) THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(num_bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents),
+h AS (
+  SELECT id, list_transform(toks,
+         t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM tok),
+s AS (SELECT id, {bit_terms} AS simhash FROM h)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id_a, id_b
 """
 
 
@@ -714,8 +854,21 @@ FROM documents ORDER BY doc_id LIMIT 200
 """,
     "op_lang_id": _sql_lang_id(),
     "op_quality_score": _sql_quality_score(),
+    "op_dedup_minhash": _sql_dedup_minhash(),
+    "op_dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
+    "op_dedup_simhash": _sql_dedup_simhash(num_bits=60, max_hamming=3),
     "op_similarity_topk": _sql_similarity_topk(),
     "op_similarity_ann": _sql_similarity_ann(num_bits=8, n_probe=4),
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
 }
+
+# The IVF oracle retrains centroids from the parquet itself — only
+# declarable when the oracle-scale data is present (it is in the driver
+# environment; guard for foreign checkouts).
+try:
+    OPERATOR_ORACLE_SQL["op_similarity_ivf"] = _sql_similarity_ivf(
+        k_cells=8, n_probe=3
+    )
+except (OSError, ImportError):
+    pass

@@ -157,6 +157,57 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def spherical_kmeans(
+    sample: "np.ndarray", k: int, iters: int = 10, seed: int = 42
+) -> "np.ndarray":
+    """Seeded spherical k-means (cosine Lloyd's) over a (n, dim) float64
+    sample → (k, dim) L2-normalized centroids. Pure numpy and fully
+    deterministic in (sample order, k, iters, seed) — shared by the
+    Spark-side ``IVFIndex.train`` and the parquet-side
+    ``ivf_centroids_from_parquet`` oracle twin."""
+    sample = np.asarray(sample, dtype=float)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def ivf_centroids_from_parquet(
+    path: str,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Recompute ``IVFIndex.train``'s exact centroids directly from a
+    parquet file (pyarrow, no Spark) — the oracle-side twin used to
+    embed centroid literals into DuckDB SQL. Bit-identical because both
+    sides sort the sample by id and run ``spherical_kmeans``."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[id_col, vec_col])
+    ids = np.asarray(tbl.column(id_col).to_pylist())
+    vecs = np.asarray(tbl.column(vec_col).to_pylist(), dtype=float)
+    if exclude_id is not None:
+        keep = ids != exclude_id
+        ids, vecs = ids[keep], vecs[keep]
+    order = np.argsort(ids, kind="stable")
+    sample = vecs[order][:sample_rows]
+    return spherical_kmeans(sample, k=k, iters=iters, seed=seed)
+
+
 class IVFIndex:
     """Inverted-file (IVF) ANN index: k-means centroids partition the
     corpus; a query scans only its ``n_probe`` nearest cells.
@@ -180,24 +231,22 @@ class IVFIndex:
         sample_rows: int = 10_000,
         iters: int = 10,
         seed: int = 42,
+        id_col: str | None = None,
     ) -> "IVFIndex":
         """Spherical k-means on a driver-side sample (seeded,
-        deterministic)."""
+        deterministic). With ``id_col`` the sample is the first
+        ``sample_rows`` rows *by id* (TakeOrdered — cheap, bounded), so
+        the trained index is reproducible regardless of partitioning /
+        scan order — the property that lets an external engine rebuild
+        identical centroids from the same data."""
+        q = df.select(*( [id_col] if id_col else [] ), vec_col)
+        if id_col is not None:
+            q = q.orderBy(id_col)
         sample = np.asarray(
-            [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+            [r[vec_col] for r in q.limit(sample_rows).collect()],
             dtype=float,
         )
-        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-        rng = np.random.default_rng(seed)
-        cent = sample[rng.choice(len(sample), size=k, replace=False)]
-        for _ in range(iters):
-            assign = np.argmax(sample @ cent.T, axis=1)
-            for j in range(k):
-                members = sample[assign == j]
-                if len(members):
-                    c = members.mean(axis=0)
-                    cent[j] = c / max(np.linalg.norm(c), 1e-12)
-        return cls(cent)
+        return cls(spherical_kmeans(sample, k=k, iters=iters, seed=seed))
 
     def cell_col(self, vec_col: Column | str) -> Column:
         """argmax-dot cluster id as one codegen expression (array of

@@ -24,6 +24,10 @@ def main() -> int:
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:] if args and os.path.isdir(args[0]) else args)
 
+    # data-derived oracles (IVF centroid literals) must train on the
+    # same sf we compare at — must be set before the registry imports
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     import __spark_entry__ as e
 
     spark = get_session(app_name="check-correctness")

@@ -645,3 +645,66 @@ def test_real_jpeg_decode_with_pillow(spark):
     row = multimodal.extract_image_features(df, strict=True).first()
     assert (row["width"], row["height"]) == (16, 16)
     assert 0.4 < row["mean_luma"] < 0.6  # half white / half black
+
+
+def test_minhash_verified_exact_jaccard(docs):
+    """The verified form returns EXACT Jaccard (not the estimate): the
+    exact dup pair must be exactly 1.0 and every value must equal the
+    directly-computed ngram jaccard for that pair."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.dedup_minhash_verified(
+            docs, threshold=0.5, num_hashes=64, num_bands=16
+        ).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, shingle_k=5, mode="char"
+        ).collect()
+    }
+    for pair, j in got.items():
+        assert math.isclose(j, exact[pair], rel_tol=1e-12)
+
+
+def test_simhash_md5_portable_matches_xxhash_semantics(docs):
+    """md5-hash 60-bit signatures find the same exact-dup pair at
+    hamming 0, and banding with num_bits=60 keeps pigeonhole recall."""
+    sigs = dedup.simhash_signatures(docs, hash_fn="md5")
+    pairs = dedup.simhash_neardup_pairs(sigs, max_hamming=3, num_bits=60)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+    # signatures fit in 60 bits
+    mx = sigs.agg(F.max("simhash")).first()[0]
+    assert 0 <= mx < (1 << 60)
+
+
+def test_simhash_bad_hash_fn_raises(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_signatures(docs, hash_fn="sha1")
+
+
+def test_ivf_parquet_centroid_twin(spark, tmp_path):
+    """ivf_centroids_from_parquet reproduces IVFIndex.train bit-for-bit
+    when both sort the sample by id — the property the DuckDB oracle
+    relies on."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    path = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    spark_cent = similarity.IVFIndex.train(
+        df.where(F.col("vec_id") != 0), k=4, seed=42, id_col="vec_id"
+    ).centroids
+    import glob
+
+    pfile = glob.glob(path + "/*.parquet")[0]
+    twin = similarity.ivf_centroids_from_parquet(
+        pfile, k=4, exclude_id=0, seed=42
+    )
+    assert np.array_equal(spark_cent, twin)
