@@ -1,0 +1,215 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+signals, benchmark decontamination, mixture sampling, group-disjoint
+splits, and keyword (TF-IDF) retrieval.
+
+Every operator is built-in-function DataFrame code (explode + hash-agg
++ join shapes with map-side combine) — the shuffles move tokens/ids,
+never full documents, and every one is reproducible in ANSI SQL for
+oracle attestation.
+
+Reference analog: none (the reference orchestrates device telemetry);
+these are the SURVEY.md §2 M5 LLM-pipeline extensions that make the
+engine useful for corpus work at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_ws, word_shingles
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``dup_word_frac`` — fraction of token occurrences that are
+      repeats of an earlier token (1 - distinct/total),
+    - ``top_bigram_frac`` — share of the most frequent word bigram in
+      all bigram occurrences.
+
+    Shape: the unigram signal is a pure projection; the bigram signal
+    explodes bigrams into a (doc, bigram) count agg — partial-combine
+    shuffles (id, 8-byte hash)-sized rows, then one windowed max per
+    doc. Documents with < 2 tokens get 0.0 for both."""
+    toks = tokens_ws(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        word_shingles(F.col(text_col), 2).alias("bigrams"),
+    )
+    dup_word = F.when(
+        F.col("n_tok") > 0,
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tok"), 4),
+    ).otherwise(F.lit(0.0))
+    uni = base.select("id", dup_word.alias("dup_word_frac"), "bigrams")
+    bg = uni.select("id", F.explode("bigrams").alias("bg"))
+    counts = bg.groupBy("id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("tot_c")
+    )
+    top_frac = F.round(F.col("top_c") / F.col("tot_c"), 4)
+    return (
+        uni.drop("bigrams")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "dup_word_frac",
+            F.coalesce(top_frac, F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of word
+    n-grams it shares with ANY benchmark doc (and the count of distinct
+    benchmark docs hit). A corpus doc with n_shared > 0 leaks eval data
+    and should be dropped before training.
+
+    Shape: benchmark n-grams form a small distinct set (broadcastable
+    when the benchmark is benchmark-sized); corpus n-grams explode and
+    hash-join against it — the join output is only the contaminated
+    slice. Never a cross join."""
+    bench_sh = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).alias("sh"),
+        )
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    order_by: str,
+) -> DataFrame:
+    """Deterministic mixture sampling: take ``round(weight_g × total)``
+    rows per group, smallest ``order_by`` first (domain-weighted corpus
+    mixing — e.g. 60% web / 30% code / 10% wiki).
+
+    Window-rank take per group: one shuffle on the group key. Groups
+    absent from ``weights`` contribute 0 rows."""
+    quota = F.create_map(
+        *[
+            x
+            for g, w in sorted(weights.items())
+            for x in (F.lit(g), F.lit(int(round(w * total_rows))))
+        ]
+    )
+    w = Window.partitionBy(group_col).orderBy(order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.coalesce(quota[F.col(group_col)], F.lit(0)))
+        .drop("__rn")
+    )
+
+
+def split_by_group_hash(
+    df: DataFrame,
+    group_col: str,
+    split_weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that keeps every row of a *group* in
+    the same split (leakage-safe when the group is a dedup-cluster or
+    source key). The assignment hashes only the group value with a
+    portable md5-derived 32-bit integer, so it is stable across runs,
+    engines, and corpus growth (adding rows never moves an existing
+    group).
+
+    ``split_weights`` like {'train': 0.8, 'val': 0.1, 'test': 0.1} —
+    boundaries over buckets 0..9999, split names assigned in sorted
+    order."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        % 10000
+    )
+    expr = None
+    lo = 0.0
+    for name, wgt in sorted(split_weights.items()):
+        hi = lo + wgt * 10000
+        cond = (bucket >= F.lit(int(round(lo)))) & (bucket < F.lit(int(round(hi))))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn("split", expr.otherwise(F.lit(sorted(split_weights)[-1])))
+
+
+def tfidf_keyword_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by TF-IDF score for a bag of query terms.
+
+    score(d) = Σ_t tf(t, d) × ln(N / df(t)) over lowercase whitespace
+    tokens. One explode + two hash-aggs; the per-term document
+    frequencies are |terms| rows — broadcast back. Deterministic ties
+    broken by id. The scan shape a 100 TB ad-hoc corpus probe needs:
+    no inverted index required, one pass."""
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
+    ).where(F.col("tok").isin(terms))
+    # corpus size as a 1-row broadcast, not a driver-side .count() —
+    # keeps the whole computation one lazy plan / one job
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(F.col("__n").cast("double") / F.col("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(n_docs)
+        .withColumn("w", F.col("tf") * idf)
+        .groupBy("id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from . import dedup, relational, sampling, similarity, text
+from . import curation, dedup, relational, sampling, similarity, text, timeseries
 
 # ---------------------------------------------------------------------------
 # SQL-expressible operator queries (oracle-checked)
@@ -264,6 +264,104 @@ def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture weights for op_sample_mixture (sums to 1 over the corpus langs)
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+#: split weights for op_split_by_group
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+#: query terms for op_keyword_search (present in the synthetic corpus)
+_SEARCH_TERMS = ["spark", "join", "vector"]
+
+
+def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollups over events (30-min inactivity gap)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.session_stats(t.events, gap_minutes=30)
+        .select("user_id", "session_idx", "n_events", "span_s")
+        .orderBy("user_id", "session_idx")
+        .limit(300)
+    )
+
+
+def op_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    t = load_tables(spark, sf_dir)
+    return curation.repetition_signals(t.documents).orderBy("id").limit(200)
+
+
+def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of the corpus
+    against the held-out slice doc_id % 97 == 0."""
+    t = load_tables(spark, sf_dir)
+    bench = t.documents.where(F.col("doc_id") % 97 == 0)
+    corpus = t.documents.where(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate(corpus, bench).orderBy("id").limit(300)
+
+
+def op_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: deterministic per-lang quotas."""
+    t = load_tables(spark, sf_dir)
+    return (
+        curation.sample_mixture(
+            t.documents, "lang", _MIX_WEIGHTS, total_rows=200, order_by="doc_id"
+        )
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def op_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment: every doc of a source lands in
+    the same split via a portable md5 group hash."""
+    t = load_tables(spark, sf_dir)
+    return (
+        curation.split_by_group_hash(t.documents, "source", _SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+def op_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-20 documents for a 3-term query."""
+    t = load_tables(spark, sf_dir)
+    return curation.tfidf_keyword_search(t.documents, _SEARCH_TERMS, k=20)
+
+
+def op_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10 rolling stats per user over event values."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.rolling_stats(
+        t.events.where(F.col("user_id") < 20), "user_id", "ts", "value"
+    )
+    return (
+        out.select(
+            "user_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            "roll_mean",
+            F.round("roll_min", 4).alias("roll_min"),
+            F.round("roll_max", 4).alias("roll_max"),
+        )
+        .orderBy("user_id", "ts")
+        .limit(300)
+    )
+
+
+def op_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events ≥ 3 population stddevs from their event_type mean."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.zscore_anomalies(t.events, "event_type", "value", 3.0)
+        .select("event_id", "event_type", "z")
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only operator queries (deterministic, but not portable SQL)
 # ---------------------------------------------------------------------------
@@ -416,6 +514,14 @@ OPERATOR_QUERIES = {
     "op_dedup_simhash": op_dedup_simhash,
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
     "op_dedup_minhash": op_dedup_minhash,
+    "op_sessionize": op_sessionize,
+    "op_repetition": op_repetition,
+    "op_decontaminate": op_decontaminate,
+    "op_sample_mixture": op_sample_mixture,
+    "op_split_by_group": op_split_by_group,
+    "op_keyword_search": op_keyword_search,
+    "op_rolling_stats": op_rolling_stats,
+    "op_zscore_anomalies": op_zscore_anomalies,
 }
 
 # ---------------------------------------------------------------------------
@@ -744,7 +850,163 @@ ORDER BY id_a, id_b
 """
 
 
+#: lowercased ws-token list for a given text expression
+_SQL_TOKS_OF = (
+    "list_filter(regexp_split_to_array(trim(lower({t})), '\\s+'), x -> x <> '')"
+)
+
+
+def _sql_sessionize(gap_s: int = 1800) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {gap_s}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+x AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           AS session_idx
+  FROM s)
+SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s
+FROM x GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx LIMIT 300
+"""
+
+
+def _sql_repetition() -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH tok AS (SELECT doc_id AS id, {toks} AS toks FROM documents),
+uni AS (
+  SELECT id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS bigrams
+  FROM tok),
+bg AS (SELECT id, unnest(bigrams) AS bg FROM uni),
+c AS (SELECT id, bg, count(*) AS c FROM bg GROUP BY id, bg),
+pd AS (SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS tot_c
+       FROM c GROUP BY id)
+SELECT u.id AS id,
+       CASE WHEN n_tok > 0 THEN round(1.0 - n_distinct / n_tok, 4)
+            ELSE 0.0 END AS dup_word_frac,
+       coalesce(round(top_c / tot_c, 4), 0.0) AS top_bigram_frac
+FROM uni u LEFT JOIN pd ON pd.id = u.id
+ORDER BY u.id LIMIT 200
+"""
+
+
+def _sql_decontaminate() -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS sh
+       FROM tok),
+bench AS (SELECT id AS bench_id, sh FROM sh WHERE id % 97 = 0),
+corp AS (SELECT id, sh FROM sh WHERE id % 97 <> 0),
+hits AS (SELECT corp.id AS id, count(*) AS n_shared,
+                count(DISTINCT bench_id) AS n_bench_docs
+         FROM corp JOIN bench USING (sh) GROUP BY corp.id)
+SELECT d.doc_id AS id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+ORDER BY id LIMIT 300
+"""
+
+
+def _sql_sample_mixture(total_rows: int = 200) -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(round(w * total_rows))}"
+        for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn <= CASE lang {cases} ELSE 0 END
+ORDER BY lang, doc_id
+"""
+
+
+def _sql_split_by_group(salt: str = "split") -> str:
+    # replicate curation.split_by_group_hash's boundary arithmetic
+    conds, lo = [], 0.0
+    names = sorted(_SPLIT_WEIGHTS)
+    for name in names:
+        hi = lo + _SPLIT_WEIGHTS[name] * 10000
+        conds.append(
+            f"WHEN b >= {int(round(lo))} AND b < {int(round(hi))} THEN '{name}'"
+        )
+        lo = hi
+    case = " ".join(conds)
+    return f"""
+WITH a AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5('{salt}:' || source), 1, 8)) AS BIGINT)
+           % 10000 AS b
+  FROM documents),
+s AS (SELECT source, CASE {case} ELSE '{names[-1]}' END AS split FROM a)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_groups
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def _sql_keyword_search(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH tok AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+f AS (SELECT id, tok, count(*) AS tf FROM tok
+      WHERE tok IN ({terms}) GROUP BY id, tok),
+d AS (SELECT tok, count(DISTINCT id) AS df FROM f GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT id, round(sum(tf * ln(CAST(n AS DOUBLE) / df)), 4) AS score
+      FROM f JOIN d USING (tok), n GROUP BY id)
+SELECT id, score FROM s ORDER BY score DESC, id LIMIT {k}
+"""
+
+
+_SQL_ROLLING = """
+SELECT user_id, ts, round(value, 4) AS value,
+       round(avg(value) OVER w, 4) AS roll_mean,
+       round(min(value) OVER w, 4) AS roll_min,
+       round(max(value) OVER w, 4) AS roll_max
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts LIMIT 300
+"""
+
+_SQL_ZSCORE = """
+WITH st AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round((e.value - mu) / sigma, 4) AS z
+FROM events e JOIN st USING (event_type)
+WHERE sigma > 0 AND abs(round((e.value - mu) / sigma, 4)) >= 3.0
+ORDER BY event_id LIMIT 300
+"""
+
+
 OPERATOR_ORACLE_SQL = {
+    "op_sessionize": _sql_sessionize(),
+    "op_repetition": _sql_repetition(),
+    "op_decontaminate": _sql_decontaminate(),
+    "op_sample_mixture": _sql_sample_mixture(total_rows=200),
+    "op_split_by_group": _sql_split_by_group(),
+    "op_keyword_search": _sql_keyword_search(k=20),
+    "op_rolling_stats": _SQL_ROLLING,
+    "op_zscore_anomalies": _SQL_ZSCORE,
     "op_asof_join": """
 SELECT e.event_id, e.user_id, p.event_id AS purchase_id
 FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e

@@ -1,0 +1,106 @@
+"""Event-stream (batch) time-series operators: sessionization,
+rolling features, anomaly scores.
+
+All window-function compositions — one shuffle on the partition key,
+then O(1) per row; at 100 TB the per-user/per-type partitions are
+independent, so the shape parallelizes to any executor count. No UDFs.
+
+Reference analog: the reference polls metric feeds (speedtest, DNS
+timings) on a schedule and asserts on the latest values
+(/root/reference/dags/Speedtest.py:47-67); these operators are the
+engine-side generalization a large corpus of such telemetry needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign a session index per user: a new session starts when the
+    gap since the previous event exceeds ``gap_minutes`` (the classic
+    gaps-and-islands form: lag → boundary flag → running sum).
+
+    Scale shape: one shuffle on ``user_col``; both window functions
+    share the same (partition, order) so Spark evaluates them in a
+    single Window physical node — no second sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap_s > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("session_idx", F.sum(is_new).over(w))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup: event count, span seconds, first/last ts.
+    Composes ``sessionize`` with a grouped agg (partial-agg friendly)."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("span_s"),
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 10,
+) -> DataFrame:
+    """Trailing-N rolling mean/min/max per key (ROWS frame — rank-based,
+    no time-range scan)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.round(F.avg(value_col).over(w), 4).alias("roll_mean"),
+        F.min(value_col).over(w).alias("roll_min"),
+        F.max(value_col).over(w).alias("roll_max"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates ≥ z_threshold population stddevs from
+    their group mean. Two-pass shape (grouped agg then broadcast-join
+    the tiny stats back) — the aggregation has map-side combine, the
+    join side is |groups| rows."""
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sigma"),
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .where(F.col("__sigma") > 0)
+        .withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) >= z_threshold)
+        .drop("__mu", "__sigma")
+    )

@@ -1,0 +1,147 @@
+"""Unit tests for the corpus-curation and time-series operators
+(semantics the oracle hash can't express: boundary behavior, leakage
+safety, stability under corpus growth)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from airflow_spark.operators import curation, timeseries
+
+
+def _ts(minute: float):
+    return dt.datetime(2024, 1, 1, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, _ts(0)),
+        (1, _ts(29)),   # 29 min gap -> same session
+        (1, _ts(60)),   # 31 min gap -> new session
+        (2, _ts(0)),    # separate user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["user_id"], int((r["ts"] - _ts(0)).total_seconds() // 60)): r["session_idx"]
+        for r in timeseries.sessionize(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 0)] == 1 and out[(1, 29)] == 1
+    assert out[(1, 60)] == 2
+    assert out[(2, 0)] == 1
+
+
+def test_session_stats_span(spark):
+    rows = [(1, _ts(0)), (1, _ts(10)), (1, _ts(100))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    stats = {
+        r["session_idx"]: (r["n_events"], r["span_s"])
+        for r in timeseries.session_stats(df, gap_minutes=30).collect()
+    }
+    assert stats[1] == (2, 600)
+    assert stats[2] == (1, 0)
+
+
+def test_repetition_signals_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a a a"),               # maximal repetition
+            (1, "one two three four five"),   # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in curation.repetition_signals(df).collect()}
+    assert out[0]["dup_word_frac"] > 0.8 and out[0]["top_bigram_frac"] == 1.0
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == 0.25  # 4 bigrams, all unique
+
+
+def test_decontaminate_flags_leaked_doc(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark question about unicorn taxonomy")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "totally unrelated text here nothing shared at all"),
+            (2, "discussing the secret benchmark question verbatim leak"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in curation.decontaminate(corpus, bench).collect()}
+    assert out[2]["contaminated"] and out[2]["n_shared"] >= 1
+    assert not out[1]["contaminated"] and out[1]["n_shared"] == 0
+
+
+def test_sample_mixture_quotas(spark):
+    rows = [(i, "en" if i < 60 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = curation.sample_mixture(
+        df, "lang", {"en": 0.7, "de": 0.3}, total_rows=40, order_by="doc_id"
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 28, "de": 12}
+    # deterministic: smallest ids win
+    assert out.agg(F.max("doc_id")).first()[0] < 100
+
+
+def test_split_by_group_leakage_safe_and_stable(spark):
+    rows = [(i, f"src{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = curation.split_by_group_hash(df, "source", w)
+    # every group maps to exactly one split
+    assert (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # growth-stable: adding rows never moves an existing group
+    bigger = spark.createDataFrame(
+        rows + [(1000 + i, f"src{i % 11}") for i in range(110)],
+        ["doc_id", "source"],
+    )
+    a = {r["source"]: r["split"] for r in out.select("source", "split").distinct().collect()}
+    b = {
+        r["source"]: r["split"]
+        for r in curation.split_by_group_hash(bigger, "source", w)
+        .select("source", "split")
+        .distinct()
+        .collect()
+    }
+    assert all(b[s] == sp for s, sp in a.items())
+
+
+def test_tfidf_ranks_term_dense_doc_first(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark join"),
+            (1, "spark filler filler filler"),
+            (2, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curation.tfidf_keyword_search(df, ["spark", "join"], k=3).collect()
+    assert [r["id"] for r in out][0] == 0
+    assert all(r["id"] != 2 for r in out)
+
+
+def test_rolling_stats_window_shape(spark):
+    rows = [(1, _ts(i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sorted(
+        timeseries.rolling_stats(df, "user_id", "ts", "value", window_rows=3).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert out[0]["roll_mean"] == 0.0
+    assert out[4]["roll_min"] == 2.0 and out[4]["roll_max"] == 4.0
+
+
+def test_zscore_flags_outlier_only(spark):
+    rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(30)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = timeseries.zscore_anomalies(df, "event_type", "value", 3.0).collect()
+    assert [r["event_id"] for r in out] == [99]

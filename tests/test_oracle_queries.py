@@ -28,15 +28,22 @@ def _operator_oracle_names():
 
 @pytest.mark.parametrize("name", _operator_oracle_names())
 def test_operator_matches_oracle(spark, sf_smoke, name):
-    from airflow_spark.operators.registry import (
-        OPERATOR_ORACLE_SQL,
-        OPERATOR_QUERIES,
-    )
+    from airflow_spark.operators import registry
 
-    fn = OPERATOR_QUERIES[name]
-    rec = compare(
-        spark, sf_smoke, name, fn(spark, sf_smoke), OPERATOR_ORACLE_SQL[name]
-    )
+    sql = registry.OPERATOR_ORACLE_SQL[name]
+    if name == "op_similarity_ivf":
+        # data-derived oracle: centroid literals must be retrained on
+        # THIS sf (the module-level default is the driver's sf0.01)
+        import os
+
+        os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_smoke
+        try:
+            sql = registry._sql_similarity_ivf(k_cells=8, n_probe=3)
+        finally:
+            del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+
+    fn = registry.OPERATOR_QUERIES[name]
+    rec = compare(spark, sf_smoke, name, fn(spark, sf_smoke), sql)
     assert rec["ok"], rec
 
 
