@@ -450,6 +450,17 @@ def op_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-means clustering rollup (k=8 spherical cells,
+    trained on the id-sorted sample — reproducible parquet-side for the
+    oracle)."""
+    t = load_tables(spark, sf_dir)
+    index = similarity.IVFIndex.train(
+        t.embeddings, k=8, seed=42, id_col="vec_id"
+    )
+    return similarity.kmeans_cluster_stats(t.embeddings, index).orderBy("cluster")
+
+
 def op_embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket occupancy over the embeddings corpus — the
     layout-planning view for a bucket-partitioned ANN corpus, and a
@@ -522,6 +533,7 @@ OPERATOR_QUERIES = {
     "op_keyword_search": op_keyword_search,
     "op_rolling_stats": op_rolling_stats,
     "op_zscore_anomalies": op_zscore_anomalies,
+    "op_kmeans_cluster": op_kmeans_cluster,
 }
 
 # ---------------------------------------------------------------------------
@@ -683,6 +695,34 @@ s AS (SELECT e.vec_id AS id, {d_corpus} AS d,
       FROM e, q WHERE e.cell IN (SELECT j FROM probes))
 SELECT id, {_SQL_COSINE.format(d='d', na='na', nb='nb')} AS score
 FROM s ORDER BY score DESC, id LIMIT 10
+"""
+
+
+def _sql_kmeans_cluster(k_cells: int = 8) -> str:
+    """k-means rollup oracle: identical parquet-side centroids, argmax
+    cell per vector (ties → largest cell, matching array_max-over-
+    struct), grouped occupancy."""
+    import os
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    cent = similarity.ivf_centroids_from_parquet(path, k=k_cells, exclude_id=None)
+    rows = ",\n  ".join(
+        "({}, [{}])".format(j, ", ".join(repr(float(x)) for x in cent[j]))
+        for j in range(k_cells)
+    )
+    cell_sub = (
+        "(SELECT j FROM cent ORDER BY list_dot_product(cent.c, "
+        + _QV.format(col="e0.embedding")
+        + ") DESC, j DESC LIMIT 1)"
+    )
+    return f"""
+WITH cent(j, c) AS (VALUES {rows}),
+e AS (SELECT vec_id, {cell_sub} AS cluster FROM embeddings e0)
+SELECT cluster, count(*) AS n_vecs, min(vec_id) AS min_id
+FROM e GROUP BY cluster ORDER BY cluster
 """
 
 
@@ -1132,5 +1172,6 @@ try:
     OPERATOR_ORACLE_SQL["op_similarity_ivf"] = _sql_similarity_ivf(
         k_cells=8, n_probe=3
     )
+    OPERATOR_ORACLE_SQL["op_kmeans_cluster"] = _sql_kmeans_cluster(k_cells=8)
 except (OSError, ImportError):
     pass

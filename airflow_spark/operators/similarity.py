@@ -299,6 +299,34 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def kmeans_assign(
+    df: DataFrame,
+    index: IVFIndex,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Corpus-wide k-means cluster assignment (semantic clustering /
+    semantic-dedup prep): the argmax-dot cell expression is pure
+    codegen, so assignment is a projection over the scan — no shuffle,
+    and at scale the output can be written ``partitionBy(cluster)``."""
+    return df.withColumn(cluster_col, index.cell_col(vec_col))
+
+
+def kmeans_cluster_stats(
+    df: DataFrame,
+    index: IVFIndex,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster occupancy rollup: (cluster, n_vecs, min_id) — the layout
+    planning / mixture-audit view over a clustered corpus."""
+    return (
+        kmeans_assign(df, index, vec_col)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min(id_col).alias("min_id"))
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     vec_col: str = "embedding",

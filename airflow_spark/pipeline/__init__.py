@@ -20,3 +20,4 @@ from .health import health  # noqa: F401
 from .notifier import CollectingNotifier, LogNotifier  # noqa: F401
 from .scheduler import Scheduler, backfill, cron_matches, next_fire  # noqa: F401
 from .state import RunStateStore  # noqa: F401
+from .api import ControlPlane  # noqa: F401

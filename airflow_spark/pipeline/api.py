@@ -1,0 +1,169 @@
+"""HTTP control plane for the pipeline engine.
+
+Reference analog: the reference exposes an Airflow webserver with a
+health endpoint and REST DAG-run triggering
+(/root/reference/compose.yml:28-44 api service;
+/root/reference/config/healthcheck.sh:20-40 polls
+``/api/v2/monitor/health``). This is the engine-native equivalent: a
+stdlib ThreadingHTTPServer (no new dependencies) over a pure, testable
+dispatch core.
+
+Routes:
+
+- ``GET /health`` — engine health (Spark, scheduler, state store).
+- ``GET /pipelines`` — registered pipelines (name, schedule, tags).
+- ``GET /pipelines/{name}`` — task graph detail.
+- ``POST /pipelines/{name}/trigger`` — body ``{"params": {...},
+  "profile": "dev"}`` → starts the run on a daemon thread, returns
+  202 + run_id immediately (the Airflow REST dagRuns shape).
+- ``GET /runs/{run_id}`` — status of a triggered run (running /
+  success / failed + per-task states once finished).
+
+Design note: the dispatch core (``ControlPlane.dispatch``) takes
+(method, path, body) and returns (status, payload) with no socket
+involved — tests drive it directly; ``serve()`` merely adapts it to
+HTTP. Trigger runs one pipeline run per thread; Spark job submission
+is thread-safe (each task is a job group, same as the parallel
+executor in core.py).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .health import health as _health
+
+
+class ControlPlane:
+    def __init__(self, spark, pipelines=None, state_store=None, scheduler=None):
+        self.spark = spark
+        self.pipelines = {p.name: p for p in (pipelines or [])}
+        self.state_store = state_store
+        self.scheduler = scheduler
+        self._runs: dict[str, dict] = {}
+        self._lock = threading.Lock()
+
+    # -- pure dispatch core ------------------------------------------------
+
+    def dispatch(self, method: str, path: str, body: dict | None = None):
+        """(method, path, body) → (http_status, payload dict)."""
+        parts = [p for p in path.split("/") if p]
+        if method == "GET" and parts == ["health"]:
+            return 200, _health(
+                self.spark, scheduler=self.scheduler, state_store=self.state_store
+            )
+        if method == "GET" and parts == ["pipelines"]:
+            return 200, {
+                "pipelines": [
+                    {
+                        "name": p.name,
+                        "schedule": p.schedule,
+                        "tags": p.tags,
+                        "n_tasks": len(p.tasks),
+                        "description": p.description,
+                    }
+                    for p in self.pipelines.values()
+                ]
+            }
+        if method == "GET" and len(parts) == 2 and parts[0] == "pipelines":
+            p = self.pipelines.get(parts[1])
+            if p is None:
+                return 404, {"error": f"unknown pipeline {parts[1]!r}"}
+            return 200, {
+                "name": p.name,
+                "schedule": p.schedule,
+                "params": sorted(p.params),
+                "tasks": {
+                    name: {"depends_on": t.depends_on, "retries": t.retries}
+                    for name, t in p.tasks.items()
+                },
+            }
+        if (
+            method == "POST"
+            and len(parts) == 3
+            and parts[0] == "pipelines"
+            and parts[2] == "trigger"
+        ):
+            p = self.pipelines.get(parts[1])
+            if p is None:
+                return 404, {"error": f"unknown pipeline {parts[1]!r}"}
+            return self._trigger(p, body or {})
+        if method == "GET" and len(parts) == 2 and parts[0] == "runs":
+            with self._lock:
+                rec = self._runs.get(parts[1])
+            if rec is None:
+                return 404, {"error": f"unknown run {parts[1]!r}"}
+            return 200, rec
+        return 404, {"error": f"no route {method} {path}"}
+
+    def _trigger(self, pipeline, body: dict):
+        import datetime as dt
+
+        run_ts = dt.datetime.now(dt.timezone.utc)
+        run_id = f"{pipeline.name}__api__{run_ts.strftime('%Y%m%dT%H%M%S%f')}"
+        rec = {"run_id": run_id, "pipeline": pipeline.name, "status": "running",
+               "tasks": {}}
+        with self._lock:
+            self._runs[run_id] = rec
+
+        def _go():
+            try:
+                run = pipeline.run(
+                    self.spark,
+                    params=body.get("params"),
+                    profile=body.get("profile", "dev"),
+                    run_ts=run_ts,
+                    run_id=run_id,
+                    state_store=self.state_store,
+                )
+                with self._lock:
+                    rec["status"] = run.status
+                    rec["tasks"] = {
+                        name: tr.status for name, tr in run.tasks.items()
+                    }
+            except Exception as e:  # noqa: BLE001 - surfaced via the API
+                with self._lock:
+                    rec["status"] = "failed"
+                    rec["error"] = str(e)[:500]
+
+        threading.Thread(target=_go, daemon=True, name=run_id).start()
+        return 202, {"run_id": run_id, "status": "running"}
+
+    # -- HTTP adapter ------------------------------------------------------
+
+    def serve(self, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+        """Start the HTTP server on a daemon thread; returns the server
+        (``server.server_address[1]`` is the bound port; call
+        ``server.shutdown()`` to stop)."""
+        plane = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _reply(self, status: int, payload: dict):
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
+                self._reply(*plane.dispatch("GET", self.path))
+
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b"{}"
+                try:
+                    body = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    self._reply(400, {"error": "invalid JSON body"})
+                    return
+                self._reply(*plane.dispatch("POST", self.path, body))
+
+            def log_message(self, *a):  # quiet test output
+                pass
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server

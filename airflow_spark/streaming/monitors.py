@@ -76,6 +76,37 @@ def session_window_counts(
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time range bound — the
+    Structured Streaming correlation shape (click ↔ conversion,
+    request ↔ response). Both sides carry a watermark and the join
+    predicate bounds right_ts to [left_ts, left_ts + within), so state
+    on each side is droppable once the watermark passes — bounded
+    memory at any stream length. Works identically on batch frames
+    (watermarks skipped), so the SAME function backs tests/backfills.
+    """
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key_col] == right[key_col])
+        & (rt >= lt)
+        & (rt < lt + F.expr(within))
+    )
+    return left.join(right, cond, how).drop(right[key_col])
+
+
 def freshness_monitor(
     events: DataFrame,
     keys: DataFrame,

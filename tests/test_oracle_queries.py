@@ -31,14 +31,20 @@ def test_operator_matches_oracle(spark, sf_smoke, name):
     from airflow_spark.operators import registry
 
     sql = registry.OPERATOR_ORACLE_SQL[name]
-    if name == "op_similarity_ivf":
+    data_derived = {
+        "op_similarity_ivf": lambda: registry._sql_similarity_ivf(
+            k_cells=8, n_probe=3
+        ),
+        "op_kmeans_cluster": lambda: registry._sql_kmeans_cluster(k_cells=8),
+    }
+    if name in data_derived:
         # data-derived oracle: centroid literals must be retrained on
         # THIS sf (the module-level default is the driver's sf0.01)
         import os
 
         os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_smoke
         try:
-            sql = registry._sql_similarity_ivf(k_cells=8, n_probe=3)
+            sql = data_derived[name]()
         finally:
             del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
 

@@ -460,3 +460,96 @@ def test_xcom_vacuum_respects_retention(spark, tmp_path):
     )
     assert kept == 0
     assert store.xcom_pull("xv", "t", default=None) is None
+
+
+# ---------------------------------------------------------------------------
+# HTTP control plane
+# ---------------------------------------------------------------------------
+
+
+def _mini_pipeline():
+    from airflow_spark.pipeline import Pipeline
+
+    p = Pipeline("api_demo", schedule="0 * * * *", tags=["demo"])
+
+    @p.task
+    def first(ctx):
+        return ctx.params.get("x", 1) * 2
+
+    @p.task(depends_on=["first"])
+    def second(ctx):
+        return ctx.xcom("first") + 1
+
+    return p
+
+
+def test_control_plane_dispatch_routes(spark):
+    from airflow_spark.pipeline.api import ControlPlane
+
+    cp = ControlPlane(spark, [_mini_pipeline()])
+    st, body = cp.dispatch("GET", "/health")
+    assert st == 200 and body["spark"]["status"] == "healthy"
+    st, body = cp.dispatch("GET", "/pipelines")
+    assert st == 200 and body["pipelines"][0]["name"] == "api_demo"
+    st, body = cp.dispatch("GET", "/pipelines/api_demo")
+    assert st == 200 and body["tasks"]["second"]["depends_on"] == ["first"]
+    st, body = cp.dispatch("GET", "/pipelines/nope")
+    assert st == 404
+    st, body = cp.dispatch("GET", "/bogus")
+    assert st == 404
+
+
+def test_control_plane_trigger_and_poll(spark):
+    import time
+
+    from airflow_spark.pipeline.api import ControlPlane
+
+    cp = ControlPlane(spark, [_mini_pipeline()])
+    st, body = cp.dispatch(
+        "POST", "/pipelines/api_demo/trigger", {"params": {"x": 5}}
+    )
+    assert st == 202
+    run_id = body["run_id"]
+    for _ in range(100):
+        st, rec = cp.dispatch("GET", f"/runs/{run_id}")
+        if rec["status"] != "running":
+            break
+        time.sleep(0.1)
+    assert rec["status"] == "success"
+    assert rec["tasks"] == {"first": "success", "second": "success"}
+
+
+def test_control_plane_http_round_trip(spark):
+    """Real socket: serve on an ephemeral port, trigger via POST, poll
+    via GET (urllib — no external client dependency)."""
+    import json as _json
+    import time
+    import urllib.request
+
+    from airflow_spark.pipeline.api import ControlPlane
+
+    cp = ControlPlane(spark, [_mini_pipeline()])
+    server = cp.serve()
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health", timeout=10) as r:
+            assert _json.loads(r.read())["spark"]["status"] == "healthy"
+        req = urllib.request.Request(
+            f"{base}/pipelines/api_demo/trigger",
+            data=b'{"params": {"x": 2}}',
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 202
+            run_id = _json.loads(r.read())["run_id"]
+        for _ in range(100):
+            with urllib.request.urlopen(f"{base}/runs/{run_id}", timeout=10) as r:
+                rec = _json.loads(r.read())
+            if rec["status"] != "running":
+                break
+            time.sleep(0.1)
+        assert rec["status"] == "success"
+    finally:
+        server.shutdown()

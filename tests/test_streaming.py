@@ -284,3 +284,88 @@ def test_incremental_ingest_exactly_once_across_runs(spark, tmp_path):
     run3 = p.test(spark)  # nothing new → no duplicates
     assert run3.ok
     assert spark.read.parquet(out).count() == 8
+
+
+def test_stream_stream_join_batch_parity(spark):
+    """Batch semantics: right rows within [left_ts, left_ts + 1h) on
+    the same key, nothing outside."""
+    import datetime as dt
+
+    from airflow_spark.streaming.monitors import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    clicks = spark.createDataFrame(
+        [(1, ts(0), "c1"), (2, ts(0), "c2")], ["user_id", "ts", "click_id"]
+    )
+    convs = spark.createDataFrame(
+        [
+            (1, ts(30), "v_in"),     # inside window
+            (1, ts(90), "v_late"),   # outside (>= +1h)
+            (2, ts(-5), "v_early"),  # before click
+        ],
+        ["user_id", "ts_r", "conv_id"],
+    )
+    out = stream_stream_join(clicks, convs, within="INTERVAL 1 HOUR").collect()
+    assert [(r["click_id"], r["conv_id"]) for r in out] == [("c1", "v_in")]
+
+
+def test_stream_stream_join_streaming_run(spark, sf_smoke, tmp_path):
+    """Real two-stream run (availableNow): purchases joined to errors
+    within 2h per user — result equals the batch join of the same
+    frames."""
+    from airflow_spark.streaming.monitors import stream_stream_join
+
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
+
+    def mkstream(name, typ, cols):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+        s = (
+            spark.readStream.schema(raw.schema)
+            .parquet(str(d))
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            .where(F.col("event_type") == typ)
+        )
+        return s.select(*[F.col(a).alias(b) for a, b in cols])
+
+    left = mkstream(
+        "purchases", "purchase",
+        [("user_id", "user_id"), ("event_id", "purchase_id"), ("ts", "ts")],
+    )
+    right = mkstream(
+        "errors", "error",
+        [("user_id", "user_id"), ("event_id", "error_id"), ("ts", "ts_r")],
+    )
+    q = (
+        stream_stream_join(left, right, within="INTERVAL 2 HOUR")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT purchase_id, error_id FROM ss_join ORDER BY 1, 2"
+    ).collect()
+
+    b = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    bl = b.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    br = b.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ts_r")
+    )
+    want = (
+        stream_stream_join(bl, br, within="INTERVAL 2 HOUR")
+        .select("purchase_id", "error_id")
+        .orderBy("purchase_id", "error_id")
+        .collect()
+    )
+    assert len(got) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
