@@ -42,7 +42,14 @@ def audit_plan(df: DataFrame, execute: bool = False) -> dict:
         "read_schemas": read_schemas,
         "n_broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "n_sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "n_shuffles": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        # shuffle Exchanges only (not BroadcastExchange / ReusedExchange):
+        # simple mode prints "Exchange hashpartitioning(...)", formatted
+        # mode prints the node as "(n) Exchange" with the partitioning in
+        # an Arguments: line — count both spellings
+        "n_shuffles": (
+            len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+            + len(re.findall(r"\(\d+\) Exchange\b", plan))
+        ),
         "has_cartesian": "CartesianProduct" in plan,
         "has_bnl_join": "BroadcastNestedLoopJoin" in plan,
         "whole_stage_codegen": (

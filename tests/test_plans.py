@@ -91,3 +91,93 @@ def test_asof_join_single_shuffle(spark, sf):
     out = asof_join(errors, purchases, key="user_id", right_cols=["pid"])
     a = audit_plan(out)
     assert not a["has_bnl_join"] and not a["has_cartesian"], a["plan"]
+
+
+def test_sessionize_one_sort_one_shuffle(spark, sf):
+    """lag and the running sum share (partition, order): Spark splits
+    them into two Window nodes (RowFrame vs RangeFrame) but the
+    expensive parts — the Exchange on user_id and the Sort — must
+    appear exactly once; a second sort/exchange would double the
+    operator's cost."""
+    import re
+
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.timeseries import sessionize
+
+    out = sessionize(load_tables(spark, sf).events)
+    a = audit_plan(out)
+    assert a["n_shuffles"] == 1, a["plan"]
+    assert len(re.findall(r"\+- Sort ", a["plan"])) == 1, a["plan"]
+
+
+def test_decontaminate_benchmark_is_broadcast(spark, sf):
+    """The benchmark shingle side must broadcast — a shuffle join here
+    would move the full corpus shingle set for a benchmark-sized right
+    side."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.curation import decontaminate
+
+    docs = load_tables(spark, sf).documents
+    out = decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0), docs.where(F.col("doc_id") % 97 == 0)
+    )
+    a = audit_plan(out)
+    assert a["n_broadcast_joins"] >= 1, a["plan"]
+    assert not a["has_cartesian"]
+
+
+def test_zscore_stats_join_is_broadcast(spark, sf):
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.timeseries import zscore_anomalies
+
+    out = zscore_anomalies(load_tables(spark, sf).events, "event_type", "value")
+    a = audit_plan(out)
+    assert a["n_broadcast_joins"] >= 1 and a["n_sortmerge_joins"] == 0, a["plan"]
+
+
+def test_keyword_search_topk_and_no_cartesian_rows(spark, sf):
+    """TF-IDF probe: top-k must be TakeOrderedAndProject; the only
+    nested-loop join allowed is the 1-row corpus-count broadcast."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.curation import tfidf_keyword_search
+
+    out = tfidf_keyword_search(load_tables(spark, sf).documents, ["spark", "join"])
+    a = audit_plan(out)
+    assert a["top_k"], a["plan"]
+    assert not a["has_cartesian"], a["plan"]
+
+
+def test_kmeans_assign_is_projection_only(spark, sf):
+    """Cluster assignment must add zero shuffles over the scan — it is
+    the partitionBy(cluster) layout path."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.similarity import IVFIndex, kmeans_assign
+
+    emb = load_tables(spark, sf).embeddings
+    index = IVFIndex.train(emb, k=4, seed=42, id_col="vec_id")
+    a = audit_plan(kmeans_assign(emb, index))
+    assert a["n_shuffles"] == 0, a["plan"]
+    assert a["whole_stage_codegen"]
+
+
+def test_minhash_verified_no_text_in_estimate_phase(spark, sf):
+    """The estimate-prune phase must join signatures only — the text
+    column may appear exclusively under the (bounded) exact-verify
+    scan, never in the banding/estimate joins."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_estimate_jaccard,
+        minhash_signatures,
+    )
+
+    docs = load_tables(spark, sf).documents
+    sigs = minhash_signatures(docs)
+    est = minhash_estimate_jaccard(minhash_candidate_pairs(sigs), sigs)
+    a = audit_plan(est)
+    assert not a["has_cartesian"]
+    # both scans under this plan prune to (doc_id, text) -> signature;
+    # the estimate join itself moves sig arrays, bounded at 1 KB/doc
+    assert a["partial_agg"], a["plan"]
