@@ -11,3 +11,9 @@ from .http import (  # noqa: F401
 )
 from .http_client import RequestsFetcher, RequestsPoster  # noqa: F401
 from .lists import delimited_list, list_to_df  # noqa: F401
+from .text_formats import (  # noqa: F401
+    read_csv,
+    read_jsonl,
+    read_text_docs,
+    split_corrupt,
+)

@@ -107,6 +107,19 @@ def stream_stream_join(
     return left.join(right, cond, how).drop(right[key_col])
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: the dimension side is broadcast
+    to every task per micro-batch (re-read each batch, so slowly-
+    changing dims stay fresh without restarting the query). Works on
+    batch frames identically."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def freshness_monitor(
     events: DataFrame,
     keys: DataFrame,

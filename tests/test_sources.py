@@ -310,3 +310,70 @@ def test_requests_fetcher_is_picklable():
     f._sess()  # materialize the live session, then drop it on pickle
     g = pickle.loads(pickle.dumps(f))
     assert g.headers["Authorization"] == "Bearer tok" and g._session is None
+
+
+# ---------------------------------------------------------------------------
+# Text-format ingestion (CSV / JSONL / raw text)
+# ---------------------------------------------------------------------------
+
+
+def _docs_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+
+def test_read_csv_quarantines_bad_rows(spark, tmp_path):
+    from airflow_spark.sources.text_formats import (
+        corrupt_fraction,
+        read_csv,
+        split_corrupt,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("doc_id,text\n1,hello\nnot_a_number,world\n3,ok\n")
+    df = read_csv(spark, str(p), _docs_schema())
+    clean, corrupt = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    assert corrupt.count() == 1
+    assert 0.3 < corrupt_fraction(df) < 0.4
+
+
+def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
+    from airflow_spark.sources.text_formats import read_jsonl, split_corrupt
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n{broken\n{"doc_id": 2, "text": "b"}\n')
+    clean, corrupt = split_corrupt(read_jsonl(spark, str(p), _docs_schema()))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert corrupt.count() == 1
+
+
+def test_read_text_docs_line_and_whole_modes(spark, tmp_path):
+    from airflow_spark.sources.text_formats import read_text_docs
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("single doc body\n")
+
+    lines = read_text_docs(spark, str(d))
+    assert lines.count() == 3
+    assert lines.select("doc_id").distinct().count() == 3
+
+    whole = read_text_docs(spark, str(d), whole_files=True)
+    rows = whole.collect()
+    assert len(rows) == 2
+    texts = sorted(r["text"] for r in rows)
+    assert texts[0].startswith("line one") or texts[1].startswith("line one")
+
+    # ids are stable across re-reads (no zipWithIndex nondeterminism)
+    again = {r["source"]: r["doc_id"] for r in read_text_docs(
+        spark, str(d), whole_files=True).collect()}
+    first = {r["source"]: r["doc_id"] for r in rows}
+    assert again == first

@@ -369,3 +369,28 @@ def test_stream_stream_join_streaming_run(spark, sf_smoke, tmp_path):
     )
     assert len(got) > 0
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_enrich_stream_static_dim(spark, sf_smoke, tmp_path):
+    """Stream-static join: a user dimension broadcast onto the event
+    stream; row count conserved for a left join on the key."""
+    from airflow_spark.streaming.monitors import enrich_stream
+
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    d = tmp_path / "ev"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    stream = spark.readStream.schema(raw.schema).parquet(str(d))
+    dim = raw.groupBy("user_id").count().withColumnRenamed("count", "n_total")
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(n_total) AS hit FROM enriched").first()
+    assert got["n"] == raw.count()
+    assert got["hit"] == got["n"]  # every event's user exists in the dim
