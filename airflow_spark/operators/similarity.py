@@ -327,6 +327,75 @@ def kmeans_cluster_stats(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_cells: int = 64,
+    max_cell: int = 4096,
+    index: IVFIndex | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means cells partition
+    the corpus, exact cosine runs only *within* a cell, and every
+    near-duplicate cluster keeps its min-id representative.
+
+    Returns the surviving rows of ``df`` (losers dropped). The
+    within-cell pair scan reuses the sign-LSH pair machinery with the
+    cell id as the bucket, so the cost model is the SemDeDup one: with
+    k cells of bounded occupancy the pair work is Σ|cell|², never
+    |corpus|². At 100 TB: train once (driver-side sample), write the
+    corpus ``partitionBy(cell)``, and each cell dedups independently —
+    embarrassingly parallel.
+    """
+    from .dedup import keep_representatives
+
+    if index is None:
+        index = IVFIndex.train(df, vec_col, k=k_cells, seed=seed, id_col=id_col)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        index.cell_col(vec_col).alias("bucket"),
+    )
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_cell))
+        .select("bucket")
+    )
+    buckets = (
+        b.join(ok, ["bucket"], "left_semi")
+        .groupBy("bucket")
+        .agg(F.collect_list(F.struct("id", "v")).alias("docs"))
+    )
+    docs_sorted = F.array_sort("docs")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        docs_sorted,
+                        lambda a, i: F.transform(
+                            F.slice(docs_sorted, i + 2, F.size(docs_sorted)),
+                            lambda c: F.struct(
+                                a["id"].alias("id_a"),
+                                c["id"].alias("id_b"),
+                                F.round(
+                                    cosine_similarity(a["v"], c["v"]), 6
+                                ).alias("cosine"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.cosine")
+        .where(F.col("cosine") >= threshold)
+    )
+    return keep_representatives(df, pairs, id_col=id_col)
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -48,6 +48,43 @@ def salted_join(
     return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
 
 
+def salted_join_outer(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "full",
+) -> DataFrame:
+    """Outer-complete salted join: equals the plain ``full``/``right``
+    outer join even though the small side is replicated per salt.
+
+    The trick: run the salted join *inner*+big-outer as usual, then
+    recover the small-side rows that matched nothing with one
+    ``left_anti`` against the matched key set and union them back with
+    nulls on the big side. Costs one extra anti-join over the (tiny)
+    small side — the big side is still never replicated and the hot key
+    still spreads over ``num_salts`` tasks."""
+    if how not in ("full", "outer", "full_outer", "right", "right_outer"):
+        raise ValueError(
+            f"salted_join_outer is for right/full joins, got {how!r}: "
+            "use salted_join for inner/left"
+        )
+    base_how = "left" if how in ("full", "outer", "full_outer") else "inner"
+    matched = salted_join(big, small, key, num_salts, base_how)
+    unmatched_small = small.join(
+        big.select(key).distinct(), key, "left_anti"
+    )
+    # align columns: big columns null for small-only rows
+    big_cols = [c for c in big.columns if c != key]
+    aligned = unmatched_small.select(
+        key,
+        *[F.lit(None).cast(big.schema[c].dataType).alias(c) for c in big_cols],
+        *[c for c in small.columns if c != key],
+    )
+    out_cols = [key, *big_cols, *[c for c in small.columns if c != key]]
+    return matched.select(*out_cols).unionByName(aligned)
+
+
 def salted_collect(
     df: DataFrame,
     key: str,

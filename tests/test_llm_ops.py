@@ -708,3 +708,51 @@ def test_ivf_parquet_centroid_twin(spark, tmp_path):
         pfile, k=4, exclude_id=0, seed=42
     )
     assert np.array_equal(spark_cent, twin)
+
+
+def test_semantic_dedup_keeps_one_per_clone_cluster(spark):
+    """Planted clone clusters collapse to their min-id member; isolated
+    vectors survive untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((3, 16))
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(4):  # 4 near-identical clones per cluster
+            v = base[c] + rng.standard_normal(16) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(5):  # isolated vectors
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)]))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = similarity.semantic_dedup(df, threshold=0.99, k_cells=4)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    # one survivor per clone cluster (min id: 0, 4, 8) + the 5 isolated
+    assert ids == [0, 4, 8, 12, 13, 14, 15, 16]
+
+
+def test_salted_join_outer_matches_plain_join(spark):
+    from airflow_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate([1, 1, 1, 1, 2, 3])], ["k", "big_val"]
+    )
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "only_small")], ["k", "small_val"]
+    )
+    for how in ("full", "right"):
+        got = sorted(
+            tuple(r) for r in skew.salted_join_outer(
+                big, small, "k", num_salts=4, how=how
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in big.join(small, "k", how)
+            .select("k", "big_val", "small_val")
+            .collect()
+        )
+        assert got == want, how
