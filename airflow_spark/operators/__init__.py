@@ -1,5 +1,12 @@
 """LLM-data-pipeline operators: dedup, similarity search, text
-analysis, multimodal columns. See registry.py for the driver-facing
-query entries."""
+analysis, corpus curation, time-series, multimodal columns. See
+registry.py for the driver-facing query entries."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    timeseries,
+)

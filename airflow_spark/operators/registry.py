@@ -376,6 +376,28 @@ def op_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch per event_type (Greenwald-Khanna style
+    percentile_approx, accuracy 10k): single-pass, mergeable partials —
+    the 100 TB quantile path where exact percentile's full sort per
+    group is off the table. Deterministic for fixed data but
+    sketch-algorithm-specific, so rows-only (accuracy bounded by the
+    tolerance property test against exact percentiles)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 2
+            ).alias("p50_approx"),
+            F.round(
+                F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 2
+            ).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard ≥ 0.8 (char
     5-gram shingles). Hash-attestable: the oracle recomputes exact
@@ -534,6 +556,7 @@ OPERATOR_QUERIES = {
     "op_rolling_stats": op_rolling_stats,
     "op_zscore_anomalies": op_zscore_anomalies,
     "op_kmeans_cluster": op_kmeans_cluster,
+    "op_approx_percentile": op_approx_percentile,
 }
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Scale smoke: replicate sf0.1's corpus tables N× (remapped ids) into
+/tmp and time the heavy operators at 1× vs N× on the same session.
+
+The point is the *growth factor*, not absolute seconds: an operator
+whose cost is dominated by fixed codegen/scheduling should grow ≪ N;
+an operator that grows ≫ N has a quadratic term hiding somewhere (the
+thing that kills a 100 TB run).
+
+Usage: python scripts/scale_check.py [N] [op ...]   (default N=10, all)
+Writes one JSON line: {"n": N, "ops": {name: {"t1": s, "tN": s,
+"growth": tN/t1}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_spark.catalog import load_table  # noqa: E402
+from airflow_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPL_TABLES = ("documents", "events", "embeddings")
+
+
+def build_replica(spark, n: int) -> str:
+    out_dir = f"/tmp/spark_graft_scale{n}"
+    if all(
+        os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in REPL_TABLES
+    ):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t in REPL_TABLES:
+        df = load_table(spark, SF_DIR, t)
+        copies = []
+        for i in range(n):
+            c = df
+            if t == "documents":
+                c = c.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))
+            elif t == "events":
+                # offset user_id too: sessions scale horizontally (more
+                # users), matching how a larger corpus actually grows
+                c = c.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 10**9)
+                ).withColumn("user_id", F.col("user_id") + F.lit(i * 10**7))
+            elif t == "embeddings":
+                c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
+            copies.append(c)
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        allc.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    return out_dir
+
+
+def _ops():
+    """name → (spark, sf_dir) -> DataFrame; corpus-heavy ops only."""
+    from airflow_spark.operators import registry as r
+
+    names = [
+        "op_dedup_minhash",
+        "op_dedup_simhash",
+        "op_dedup_ngram_jaccard",
+        "op_lang_id",
+        "op_quality_score",
+        "op_repetition",
+        "op_decontaminate",
+        "op_keyword_search",
+        "op_sequence_pack",
+        "op_sessionize",
+        "op_kmeans_cluster",
+        "op_embedding_neardup",
+        "op_similarity_ann",
+    ]
+    return {n: r.OPERATOR_QUERIES[n] for n in names}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n = int(args[0]) if args and args[0].isdigit() else 10
+    only = set(args[1:] if args and args[0].isdigit() else args)
+
+    spark = get_session(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    repl = build_replica(spark, n)
+
+    out = {}
+    for name, fn in _ops().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        fn(spark, repl).count()
+        tn = time.time() - t0
+        out[name] = {
+            "t1": round(t1, 2),
+            "tN": round(tn, 2),
+            "growth": round(tn / t1, 2) if t1 > 0 else None,
+        }
+        print(f"# {name}: {t1:.2f}s -> {tn:.2f}s ({out[name]['growth']}x)",
+              file=sys.stderr)
+    print(json.dumps({"n": n, "sf_dir": SF_DIR, "ops": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

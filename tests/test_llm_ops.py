@@ -756,3 +756,31 @@ def test_salted_join_outer_matches_plain_join(spark):
             .collect()
         )
         assert got == want, how
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The quantile sketch must sit within the GK error bound of the
+    exact percentile on a known distribution."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.registry import op_approx_percentile
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in op_approx_percentile(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in load_tables(spark, sf)
+        .events.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for et, (a50, a95) in approx.items():
+        e50, e95 = exact[et]
+        scale = max(abs(e50), 1.0)
+        assert abs(a50 - e50) / scale < 0.05, (et, a50, e50)
+        assert abs(a95 - e95) / max(abs(e95), 1.0) < 0.05, (et, a95, e95)
