@@ -37,23 +37,54 @@ from .health import health as _health
 
 
 class ControlPlane:
-    def __init__(self, spark, pipelines=None, state_store=None, scheduler=None):
+    def __init__(
+        self,
+        spark,
+        pipelines=None,
+        state_store=None,
+        scheduler=None,
+        auth_token: str | None = None,
+    ):
+        """``auth_token`` (or env ``SPARK_GRAFT_API_TOKEN``) enables
+        bearer auth: every request must carry
+        ``Authorization: Bearer <token>`` — the engine-native stand-in
+        for the reference's OAuth webserver config
+        (/root/reference/config/webserver_config.py). ``GET /health``
+        stays open (probes run unauthenticated, matching
+        /root/reference/config/healthcheck.sh)."""
+        import os
+
         self.spark = spark
         self.pipelines = {p.name: p for p in (pipelines or [])}
         self.state_store = state_store
         self.scheduler = scheduler
+        self.auth_token = auth_token or os.environ.get("SPARK_GRAFT_API_TOKEN")
         self._runs: dict[str, dict] = {}
         self._lock = threading.Lock()
 
+    def _authorized(self, headers: dict | None) -> bool:
+        if not self.auth_token:
+            return True
+        got = (headers or {}).get("Authorization", "")
+        return got == f"Bearer {self.auth_token}"
+
     # -- pure dispatch core ------------------------------------------------
 
-    def dispatch(self, method: str, path: str, body: dict | None = None):
-        """(method, path, body) → (http_status, payload dict)."""
+    def dispatch(
+        self,
+        method: str,
+        path: str,
+        body: dict | None = None,
+        headers: dict | None = None,
+    ):
+        """(method, path, body, headers) → (http_status, payload dict)."""
         parts = [p for p in path.split("/") if p]
         if method == "GET" and parts == ["health"]:
             return 200, _health(
                 self.spark, scheduler=self.scheduler, state_store=self.state_store
             )
+        if not self._authorized(headers):
+            return 401, {"error": "missing or invalid bearer token"}
         if method == "GET" and parts == ["pipelines"]:
             return 200, {
                 "pipelines": [
@@ -149,7 +180,7 @@ class ControlPlane:
                 self.wfile.write(data)
 
             def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
-                self._reply(*plane.dispatch("GET", self.path))
+                self._reply(*plane.dispatch("GET", self.path, None, dict(self.headers)))
 
             def do_POST(self):  # noqa: N802
                 n = int(self.headers.get("Content-Length") or 0)
@@ -159,7 +190,7 @@ class ControlPlane:
                 except json.JSONDecodeError:
                     self._reply(400, {"error": "invalid JSON body"})
                     return
-                self._reply(*plane.dispatch("POST", self.path, body))
+                self._reply(*plane.dispatch("POST", self.path, body, dict(self.headers)))
 
             def log_message(self, *a):  # quiet test output
                 pass

@@ -553,3 +553,22 @@ def test_control_plane_http_round_trip(spark):
         assert rec["status"] == "success"
     finally:
         server.shutdown()
+
+
+def test_control_plane_bearer_auth(spark):
+    from airflow_spark.pipeline.api import ControlPlane
+
+    cp = ControlPlane(spark, [_mini_pipeline()], auth_token="s3cret")
+    # health stays open for probes
+    st, _ = cp.dispatch("GET", "/health")
+    assert st == 200
+    st, body = cp.dispatch("GET", "/pipelines")
+    assert st == 401
+    st, _ = cp.dispatch(
+        "POST", "/pipelines/api_demo/trigger", {}, {"Authorization": "Bearer nope"}
+    )
+    assert st == 401
+    st, body = cp.dispatch(
+        "GET", "/pipelines", None, {"Authorization": "Bearer s3cret"}
+    )
+    assert st == 200 and body["pipelines"]
