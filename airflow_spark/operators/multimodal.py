@@ -257,13 +257,91 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_wav(data: bytes):
+    """Real decode for RIFF/WAVE PCM payloads via the stdlib ``wave``
+    module → (float64 mono samples in [-1, 1], sample_rate). Returns
+    None for non-WAV or compressed WAV."""
+    import io
+    import wave
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            sr = w.getframerate()
+            width = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    import numpy as np
+
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def _mfcc(samples, sr: int, n_coef: int = 13, max_s: float = 10.0):
+    """Real MFCCs from PCM via numpy only: 25 ms Hamming frames / 10 ms
+    hop → power spectrum → 26-band mel filterbank → log → DCT-II,
+    averaged over frames. Deterministic; bounded to the first
+    ``max_s`` seconds so one pathological file can't stall a task."""
+    import numpy as np
+
+    x = samples[: int(sr * max_s)]
+    flen, hop = max(int(sr * 0.025), 2), max(int(sr * 0.010), 1)
+    if len(x) < flen:
+        x = np.pad(x, (0, flen - len(x)))
+    n_frames = 1 + (len(x) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hamming(flen)
+    nfft = 1 << (flen - 1).bit_length()
+    power = np.abs(np.fft.rfft(frames, nfft)) ** 2 / nfft
+    n_mel = 26
+    fmax = sr / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(0.0), mel(fmax), n_mel + 2))
+    bins = np.floor((nfft + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mel, nfft // 2 + 1))
+    for j in range(n_mel):
+        a, b, c = bins[j], bins[j + 1], bins[j + 2]
+        if b > a:
+            fb[j, a:b] = (np.arange(a, b) - a) / (b - a)
+        if c > b:
+            fb[j, b:c] = (c - np.arange(b, c)) / (c - b)
+    logmel = np.log(power @ fb.T + 1e-10)
+    # DCT-II over the mel axis, first n_coef coefficients
+    k = np.arange(n_mel)
+    basis = np.cos(np.pi * np.arange(n_coef)[:, None] * (2 * k + 1) / (2 * n_mel))
+    return (logmel @ basis.T).mean(axis=0)
+
+
 def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
-    """STUB — no audio codec in this container (see _decode_image_impl
-    for the contract: strict raises; otherwise a deterministic fake
-    derived from the payload hash, preserving declared metadata)."""
+    """Audio decode: REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy
+    MFCCs — no external codec needed); other formats follow the stub
+    contract (strict raises; otherwise a deterministic fake derived
+    from the payload hash, preserving declared metadata)."""
+    wav = _decode_wav(data)
+    if wav is not None:
+        x, sr = wav
+        return {
+            "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
+            "sample_rate": int(sr),
+            "mfcc": [float(c) for c in _mfcc(x, sr)],
+        }
     if strict:
         raise NotImplementedError(
-            "audio decode requires a codec (e.g. ffmpeg); not available here"
+            "audio decode beyond WAV/PCM requires a codec (e.g. ffmpeg); "
+            "not available here"
         )
     h = hashlib.sha256(data).digest()
     return {

@@ -784,3 +784,95 @@ def test_approx_percentile_within_tolerance(spark):
         scale = max(abs(e50), 1.0)
         assert abs(a50 - e50) / scale < 0.05, (et, a50, e50)
         assert abs(a95 - e95) / max(abs(e95), 1.0) < 0.05, (et, a95, e95)
+
+
+def _sine_wav(freq=440.0, sr=8000, seconds=0.5, width=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(sr * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / sr)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_real_wav_decode_strict(spark):
+    """RIFF/WAVE payloads decode for real (stdlib wave + numpy MFCC):
+    strict mode must NOT raise, metadata must come from the file, and
+    the MFCCs must be spectrally sensitive (440 Hz != 880 Hz) yet
+    deterministic across calls."""
+    rows = [
+        (1, _sine_wav(440.0), {"duration_ms": None, "sample_rate": None}),
+        (2, _sine_wav(880.0), {"duration_ms": None, "sample_rate": None}),
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("duration_ms", T.LongType()),
+                        T.StructField("sample_rate", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(df, strict=True).collect()
+    }
+    assert out[1]["sample_rate"] == 8000
+    assert abs(out[1]["duration_ms"] - 500) <= 1
+    m1, m2 = out[1]["mfcc"], out[2]["mfcc"]
+    assert len(m1) == 13
+    assert m1 != m2  # different tones -> different spectra
+    again = {
+        r["media_id"]: r["mfcc"]
+        for r in multimodal.extract_audio_features(df, strict=True).collect()
+    }
+    assert again[1] == m1  # deterministic
+
+
+def test_non_wav_audio_still_stubs(spark):
+    """The stub contract is unchanged for non-WAV payloads."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("duration_ms", T.LongType()),
+                        T.StructField("sample_rate", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, b"\x00\x01not-audio", {"duration_ms": 1234, "sample_rate": 44100})],
+        schema,
+    )
+    row = multimodal.extract_audio_features(df, strict=False).first()
+    assert row["duration_ms"] == 1234 and row["sample_rate"] == 44100
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_audio_features(df, strict=True).collect()
