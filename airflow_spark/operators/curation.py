@@ -180,6 +180,71 @@ def split_by_group_hash(
     return df.withColumn("split", expr.otherwise(F.lit(sorted(split_weights)[-1])))
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style language-model quality score, unigram edition: score
+    each document by the mean log-probability of its tokens under the
+    corpus's own unigram distribution. Outlier docs (gibberish, wrong
+    language, boilerplate floods) sit in the tails; the score feeds
+    percentile-based corpus filtering.
+
+    Shape: one explode → token-count agg (map-side combine) builds the
+    "model" (≤ ``vocab_cap`` rows); docs join against it on token —
+    the model is dimension-table-sized, so Catalyst broadcasts it.
+    Unseen-token smoothing: count 0.5 (add-half), portable arithmetic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).limit(vocab_cap)
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(counts), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.log(
+                F.coalesce(F.col("c").cast("double"), F.lit(0.5))
+                / F.col("n_total").cast("double")
+            ).alias("lp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    return scored
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnosis: per-key counts for the ``top_n``
+    hottest keys plus each key's share of all rows — the planning view
+    that decides between a plain shuffle join, broadcast, or
+    ``salted_join``. One hash-agg + TakeOrdered; no global sort."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(top_n)
+    )
+
+
 def tfidf_keyword_search(
     df: DataFrame,
     query_terms: list[str],

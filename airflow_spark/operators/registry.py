@@ -376,6 +376,18 @@ def op_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score per document (corpus-trained)."""
+    t = load_tables(spark, sf_dir)
+    return curation.unigram_logprob_score(t.documents).orderBy("id").limit(200)
+
+
+def op_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis over events.event_type."""
+    t = load_tables(spark, sf_dir)
+    return curation.key_skew_stats(t.events, "event_type", top_n=5)
+
+
 def op_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch per event_type (Greenwald-Khanna style
     percentile_approx, accuracy 10k): single-pass, mergeable partials —
@@ -557,6 +569,8 @@ OPERATOR_QUERIES = {
     "op_zscore_anomalies": op_zscore_anomalies,
     "op_kmeans_cluster": op_kmeans_cluster,
     "op_approx_percentile": op_approx_percentile,
+    "op_unigram_logprob": op_unigram_logprob,
+    "op_key_skew": op_key_skew,
 }
 
 # ---------------------------------------------------------------------------
@@ -1051,6 +1065,28 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 ORDER BY user_id, ts LIMIT 300
 """
 
+def _sql_unigram_logprob() -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH tok AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+t AS (SELECT count(*) AS n_total FROM tok),
+lp AS (SELECT id,
+              ln(coalesce(CAST(c AS DOUBLE), 0.5) / CAST(n_total AS DOUBLE)) AS lp
+       FROM tok LEFT JOIN c USING (tok), t)
+SELECT id, round(avg(lp), 4) AS mean_logprob, count(*) AS n_tok
+FROM lp GROUP BY id ORDER BY id LIMIT 200
+"""
+
+
+_SQL_KEY_SKEW = """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+SELECT event_type, n, round(n / n_total, 6) AS share
+FROM c, t ORDER BY n DESC, event_type LIMIT 5
+"""
+
+
 _SQL_ZSCORE = """
 WITH st AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
             FROM events GROUP BY event_type)
@@ -1070,6 +1106,8 @@ OPERATOR_ORACLE_SQL = {
     "op_keyword_search": _sql_keyword_search(k=20),
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
+    "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_key_skew": _SQL_KEY_SKEW,
     "op_asof_join": """
 SELECT e.event_id, e.user_id, p.event_id AS purchase_id
 FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e

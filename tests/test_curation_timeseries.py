@@ -145,3 +145,30 @@ def test_zscore_flags_outlier_only(spark):
     df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
     out = timeseries.zscore_anomalies(df, "event_type", "value", 3.0).collect()
     assert [r["event_id"] for r in out] == [99]
+
+
+def test_unigram_logprob_orders_gibberish_last(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the the the the the"),          # most probable tokens
+            (1, "the cat sat on the mat"),
+            (2, "zqxj vvkw pplm qqrs zzzz"),     # singletons
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r["mean_logprob"]
+        for r in curation.unigram_logprob_score(df).collect()
+    }
+    assert out[0] > out[1] > out[2]
+
+
+def test_key_skew_stats_shares(spark):
+    from airflow_spark.operators.curation import key_skew_stats
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 8 + ["b"] * 2], ["k"]
+    )
+    rows = key_skew_stats(df, "k").collect()
+    assert [r["k"] for r in rows] == ["a", "b"]
+    assert rows[0]["share"] == 0.8 and rows[1]["share"] == 0.2
