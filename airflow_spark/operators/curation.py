@@ -180,6 +180,46 @@ def split_by_group_hash(
     return df.withColumn("split", expr.otherwise(F.lit(sorted(split_weights)[-1])))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the RAG/context-window preprocessing op. Output: (doc_id,
+    chunk_idx, chunk_text, n_chunk_chars); chunk i covers
+    [i*(chunk_chars-overlap), ...+chunk_chars).
+
+    Pure codegen: sequence → transform → explode, no UDF, no shuffle —
+    chunking is a projection over the scan, and at scale the output
+    inherits the input's partitioning (write ``partitionBy`` on
+    whatever downstream needs). Short docs yield exactly one chunk."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    c = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(c) - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.substring(c, i * step + 1, chunk_chars).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("ch")
+    ).select(
+        id_col,
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.length("ch.chunk_text").alias("n_chunk_chars"),
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

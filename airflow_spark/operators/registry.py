@@ -376,6 +376,16 @@ def op_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (200-char chunks, 50 overlap)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        curation.chunk_documents(t.documents, chunk_chars=200, overlap=50)
+        .orderBy("doc_id", "chunk_idx")
+        .limit(400)
+    )
+
+
 def op_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality score per document (corpus-trained)."""
     t = load_tables(spark, sf_dir)
@@ -571,6 +581,7 @@ OPERATOR_QUERIES = {
     "op_approx_percentile": op_approx_percentile,
     "op_unigram_logprob": op_unigram_logprob,
     "op_key_skew": op_key_skew,
+    "op_chunk_documents": op_chunk_documents,
 }
 
 # ---------------------------------------------------------------------------
@@ -1065,6 +1076,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 ORDER BY user_id, ts LIMIT 300
 """
 
+def _sql_chunk_documents(chunk_chars: int = 200, overlap: int = 50) -> str:
+    step = chunk_chars - overlap
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, greatest(CAST(ceil((length(text) - {overlap})
+                                          / {step}.0) AS BIGINT), 1)),
+             i -> struct_pack(chunk_idx := i,
+                              chunk_text := substr(text,
+                                  CAST(i * {step} + 1 AS BIGINT),
+                                  {chunk_chars})))) AS ch
+  FROM documents)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+       length(ch.chunk_text) AS n_chunk_chars
+FROM c ORDER BY doc_id, chunk_idx LIMIT 400
+"""
+
+
 def _sql_unigram_logprob() -> str:
     toks = _SQL_TOKS_OF.format(t="text")
     return f"""
@@ -1108,6 +1138,7 @@ OPERATOR_ORACLE_SQL = {
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
     "op_key_skew": _SQL_KEY_SKEW,
+    "op_chunk_documents": _sql_chunk_documents(chunk_chars=200, overlap=50),
     "op_asof_join": """
 SELECT e.event_id, e.user_id, p.event_id AS purchase_id
 FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e

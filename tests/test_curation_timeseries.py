@@ -172,3 +172,27 @@ def test_key_skew_stats_shares(spark):
     rows = key_skew_stats(df, "k").collect()
     assert [r["k"] for r in rows] == ["a", "b"]
     assert rows[0]["share"] == 0.8 and rows[1]["share"] == 0.2
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    text = "".join(chr(ord("a") + i % 26) for i in range(300))
+    df = spark.createDataFrame([(1, text), (2, "tiny")], ["doc_id", "text"])
+    out = curation.chunk_documents(df, chunk_chars=128, overlap=32)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: ceil((300-32)/96) = 3 chunks
+    assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2}
+    c0, c1 = rows[(1, 0)]["chunk_text"], rows[(1, 1)]["chunk_text"]
+    assert c0[-32:] == c1[:32]  # overlap region identical
+    assert len(c0) == 128
+    assert rows[(1, 2)]["n_chunk_chars"] == 300 - 2 * 96
+    # short doc -> exactly one whole chunk
+    assert rows[(2, 0)]["chunk_text"] == "tiny"
+    assert len({k[1] for k in rows if k[0] == 2}) == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_chars=64, overlap=64)
