@@ -356,3 +356,50 @@ def test_speedtest_missing_sensor_counts_as_zero(spark):
     )
     assert run.tasks["speed_test"].status == "failed"
     assert "below threshold" in run.tasks["speed_test"].error
+
+
+def test_training_data_pipeline_end_to_end(spark, tmp_path):
+    """decontaminate → repetition gate → mixture → split → pack →
+    publish, with the attrition funnel visible in task outputs."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.pipelines.training_data import build_training_data_pipeline
+
+    bench_text = "held out benchmark question about ancient roman aqueducts"
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        rows.append((i, f"document number {i} with plain ordinary content "
+                        f"for training purposes in band {i % 5}", lang))
+    rows.append((100, f"leaked copy: {bench_text} hidden inside", "en"))
+    rows.append((101, "spam " * 40, "en"))  # maximal repetition
+    docs = (
+        spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    bench = spark.createDataFrame([(0, bench_text)], ["doc_id", "text"])
+    out_path = str(tmp_path / "training_out")
+    p = build_training_data_pipeline(
+        lambda ctx: docs,
+        lambda ctx: bench,
+        output_path=out_path,
+        mixture={"en": 0.6, "de": 0.4},
+        total_rows=30,
+    )
+    run = p.test(spark, params={"max_dup_word_frac": 0.8})
+    assert run.ok, {k: (v.status, v.error) for k, v in run.tasks.items()}
+
+    assert run.outputs["decontaminate"]["n_after_decontam"] == 41  # leak gone
+    assert run.outputs["repetition_gate"]["n_after_repetition"] == 40  # spam gone
+    assert run.outputs["mixture_sample"]["n_after_mixture"] == 30  # 18 en + 12 de
+    assert run.outputs["pack"]["n_packs"] >= 1
+
+    published = spark.read.parquet(out_path)
+    assert published.count() == 30
+    assert set(r["split"] for r in published.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+    assert 100 not in {r["doc_id"] for r in published.collect()}
+    mix = {r["lang"]: r["n"] for r in
+           published.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert mix == {"en": 18, "de": 12}
