@@ -318,3 +318,47 @@ def tfidf_keyword_search(
         .agg(F.round(F.sum("w"), 4).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def duplicated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    min_docs: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide repeated-passage mining: the word n-grams that occur
+    in at least ``min_docs`` distinct documents, most-shared first.
+    This is the discovery half of substring-level dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate/license/template passages show up here long before any
+    document-pair similarity fires, because the sharing is many-to-many
+    at the passage level, not pairwise at the document level.
+
+    Scale shape: explode distinct per-doc n-grams (distinct first, so a
+    passage repeated inside ONE doc contributes once), then a single
+    hash-agg on the gram with map-side combine, HAVING-filter to the
+    shared tail, and a TakeOrderedAndProject top-k — never a self-join,
+    never all-pairs. At 100 TB you would additionally group on
+    xxhash64(gram) and re-attach one exemplar string via min(gram);
+    the shuffle already carries grams once per containing doc, which
+    the distinct-per-doc step has capped.
+
+    Output: (gram, n_docs, first_doc) ordered by n_docs desc, gram."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -362,6 +362,35 @@ def op_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top repeated word-5-gram passages shared by ≥ 2 documents."""
+    t = load_tables(spark, sf_dir)
+    return curation.duplicated_passages(
+        t.documents, shingle_n=5, min_docs=2, k=100
+    )
+
+
+def op_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of event values (early half vs late half of the
+    event-time range) per event_type — fixed bins [0, 500) × 10."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type", "value", F.unix_timestamp("ts").alias("__e")
+    )
+    # epoch midpoint as a 1-row broadcast: keeps the split inside one
+    # lazy plan (no driver-side collect of min/max)
+    mm = F.broadcast(ev.agg(F.min("__e").alias("__mn"), F.max("__e").alias("__mx")))
+    period = F.when(
+        F.col("__e") < (F.col("__mn") + F.col("__mx")) / 2.0, F.lit("a")
+    ).otherwise(F.lit("b"))
+    split = ev.crossJoin(mm).select(
+        "event_type", "value", period.alias("period")
+    )
+    return timeseries.distribution_psi(
+        split, "event_type", "period", "value", lo=0.0, hi=500.0, nbins=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only operator queries (deterministic, but not portable SQL)
 # ---------------------------------------------------------------------------
@@ -582,6 +611,8 @@ OPERATOR_QUERIES = {
     "op_unigram_logprob": op_unigram_logprob,
     "op_key_skew": op_key_skew,
     "op_chunk_documents": op_chunk_documents,
+    "op_dup_passages": op_dup_passages,
+    "op_distribution_drift": op_distribution_drift,
 }
 
 # ---------------------------------------------------------------------------
@@ -1127,6 +1158,62 @@ ORDER BY event_id LIMIT 300
 """
 
 
+def _sql_dup_passages(shingle_n: int = 5, min_docs: int = 2, k: int = 100) -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    m = shingle_n - 1
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - {m}, 0) + 1),
+                  i -> array_to_string(list_slice(toks, i, i + {m}), ' ')))) AS gram
+       FROM tok)
+SELECT gram,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+       min(id) AS first_doc
+FROM sh GROUP BY gram
+HAVING count(DISTINCT id) >= {min_docs}
+ORDER BY n_docs DESC, gram LIMIT {k}
+"""
+
+
+def _sql_distribution_drift(
+    lo: float = 0.0, hi: float = 500.0, nbins: int = 10, smooth: float = 0.5
+) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+WITH e AS (SELECT event_type, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events),
+mm AS (SELECT min(e) AS mn, max(e) AS mx FROM e),
+p AS (SELECT event_type,
+             CAST(least(greatest(floor((value - {lo}) / {width}), 0),
+                        {nbins - 1}) AS INT) AS bin,
+             CASE WHEN e < (mn + mx) / 2.0 THEN 'a' ELSE 'b' END AS period
+      FROM e, mm),
+c AS (SELECT event_type, bin,
+             sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM p GROUP BY event_type, bin),
+fb AS (SELECT g.event_type, CAST(r.range AS INT) AS bin,
+                coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+         FROM (SELECT DISTINCT event_type FROM c) g
+         CROSS JOIN range(0, {nbins}) r
+         LEFT JOIN c ON c.event_type = g.event_type AND c.bin = r.range),
+t AS (SELECT event_type, ca, cb,
+             sum(ca) OVER (PARTITION BY event_type) AS ta,
+             sum(cb) OVER (PARTITION BY event_type) AS tb
+      FROM fb)
+SELECT event_type,
+       CAST(sum(ca) AS BIGINT) AS n_a,
+       CAST(sum(cb) AS BIGINT) AS n_b,
+       round(sum(((ca + {smooth}) / (ta + {smooth * nbins})
+                  - (cb + {smooth}) / (tb + {smooth * nbins}))
+                 * ln(((ca + {smooth}) / (ta + {smooth * nbins}))
+                      / ((cb + {smooth}) / (tb + {smooth * nbins})))), 4) AS psi
+FROM t GROUP BY event_type ORDER BY event_type
+"""
+
+
 OPERATOR_ORACLE_SQL = {
     "op_sessionize": _sql_sessionize(),
     "op_repetition": _sql_repetition(),
@@ -1255,6 +1342,10 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_similarity_ann": _sql_similarity_ann(num_bits=8, n_probe=4),
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
+    "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_distribution_drift": _sql_distribution_drift(
+        lo=0.0, hi=500.0, nbins=10
+    ),
 }
 
 # The IVF oracle retrains centroids from the parquet itself — only

@@ -82,6 +82,84 @@ def rolling_stats(
     )
 
 
+def distribution_psi(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two periods ('a' vs 'b') of a
+    value distribution, per group — the standard drift check a corpus
+    refresh runs before a new training snapshot is accepted (PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 retrain-worthy).
+
+    Values are bucketed into ``nbins`` fixed-width bins over [lo, hi)
+    (edges are plan literals, so the result is deterministic and
+    portable — no data-derived quantile edges). Per bin,
+    ``p = (count + smooth) / (total + smooth * nbins)`` (additive
+    smoothing keeps empty bins finite), and
+    ``PSI = Σ (p_a - p_b) * ln(p_a / p_b)``.
+
+    Scale shape: ONE shuffle — a single groupBy(group, bin) with
+    conditional sums for the two periods (map-side combine applies);
+    everything after operates on |groups| × nbins rows. Missing bins
+    are restored by exploding a literal bin sequence per group so
+    smoothing covers all nbins, not just observed ones.
+
+    Output: (group_col, n_a, n_b, psi) ordered by group."""
+    width = (hi - lo) / nbins
+    bin_ = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    counts = (
+        df.select(F.col(group_col), F.col(period_col).alias("__p"), bin_.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(
+            F.sum(F.when(F.col("__p") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("__p") == "b", 1).otherwise(0)).alias("cb"),
+        )
+    )
+    all_bins = (
+        counts.select(group_col)
+        .distinct()
+        .select(
+            group_col,
+            F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bin"),
+        )
+    )
+    full = (
+        all_bins.join(counts, [group_col, "bin"], "left")
+        .select(
+            group_col,
+            "bin",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = Window.partitionBy(group_col)
+    pa = (F.col("ca") + F.lit(smooth)) / (
+        F.sum("ca").over(tot) + F.lit(smooth * nbins)
+    )
+    pb = (F.col("cb") + F.lit(smooth)) / (
+        F.sum("cb").over(tot) + F.lit(smooth * nbins)
+    )
+    return (
+        full.withColumn("__term", (pa - pb) * F.log(pa / pb))
+        .groupBy(group_col)
+        .agg(
+            F.sum("ca").alias("n_a"),
+            F.sum("cb").alias("n_b"),
+            F.round(F.sum("__term"), 4).alias("psi"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def zscore_anomalies(
     df: DataFrame,
     key_col: str,

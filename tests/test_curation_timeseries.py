@@ -196,3 +196,47 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         curation.chunk_documents(df, chunk_chars=64, overlap=64)
+
+
+def test_duplicated_passages_intra_doc_repeat_counts_once(spark):
+    boiler = "all rights reserved by the original author"
+    rows = [
+        (1, f"{boiler} unique one text here"),
+        (2, f"prefix words {boiler} and {boiler} again"),  # twice in one doc
+        (3, "completely different content with no shared passage at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curation.duplicated_passages(df, shingle_n=5, min_docs=2, k=10).collect()
+    grams = {r["gram"]: (r["n_docs"], r["first_doc"]) for r in out}
+    # the 5-gram fully inside the boilerplate is shared by docs 1 and 2;
+    # its double occurrence inside doc 2 must not inflate n_docs
+    assert grams["all rights reserved by the"] == (2, 1)
+    assert all(n == 2 for n, _ in grams.values())
+
+
+def test_distribution_psi_zero_for_identical_and_positive_for_shifted(spark):
+    same = [("t", "a", float(v)) for v in range(100)] + [
+        ("t", "b", float(v)) for v in range(100)
+    ]
+    shifted = [("s", "a", float(v)) for v in range(100)] + [
+        ("s", "b", float(v) + 300.0) for v in range(100)
+    ]
+    df = spark.createDataFrame(same + shifted, ["event_type", "period", "value"])
+    out = {
+        r["event_type"]: r
+        for r in timeseries.distribution_psi(
+            df, "event_type", "period", "value", lo=0.0, hi=500.0, nbins=10
+        ).collect()
+    }
+    assert out["t"]["psi"] == 0.0
+    assert out["s"]["psi"] > 0.25  # retrain-worthy shift
+    assert out["s"]["n_a"] == 100 and out["s"]["n_b"] == 100
+
+
+def test_distribution_psi_clamps_out_of_range_values(spark):
+    rows = [("t", "a", -50.0), ("t", "a", 10.0), ("t", "b", 900.0), ("t", "b", 10.0)]
+    df = spark.createDataFrame(rows, ["event_type", "period", "value"])
+    out = timeseries.distribution_psi(
+        df, "event_type", "period", "value", lo=0.0, hi=500.0, nbins=10
+    ).collect()
+    assert len(out) == 1 and out[0]["n_a"] == 2 and out[0]["n_b"] == 2

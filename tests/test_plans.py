@@ -181,3 +181,27 @@ def test_minhash_verified_no_text_in_estimate_phase(spark, sf):
     # both scans under this plan prune to (doc_id, text) -> signature;
     # the estimate join itself moves sig arrays, bounded at 1 KB/doc
     assert a["partial_agg"], a["plan"]
+
+
+def test_dup_passages_topk_no_cartesian_partial_agg(spark, sf):
+    """Passage mining must stay a hash-agg + top-k: never a self-join
+    or cartesian, map-side combine on the gram aggregate, and the final
+    top-k as TakeOrderedAndProject (no global sort of all grams)."""
+    from airflow_spark.operators.registry import op_dup_passages
+
+    a = audit_plan(op_dup_passages(spark, sf), execute=True)
+    assert not a["has_cartesian"], a["plan"]
+    assert a["partial_agg"], a["plan"]
+    assert a["top_k"], a["plan"]
+
+
+def test_distribution_drift_single_wide_shuffle(spark, sf):
+    """PSI is one groupBy(group, bin) over the events (partial agg
+    before the exchange); the midpoint lookup and the bin-restoring
+    join operate on tiny frames (broadcast, no cartesian on the big
+    side beyond the 1-row stats frame)."""
+    from airflow_spark.operators.registry import op_distribution_drift
+
+    a = audit_plan(op_distribution_drift(spark, sf), execute=True)
+    assert a["partial_agg"], a["plan"]
+    assert a["n_broadcast_joins"] >= 1, a["plan"]
