@@ -671,3 +671,65 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup: containment = |A ∩ B| / min(|A|, |B|) over
+    word n-gram sets. Catches SUBSET duplication — a short doc quoted
+    wholesale inside a much longer one — which symmetric Jaccard
+    misses (|A ∩ B| / |A ∪ B| stays small when |B| ≫ |A|). Returns
+    both scores so the gap (high containment, low jaccard) flags the
+    embedded-copy case specifically.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (explode
+    distinct shingles, document-frequency cap against stop-shingle
+    bucket blowup, self-join on shingle, one pair-count hash-agg) —
+    the only change is the denominator, so the 100 TB posture is
+    identical: shuffles carry shingles and ids, never document text.
+    """
+    from ..functions.text import word_shingles
+
+    shingled = _ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    ).persist()
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
+    filtered = shingled.join(
+        sh_df.where(F.col("sh_df") <= df_cap).select("sh"), "sh"
+    )
+    left = filtered.select(F.col("id").alias("id_a"), "sh")
+    right = filtered.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        left.join(right, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

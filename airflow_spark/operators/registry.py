@@ -483,6 +483,24 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs ≥ 0.6 (word 3-grams): subset
+    duplication — short docs embedded in longer ones — that the
+    symmetric Jaccard threshold misses."""
+    t = load_tables(spark, sf_dir)
+    return (
+        dedup.ngram_containment_pairs(t.documents, threshold=0.6, shingle_n=3)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 4).alias("containment"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+        .limit(300)
+    )
+
+
 def op_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors of vec_id=0."""
     t = load_tables(spark, sf_dir)
@@ -597,6 +615,7 @@ OPERATOR_QUERIES = {
     "op_similarity_ivf": op_similarity_ivf,
     "op_dedup_simhash": op_dedup_simhash,
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
+    "op_dedup_containment": op_dedup_containment,
     "op_dedup_minhash": op_dedup_minhash,
     "op_sessionize": op_sessionize,
     "op_repetition": op_repetition,
@@ -935,6 +954,34 @@ def _sql_dedup_ngram_jaccard() -> str:
         " AS toks FROM documents),\n"
     )
     return _sql_exact_jaccard_pairs(_SQL_WORD_SHINGLES, 0.8, pre=pre)
+
+
+def _sql_dedup_containment(threshold: float = 0.6, k: int = 300) -> str:
+    """Oracle twin of dedup.ngram_containment_pairs (word 3-grams).
+    The df_cap is omitted: at oracle scale no shingle's document
+    frequency approaches the 1000 cap, so capped and uncapped agree
+    (same convention as the Jaccard oracle)."""
+    pre = (
+        "tok AS (SELECT doc_id, list_filter("
+        "regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+        " AS toks FROM documents),\n"
+    )
+    return f"""
+WITH {pre}t AS (
+  SELECT doc_id AS id, {_SQL_WORD_SHINGLES} AS shs FROM tok),
+sh AS (SELECT id, unnest(shs) AS sh FROM t),
+sizes AS (SELECT id, len(shs) AS n_sh FROM t),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+j AS (SELECT id_a, id_b,
+             n_common / least(sa.n_sh, sb.n_sh) AS cont,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS jac
+      FROM common JOIN sizes sa ON sa.id = common.id_a
+                  JOIN sizes sb ON sb.id = common.id_b)
+SELECT id_a, id_b, round(cont, 4) AS containment, round(jac, 4) AS jaccard
+FROM j WHERE cont >= {threshold} ORDER BY id_a, id_b LIMIT {k}
+"""
 
 
 def _sql_dedup_simhash(num_bits: int = 60, max_hamming: int = 3) -> str:
@@ -1337,6 +1384,7 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_quality_score": _sql_quality_score(),
     "op_dedup_minhash": _sql_dedup_minhash(),
     "op_dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
+    "op_dedup_containment": _sql_dedup_containment(threshold=0.6, k=300),
     "op_dedup_simhash": _sql_dedup_simhash(num_bits=60, max_hamming=3),
     "op_similarity_topk": _sql_similarity_topk(),
     "op_similarity_ann": _sql_similarity_ann(num_bits=8, n_probe=4),

@@ -89,6 +89,32 @@ def test_ngram_jaccard_exact_values(docs):
     assert (0, 2) in rows and 0.5 <= rows[(0, 2)] < 1.0
 
 
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    long = (
+        "unrelated opening paragraph with many distinct filler words here "
+        + short
+        + " and then a very long unrelated tail section that keeps going with "
+        "more and more filler words so the union is large and jaccard small"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "nothing in common with either doc")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in dedup.ngram_containment_pairs(
+            df, threshold=0.6, shingle_n=3
+        ).collect()
+    }
+    cont, jac = rows[(1, 2)]
+    # every 3-gram of the short doc appears in the long one...
+    assert cont == 1.0
+    # ...but the symmetric score stays below the usual 0.8 dedup bar
+    assert jac < 0.8
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
 # ---------------------------------------------------------------------------
 # Similarity
 # ---------------------------------------------------------------------------
