@@ -158,6 +158,42 @@ def threshold_monitor(
     )
 
 
+def drift_monitor(
+    readings: DataFrame,
+    baseline: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """Groups whose incoming value distribution has drifted from a
+    baseline snapshot: PSI(baseline, readings) ≥ ``psi_threshold``
+    (0.25 = the conventional retrain-worthy bar).
+
+    ``baseline`` is a static (group_col, value_col) frame — e.g. a
+    sample of the last accepted corpus snapshot. Both frames are
+    tagged and unioned so :func:`~airflow_spark.operators.timeseries.
+    distribution_psi` computes the two-period PSI in one shuffle.
+
+    Batch form (PSI needs a full window over the comparison frame, so
+    the streaming entry point is per-micro-batch:
+    :func:`~airflow_spark.streaming.runner.drift_alert_stream`)."""
+    from ..operators.timeseries import distribution_psi
+
+    a = baseline.select(
+        F.col(group_col), F.col(value_col), F.lit("a").alias("__period")
+    )
+    b = readings.select(
+        F.col(group_col), F.col(value_col), F.lit("b").alias("__period")
+    )
+    out = distribution_psi(
+        a.unionByName(b), group_col, "__period", value_col, lo, hi, nbins
+    )
+    return out.where(F.col("psi") >= psi_threshold)
+
+
 def dedupe_events(
     events: DataFrame,
     keys: list[str] | None = None,

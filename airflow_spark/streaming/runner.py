@@ -44,3 +44,57 @@ def alert_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.outputMode("update").start()
+
+
+def drift_alert_stream(
+    stream_df: DataFrame,
+    baseline: DataFrame,
+    notifier: Callable[[dict], None],
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+    psi_threshold: float = 0.25,
+    query_name: str = "drift_alerts",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Per-micro-batch distribution-drift alerting: each batch's value
+    distribution is PSI-compared against the static ``baseline``
+    snapshot, and drifted groups are notified.
+
+    PSI needs a complete pass over the comparison window, so it runs
+    inside foreachBatch (the batch frame is a plain DataFrame there) —
+    the micro-batch IS the drift window. The flagged output is at most
+    |groups| rows per batch, so the collect is bounded by cardinality,
+    not data volume. Returns the StreamingQuery handle.
+    """
+    from .monitors import drift_monitor
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = drift_monitor(
+            batch_df,
+            baseline,
+            group_col=group_col,
+            value_col=value_col,
+            lo=lo,
+            hi=hi,
+            nbins=nbins,
+            psi_threshold=psi_threshold,
+        ).collect()
+        for r in flagged:
+            ctx = r.asDict()
+            ctx["batch_id"] = batch_id
+            notifier(ctx)
+
+    writer = stream_df.writeStream.queryName(query_name).foreachBatch(_emit)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.outputMode("update").start()

@@ -394,3 +394,40 @@ def test_enrich_stream_static_dim(spark, sf_smoke, tmp_path):
     got = spark.sql("SELECT count(*) AS n, count(n_total) AS hit FROM enriched").first()
     assert got["n"] == raw.count()
     assert got["hit"] == got["n"]  # every event's user exists in the dim
+
+
+def test_drift_alert_stream_flags_shifted_group_only(spark, tmp_path):
+    """Per-micro-batch PSI drift: a group whose incoming values shifted
+    +300 vs baseline alerts; an unchanged group stays quiet."""
+    from airflow_spark.streaming.runner import drift_alert_stream
+
+    baseline = spark.createDataFrame(
+        [("stable", float(v % 100)) for v in range(200)]
+        + [("shifty", float(v % 100)) for v in range(200)],
+        ["event_type", "value"],
+    )
+    incoming = spark.createDataFrame(
+        [("stable", float(v % 100)) for v in range(200)]
+        + [("shifty", float(v % 100) + 300.0) for v in range(200)],
+        ["event_type", "value"],
+    )
+    stream_dir = tmp_path / "in"
+    incoming.coalesce(1).write.parquet(str(stream_dir))
+    stream = spark.readStream.schema(incoming.schema).parquet(str(stream_dir))
+
+    alerts = []
+    q = drift_alert_stream(
+        stream,
+        baseline,
+        alerts.append,
+        lo=0.0,
+        hi=500.0,
+        nbins=10,
+        psi_threshold=0.25,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    assert [a["event_type"] for a in alerts] == ["shifty"]
+    assert alerts[0]["psi"] > 0.25 and "batch_id" in alerts[0]
