@@ -25,6 +25,22 @@ from airflow_spark.streaming import (
 from airflow_spark.streaming.monitors import _last_seen_fn
 
 
+def _with_event_ts(df):
+    """Apply the catalog's events-ts normalization to a raw/stream frame:
+    older testdata ships ``ts`` as epoch-nanos bigint, newer as a real
+    timestamp. Mirror catalog.load_table's dtype guard so both work."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    if dtype == "timestamp_ntz":
+        # watermarks require TIMESTAMP (with local tz); session tz is UTC
+        # in tests so the instant is unchanged.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def test_tumbling_counts_conserved_batch(spark, sf_smoke):
     events = load_table(spark, sf_smoke, "events")
     win = tumbling_window_counts(events, "1 hour")
@@ -157,9 +173,7 @@ def test_streaming_tumbling_availablenow_conserves_counts(spark, sf_smoke, tmp_p
     (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
     raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
     stream = (
-        spark.readStream.schema(raw.schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        _with_event_ts(spark.readStream.schema(raw.schema).parquet(str(stream_dir)))
     )
     q = (
         tumbling_window_counts(stream, "1 hour", watermark="1 hour")
@@ -184,9 +198,7 @@ def test_alert_stream_notifies_per_violation(spark, sf_smoke, tmp_path):
     (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
     raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
     stream = (
-        spark.readStream.schema(raw.schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        _with_event_ts(spark.readStream.schema(raw.schema).parquet(str(stream_dir)))
     )
     violations = stream.where(
         (F.col("event_type") == "error") & (F.col("value") < 2.0)
@@ -218,11 +230,10 @@ def test_dedupe_events_stream_drops_replayed_file(spark, sf_smoke, tmp_path):
     (stream_dir / "a.parquet").symlink_to(f"{sf_smoke}/events.parquet")
     (stream_dir / "b.parquet").symlink_to(f"{sf_smoke}/events.parquet")
     raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
-    stream = (
+    stream = _with_event_ts(
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     counts = dedupe_events(stream, watermark="10 years").groupBy().count()
     q = (
@@ -326,10 +337,9 @@ def test_stream_stream_join_streaming_run(spark, sf_smoke, tmp_path):
         d.mkdir()
         (d / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
         s = (
-            spark.readStream.schema(raw.schema)
-            .parquet(str(d))
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-            .where(F.col("event_type") == typ)
+            _with_event_ts(
+                spark.readStream.schema(raw.schema).parquet(str(d))
+            ).where(F.col("event_type") == typ)
         )
         return s.select(*[F.col(a).alias(b) for a, b in cols])
 
@@ -354,7 +364,7 @@ def test_stream_stream_join_streaming_run(spark, sf_smoke, tmp_path):
         "SELECT purchase_id, error_id FROM ss_join ORDER BY 1, 2"
     ).collect()
 
-    b = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    b = _with_event_ts(raw)
     bl = b.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )
