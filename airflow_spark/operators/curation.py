@@ -362,3 +362,83 @@ def duplicated_passages(
         .orderBy(F.col("n_docs").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def remove_duplicated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The *removal* half of substring-level dedup (Lee et al. /
+    RefinedWeb): cut corpus-duplicated passages out of every document,
+    keeping the rest of the text intact. Documents are segmented into
+    consecutive non-overlapping ``seg_words``-token windows; any
+    segment whose exact (lowercased) text occurs in at least
+    ``min_docs`` distinct documents is dropped, and each document is
+    reassembled from its surviving segments in order.
+
+    Complements :func:`duplicated_passages` (which only *discovers*
+    shared passages): boilerplate/license/template floods are removed
+    at the passage level even when the containing documents are
+    nowhere near whole-document duplicates.
+
+    Scale shape: explode segments (short strings, bounded by
+    ``seg_words`` tokens) → one distinct-doc-count hash-agg builds the
+    ban list (shared segments only — usually dimension-table-sized, so
+    Catalyst broadcasts the anti-join) → surviving segments re-agg to
+    documents via an array_sort(collect_list(struct(pos, seg))) —
+    per-doc state is bounded by the doc's own length, never by corpus
+    size. At 100 TB you would additionally ban on xxhash64(seg) so the
+    count shuffle moves 8-byte keys; the reassembly shuffle is the
+    irreducible cost of rewriting the corpus.
+
+    Output: (id, clean_text, n_removed) — ``clean_text`` is '' when
+    every segment of the doc was corpus-duplicated.
+    """
+    w = seg_words
+    toks = tokens_ws(F.lower(F.col(text_col)))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(w))).cast("bigint")
+    segs = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(1), n_segs),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(toks, (i - F.lit(1)) * w + F.lit(1), F.lit(w))
+            ).alias("seg"),
+        ),
+    )).otherwise(F.array().cast("array<struct<pos:bigint,seg:string>>"))
+    base = df.select(F.col(id_col).alias("id"), n_segs.alias("n_segs"),
+                     segs.alias("segs"))
+    exploded = base.select("id", F.explode("segs").alias("s")).select(
+        "id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg")
+    )
+    banned = (
+        exploded.groupBy("seg")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = exploded.join(banned, "seg", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("id", "n_segs")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -391,6 +391,19 @@ def op_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup, removal half: cut corpus-duplicated
+    3-word segments out of every document and reassemble the rest."""
+    t = load_tables(spark, sf_dir)
+    return (
+        curation.remove_duplicated_segments(
+            t.documents, seg_words=3, min_docs=2
+        )
+        .orderBy("id")
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only operator queries (deterministic, but not portable SQL)
 # ---------------------------------------------------------------------------
@@ -632,6 +645,7 @@ OPERATOR_QUERIES = {
     "op_chunk_documents": op_chunk_documents,
     "op_dup_passages": op_dup_passages,
     "op_distribution_drift": op_distribution_drift,
+    "op_segment_dedup": op_segment_dedup,
 }
 
 # ---------------------------------------------------------------------------
@@ -1261,6 +1275,35 @@ FROM t GROUP BY event_type ORDER BY event_type
 """
 
 
+def _sql_segment_dedup(seg_words: int = 3, min_docs: int = 2) -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    w = seg_words
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+seg AS (SELECT doc_id,
+               unnest(list_transform(
+                   range(1, CAST(ceil(len(toks) / {w}.0) AS BIGINT) + 1),
+                   i -> {{'pos': i,
+                         'seg': array_to_string(
+                             list_slice(toks, (i - 1) * {w} + 1,
+                                        (i - 1) * {w} + {w}), ' ')}}))
+                 AS u
+        FROM tok),
+e AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM seg),
+banned AS (SELECT seg FROM e GROUP BY seg
+           HAVING count(DISTINCT doc_id) >= {min_docs}),
+kept AS (SELECT * FROM e ANTI JOIN banned USING (seg)),
+rebuilt AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT t.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(CAST(ceil(len(t.toks) / {w}.0) AS BIGINT)
+            - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM tok t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY id LIMIT 200
+"""
+
+
 OPERATOR_ORACLE_SQL = {
     "op_sessionize": _sql_sessionize(),
     "op_repetition": _sql_repetition(),
@@ -1273,6 +1316,7 @@ OPERATOR_ORACLE_SQL = {
     "op_unigram_logprob": _sql_unigram_logprob(),
     "op_key_skew": _SQL_KEY_SKEW,
     "op_chunk_documents": _sql_chunk_documents(chunk_chars=200, overlap=50),
+    "op_segment_dedup": _sql_segment_dedup(seg_words=3, min_docs=2),
     "op_asof_join": """
 SELECT e.event_id, e.user_id, p.event_id AS purchase_id
 FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e

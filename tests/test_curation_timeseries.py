@@ -240,3 +240,53 @@ def test_distribution_psi_clamps_out_of_range_values(spark):
         df, "event_type", "period", "value", lo=0.0, hi=500.0, nbins=10
     ).collect()
     assert len(out) == 1 and out[0]["n_a"] == 2 and out[0]["n_b"] == 2
+
+
+def test_remove_duplicated_segments_cuts_shared_boilerplate(spark):
+    # 3-word segments: "all rights reserved" is a shared segment in
+    # docs 1 and 2 (same aligned position window); doc 3 is untouched.
+    rows = [
+        (1, "all rights reserved alpha beta gamma"),
+        (2, "all rights reserved delta epsilon zeta"),
+        (3, "totally unrelated words here now ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in curation.remove_duplicated_segments(
+            df, seg_words=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+
+
+def test_remove_duplicated_segments_fully_removed_doc_is_empty(spark):
+    rows = [(1, "same exact words"), (2, "same exact words"), (3, "other stuff kept")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in curation.remove_duplicated_segments(
+            df, seg_words=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[3]["clean_text"] == "other stuff kept"
+
+
+def test_remove_duplicated_segments_short_tail_segment(spark):
+    # 7 tokens -> segments of 3/3/1; the 1-token tail participates too
+    rows = [(1, "a b c d e f tail"), (2, "x y z p q r tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in curation.remove_duplicated_segments(
+            df, seg_words=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "x y z p q r"
