@@ -1,0 +1,85 @@
+"""Corpus/version diff operators: what changed between two snapshots.
+
+A training-data pipeline republishes its corpus regularly; the first
+question after every rebuild is "what actually changed?" — both for
+audit (why did the token count move) and for incremental downstream
+work (only re-embed the changed docs). ``snapshot_diff`` answers it
+with one full-outer join on the key, comparing a fixed-width md5 of
+the tracked columns instead of the columns themselves, so the shuffle
+carries (key, 32-byte hash) rows — never document bodies.
+
+Scale shape: two projections (hash is computed scan-side, column-pruned
+to key + tracked cols) → one sort-merge full-outer join on the key.
+No collects, no windows. At 100 TB both sides can be written bucketed
+by the key, which turns the join shuffle into a zero-Exchange merge.
+
+Reference analog: none (the reference keeps no corpus versions); this
+is a north-star LLM-pipeline extension (SURVEY.md §2 M5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Field separator for the row hash — a control char that cannot appear
+#: in normalized text, so ("ab","c") never collides with ("a","bc").
+_SEP = "\x1f"
+#: Null sentinel, distinct from the empty string.
+_NULL = "\x00null"
+
+
+def _row_hash(cols: Sequence[str]) -> F.Column:
+    return F.md5(
+        F.concat_ws(
+            _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols]
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two corpus snapshots keyed by ``key_cols``:
+
+    - ``added``     — key present only in ``new``
+    - ``removed``   — key present only in ``old``
+    - ``changed``   — key in both, tracked columns differ
+    - ``unchanged`` — key in both, tracked columns equal
+      (emitted only when ``include_unchanged=True``)
+
+    Keys must be unique per snapshot (it is a snapshot, not a log);
+    duplicate keys would cross-join in the full-outer and inflate the
+    diff. Output: key columns + ``status``.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("snapshot_diff requires key_cols and compare_cols")
+    o = old.select(*key_cols, _row_hash(compare_cols).alias("__h_old"))
+    n = new.select(*key_cols, _row_hash(compare_cols).alias("__h_new"))
+    joined = o.join(n, on=list(key_cols), how="full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*key_cols, status.alias("status"))
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """Counts per diff status — the one-line audit record a rebuild
+    job logs (and alerts on when `removed` spikes)."""
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
