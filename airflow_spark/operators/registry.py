@@ -13,7 +13,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from . import curation, dedup, relational, sampling, similarity, text, timeseries
+from . import (
+    curation,
+    dedup,
+    relational,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+    versioning,
+)
 
 # ---------------------------------------------------------------------------
 # SQL-expressible operator queries (oracle-checked)
@@ -576,6 +585,23 @@ def op_embedding_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (added/removed/changed) between two derived
+    versions of ``documents``: the "old" snapshot drops every 7th doc
+    and upper-cases every 5th text (a stale edit), the "new" snapshot
+    drops every 11th doc. One hash-compare full-outer join."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    old = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 11 != 0)
+    return versioning.snapshot_diff(
+        old, new, key_cols=["doc_id"], compare_cols=["text", "n_chars"]
+    ).orderBy("doc_id")
+
+
 def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution over documents."""
     t = load_tables(spark, sf_dir)
@@ -646,6 +672,7 @@ OPERATOR_QUERIES = {
     "op_dup_passages": op_dup_passages,
     "op_distribution_drift": op_distribution_drift,
     "op_segment_dedup": op_segment_dedup,
+    "op_snapshot_diff": op_snapshot_diff,
 }
 
 # ---------------------------------------------------------------------------
@@ -1317,6 +1344,25 @@ OPERATOR_ORACLE_SQL = {
     "op_key_skew": _SQL_KEY_SKEW,
     "op_chunk_documents": _sql_chunk_documents(chunk_chars=200, overlap=50),
     "op_segment_dedup": _sql_segment_dedup(seg_words=3, min_docs=2),
+    "op_snapshot_diff": """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+         n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 11 <> 0
+), d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN (o.text IS DISTINCT FROM n.text)
+                OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM d WHERE status <> 'unchanged' ORDER BY doc_id
+""",
     "op_asof_join": """
 SELECT e.event_id, e.user_id, p.event_id AS purchase_id
 FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
