@@ -602,6 +602,40 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge of a document snapshot into a versioned history:
+    history = open rows for docs%7!=0 (every 5th text upper-cased, so it
+    will differ) plus a pre-closed v0 for docs%13==0; snapshot drops
+    every 11th doc. Changed docs close + reopen, removed docs close,
+    new docs open; the pre-closed partition passes through untouched."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    hist_open = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist_closed = base.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v0:"), F.col("text")).alias("text"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("valid_from"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    history = hist_open.unionByName(hist_closed)
+    snap = docs.where(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    out = versioning.scd2_merge(
+        history, snap, key_cols=["doc_id"], compare_cols=["text"],
+        run_ts="2026-02-01 00:00:00",
+    )
+    return out.orderBy("doc_id", "valid_from")
+
+
 def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted-language distribution over documents."""
     t = load_tables(spark, sf_dir)
@@ -673,6 +707,7 @@ OPERATOR_QUERIES = {
     "op_distribution_drift": op_distribution_drift,
     "op_segment_dedup": op_segment_dedup,
     "op_snapshot_diff": op_snapshot_diff,
+    "op_scd2_merge": op_scd2_merge,
 }
 
 # ---------------------------------------------------------------------------
@@ -1362,6 +1397,46 @@ WITH old AS (
   FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
 )
 SELECT doc_id, status FROM d WHERE status <> 'unchanged' ORDER BY doc_id
+""",
+    "op_scd2_merge": """
+WITH hist_open AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+         TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM documents WHERE doc_id % 7 <> 0
+), hist_closed AS (
+  SELECT doc_id, 'v0:' || text AS text,
+         TIMESTAMP '2025-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '2026-01-01 00:00:00' AS valid_to,
+         FALSE AS is_current
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+), snap AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+), j AS (
+  SELECT o.doc_id AS o_id, o.text AS o_text, o.valid_from AS o_vf,
+         n.doc_id AS n_id, n.text AS n_text
+  FROM hist_open o FULL JOIN snap n ON o.doc_id = n.doc_id
+), merged AS (
+  SELECT o_id AS doc_id, o_text AS text, o_vf AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM j WHERE o_id IS NOT NULL AND n_id IS NOT NULL
+    AND o_text IS NOT DISTINCT FROM n_text
+  UNION ALL
+  SELECT o_id, o_text, o_vf, TIMESTAMP '2026-02-01 00:00:00', FALSE
+  FROM j WHERE o_id IS NOT NULL
+    AND (n_id IS NULL OR o_text IS DISTINCT FROM n_text)
+  UNION ALL
+  SELECT n_id, n_text, TIMESTAMP '2026-02-01 00:00:00',
+         CAST(NULL AS TIMESTAMP), TRUE
+  FROM j WHERE n_id IS NOT NULL
+    AND (o_id IS NULL OR o_text IS DISTINCT FROM n_text)
+  UNION ALL
+  SELECT doc_id, text, valid_from, valid_to, is_current FROM hist_closed
+)
+SELECT doc_id, text, valid_from, valid_to, is_current
+FROM merged ORDER BY doc_id, valid_from
 """,
     "op_asof_join": """
 SELECT e.event_id, e.user_id, p.event_id AS purchase_id

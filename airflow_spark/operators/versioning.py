@@ -83,3 +83,84 @@ def diff_summary(diff: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    run_ts: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: fold a new snapshot into
+    a versioned history table and return the updated history.
+
+    ``history`` schema: ``key_cols + compare_cols + (valid_from
+    timestamp, valid_to timestamp, is_current boolean)``; ``snapshot``
+    schema: ``key_cols + compare_cols``. ``run_ts`` is the injected
+    snapshot time (ISO string — never wall-clock, for determinism).
+
+    Per key:
+    - new key            → open a current row (valid_from=run_ts)
+    - changed tracked cols → close the current row (valid_to=run_ts)
+      and open a new current version
+    - key absent from snapshot → close the current row (a delete)
+    - unchanged          → keep the current row as-is
+
+    Execution shape (scale): already-closed history rows pass through
+    with NO join (store them in a separate ``is_current=false``
+    partition and this union is metadata-only); current rows full-outer
+    join the snapshot on the key comparing md5 row-hashes, then each
+    joined row emits 0-2 output rows via one array+explode — a single
+    shuffle, no branch re-execution of the join. At 100 TB bucket both
+    the current partition and the snapshot by the key to make the join
+    zero-Exchange.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("scd2_merge requires key_cols and compare_cols")
+    out_cols = [*key_cols, *compare_cols, "valid_from", "valid_to", "is_current"]
+    ts = F.to_timestamp(F.lit(run_ts))
+
+    current = history.where(F.col("is_current"))
+    closed = history.where(~F.col("is_current")).select(*out_cols)
+
+    o = current.select(
+        *[F.col(c).alias(f"__o_{c}") for c in (*key_cols, *compare_cols)],
+        F.col("valid_from").alias("__o_valid_from"),
+        _row_hash([f"__o_{c}" for c in compare_cols]).alias("__h_old"),
+    )
+    n = snapshot.select(
+        *[F.col(c).alias(f"__n_{c}") for c in (*key_cols, *compare_cols)],
+        _row_hash(compare_cols).alias("__h_new"),
+    )
+    cond = [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in key_cols]
+    j = o.join(n, on=cond, how="full_outer")
+
+    def _row(side: str, valid_from: F.Column, valid_to, is_current: bool) -> F.Column:
+        return F.struct(
+            *[F.col(f"__{side}_{c}").alias(c) for c in (*key_cols, *compare_cols)],
+            valid_from.alias("valid_from"),
+            (F.lit(None).cast("timestamp") if valid_to is None else valid_to).alias(
+                "valid_to"
+            ),
+            F.lit(is_current).alias("is_current"),
+        )
+
+    added = F.col("__h_old").isNull()
+    removed = F.col("__h_new").isNull()
+    changed = ~added & ~removed & (F.col("__h_old") != F.col("__h_new"))
+    unchanged = ~added & ~removed & (F.col("__h_old") == F.col("__h_new"))
+
+    emitted = (
+        F.when(added, F.array(_row("n", ts, None, True)))
+        .when(unchanged, F.array(_row("o", F.col("__o_valid_from"), None, True)))
+        .when(removed, F.array(_row("o", F.col("__o_valid_from"), ts, False)))
+        .otherwise(  # changed: close old version + open new one
+            F.array(
+                _row("o", F.col("__o_valid_from"), ts, False),
+                _row("n", ts, None, True),
+            )
+        )
+    )
+    merged = j.select(F.explode(emitted).alias("r")).select("r.*")
+    return closed.unionByName(merged)

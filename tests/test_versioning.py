@@ -66,6 +66,70 @@ def test_snapshot_diff_null_vs_empty_distinct(spark):
     assert [r["status"] for r in diff.collect()] == ["changed"]
 
 
+def _history(spark):
+    return spark.createDataFrame(
+        [
+            # k=1: one closed v0 + open v1 (will be unchanged)
+            Row(k=1, v="a-v0", valid_from="2025-01-01", valid_to="2026-01-01",
+                is_current=False),
+            Row(k=1, v="a", valid_from="2026-01-01", valid_to=None,
+                is_current=True),
+            # k=2: open, will change
+            Row(k=2, v="b", valid_from="2026-01-01", valid_to=None,
+                is_current=True),
+            # k=3: open, will be removed
+            Row(k=3, v="c", valid_from="2026-01-01", valid_to=None,
+                is_current=True),
+        ],
+        schema="k bigint, v string, valid_from string, valid_to string, "
+        "is_current boolean",
+    ).selectExpr(
+        "k", "v", "cast(valid_from as timestamp) valid_from",
+        "cast(valid_to as timestamp) valid_to", "is_current"
+    )
+
+
+def test_scd2_merge(spark):
+    history = _history(spark)
+    snap = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")]
+    )
+    out = versioning.scd2_merge(
+        history, snap, ["k"], ["v"], run_ts="2026-02-01 00:00:00"
+    ).orderBy("k", "valid_from")
+    rows = [
+        (r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in out.collect()
+    ]
+    assert rows == [
+        (1, "a-v0", "2025-01-01 00:00:00", "2026-01-01 00:00:00", False),
+        (1, "a", "2026-01-01 00:00:00", "None", True),  # unchanged, stays open
+        (2, "b", "2026-01-01 00:00:00", "2026-02-01 00:00:00", False),  # closed
+        (2, "B", "2026-02-01 00:00:00", "None", True),  # new version
+        (3, "c", "2026-01-01 00:00:00", "2026-02-01 00:00:00", False),  # removed
+        (4, "d", "2026-02-01 00:00:00", "None", True),  # added
+    ]
+
+
+def test_scd2_merge_idempotent_when_snapshot_unchanged(spark):
+    """Re-merging the same snapshot must be a no-op on the history."""
+    history = _history(spark)
+    snap = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    once = versioning.scd2_merge(history, snap, ["k"], ["v"], "2026-02-01 00:00:00")
+    twice = versioning.scd2_merge(once, snap, ["k"], ["v"], "2026-03-01 00:00:00")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_single_join_plan(spark):
+    """The merge must be ONE join over the current partition — no branch
+    re-execution (the 3 output kinds come from one array+explode)."""
+    history = _history(spark)
+    snap = spark.createDataFrame([Row(k=2, v="B")])
+    out = versioning.scd2_merge(history, snap, ["k"], ["v"], "2026-02-01 00:00:00")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+
+
 def test_snapshot_diff_requires_cols(spark):
     old, new = _snapshots(spark)
     with pytest.raises(ValueError):
