@@ -1,0 +1,103 @@
+"""Record linkage: approximate string join on edit distance.
+
+The scale problem: ``levenshtein(a, b) <= d`` cannot be an equi-join
+key, and a cross join is O(n²). The classic fix is *blocking* —
+generate a small set of keys per string such that any pair within
+distance ``d`` shares at least one key, equi-join on the key, then
+verify candidates with the exact built-in ``levenshtein``.
+
+Blocking scheme: the symmetric-delete neighborhood (public SymSpell
+algorithm): every variant of a string with up to ``d`` characters
+deleted. Two strings within Levenshtein distance ``d`` always share a
+delete-variant (each edit is covered by deleting the edited position
+from one or both sides), so the candidate set has no false negatives;
+the exact verify removes false positives. Variant count is
+O(len^d / d!) per string (~70 for a 11-char string at d=2) — bounded
+explode, shuffles only (variant, id) pairs, never all-pairs.
+
+Everything is native Catalyst: delete variants via
+``sequence``/``transform``/``flatten`` higher-order functions, verify
+via the built-in ``levenshtein`` — no Python UDFs.
+
+Reference analog: none (north-star LLM-pipeline extension); public
+algorithm: SymSpell (Garbe), PassJoin family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def delete_variants(col: Column | str, max_distance: int) -> Column:
+    """Array of all strings obtained by deleting up to ``max_distance``
+    characters from ``col`` (the string itself included), distinct.
+
+    Built from nested higher-order functions — one projection, no UDF.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError("delete_variants supports max_distance 1 or 2")
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _del_one(s: Column) -> Column:
+        # all single-char deletions of s (empty array when s is '')
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, F.length(s)),
+            ),
+        )
+
+    d1 = _del_one(c)
+    variants = F.concat(F.array(c), d1)
+    if max_distance == 2:
+        d2 = F.flatten(F.transform(d1, _del_one))
+        variants = F.concat(variants, d2)
+    return F.array_distinct(variants)
+
+
+def _keyed_variants(
+    df: DataFrame, col: str, max_distance: int, side: str
+) -> DataFrame:
+    return df.select(
+        F.col(col).alias(f"name_{side}"),
+        F.explode(delete_variants(col, max_distance)).alias("__variant"),
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """All (left, right) string pairs within Levenshtein
+    ``max_distance``: delete-variant blocking → equi-join on the
+    variant → distinct candidate pair → exact ``levenshtein`` verify.
+
+    Output: ``name_a`` (left), ``name_b`` (right), ``distance``.
+    Inputs should be deduplicated on the join column (join distinct
+    values, then map back through the id table — cheaper than dragging
+    payloads through the blocking join).
+    """
+    lv = _keyed_variants(left.select(left_col).distinct(), left_col, max_distance, "a")
+    rv = _keyed_variants(
+        right.select(right_col).distinct(), right_col, max_distance, "b"
+    )
+    cand = lv.join(rv, "__variant").select("name_a", "name_b").distinct()
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= max_distance).select(
+        "name_a", "name_b", dist.cast("bigint").alias("distance")
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, col: str, max_distance: int = 2
+) -> DataFrame:
+    """Distinct unordered pairs of ``col`` values within Levenshtein
+    ``max_distance`` (self-linkage, ``name_a < name_b``)."""
+    return fuzzy_join(df, df, col, col, max_distance).where(
+        F.col("name_a") < F.col("name_b")
+    )

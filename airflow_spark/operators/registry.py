@@ -16,6 +16,8 @@ from ..catalog import load_tables
 from . import (
     curation,
     dedup,
+    linkage,
+    profile,
     relational,
     sampling,
     similarity,
@@ -602,6 +604,42 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join-reduced fact⋈dim: orders pruned by a broadcast of the
+    filtered customers' keys before the payload join (the explicit form
+    of runtime bloom-filter pruning — exact, and the fact-side shuffle
+    carries only survivors)."""
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.where(F.col("c_acctbal") > 9000).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    out = relational.reduced_join(t.orders, dim, on=["o_custkey"])
+    return (
+        out.select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+def op_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-linkage over distinct part names: SymSpell
+    delete-variant blocking + exact levenshtein verify, no cross join."""
+    t = load_tables(spark, sf_dir)
+    names = t.part.select(F.col("p_name").alias("name"))
+    return linkage.fuzzy_self_pairs(names, "name", max_distance=2).orderBy(
+        "name_a", "name_b"
+    )
+
+
+def op_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (nulls / distincts / extrema) of orders."""
+    t = load_tables(spark, sf_dir)
+    return profile.profile_columns(
+        t.orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+    ).orderBy("col_name")
+
+
 def op_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 merge of a document snapshot into a versioned history:
     history = open rows for docs%7!=0 (every 5th text upper-cased, so it
@@ -708,6 +746,9 @@ OPERATOR_QUERIES = {
     "op_segment_dedup": op_segment_dedup,
     "op_snapshot_diff": op_snapshot_diff,
     "op_scd2_merge": op_scd2_merge,
+    "op_reduced_join": op_reduced_join,
+    "op_fuzzy_join": op_fuzzy_join,
+    "op_profile": op_profile,
 }
 
 # ---------------------------------------------------------------------------
@@ -1397,6 +1438,51 @@ WITH old AS (
   FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
 )
 SELECT doc_id, status FROM d WHERE status <> 'unchanged' ORDER BY doc_id
+""",
+    "op_reduced_join": """
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+ORDER BY o.o_orderkey LIMIT 200
+""",
+    "op_fuzzy_join": """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+""",
+    "op_profile": """
+WITH cols(col_name) AS (VALUES ('o_custkey'), ('o_orderdate'),
+                             ('o_orderkey'), ('o_orderstatus'))
+SELECT c.col_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       CASE c.col_name
+         WHEN 'o_orderkey'    THEN (SELECT CAST(count(*) - count(o_orderkey) AS BIGINT) FROM orders)
+         WHEN 'o_custkey'     THEN (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders)
+         WHEN 'o_orderstatus' THEN (SELECT CAST(count(*) - count(o_orderstatus) AS BIGINT) FROM orders)
+         WHEN 'o_orderdate'   THEN (SELECT CAST(count(*) - count(o_orderdate) AS BIGINT) FROM orders)
+       END AS n_nulls,
+       CASE c.col_name
+         WHEN 'o_orderkey'    THEN (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+         WHEN 'o_custkey'     THEN (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         WHEN 'o_orderstatus' THEN (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
+         WHEN 'o_orderdate'   THEN (SELECT CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders)
+       END AS n_distinct,
+       CASE c.col_name
+         WHEN 'o_orderkey'    THEN (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders)
+         WHEN 'o_custkey'     THEN (SELECT CAST(min(o_custkey) AS VARCHAR) FROM orders)
+         WHEN 'o_orderstatus' THEN (SELECT min(o_orderstatus) FROM orders)
+         WHEN 'o_orderdate'   THEN (SELECT CAST(min(o_orderdate) AS VARCHAR) FROM orders)
+       END AS min_val,
+       CASE c.col_name
+         WHEN 'o_orderkey'    THEN (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders)
+         WHEN 'o_custkey'     THEN (SELECT CAST(max(o_custkey) AS VARCHAR) FROM orders)
+         WHEN 'o_orderstatus' THEN (SELECT max(o_orderstatus) FROM orders)
+         WHEN 'o_orderdate'   THEN (SELECT CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+       END AS max_val
+FROM cols c ORDER BY c.col_name
 """,
     "op_scd2_merge": """
 WITH hist_open AS (

@@ -118,6 +118,38 @@ def _unit(bucket: str) -> str:
     return parts[1].rstrip("s")
 
 
+def reduced_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Semi-join reduction: prune the big side by a BROADCAST of the
+    small side's distinct join keys before the shuffle join.
+
+    The classic distributed-join optimization for the case where the
+    small side is too WIDE to broadcast whole (large payload columns)
+    but its distinct key set is narrow: ship only the keys, drop the
+    big side's non-matching rows scan-side, and shuffle only survivors
+    into the real join. At 100 TB with a selective dim filter this cuts
+    the fact-side shuffle by the dim's selectivity — the same effect
+    Spark's runtime bloom filter targets, but exact and explicit.
+
+    Only ``how='inner'`` (and ``'left_semi'``) preserve semantics under
+    pruning — outer joins must keep unmatched big-side rows, so they
+    are rejected.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"reduced_join preserves semantics only for inner/left_semi, got {how!r}"
+        )
+    keys = small.select(*on).distinct()
+    pruned = big.join(F.broadcast(keys), on=on, how="left_semi")
+    if how == "left_semi":
+        return pruned
+    return pruned.join(small, on=on, how="inner")
+
+
 def running_total(
     df: DataFrame,
     key: str,
