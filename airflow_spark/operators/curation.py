@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_ws, word_shingles
+from ..functions.text import token_count_ws, tokens_ws, word_shingles
 
 
 def repetition_signals(
@@ -318,6 +318,107 @@ def tfidf_keyword_search(
         .agg(F.round(F.sum("w"), 4).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def bm25_keyword_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 for a bag of query terms — the
+    length-normalized upgrade of ``tfidf_keyword_search`` (long docs no
+    longer win on raw term counts).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene-style non-negative idf(t) = ln(1 + (N − df + 0.5) /
+    (df + 0.5)); dl = whitespace token count of d, avgdl its corpus
+    mean.
+
+    One pass, same shape as TF-IDF: doc length is computed in the SAME
+    projection as the token explode (carried through the tf aggregate —
+    no second scan, no N-row join), N/avgdl are a 1-row broadcast, df(t)
+    is |terms| rows broadcast back.
+    """
+    terms = [t.lower() for t in query_terms]
+    lowered = F.lower(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        token_count_ws(lowered).alias("dl"),
+        F.explode(tokens_ws(lowered)).alias("tok"),
+    ).where(F.col("tok").isin(terms))
+    stats = F.broadcast(
+        df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(token_count_ws(lowered)).alias("__avgdl"),
+        )
+    )
+    tf = toks.groupBy("id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(stats)
+        .withColumn("w", idf * F.col("tf") * F.lit(k1 + 1.0) / norm)
+        .groupBy("id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Bucket rows by exact quantile boundaries of ``value_col`` and
+    return per-bucket (count, min, max) — feature binning / histogram
+    equalization for training-data balance audits.
+
+    The boundaries come from ONE exact ``percentile`` aggregate
+    (distributed sort-agg), broadcast as a single row; bucket
+    assignment is then a pure projection (count of boundaries below the
+    value) — no global window, no single-partition sort. At extreme
+    scale swap ``percentile`` for ``percentile_approx`` (same plan
+    shape, mergeable sketch).
+    """
+    probs = probs or [0.25, 0.5, 0.75]
+    bounds = F.broadcast(
+        df.agg(
+            F.expr(
+                "percentile({}, array({}))".format(
+                    value_col, ", ".join(map(repr, probs))
+                )
+            ).alias("__bounds")
+        )
+    )
+    v = F.col(value_col)
+    bucket = (
+        (F.size(F.filter(F.col("__bounds"), lambda bnd: v > bnd)) + 1)
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return (
+        df.crossJoin(bounds)
+        .select(bucket, v.alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("__v"), 2).alias("lo"),
+            F.round(F.max("__v"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def duplicated_passages(

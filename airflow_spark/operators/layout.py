@@ -1,0 +1,78 @@
+"""Physical-layout operators: multi-dimensional (Z-order) clustering.
+
+A 100 TB table is usually range-partitioned/sorted on ONE key, so
+filters on a second column prune nothing. Z-ordering interleaves the
+bits of several normalized key columns into one scalar and
+range-sorts on it, so rows close in ANY of the dimensions land in the
+same files — parquet min/max stats then prune scans for filters on
+every participating column (the public Delta/Iceberg `OPTIMIZE ZORDER
+BY` technique, re-expressed as native Spark exprs).
+
+``zorder_value`` is a pure codegen projection (shift/mask/or bit
+arithmetic, no UDF); ``write_zordered`` = repartitionByRange +
+sortWithinPartitions on that scalar — one range shuffle, the same
+cost as any global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: Sequence[Column | str], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of each (already
+    integer-normalized) column into one Z-value scalar.
+
+    Callers map raw values into ``[0, 2**bits)`` first — e.g.
+    ``pmod(hash(c), 2**bits)`` for categoricals or a width-bucket for
+    numerics; this function only interleaves. With ``d`` columns the
+    result uses ``d * bits`` bits (≤ 63 enforced).
+    """
+    ncols = len(cols)
+    if ncols < 2:
+        raise ValueError("zorder_value needs at least 2 columns")
+    if ncols * bits > 63:
+        raise ValueError(f"{ncols} cols × {bits} bits exceeds a signed long")
+    parts = []
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            # bit i of column j → output bit (i * ncols + j)
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * ncols + j
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-value of ``cols``
+    (columns must already be integer-normalized to ``[0, 2**bits)``).
+
+    Range-partitioning on the Z-value balances files by data volume;
+    the within-partition sort gives each file a tight min/max envelope
+    on every participating column.
+    """
+    z = zorder_value(list(cols), bits).alias("__z")
+    out = df.withColumn("__z", z)
+    shaped = (
+        out.repartitionByRange(num_files, "__z")
+        if num_files
+        else out.repartitionByRange("__z")
+    )
+    shaped.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -16,6 +16,7 @@ from ..catalog import load_tables
 from . import (
     curation,
     dedup,
+    layout,
     linkage,
     profile,
     relational,
@@ -604,6 +605,36 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over documents for the standard term set
+    (length-normalized ranking; same one-pass shape as TF-IDF)."""
+    t = load_tables(spark, sf_dir)
+    return curation.bm25_keyword_search(t.documents, _SEARCH_TERMS, k=20)
+
+
+def op_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quartile binning of order totals: one percentile agg
+    broadcast as boundaries, bucket assignment as a projection."""
+    t = load_tables(spark, sf_dir)
+    return curation.quantile_bins(t.orders, "o_totalprice")
+
+
+def op_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-value computation over (custkey, orderkey) low bits — attests
+    the bit-interleave math behind ``layout.write_zordered``."""
+    t = load_tables(spark, sf_dir)
+    x = F.col("o_custkey") % 16
+    y = F.col("o_orderkey") % 16
+    return (
+        t.orders.select(
+            "o_orderkey",
+            layout.zorder_value([x, y], bits=4).cast("bigint").alias("zval"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
 def op_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join-reduced fact⋈dim: orders pruned by a broadcast of the
     filtered customers' keys before the payload join (the explicit form
@@ -749,6 +780,9 @@ OPERATOR_QUERIES = {
     "op_reduced_join": op_reduced_join,
     "op_fuzzy_join": op_fuzzy_join,
     "op_profile": op_profile,
+    "op_bm25_search": op_bm25_search,
+    "op_quantile_bins": op_quantile_bins,
+    "op_zorder": op_zorder,
 }
 
 # ---------------------------------------------------------------------------
@@ -1407,7 +1441,57 @@ ORDER BY id LIMIT 200
 """
 
 
+def _sql_bm25(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH dl AS (SELECT doc_id AS id, CAST(len({toks}) AS BIGINT) AS dl
+            FROM documents),
+tok AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+f0 AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+       WHERE tok IN ({terms}) GROUP BY id, tok),
+d AS (SELECT tok, CAST(count(DISTINCT id) AS BIGINT) AS df
+      FROM f0 GROUP BY tok),
+s0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              avg(CAST(len({toks}) AS BIGINT)) AS avgdl FROM documents),
+s AS (SELECT f0.id,
+       round(sum( ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * {k1 + 1.0!r}
+                  / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)) ),
+             4) AS score
+      FROM f0 JOIN d USING (tok) JOIN dl ON f0.id = dl.id, s0
+      GROUP BY f0.id)
+SELECT id, score FROM s ORDER BY score DESC, id LIMIT {k}
+"""
+
+
+def _sql_zorder(bits: int = 4) -> str:
+    parts = []
+    for j, expr in enumerate(["o_custkey % 16", "o_orderkey % 16"]):
+        for i in range(bits):
+            parts.append(f"(((({expr}) >> {i}) & 1) << {i * 2 + j})")
+    z = " | ".join(parts)
+    return f"""
+SELECT o_orderkey, CAST({z} AS BIGINT) AS zval
+FROM orders ORDER BY o_orderkey LIMIT 200
+"""
+
+
 OPERATOR_ORACLE_SQL = {
+    "op_bm25_search": _sql_bm25(k=20),
+    "op_zorder": _sql_zorder(bits=4),
+    "op_quantile_bins": """
+WITH b AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS bs
+           FROM orders),
+a AS (SELECT CAST(1 + CASE WHEN o_totalprice > bs[1] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice > bs[2] THEN 1 ELSE 0 END
+                    + CASE WHEN o_totalprice > bs[3] THEN 1 ELSE 0 END
+                 AS BIGINT) AS bucket,
+             o_totalprice AS v
+      FROM orders, b)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+FROM a GROUP BY bucket ORDER BY bucket
+""",
     "op_sessionize": _sql_sessionize(),
     "op_repetition": _sql_repetition(),
     "op_decontaminate": _sql_decontaminate(),
