@@ -508,6 +508,21 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (PPJoin-style) exact Jaccard pairs ≥ 0.8 — same
+    answer as ``op_dedup_ngram_jaccard`` with a ~5× smaller inverted
+    index (only rarest-first prefixes are indexed); attested against
+    the identical all-pairs SQL oracle."""
+    t = load_tables(spark, sf_dir)
+    return (
+        dedup.ngram_jaccard_pairs_prefix(
+            t.documents, threshold=0.8, mode="word", shingle_k=3
+        )
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs ≥ 0.6 (word 3-grams): subset
     duplication — short docs embedded in longer ones — that the
@@ -603,6 +618,61 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioning.snapshot_diff(
         old, new, key_cols=["doc_id"], compare_cols=["text", "n_chars"]
     ).orderBy("doc_id")
+
+
+def op_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window breadth: ntile / percent_rank / cume_dist /
+    nth_value per nation over customer balances (single Window node;
+    deterministic unique ordering)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        t.customer.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.nth_value("c_custkey", 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("second_poorest"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+def op_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function breadth over embeddings: fold
+    (aggregate), zip_with, filter-count, slice — the building blocks
+    the vector ops compose, attested directly."""
+    t = load_tables(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        t.embeddings.select(
+            "vec_id",
+            F.round(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4
+            ).alias("v_sum"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, v, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("v_dot_self"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            F.round(
+                F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x),
+                4,
+            ).alias("head8_sum"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
 
 
 def op_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,6 +827,7 @@ OPERATOR_QUERIES = {
     "op_similarity_ivf": op_similarity_ivf,
     "op_dedup_simhash": op_dedup_simhash,
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
+    "op_dedup_jaccard_prefix": op_dedup_jaccard_prefix,
     "op_dedup_containment": op_dedup_containment,
     "op_dedup_minhash": op_dedup_minhash,
     "op_sessionize": op_sessionize,
@@ -783,6 +854,8 @@ OPERATOR_QUERIES = {
     "op_bm25_search": op_bm25_search,
     "op_quantile_bins": op_quantile_bins,
     "op_zorder": op_zorder,
+    "op_window_funcs": op_window_funcs,
+    "op_array_funcs": op_array_funcs,
 }
 
 # ---------------------------------------------------------------------------
@@ -1477,6 +1550,29 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_window_funcs": """
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume,
+       nth_value(c_custkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS second_poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey LIMIT 200
+""",
+    "op_array_funcs": """
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings)
+SELECT vec_id,
+       round(list_sum(dv), 4) AS v_sum,
+       round(list_sum(list_transform(dv, x -> x * x)), 4) AS v_dot_self,
+       CAST(len(list_filter(dv, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_sum(dv[1:8]), 4) AS head8_sum
+FROM v ORDER BY vec_id LIMIT 200
+""",
     "op_bm25_search": _sql_bm25(k=20),
     "op_zorder": _sql_zorder(bits=4),
     "op_quantile_bins": """
@@ -1719,6 +1815,7 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_quality_score": _sql_quality_score(),
     "op_dedup_minhash": _sql_dedup_minhash(),
     "op_dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
+    "op_dedup_jaccard_prefix": _sql_dedup_ngram_jaccard(),
     "op_dedup_containment": _sql_dedup_containment(threshold=0.6, k=300),
     "op_dedup_simhash": _sql_dedup_simhash(num_bits=60, max_hamming=3),
     "op_similarity_topk": _sql_similarity_topk(),

@@ -54,6 +54,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
+        # queries are independent: drop any caches an operator
+        # persisted (the dedup inverted indexes) so later queries
+        # aren't taxed by accumulated executor-memory pressure
+        spark.catalog.clearCache()
     # reference-DAG parity pipelines at fixture scale (BASELINE.md:
     # each must complete far under the reference's 60 s DagRun budget)
     pipeline_timings = _bench_pipelines(spark)

@@ -49,6 +49,8 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             results[name] = f"ERROR:{type(ex).__name__}"
             failures.append((name, str(ex)[:200]))
+        finally:
+            spark.catalog.clearCache()  # drop per-op persisted indexes
     print(json.dumps({
         "sf_dir": sf_dir,
         "elapsed_s": round(time.time() - t0, 1),

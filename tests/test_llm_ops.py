@@ -89,6 +89,34 @@ def test_ngram_jaccard_exact_values(docs):
     assert (0, 2) in rows and 0.5 <= rows[(0, 2)] < 1.0
 
 
+def test_ngram_jaccard_prefix_equals_full_index(spark, sf_smoke):
+    """Prefix filtering (PPJoin) must return exactly the pairs the
+    full-index join returns — smaller index, identical answer."""
+    from airflow_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_smoke).documents
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 4)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, mode="word", shingle_k=3, df_cap=10**9
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 4)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, threshold=0.8, mode="word", shingle_k=3
+        ).collect()
+    }
+    assert pref == full and len(pref) > 0
+
+
+def test_ngram_jaccard_prefix_exact_values(docs):
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.5, shingle_k=5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert rows.get((0, 1)) == 1.0
+    assert (0, 2) in rows and 0.5 <= rows[(0, 2)] < 1.0
+
+
 def test_containment_catches_embedded_doc_jaccard_misses(spark):
     short = "the quick brown fox jumps over the lazy dog tonight"
     long = (
