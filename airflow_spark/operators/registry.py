@@ -620,6 +620,41 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_normalize_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score of customer balances — the expression form of
+    the grouped-custom-logic pattern (window mean/std, no Python)."""
+    from . import grouped
+
+    t = load_tables(spark, sf_dir)
+    return (
+        grouped.normalize_per_key(
+            t.customer.select("c_custkey", "c_nationkey", "c_acctbal"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+        .select("c_custkey", "c_nationkey", F.round("z", 4).alias("z"))
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+def op_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status exact quantiles of order totals (single grouped
+    percentile agg — per-key custom stats without applyInPandas)."""
+    from . import grouped
+
+    t = load_tables(spark, sf_dir)
+    q = grouped.grouped_quantiles(
+        t.orders, "o_orderstatus", "o_totalprice", probs=[0.5, 0.95, 0.99]
+    )
+    return q.select(
+        "o_orderstatus",
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+    ).orderBy("o_orderstatus")
+
+
 def op_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window breadth: ntile / percent_rank / cume_dist /
     nth_value per nation over customer balances (single Window node;
@@ -856,6 +891,8 @@ OPERATOR_QUERIES = {
     "op_zorder": op_zorder,
     "op_window_funcs": op_window_funcs,
     "op_array_funcs": op_array_funcs,
+    "op_normalize_per_key": op_normalize_per_key,
+    "op_grouped_quantiles": op_grouped_quantiles,
 }
 
 # ---------------------------------------------------------------------------
@@ -1550,6 +1587,23 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_normalize_per_key": """
+WITH s AS (SELECT c_nationkey,
+                  avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+           FROM customer GROUP BY c_nationkey)
+SELECT c_custkey, c.c_nationkey,
+       round(CASE WHEN sd > 0 THEN (c_acctbal - mu) / sd ELSE 0.0 END,
+             4) AS z
+FROM customer c JOIN s ON c.c_nationkey = s.c_nationkey
+ORDER BY c_custkey LIMIT 200
+""",
+    "op_grouped_quantiles": """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
     "op_window_funcs": """
 SELECT c_custkey, c_nationkey,
        ntile(4) OVER w AS quartile,
