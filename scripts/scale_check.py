@@ -78,6 +78,13 @@ def _ops():
         "op_kmeans_cluster",
         "op_embedding_neardup",
         "op_similarity_ann",
+        "op_dedup_jaccard_prefix",
+        "op_dedup_containment",
+        "op_dup_passages",
+        "op_segment_dedup",
+        "op_bm25_search",
+        "op_snapshot_diff",
+        "op_scd2_merge",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 

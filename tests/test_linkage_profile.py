@@ -82,6 +82,31 @@ def test_fuzzy_join_no_cartesian_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=8),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_fuzzy_self_pairs_property(spark, words):
+    """Delete-variant blocking finds EXACTLY the brute-force pair set on
+    adversarial near-collision strings (tiny alphabet, empties, spaces)."""
+    df = spark.createDataFrame([Row(name=w) for w in words],
+                               schema="name string")
+    got = sorted(
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in linkage.fuzzy_self_pairs(df, "name", max_distance=2).collect()
+    )
+    assert got == _brute_pairs(words, 2)
+
+
 # ---------------------------------------------------------- reduced_join
 
 def test_reduced_join_equals_plain_inner(spark, sf_smoke):
