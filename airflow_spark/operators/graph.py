@@ -1,0 +1,128 @@
+"""Iterative graph operators: PageRank and connected components.
+
+Spark has no built-in iterative-graph operator; the idiomatic shape is
+a bounded loop of join+aggregate rounds over an edge DataFrame, with
+each round's result persisted so lineage stays linear (and, at real
+scale, checkpointed every ~10 rounds to truncate the plan). Both
+operators here follow that shape — no driver-side collects, no Python
+row work; each round is one shuffle keyed by node id.
+
+At 100 TB: pre-partition ``edges`` by ``src`` (bucketed write) and the
+per-round join inherits the partitioning — rounds become zero-Exchange
+on the edge side, shuffling only the (node, rank/label) frame.
+
+Public algorithms: PageRank (Brin/Page), label-propagation connected
+components (the min-label hashmin variant used by e.g. GraphFrames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (make edges
+    symmetric for undirected graphs — that also removes dangling-node
+    mass loss, since every node then has out-degree ≥ 1).
+
+    Returns (node, rank) after ``iters`` rounds from a uniform start.
+    Simplified update (no dangling redistribution):
+    ``r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u)``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = nodes.crossJoin(n).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(n)
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+    return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Min-label propagation (hashmin): every node's label converges to
+    the smallest node id in its component. Returns (node, component).
+
+    Rounds needed = graph diameter; raises if ``max_iters`` rounds do
+    not reach a fixpoint (silent partial labels would be wrong answers
+    — same contract as ``dedup.dedup_clusters``).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    for _ in range(max_iters):
+        # each node adopts min(own label, neighbors' labels)
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("__m"))
+            .withColumnRenamed("a", "node")
+        )
+        new = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__m"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters)"
+    )

@@ -16,6 +16,7 @@ from ..catalog import load_tables
 from . import (
     curation,
     dedup,
+    graph,
     layout,
     linkage,
     profile,
@@ -620,6 +621,54 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round PageRank over the (symmetric) customer↔supplier graph
+    induced by orders⋈lineitem — the iterative-loop-of-joins shape,
+    hash-attested against an unrolled SQL twin. Node ids: customer →
+    2·custkey, supplier → 2·suppkey+1."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        graph.pagerank(edges, iters=3)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+        .limit(200)
+    )
+
+
+def op_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label connected components over PATH graphs (consecutive-id
+    chains within each exact-duplicate text group) — transitivity is
+    exercised hop by hop Spark-side; the oracle labels each member
+    with its group min directly."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    chain = (
+        t.documents.select(
+            "text",
+            F.col("doc_id").alias("dst"),
+            F.lag("doc_id").over(w).alias("src"),
+        )
+        .where(F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+    return graph.connected_components(chain).orderBy("node")
+
+
 def op_normalize_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation z-score of customer balances — the expression form of
     the grouped-custom-logic pattern (window mean/std, no Python)."""
@@ -893,6 +942,8 @@ OPERATOR_QUERIES = {
     "op_array_funcs": op_array_funcs,
     "op_normalize_per_key": op_normalize_per_key,
     "op_grouped_quantiles": op_grouped_quantiles,
+    "op_pagerank": op_pagerank,
+    "op_connected_components": op_connected_components,
 }
 
 # ---------------------------------------------------------------------------
@@ -1551,6 +1602,33 @@ ORDER BY id LIMIT 200
 """
 
 
+def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled power-iteration twin of graph.pagerank (recursive CTEs
+    cannot aggregate in the recursive term, so each round is its own
+    CTE — generated, not hand-written)."""
+    sql = """
+WITH pairs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0/n AS rank FROM nodes, nn),
+"""
+    for i in range(iters):
+        sql += f"""c{i} AS (SELECT e.dst AS node, sum(r.rank/od.deg) AS c
+  FROM edges e JOIN r{i} r ON e.src = r.node
+  JOIN outdeg od ON od.src = e.src GROUP BY e.dst),
+r{i + 1} AS (SELECT nodes.node, (1-{d!r})/n + {d!r}*coalesce(c.c, 0.0) AS rank
+  FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node, nn),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node LIMIT 200
+"""
+    return sql
+
+
 def _sql_bm25(k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
     terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
     toks = _SQL_TOKS_OF.format(t="text")
@@ -1587,6 +1665,15 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_pagerank": _sql_pagerank(iters=3),
+    "op_connected_components": """
+WITH g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS component,
+                  count(*) AS n
+           FROM documents GROUP BY text)
+SELECT doc_id AS node, component
+FROM documents JOIN g USING (text)
+WHERE n >= 2 ORDER BY node
+""",
     "op_normalize_per_key": """
 WITH s AS (SELECT c_nationkey,
                   avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd

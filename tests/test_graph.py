@@ -1,0 +1,66 @@
+"""Tests for iterative graph operators (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from airflow_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs], schema="src bigint, dst bigint"
+    )
+
+
+def test_pagerank_star_graph(spark):
+    # undirected star 0-1, 0-2, 0-3: hub must outrank leaves; ranks sum ~1
+    pairs = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edges(spark, pairs), iters=10).collect()
+    }
+    assert ranks[0] > ranks[1] == pytest.approx(ranks[2])
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 1), (1, 0)]  # symmetric triangle-ish
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edges(spark, pairs), iters=4).collect()
+    }
+    # replicate: uniform start, r' = 0.15/3 + 0.85 * M r
+    nodes = [0, 1, 2]
+    out = {0: 2, 1: 2, 2: 2}
+    r = {v: 1 / 3 for v in nodes}
+    for _ in range(4):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in pairs:
+            contrib[b] += r[a] / out[a]
+        r = {v: 0.15 / 3 + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_connected_components_path_and_isolated_pair(spark):
+    # path 1-2-3-4 (diameter 3) + separate pair 10-11
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    labels = {
+        r["node"]: r["component"]
+        for r in graph.connected_components(_edges(spark, pairs)).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    pairs = [(i, i + 1) for i in range(1, 6)]  # path of diameter 5
+    with pytest.raises(RuntimeError):
+        graph.connected_components(_edges(spark, pairs), max_iters=2)
+
+
+def test_connected_components_empty_edges(spark):
+    assert graph.connected_components(_edges(spark, [])).count() == 0
