@@ -205,3 +205,63 @@ def test_distribution_drift_single_wide_shuffle(spark, sf):
     a = audit_plan(op_distribution_drift(spark, sf), execute=True)
     assert a["partial_agg"], a["plan"]
     assert a["n_broadcast_joins"] >= 1, a["plan"]
+
+
+def test_bm25_no_cartesian_stats_broadcast(spark, sf):
+    from airflow_spark.operators.registry import op_bm25_search
+
+    a = audit_plan(op_bm25_search(spark, sf))
+    assert not a["has_cartesian"], a["plan"]
+    # N/avgdl single-row stats and df(t) both arrive via broadcast
+    assert a["n_broadcast_joins"] >= 1 or "BroadcastNestedLoopJoin" in a["plan"]
+    assert a["partial_agg"]
+
+
+def test_quantile_bins_no_global_window(spark, sf):
+    from airflow_spark.operators.registry import op_quantile_bins
+
+    a = audit_plan(op_quantile_bins(spark, sf))
+    # bucket assignment must be a projection against broadcast bounds —
+    # a global ntile-style Window over a single partition would show up
+    # as "Window" + Exchange SinglePartition
+    assert "Window" not in a["plan"], a["plan"]
+    assert a["partial_agg"]
+
+
+def test_zorder_is_projection_only(spark, sf):
+    from airflow_spark.operators.registry import op_zorder
+
+    a = audit_plan(op_zorder(spark, sf))
+    assert a["n_shuffles"] == 0, a["plan"]  # top-k over a pure projection
+    assert a["top_k"]
+
+
+def test_scd2_single_join_no_reexecution(spark, sf):
+    from airflow_spark.operators.registry import op_scd2_merge
+
+    # union branches must NOT re-run the join (formatted physical plans
+    # print every node twice — tree + details — so count in the
+    # optimized logical plan)
+    plan = (
+        op_scd2_merge(spark, sf)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Join") == 1, plan
+
+
+def test_fuzzy_join_no_cartesian(spark, sf):
+    from airflow_spark.operators.registry import op_fuzzy_join
+
+    a = audit_plan(op_fuzzy_join(spark, sf))
+    assert not a["has_cartesian"] and not a["has_bnl_join"], a["plan"]
+
+
+def test_profile_single_aggregate_pass(spark, sf):
+    from airflow_spark.operators.registry import op_profile
+
+    a = audit_plan(op_profile(spark, sf))
+    # one scan of orders: the wide agg + unpivot must not rescan per column
+    import re
+
+    n_scans = len(re.findall(r"(?:FileScan|\(\d+\) Scan) parquet", a["plan"]))
+    assert n_scans == 1, a["plan"]
