@@ -621,6 +621,32 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: history = open rows for docs%7!=0 (every 5th
+    text upper-cased); the change feed carries only docs%3==0 —
+    upserts, except docs%9==0 which are tombstones. Keys outside the
+    feed stay untouched (the partial-feed contract scd2_merge lacks)."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    history = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", (F.col("doc_id") % 9 == 0).alias("is_del")
+    )
+    out = versioning.scd2_apply_changes(
+        history, changes, ["doc_id"], ["text"],
+        "2026-02-01 00:00:00", delete_col="is_del",
+    )
+    return out.orderBy("doc_id", "valid_from", "is_current")
+
+
 def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round PageRank over the (symmetric) customer↔supplier graph
     induced by orders⋈lineitem — the iterative-loop-of-joins shape,
@@ -944,6 +970,7 @@ OPERATOR_QUERIES = {
     "op_grouped_quantiles": op_grouped_quantiles,
     "op_pagerank": op_pagerank,
     "op_connected_components": op_connected_components,
+    "op_scd2_apply_changes": op_scd2_apply_changes,
 }
 
 # ---------------------------------------------------------------------------
@@ -1665,6 +1692,38 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_scd2_apply_changes": """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+         TIMESTAMP '2026-01-01 00:00:00' AS vf
+  FROM documents WHERE doc_id % 7 <> 0
+), f AS (
+  SELECT doc_id, text, (doc_id % 9 = 0) AS is_del
+  FROM documents WHERE doc_id % 3 = 0
+), j AS (
+  SELECT coalesce(h.doc_id, f.doc_id) AS id, h.doc_id AS h_id,
+         h.text AS h_text, h.vf, f.doc_id AS f_id, f.text AS f_text,
+         f.is_del
+  FROM h FULL JOIN f ON h.doc_id = f.doc_id
+), m AS (
+  SELECT id AS doc_id, h_text AS text, vf AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM j WHERE h_id IS NOT NULL AND (f_id IS NULL
+        OR (NOT is_del AND h_text IS NOT DISTINCT FROM f_text))
+  UNION ALL
+  SELECT id, h_text, vf, TIMESTAMP '2026-02-01 00:00:00', FALSE
+  FROM j WHERE h_id IS NOT NULL AND f_id IS NOT NULL
+        AND (is_del OR h_text IS DISTINCT FROM f_text)
+  UNION ALL
+  SELECT id, f_text, TIMESTAMP '2026-02-01 00:00:00',
+         CAST(NULL AS TIMESTAMP), TRUE
+  FROM j WHERE f_id IS NOT NULL AND NOT is_del
+        AND (h_id IS NULL OR h_text IS DISTINCT FROM f_text)
+)
+SELECT doc_id, text, valid_from, valid_to, is_current
+FROM m ORDER BY doc_id, valid_from, is_current
+""",
     "op_pagerank": _sql_pagerank(iters=3),
     "op_connected_components": """
 WITH g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS component,

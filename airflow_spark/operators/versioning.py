@@ -85,6 +85,79 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     )
 
 
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    run_ts: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC variant of :func:`scd2_merge`: fold a PARTIAL change feed
+    (upserts, optionally tombstones) into the history. Keys absent from
+    ``changes`` are untouched — unlike ``scd2_merge``, absence does NOT
+    mean deletion; deletes arrive explicitly as rows with
+    ``delete_col = true`` (the public "apply changes into" contract).
+
+    ``changes`` must carry one row per key (latest-wins dedup is the
+    caller's job — e.g. a window max over an event-sequence column).
+    Same single-join array+explode execution shape as ``scd2_merge``.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("scd2_apply_changes requires key_cols and compare_cols")
+    out_cols = [*key_cols, *compare_cols, "valid_from", "valid_to", "is_current"]
+    ts = F.to_timestamp(F.lit(run_ts))
+
+    current = history.where(F.col("is_current"))
+    closed = history.where(~F.col("is_current")).select(*out_cols)
+
+    o = current.select(
+        *[F.col(c).alias(f"__o_{c}") for c in (*key_cols, *compare_cols)],
+        F.col("valid_from").alias("__o_valid_from"),
+        _row_hash([f"__o_{c}" for c in compare_cols]).alias("__h_old"),
+    )
+    n_cols = [
+        *[F.col(c).alias(f"__n_{c}") for c in (*key_cols, *compare_cols)],
+        _row_hash(compare_cols).alias("__h_new"),
+        (
+            F.col(delete_col) if delete_col else F.lit(False)
+        ).alias("__del"),
+    ]
+    n = changes.select(*n_cols)
+    cond = [o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"]) for k in key_cols]
+    j = o.join(n, on=cond, how="full_outer")
+
+    def _row(side: str, valid_from: F.Column, valid_to, is_current: bool) -> F.Column:
+        return F.struct(
+            *[F.col(f"__{side}_{c}").alias(c) for c in (*key_cols, *compare_cols)],
+            valid_from.alias("valid_from"),
+            (F.lit(None).cast("timestamp") if valid_to is None else valid_to).alias(
+                "valid_to"
+            ),
+            F.lit(is_current).alias("is_current"),
+        )
+
+    no_change = F.col("__h_new").isNull()  # key untouched by this feed
+    added = F.col("__h_old").isNull()
+    delete = F.coalesce(F.col("__del"), F.lit(False))
+    same = ~no_change & ~added & (F.col("__h_old") == F.col("__h_new"))
+
+    open_old = _row("o", F.col("__o_valid_from"), None, True)
+    close_old = _row("o", F.col("__o_valid_from"), ts, False)
+    open_new = _row("n", ts, None, True)
+    empty = F.slice(F.array(open_new), 1, 0)  # typed empty array
+    emitted = (
+        F.when(no_change, F.array(open_old))
+        .when(added & delete, empty)  # delete of an unknown key: no-op
+        .when(added, F.array(open_new))
+        .when(delete, F.array(close_old))
+        .when(same, F.array(open_old))
+        .otherwise(F.array(close_old, open_new))
+    )
+    merged = j.select(F.explode(emitted).alias("r")).select("r.*")
+    return closed.unionByName(merged)
+
+
 def scd2_merge(
     history: DataFrame,
     snapshot: DataFrame,
