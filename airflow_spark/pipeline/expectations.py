@@ -44,6 +44,42 @@ def expect_that(df: DataFrame, predicate: Column, message: str) -> None:
     expect_empty(df.where(~predicate), message)
 
 
+def observed_write(
+    df: DataFrame,
+    checks: dict[str, "Column"],
+    writer,
+    message: str = "observed expectation failed",
+) -> dict:
+    """Zero-extra-pass validation: attach ``Observation`` metrics to
+    ``df``, run the caller's action via ``writer(observed_df)`` (a
+    write, collect, count — any single action), then assert every
+    metric named ``expect_zero_*`` came back 0.
+
+    The separate-job expectations above re-scan the input per check;
+    this piggybacks the aggregates on the SAME pass Spark already makes
+    for the action — the right shape when the action is a 100 TB write
+    and a second scan doubles the job. Example::
+
+        observed_write(
+            out,
+            {"expect_zero_null_keys": F.count_if(F.col("k").isNull()),
+             "n_rows": F.count(F.lit(1))},
+            lambda d: d.write.mode("overwrite").parquet(path),
+        )
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    writer(df.observe(obs, *[c.alias(n) for n, c in checks.items()]))
+    got = obs.get
+    bad = {
+        n: v for n, v in got.items() if n.startswith("expect_zero_") and v not in (0, None)
+    }
+    if bad:
+        raise ExpectationFailed(f"{message}: {bad}")
+    return got
+
+
 def expect_schema(df: DataFrame, required: dict[str, str], message: str = "") -> None:
     """Fail unless every required column exists with the given type
     (P6 analog: runtime key-presence validation,

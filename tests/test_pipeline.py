@@ -166,6 +166,31 @@ def test_expectations(spark):
         expect_schema(df, {"missing_col": "string"})
 
 
+def test_observed_write_piggybacks_metrics(spark, tmp_path):
+    from airflow_spark.pipeline.expectations import observed_write
+
+    df = spark.range(10).withColumn(
+        "v", F.when(F.col("id") < 8, F.col("id")).otherwise(F.lit(None))
+    )
+    # passing case: metrics ride the write action, no second scan
+    got = observed_write(
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "expect_zero_neg": F.count_if(F.col("id") < 0),
+        },
+        lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "ok")),
+    )
+    assert got["n_rows"] == 10 and got["expect_zero_neg"] == 0
+
+    with pytest.raises(ExpectationFailed, match="expect_zero_null_v"):
+        observed_write(
+            df,
+            {"expect_zero_null_v": F.count_if(F.col("v").isNull())},
+            lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "bad")),
+        )
+
+
 # ---------------------------------------------------------------------------
 # Scheduler
 # ---------------------------------------------------------------------------
