@@ -1,0 +1,114 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Classic product-analytics operators over an event log, expressed as
+join+aggregate chains (no window over a global sort, no per-user
+Python):
+
+- ``funnel``: per-user ordered step times — step *i* counts only if it
+  happens strictly AFTER the user's step *i−1* time. One grouped
+  aggregate per step, each keyed by user — at 100 TB each stage
+  shuffles only (user, ts) survivors of the previous stage, and the
+  event scan is filtered to the step's type predicate (pushed down).
+- ``cohort_retention``: users bucketed by first-activity period ×
+  activity offset — two grouped aggregates and one join.
+
+Reference analog: none (north-star analytics extension over the
+driver's `events` table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered funnel times: one row per user who completed at
+    least step 1, with ``t1..tN`` timestamps (null once a step is not
+    reached). Step *i* must occur strictly after the user's step *i−1*.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    u, ts = F.col(user_col), F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .select(u.alias("user"), ts.alias("__ts"))
+            .join(cur, "user")
+            .where(F.col("__ts") > F.col(f"t{i - 1}"))
+            .groupBy("user")
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user", "left")
+    return cur
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Users reaching each step, in order — the funnel report."""
+    f = funnel(events, steps, user_col, ts_col, type_col)
+    # one wide agg row → unpivot via explode (single pass over f)
+    agg = f.agg(
+        *[F.count(F.col(f"t{i}")).alias(f"__n{i}") for i in range(1, len(steps) + 1)]
+    )
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps, start=1)
+        ]
+    )
+    return agg.select(F.explode(out).alias("r")).select("r.*").orderBy("step")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Retention triangle: distinct active users per (cohort period ×
+    period offset), cohort = the user's first-activity period."""
+    u, ts = F.col(user_col), F.col(ts_col)
+    per = F.date_trunc(bucket, ts)
+    # date-typed cohort label (a week bucket IS a date; also matches
+    # the DuckDB date_trunc return type for oracle parity)
+    cohorts = events.groupBy(u.alias("user")).agg(
+        F.min(per).cast("date").alias("cohort")
+    )
+    active = events.select(u.alias("user"), per.alias("period")).distinct()
+    days = {"day": 1, "week": 7}[bucket]
+    return (
+        active.join(cohorts, "user")
+        .groupBy(
+            F.col("cohort"),
+            (
+                F.datediff(F.col("period"), F.col("cohort")) / days
+            )
+            .cast("bigint")
+            .alias("week_offset" if bucket == "week" else "day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "week_offset" if bucket == "week" else "day_offset")
+    )

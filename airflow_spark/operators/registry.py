@@ -16,6 +16,7 @@ from ..catalog import load_tables
 from . import (
     curation,
     dedup,
+    funnel,
     graph,
     layout,
     linkage,
@@ -621,6 +622,20 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the event log (step i
+    strictly after the user's step i−1; per-step grouped aggregates,
+    no global sort)."""
+    t = load_tables(spark, sf_dir)
+    return funnel.funnel_counts(t.events, ["view", "click", "purchase"])
+
+
+def op_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event log."""
+    t = load_tables(spark, sf_dir)
+    return funnel.cohort_retention(t.events, bucket="week")
+
+
 def op_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply-changes: history = open rows for docs%7!=0 (every 5th
     text upper-cased); the change feed carries only docs%3==0 —
@@ -971,6 +986,8 @@ OPERATOR_QUERIES = {
     "op_pagerank": op_pagerank,
     "op_connected_components": op_connected_components,
     "op_scd2_apply_changes": op_scd2_apply_changes,
+    "op_funnel": op_funnel,
+    "op_cohort_retention": op_cohort_retention,
 }
 
 # ---------------------------------------------------------------------------
@@ -1692,6 +1709,36 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_funnel": """
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.u
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.u
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+) ORDER BY step
+""",
+    "op_cohort_retention": """
+WITH c AS (SELECT user_id AS u, min(date_trunc('week', ts)) AS cohort
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS period
+      FROM events)
+SELECT cohort,
+       CAST(date_diff('day', CAST(cohort AS DATE), CAST(period AS DATE)) / 7
+            AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (u)
+GROUP BY cohort, week_offset ORDER BY cohort, week_offset
+""",
     "op_scd2_apply_changes": """
 WITH h AS (
   SELECT doc_id,

@@ -1,0 +1,81 @@
+"""Tests for funnel and cohort-retention operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from airflow_spark.operators import funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, ts=ts, event_type=t) for u, ts, t in rows],
+        schema="user_id bigint, ts string, event_type string",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "event_type")
+
+
+def test_funnel_enforces_order(spark):
+    ev = _events(
+        spark,
+        [
+            # u1 completes in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 11:00:00", "click"),
+            (1, "2024-01-01 12:00:00", "purchase"),
+            # u2 purchases BEFORE clicking: purchase must not count
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 12:00:00", "click"),
+            (2, "2024-01-01 11:00:00", "purchase"),
+            # u3 never views: appears in no step
+            (3, "2024-01-01 10:00:00", "click"),
+            (3, "2024-01-01 11:00:00", "purchase"),
+        ],
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel.funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_strictly_after_excludes_ties(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:00:00", "click"),  # same instant: not after
+        ],
+    )
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel.funnel_counts(ev, ["view", "click"]).collect()
+    }
+    assert got == {"view": 1, "click": 0}
+
+
+def test_funnel_requires_steps(spark):
+    with pytest.raises(ValueError):
+        funnel.funnel(_events(spark, []), [])
+
+
+def test_cohort_retention_triangle(spark):
+    ev = _events(
+        spark,
+        [
+            # u1: first week W1, active W1+W2 ; u2: W1 only ; u3: W2 only
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-08 10:00:00", "view"),
+            (2, "2024-01-02 10:00:00", "view"),
+            (3, "2024-01-09 10:00:00", "view"),
+        ],
+    )
+    rows = {
+        (str(r["cohort"]), r["week_offset"]): r["n_users"]
+        for r in funnel.cohort_retention(ev, bucket="week").collect()
+    }
+    assert rows == {
+        ("2024-01-01", 0): 2,   # u1 + u2 in W1 cohort
+        ("2024-01-01", 1): 1,   # u1 retained in W2
+        ("2024-01-08", 0): 1,   # u3's own cohort
+    }
