@@ -622,6 +622,19 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sample: 100 documents drawn with probability
+    ∝ n_chars via sequential Poisson priorities (portable md5 uniform —
+    same draw in any engine)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        sampling.weighted_sample(
+            t.documents.select("doc_id", "n_chars"), "n_chars", 100, "doc_id"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel over the event log (step i
     strictly after the user's step i−1; per-step grouped aggregates,
@@ -988,6 +1001,7 @@ OPERATOR_QUERIES = {
     "op_scd2_apply_changes": op_scd2_apply_changes,
     "op_funnel": op_funnel,
     "op_cohort_retention": op_cohort_retention,
+    "op_weighted_sample": op_weighted_sample,
 }
 
 # ---------------------------------------------------------------------------
@@ -1709,6 +1723,16 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_weighted_sample": """
+WITH a AS (
+  SELECT doc_id, n_chars,
+         (CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1) / 4294967296.0 / n_chars AS xi
+  FROM documents)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM a ORDER BY xi, doc_id LIMIT 100
+) ORDER BY doc_id
+""",
     "op_funnel": """
 WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events
             WHERE event_type = 'view' GROUP BY 1),

