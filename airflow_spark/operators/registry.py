@@ -622,6 +622,24 @@ def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def op_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-function breadth over documents: run counting, group
+    extraction, global replace — JVM regex vs RE2 agree on this ASCII
+    subset (the portability boundary the oracle attests)."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return (
+        t.documents.select(
+            "doc_id",
+            F.regexp_count(c, F.lit("[0-9]+")).cast("bigint").alias("n_num_runs"),
+            F.regexp_extract(c, "([A-Za-z]+)", 1).alias("first_word"),
+            F.length(F.regexp_replace(c, "[aeiou]", "")).alias("n_no_vowels"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PPS sample: 100 documents drawn with probability
     ∝ n_chars via sequential Poisson priorities (portable md5 uniform —
@@ -1002,6 +1020,7 @@ OPERATOR_QUERIES = {
     "op_funnel": op_funnel,
     "op_cohort_retention": op_cohort_retention,
     "op_weighted_sample": op_weighted_sample,
+    "op_regexp_funcs": op_regexp_funcs,
 }
 
 # ---------------------------------------------------------------------------
@@ -1723,6 +1742,14 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    "op_regexp_funcs": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+         AS n_no_vowels
+FROM documents ORDER BY doc_id LIMIT 200
+""",
     "op_weighted_sample": """
 WITH a AS (
   SELECT doc_id, n_chars,
