@@ -58,9 +58,11 @@ def delete_variants(col: Column | str, max_distance: int) -> Column:
 
 
 def _keyed_variants(
-    df: DataFrame, col: str, max_distance: int, side: str
+    df: DataFrame, col: str, max_distance: int, side: str, max_len: int
 ) -> DataFrame:
-    return df.select(
+    # the length guard rides the same projection — no extra pass
+    guarded = df.where(F.length(F.col(col)) <= max_len)
+    return guarded.select(
         F.col(col).alias(f"name_{side}"),
         F.explode(delete_variants(col, max_distance)).alias("__variant"),
     )
@@ -72,6 +74,7 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_distance: int = 2,
+    max_len: int = 128,
 ) -> DataFrame:
     """All (left, right) string pairs within Levenshtein
     ``max_distance``: delete-variant blocking → equi-join on the
@@ -81,10 +84,18 @@ def fuzzy_join(
     Inputs should be deduplicated on the join column (join distinct
     values, then map back through the id table — cheaper than dragging
     payloads through the blocking join).
+
+    The variant neighborhood is O(len²) per string at d=2, so values
+    longer than ``max_len`` are EXCLUDED from matching (a 10 KB blob in
+    a name column would otherwise explode to ~50M variants). This is a
+    names/titles/skus operator — for near-dup TEXT use the shingle
+    family in ``operators.dedup``, which is length-linear.
     """
-    lv = _keyed_variants(left.select(left_col).distinct(), left_col, max_distance, "a")
+    lv = _keyed_variants(
+        left.select(left_col).distinct(), left_col, max_distance, "a", max_len
+    )
     rv = _keyed_variants(
-        right.select(right_col).distinct(), right_col, max_distance, "b"
+        right.select(right_col).distinct(), right_col, max_distance, "b", max_len
     )
     cand = lv.join(rv, "__variant").select("name_a", "name_b").distinct()
     dist = F.levenshtein("name_a", "name_b")

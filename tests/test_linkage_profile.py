@@ -73,6 +73,15 @@ def test_fuzzy_join_cross_frames(spark):
     assert got == ["rad widget", "red widget", "red widgets"]
 
 
+def test_fuzzy_join_excludes_overlong_values(spark):
+    df = spark.createDataFrame(
+        [Row(name="red widget"), Row(name="red widgets"), Row(name="x" * 500)]
+    )
+    got = linkage.fuzzy_self_pairs(df, "name", max_distance=2).collect()
+    # the 500-char blob is excluded (O(len^2) guard), the real pair found
+    assert [(r["name_a"], r["name_b"]) for r in got] == [("red widget", "red widgets")]
+
+
 def test_fuzzy_join_no_cartesian_plan(spark):
     df = spark.createDataFrame([Row(name=w) for w in WORDS])
     plan = (
