@@ -36,13 +36,21 @@ def pagerank(
     Simplified update (no dangling redistribution):
     ``r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u)``.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # loop invariants: persist once — every round re-reads all three,
+    # and without the cache each round would re-run the (possibly
+    # expensive) edge derivation upstream of this operator
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     ranks = nodes.crossJoin(n).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
@@ -88,6 +96,7 @@ def connected_components(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
+        .persist()  # loop invariant: every round joins against it
     )
     labels = (
         sym.select(F.col("a").alias("node"))
