@@ -825,3 +825,66 @@ def ngram_containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned incremental exact dedup
+# ---------------------------------------------------------------------------
+
+
+def bloom_dedup_new(
+    new_docs: DataFrame,
+    history: DataFrame,
+    key: Column | str,
+    id_col: str = "doc_id",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Exact incremental dedup: rows of ``new_docs`` whose ``key`` does
+    not appear in ``history``, keeping the min-``id_col`` row per key
+    within the new batch. The result is EXACT — the bloom filter only
+    prunes; its false positives are eliminated by the verify join.
+
+    100 TB shape: the history corpus is scanned (never shuffled) twice
+    — once to build a fixed-size bloom bitset, once under a broadcast
+    LeftSemi probe restricted to the few bloom-surviving candidate
+    keys. The new batch (assumed ≪ history) pays one small shuffle for
+    the within-batch min-id pick. Size the filter with
+    ``expected_items`` ≈ distinct history keys (from table metadata at
+    scale; an exact count is only acceptable on small inputs) or pass
+    ``num_bits``/``num_hashes`` directly.
+    """
+    from . import bloom as _bloom
+
+    key_col = F.col(key) if isinstance(key, str) else key
+    if num_bits is None or num_hashes is None:
+        if expected_items is None:
+            raise ValueError(
+                "bloom_dedup_new needs expected_items (approx distinct history "
+                "keys) or explicit num_bits + num_hashes"
+            )
+        num_bits, num_hashes = _bloom.bloom_params(expected_items, fpp)
+
+    hist_keys = history.select(key_col.alias("__k"))
+    new_keyed = new_docs.withColumn("__k", key_col)
+    filt = _bloom.bloom_build(hist_keys, "__k", num_bits, num_hashes)
+    candidates = _bloom.bloom_filter_might_contain(
+        new_keyed, "__k", filt, num_bits, num_hashes, id_col
+    )
+    # Only candidate keys (dup fraction + fpp of the batch) probe the
+    # history: broadcast semi join — no history shuffle, no sort.
+    matched_keys = (
+        hist_keys.join(
+            F.broadcast(candidates.select("__k").distinct()), "__k", "left_semi"
+        )
+        .distinct()
+    )
+    fresh = new_keyed.join(F.broadcast(matched_keys), "__k", "left_anti")
+    w = Window.partitionBy("__k").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__k")
+    )

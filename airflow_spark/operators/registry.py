@@ -45,6 +45,23 @@ def op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned incremental exact dedup: docs split 2:1 into
+    history/new on doc_id; new rows whose 12-char text prefix is absent
+    from history (min-id per key within the batch). The bloom filter is
+    pure pruning — the result is exact, so the oracle is the plain
+    NOT EXISTS twin."""
+    t = load_tables(spark, sf_dir)
+    hist = t.documents.where(F.col("doc_id") % 3 != 0)
+    new = t.documents.where(F.col("doc_id") % 3 == 0)
+    key = F.substring("text", 1, 12)
+    return (
+        dedup.bloom_dedup_new(new, hist, key, expected_items=400)
+        .select("doc_id", key.alias("prefix_key"))
+        .orderBy("doc_id")
+    )
+
+
 def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts (space-arithmetic form: portable SQL)."""
     t = load_tables(spark, sf_dir)
@@ -970,6 +987,7 @@ OPERATOR_QUERIES = {
     "op_string_funcs": op_string_funcs,
     "op_json_extract": op_json_extract,
     "op_dedup_exact": op_dedup_exact,
+    "op_bloom_dedup": op_bloom_dedup,
     "op_token_count": op_token_count,
     "op_fingerprint": op_fingerprint,
     "op_text_quality": op_text_quality,
@@ -2091,6 +2109,14 @@ GROUP BY k_mod ORDER BY k_mod
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 ORDER BY keep_id LIMIT 200
+""",
+    "op_bloom_dedup": """
+WITH hist AS (SELECT substr(text, 1, 12) AS k FROM documents WHERE doc_id % 3 <> 0),
+     nw AS (SELECT doc_id, substr(text, 1, 12) AS k FROM documents WHERE doc_id % 3 = 0)
+SELECT n.doc_id, n.k AS prefix_key FROM nw n
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.k = n.k)
+  AND n.doc_id = (SELECT min(doc_id) FROM nw n2 WHERE n2.k = n.k)
+ORDER BY n.doc_id
 """,
     "op_token_count": """
 SELECT doc_id,

@@ -958,3 +958,67 @@ def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
     )
     full = set(s1)
     assert all(i in full for i in sub[: n_heavy - 5]) or len(sub) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned incremental exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    from airflow_spark.operators import bloom
+
+    members = spark.range(500).selectExpr("concat('key-', id) AS k", "id")
+    nb, nh = bloom.bloom_params(500, fpp=0.01)
+    filt = bloom.bloom_build(members, "k", nb, nh)
+    kept = bloom.bloom_filter_might_contain(members, "k", filt, nb, nh, "id")
+    assert kept.count() == 500  # every true member must pass
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from airflow_spark.operators import bloom
+
+    members = spark.range(500).selectExpr("concat('key-', id) AS k", "id")
+    nb, nh = bloom.bloom_params(500, fpp=0.01)
+    filt = bloom.bloom_build(members, "k", nb, nh)
+    absent = spark.range(2000).selectExpr("concat('other-', id) AS k", "id")
+    fp = bloom.bloom_filter_might_contain(absent, "k", filt, nb, nh, "id").count()
+    assert fp / 2000 < 0.05  # 5x slack over the designed 1% fpp
+
+
+def test_bloom_dedup_equals_plain_anti_join(spark):
+    hist = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(100)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        # 50 dups of history + 30 fresh (3 pairs sharing a key in-batch)
+        [(1000 + i, f"doc {i} body") for i in range(50)]
+        + [(2000 + i, f"fresh {i % 27} body") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    got = dedup.bloom_dedup_new(new, hist, "text", expected_items=100)
+    expected = (
+        new.join(hist.select("text").distinct(), "text", "left_anti")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.count() == expected.count() == 27
+    assert (
+        got.select("doc_id").exceptAll(expected.select("doc_id")).count() == 0
+    )
+
+
+def test_bloom_dedup_history_never_shuffled(spark):
+    hist = spark.range(1000).selectExpr("id AS doc_id", "concat('h', id) AS text")
+    new = spark.range(50).selectExpr(
+        "id + 5000 AS doc_id", "concat('n', id) AS text"
+    )
+    plan = (
+        dedup.bloom_dedup_new(new, hist, "text", expected_items=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the history-side probe must be a broadcast semi join, never a
+    # shuffled sort-merge join
+    assert "SortMergeJoin" not in plan
