@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions import text as textfn
 from . import (
     curation,
     dedup,
@@ -59,6 +60,27 @@ def op_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.bloom_dedup_new(new, hist, key, expected_items=400)
         .select("doc_id", key.alias("prefix_key"))
         .orderBy("doc_id")
+    )
+
+
+def op_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup strip + entity decode + whitespace collapse (the
+    web-corpus boilerplate-strip pass), plus char-entropy gibberish
+    signal — both expression-only, no UDF, no shuffle beyond the final
+    presentation sort. Markup is synthesized around the doc text so
+    the strip path is actually exercised on this corpus."""
+    t = load_tables(spark, sf_dir)
+    html = F.concat(
+        F.lit("<p>"), F.substring("text", 1, 80), F.lit("</p> &amp; <b>tail</b>")
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            textfn.strip_markup(html).alias("cleaned"),
+            F.round(textfn.char_entropy("text"), 4).alias("entropy"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
     )
 
 
@@ -988,6 +1010,7 @@ OPERATOR_QUERIES = {
     "op_json_extract": op_json_extract,
     "op_dedup_exact": op_dedup_exact,
     "op_bloom_dedup": op_bloom_dedup,
+    "op_text_clean": op_text_clean,
     "op_token_count": op_token_count,
     "op_fingerprint": op_fingerprint,
     "op_text_quality": op_text_quality,
@@ -2117,6 +2140,30 @@ SELECT n.doc_id, n.k AS prefix_key FROM nw n
 WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.k = n.k)
   AND n.doc_id = (SELECT min(doc_id) FROM nw n2 WHERE n2.k = n.k)
 ORDER BY n.doc_id
+""",
+    "op_text_clean": """
+WITH s AS (
+  SELECT doc_id,
+         '<p>' || substr(text, 1, 80) || '</p> &amp; <b>tail</b>' AS html,
+         regexp_replace(substr(text, 1, 2000), '[^ -~]', '', 'g') AS ascii_text
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(html, '<[^>]+>', '', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&'),
+         '\\s+', ' ', 'g')) AS cleaned,
+       round(CASE WHEN length(ascii_text) = 0 THEN 0.0 ELSE coalesce(
+         list_sum(list_transform(
+           list_sort(list_distinct(string_split(ascii_text, ''))),
+           c -> CASE WHEN length(replace(ascii_text, c, '')) = length(ascii_text)
+                     THEN 0.0
+                     ELSE -((length(ascii_text) - length(replace(ascii_text, c, '')))::DOUBLE
+                            / length(ascii_text))
+                          * ln((length(ascii_text) - length(replace(ascii_text, c, '')))::DOUBLE
+                               / length(ascii_text)) END)), 0.0) END, 4) AS entropy
+FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_token_count": """
 SELECT doc_id,

@@ -1022,3 +1022,38 @@ def test_bloom_dedup_history_never_shuffled(spark):
     # the history-side probe must be a broadcast semi join, never a
     # shuffled sort-merge join
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Markup strip + char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_strip_markup(spark):
+    from airflow_spark.functions.text import strip_markup
+
+    rows = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("a &amp;  b\n\tc", "a & b c"),
+        ("&lt;not a tag&gt; &quot;q&quot; &#39;s&#39;", "<not a tag> \"q\" 's'"),
+        ("&amp;lt;", "&lt;"),  # decode order: &amp; last, no double-decode
+        ("plain", "plain"),
+    ]
+    df = spark.createDataFrame(rows, ["raw", "expected"])
+    bad = df.where(strip_markup("raw") != F.col("expected"))
+    assert bad.count() == 0
+
+
+def test_char_entropy(spark):
+    from airflow_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("",), ("日本語",)], ["t"]
+    )
+    vals = [
+        r[0] for r in df.select(F.round(char_entropy("t"), 6)).collect()
+    ]
+    assert vals[0] == 0.0  # single symbol: zero entropy
+    assert vals[1] == round(math.log(2), 6)  # two equiprobable symbols
+    assert vals[2] == 0.0  # empty
+    assert vals[3] == 0.0  # non-ASCII stripped -> empty
