@@ -39,3 +39,31 @@ def lit_vector(values: list[float]) -> Column:
     """A literal array<double> column from a Python list (broadcast as
     part of the plan — for probe/query vectors)."""
     return F.array(*[F.lit(float(v)) for v in values])
+
+
+def quantize_int8(vec: Column | str) -> Column:
+    """Max-abs symmetric int8 quantization of a float vector:
+    ``struct(scale double, codes array<tinyint>)`` with
+    ``scale = max|x|/127`` and ``code = floor(x/scale + 0.5)``
+    (round-half-up spelled as floor so every engine agrees on ties).
+    4x smaller than float32 at <0.5% cosine error on unit vectors —
+    the storage/IO lever for a 100 TB embedding corpus. Zero vectors
+    get scale 0 and all-zero codes. Expression-only (no UDF)."""
+    v = F.transform(_col(vec), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(
+        F.coalesce(scale, F.lit(0.0)).alias("scale"), codes.alias("codes")
+    )
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of ``quantize_int8``: ``array<double>`` reconstruction
+    ``code * scale``."""
+    qq = _col(q)
+    return F.transform(
+        qq.getField("codes"), lambda c: c.cast("double") * qq.getField("scale")
+    )

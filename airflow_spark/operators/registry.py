@@ -84,6 +84,33 @@ def op_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 max-abs quantization roundtrip diagnostics per embedding:
+    scale, max reconstruction error, nonzero-code count. All metrics
+    are order-independent (max / count — no FP-sum over a list whose
+    reduction order an engine could pick differently), so the values
+    hash-match the DuckDB twin exactly."""
+    from ..functions import vectors as vec
+
+    t = load_tables(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    q = vec.quantize_int8("embedding")
+    deq = vec.dequantize_int8(q)
+    err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
+    return (
+        t.embeddings.select(
+            "vec_id",
+            F.round(q.getField("scale"), 6).alias("scale"),
+            F.round(err, 6).alias("max_abs_err"),
+            F.size(F.filter(q.getField("codes"), lambda c: c != 0))
+            .cast("long")
+            .alias("n_nonzero"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
 def op_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counts (space-arithmetic form: portable SQL)."""
     t = load_tables(spark, sf_dir)
@@ -1011,6 +1038,7 @@ OPERATOR_QUERIES = {
     "op_dedup_exact": op_dedup_exact,
     "op_bloom_dedup": op_bloom_dedup,
     "op_text_clean": op_text_clean,
+    "op_embedding_quantize": op_embedding_quantize,
     "op_token_count": op_token_count,
     "op_fingerprint": op_fingerprint,
     "op_text_quality": op_text_quality,
@@ -2164,6 +2192,22 @@ SELECT doc_id,
                           * ln((length(ascii_text) - length(replace(ascii_text, c, '')))::DOUBLE
                                / length(ascii_text)) END)), 0.0) END, 4) AS entropy
 FROM s ORDER BY doc_id LIMIT 200
+""",
+    "op_embedding_quantize": """
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings)
+SELECT vec_id,
+       round(coalesce(scale, 0.0), 6) AS scale,
+       round(CASE WHEN scale IS NULL OR scale = 0 THEN 0.0 ELSE
+         list_max(list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale)))
+       END, 6) AS max_abs_err,
+       CASE WHEN scale IS NULL OR scale = 0 THEN 0 ELSE
+         len(list_filter(v, x -> floor(x / scale + 0.5) <> 0))
+       END AS n_nonzero
+FROM s ORDER BY vec_id LIMIT 200
 """,
     "op_token_count": """
 SELECT doc_id,

@@ -1057,3 +1057,38 @@ def test_char_entropy(spark):
     assert vals[1] == round(math.log(2), 6)  # two equiprobable symbols
     assert vals[2] == 0.0  # empty
     assert vals[3] == 0.0  # non-ASCII stripped -> empty
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from airflow_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_int8("embedding")
+    deq = dequantize_int8(q)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    checked = emb.select(
+        F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b))).alias("err"),
+        (q.getField("scale") / 2 + F.lit(1e-12)).alias("bound"),
+        cosine_similarity(v, deq).alias("cos"),
+    )
+    # max-abs symmetric quantization error is at most scale/2 per element
+    assert checked.where(F.col("err") > F.col("bound")).count() == 0
+    assert checked.where(F.col("cos") < 0.999).count() == 0
+
+
+def test_quantize_int8_zero_vector(spark):
+    from airflow_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame([([0.0, 0.0, 0.0],)], ["embedding"])
+    row = df.select(
+        quantize_int8("embedding").alias("q"),
+        dequantize_int8(quantize_int8("embedding")).alias("deq"),
+    ).collect()[0]
+    assert row["q"]["scale"] == 0.0
+    assert list(row["q"]["codes"]) == [0, 0, 0]
+    assert list(row["deq"]) == [0.0, 0.0, 0.0]
