@@ -114,3 +114,75 @@ def compact(
 
     shutil.rmtree(bak)
     return n_files
+
+
+def write_dataset_with_manifest(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    max_records_per_file: int | None = None,
+    sort_within_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Publish a dataset directory plus a ``_manifest.json`` the next
+    pipeline stage (or another engine) can consume without listing +
+    footer-reading the tree: per-file bytes, file count, total rows,
+    format, sort order.
+
+    - ``fmt``: ``parquet`` or ``orc`` (both native columnar formats —
+      no extra packages).
+    - ``max_records_per_file`` bounds file row counts
+      (``maxRecordsPerFile``) so downstream split sizing is stable.
+    - ``sort_within_by`` sorts *within* each task (no global sort, no
+      extra shuffle) — e.g. by document length so sequence packing
+      reads near-sorted input and parquet/orc RLE compresses better.
+
+    Returns the manifest dict. The row count is taken from a count on
+    the written data (columnar footer metadata makes it cheap), not
+    the input plan — the manifest describes what is actually on disk.
+    """
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"fmt must be parquet or orc, got {fmt!r}")
+    w = df
+    if sort_within_by:
+        cols = (
+            [sort_within_by] if isinstance(sort_within_by, str) else sort_within_by
+        )
+        w = w.sortWithinPartitions(*cols)
+    writer = w.write.mode(mode).format(fmt)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.save(path)
+
+    spark = df.sparkSession
+    files = []
+    for root, _dirs, fs in os.walk(path):
+        for f in sorted(fs):
+            if f.endswith(f".{fmt}"):
+                full = os.path.join(root, f)
+                files.append(
+                    {
+                        "path": os.path.relpath(full, path),
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+    manifest = {
+        "format": fmt,
+        "n_files": len(files),
+        "total_bytes": sum(f["bytes"] for f in files),
+        "total_rows": spark.read.format(fmt).load(path).count(),
+        "sorted_within_files_by": sort_within_by,
+        "files": files,
+    }
+    import json
+
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def read_manifest(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        return json.load(fh)

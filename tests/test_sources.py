@@ -377,3 +377,38 @@ def test_read_text_docs_line_and_whole_modes(spark, tmp_path):
         spark, str(d), whole_files=True).collect()}
     first = {r["source"]: r["doc_id"] for r in rows}
     assert again == first
+
+
+def test_write_dataset_with_manifest_parquet(spark, tmp_path):
+    from airflow_spark.sources.tables import read_manifest, write_dataset_with_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    path = str(tmp_path / "ds")
+    m = write_dataset_with_manifest(
+        docs, path, max_records_per_file=100, sort_within_by="n_chars"
+    )
+    assert m["total_rows"] == n
+    assert m["n_files"] >= 2  # maxRecordsPerFile forced a split
+    assert m["total_bytes"] == sum(f["bytes"] for f in m["files"])
+    assert read_manifest(path) == m
+    assert spark.read.parquet(path).count() == n
+
+
+def test_write_dataset_with_manifest_orc_roundtrip(spark, tmp_path):
+    from airflow_spark.sources.tables import write_dataset_with_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "ds_orc")
+    m = write_dataset_with_manifest(docs, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert m["format"] == "orc" and m["n_files"] >= 1
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # values survive the roundtrip
+    assert (
+        back.select("doc_id", "n_chars")
+        .exceptAll(docs.select("doc_id", "n_chars"))
+        .count()
+        == 0
+    )
