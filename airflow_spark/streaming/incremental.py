@@ -70,3 +70,66 @@ def incremental_task(
 
     run.__name__ = "incremental_ingest"
     return run
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    checkpoint_dir: str,
+    history_dir: str,
+    key,
+    id_col: str = "doc_id",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+    source_format: str = "parquet",
+    timeout_s: float = 300.0,
+) -> bool:
+    """Streaming exact-dedup ingest: each micro-batch is deduplicated
+    against the ever-growing history corpus via the bloom-pruned path
+    (``dedup.bloom_dedup_new`` — history scanned, never shuffled) and
+    survivors are appended to the history. Cross-batch AND cross-run
+    exact dedup with per-batch cost proportional to the batch, not the
+    corpus; the checkpoint gives exactly-once batch accounting.
+
+    ``key`` is a Column or column name defining content identity.
+    Runs with ``availableNow`` so a scheduler can fire it per interval
+    (same cadence model as ``incremental_ingest``).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    def _handle(batch: DataFrame, _bid: int) -> None:
+        exists = os.path.isdir(history_dir) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(history_dir)
+            for f in fs
+        )
+        if exists:
+            hist = batch.sparkSession.read.parquet(history_dir)
+            fresh = _dedup.bloom_dedup_new(
+                batch, hist, key, id_col=id_col,
+                expected_items=expected_items, fpp=fpp,
+            )
+        else:
+            # first batch: only within-batch dedup (min id per key)
+            key_col = F.col(key) if isinstance(key, str) else key
+            fresh = (
+                batch.withColumn("__k", key_col)
+                .groupBy("__k")
+                .agg(F.min_by(F.struct(batch.columns), F.col(id_col)).alias("__r"))
+                .select("__r.*")
+            )
+        fresh.write.mode("append").parquet(history_dir)
+
+    stream = spark.readStream.schema(schema).format(source_format).load(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q.awaitTermination(timeout_s)

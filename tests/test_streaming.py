@@ -441,3 +441,44 @@ def test_drift_alert_stream_flags_shifted_group_only(spark, tmp_path):
 
     assert [a["event_type"] for a in alerts] == ["shifty"]
     assert alerts[0]["psi"] > 0.25 and "batch_id" in alerts[0]
+
+
+def test_dedup_ingest_across_batches(spark, tmp_path):
+    """Streaming exact-dedup ingest: duplicates are dropped both within
+    a micro-batch and against the history built by earlier runs."""
+    from airflow_spark.streaming.incremental import dedup_ingest
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    hist = str(tmp_path / "history")
+
+    def drop(rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # run 1: 4 docs, one in-batch dup pair -> 3 survivors
+    drop([(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma")])
+    assert dedup_ingest(
+        spark, str(src), "doc_id bigint, text string", ckpt, hist,
+        key="text", expected_items=1000,
+    )
+    got1 = {r["text"]: r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert got1 == {"alpha": 1, "beta": 2, "gamma": 4}
+
+    # run 2: two dups of history + one genuinely new -> only it survives
+    drop([(10, "alpha"), (11, "delta"), (12, "gamma")])
+    assert dedup_ingest(
+        spark, str(src), "doc_id bigint, text string", ckpt, hist,
+        key="text", expected_items=1000,
+    )
+    after = {r["text"]: r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert after == {"alpha": 1, "beta": 2, "gamma": 4, "delta": 11}
+
+    # run 3: nothing new -> history unchanged
+    assert dedup_ingest(
+        spark, str(src), "doc_id bigint, text string", ckpt, hist,
+        key="text", expected_items=1000,
+    )
+    assert spark.read.parquet(hist).count() == 4
