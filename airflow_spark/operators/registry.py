@@ -637,6 +637,21 @@ def op_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(corpus, qv, k=10, index=index, n_probe=3)
 
 
+def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 for vec_id=0's query vector (pool=100,
+    λ=0.7). Rows-only like the rest of the float-similarity family
+    (float accumulation order is not portable SQL); diversity-vs-top-k
+    behavior is property-tested on planted clusters."""
+    t = load_tables(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return similarity.mmr_topk(
+        t.embeddings.where(F.col("vec_id") != 0), qv, k=10, pool=100
+    )
+
+
 def op_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via sign-LSH.
     The driver corpus has no planted vector near-dups (max pairwise
@@ -1046,6 +1061,7 @@ OPERATOR_QUERIES = {
     "op_quality_score": op_quality_score,
     "op_similarity_topk": op_similarity_topk,
     "op_similarity_ann": op_similarity_ann,
+    "op_mmr_diversify": op_mmr_diversify,
     "op_embedding_bucket_stats": op_embedding_bucket_stats,
     "op_embedding_neardup": op_embedding_neardup,
     "op_approx_count_distinct": op_approx_count_distinct,

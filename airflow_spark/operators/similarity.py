@@ -472,3 +472,63 @@ def cosine_neardup_pairs(
         ).alias("p")
     ).select("p.id_a", "p.id_b", "p.cosine")
     return pairs.where(F.col("cosine") >= threshold).distinct()
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance top-k: greedily pick
+    ``argmax λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s)`` — relevant
+    results that aren't near-duplicates of each other (the diversity
+    step after retrieval that a dedup-heavy training pipeline wants).
+
+    Two-stage 100 TB shape: stage 1 is the distributed relevance top
+    ``pool`` (TakeOrderedAndProject over the full corpus — the only
+    part that sees all data); stage 2 is the inherently-sequential
+    greedy over that bounded pool, done on the driver in numpy
+    (``pool ≤ ~1000`` rows by contract, like IVF centroid training —
+    a bounded, justified collect). Deterministic: scores are float64,
+    ties break by id.
+    """
+    import numpy as np
+
+    pooled = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cosine_similarity(F.col(vec_col), lit_vector(query_vec)).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("id"))
+        .limit(pool)
+        .collect()
+    )
+    if not pooled:
+        return df.sparkSession.createDataFrame(
+            [], "rank int, id bigint, score double"
+        )
+    ids = np.array([r["id"] for r in pooled])
+    rel = np.array([r["rel"] for r in pooled], dtype=np.float64)
+    vs = np.array([r["v"] for r in pooled], dtype=np.float64)
+    norms = np.linalg.norm(vs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vs / norms[:, None]
+
+    max_sim = np.zeros(len(ids), dtype=np.float64)
+    chosen = np.zeros(len(ids), dtype=bool)
+    rows = []
+    for rank in range(min(k, len(ids))):
+        mmr = lam * rel - (1 - lam) * max_sim
+        mmr[chosen] = -np.inf
+        best = int(min(range(len(ids)), key=lambda i: (-mmr[i], ids[i])))
+        chosen[best] = True
+        rows.append((rank + 1, int(ids[best]), float(round(mmr[best], 6))))
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return df.sparkSession.createDataFrame(
+        rows, "rank int, id bigint, score double"
+    )

@@ -1092,3 +1092,63 @@ def test_quantize_int8_zero_vector(spark):
     assert row["q"]["scale"] == 0.0
     assert list(row["q"]["codes"]) == [0, 0, 0]
     assert list(row["deq"]) == [0.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors():
+    """3 tight clusters of 5 vectors each in 8-dim space; cluster 0 is
+    nearest the query."""
+    import random
+
+    rng = random.Random(7)
+    centers = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1.0, 0, 0, 0, 0, 0],
+    ]
+    rows = []
+    vid = 1
+    for ci, c in enumerate(centers):
+        for _ in range(5):
+            v = [x + rng.uniform(-0.05, 0.05) for x in c]
+            rows.append((vid, ci, v))
+            vid += 1
+    return rows
+
+
+def test_mmr_picks_across_clusters(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+    query = [1.0, 0.3, 0.3, 0, 0, 0, 0, 0]
+
+    plain = similarity.cosine_topk(df, query, k=6)
+    plain_clusters = {
+        r["cluster"]
+        for r in df.join(plain.withColumnRenamed("id", "vec_id"), "vec_id").collect()
+    }
+    mmr = similarity.mmr_topk(df, query, k=6, pool=15, lam=0.5)
+    mmr_clusters = {
+        r["cluster"]
+        for r in df.join(mmr.withColumnRenamed("id", "vec_id"), "vec_id").collect()
+    }
+    # plain top-k drowns in the nearest cluster; MMR must cover all 3
+    assert len(plain_clusters) <= 2
+    assert mmr_clusters == {0, 1, 2}
+
+
+def test_mmr_rank1_is_relevance_top1(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+    query = [1.0, 0, 0, 0, 0, 0, 0, 0]
+    top1 = similarity.cosine_topk(df, query, k=1).collect()[0]["id"]
+    mmr1 = similarity.mmr_topk(df, query, k=3, pool=15).collect()[0]
+    assert mmr1["rank"] == 1 and mmr1["id"] == top1
+
+
+def test_mmr_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert similarity.mmr_topk(df, [1.0, 0.0], k=5).count() == 0
