@@ -652,6 +652,15 @@ def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embeddings farthest from their own label centroid
+    (mislabel / OOD mining). Hash-attestable: the distance is spelled
+    as dot products (v·v − 2·v·c + c·c) so the DuckDB twin reproduces
+    the exact FP sequence (same trick as the ANN oracle)."""
+    t = load_tables(spark, sf_dir)
+    return similarity.label_outliers(t.embeddings, k=20)
+
+
 def op_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via sign-LSH.
     The driver corpus has no planted vector near-dups (max pairwise
@@ -1062,6 +1071,7 @@ OPERATOR_QUERIES = {
     "op_similarity_topk": op_similarity_topk,
     "op_similarity_ann": op_similarity_ann,
     "op_mmr_diversify": op_mmr_diversify,
+    "op_label_outliers": op_label_outliers,
     "op_embedding_bucket_stats": op_embedding_bucket_stats,
     "op_embedding_neardup": op_embedding_neardup,
     "op_approx_count_distinct": op_approx_count_distinct,
@@ -2208,6 +2218,25 @@ SELECT doc_id,
                           * ln((length(ascii_text) - length(replace(ascii_text, c, '')))::DOUBLE
                                / length(ascii_text)) END)), 0.0) END, 4) AS entropy
 FROM s ORDER BY doc_id LIMIT 200
+""",
+    "op_label_outliers": """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+  FROM embeddings),
+cent AS (SELECT label, pos, avg(x) AS c FROM ex GROUP BY label, pos),
+carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+d AS (SELECT e.vec_id, e.label,
+        sqrt(greatest(0.0,
+          list_dot_product(e.vd, e.vd)
+          - 2 * list_dot_product(e.vd, carr.carr)
+          + list_dot_product(carr.carr, carr.carr))) AS dist
+      FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings) e
+      JOIN carr USING (label))
+SELECT vec_id, label, round(dist, 6) AS dist
+FROM d ORDER BY dist DESC, vec_id LIMIT 20
 """,
     "op_embedding_quantize": """
 WITH s AS (

@@ -532,3 +532,60 @@ def mmr_topk(
     return df.sparkSession.createDataFrame(
         rows, "rank int, id bigint, score double"
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector as (label, pos, c) rows, pos 1-based.
+    posexplode + grouped avg: the shuffle carries only
+    labels × dims rows after partial aggregation — tiny at any corpus
+    scale."""
+    return (
+        df.select(label_col, F.posexplode(vec_col).alias("pos0", "x"))
+        .select(label_col, (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("x"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+
+
+def label_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+) -> DataFrame:
+    """Rows farthest from their own label's centroid — mislabeled /
+    out-of-distribution example mining. The centroid table (labels ×
+    dims) is broadcast; the distance is a codegen expression via the
+    ``‖v−c‖² = v·v − 2·v·c + c·c`` decomposition (dot products only —
+    the FP form that is portable to the SQL oracle), so the corpus
+    pass has NO explode and NO shuffle before the final top-k."""
+    from ..functions.vectors import dot
+
+    cents = (
+        label_centroids(df, label_col, vec_col)
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("__carr")
+        )
+    )
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = F.greatest(
+        F.lit(0.0),
+        dot(vd, vd) - 2 * dot(vd, F.col("__carr")) + dot("__carr", "__carr"),
+    )
+    return (
+        df.join(F.broadcast(cents), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(F.sqrt(d2), 6).alias("dist"),
+        )
+        .orderBy(F.col("dist").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1152,3 +1152,29 @@ def test_mmr_rank1_is_relevance_top1(spark):
 def test_mmr_empty_input(spark):
     df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert similarity.mmr_topk(df, [1.0, 0.0], k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Label centroids + outlier mining
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_exact_mean(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 3.0]), (2, 0, [3.0, 5.0]), (3, 1, [10.0, 0.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    got = {
+        (r["label"], r["pos"]): r["c"]
+        for r in similarity.label_centroids(df).collect()
+    }
+    assert got == {(0, 1): 2.0, (0, 2): 4.0, (1, 1): 10.0, (1, 2): 0.0}
+
+
+def test_label_outliers_finds_planted_outlier(spark):
+    rows = [(i, 0, [1.0 + 0.01 * i, 0.0]) for i in range(10)]
+    rows.append((99, 0, [-5.0, 8.0]))  # far from label-0 centroid
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    top = similarity.label_outliers(df, k=3).collect()
+    assert top[0]["vec_id"] == 99
+    assert top[0]["dist"] > top[1]["dist"] * 3
