@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import load_tables, register_views
 from ..functions import text as textfn
 from . import (
     curation,
@@ -512,6 +512,81 @@ def op_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality score per document (corpus-trained)."""
     t = load_tables(spark, sf_dir)
     return curation.unigram_logprob_score(t.documents).orderBy("id").limit(200)
+
+
+# Same SQL text runs verbatim in Spark and DuckDB (GROUPING SETS +
+# grouping() are common dialect) — the engine side goes through
+# catalog.register_views + spark.sql.
+_GROUPING_SETS_SQL = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(grouping(r_name) AS BIGINT) AS g_r,
+       CAST(grouping(n_name) AS BIGINT) AS g_n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+ORDER BY g_r, g_n, r_name NULLS LAST, n_name NULLS LAST
+"""
+
+
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed GROUPING SETS aggregate with grouping() indicators —
+    complements the ROLLUP (q25) and CUBE (op_cube) coverage."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT of a per-status metrics table (ids stay,
+    metric names become rows) — `df.unpivot` / SQL UNPIVOT breadth."""
+    t = load_tables(spark, sf_dir)
+    wide = t.orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "sum_price", "avg_price"],
+        "metric",
+        "val",
+    ).orderBy("o_orderstatus", "metric")
+
+
+def op_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): sorted CSV of
+    nation names per region. Spark spells it
+    array_join(array_sort(collect_list(...))) — order-deterministic by
+    construction, unlike a bare collect_list."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.nation.join(
+            t.region, t.nation.n_regionkey == t.region.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def op_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample + forward fill for users 0-9 (bucket-avg
+    of observed values; gaps carry the last observation, flagged)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.gap_fill(t.events.where(F.col("user_id") < 10))
+        .select(
+            "user_id",
+            "bucket",
+            F.round("value", 2).alias("value"),
+            "was_filled",
+        )
+        .orderBy("user_id", "bucket")
+        .limit(500)
+    )
 
 
 def op_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1147,10 @@ OPERATOR_QUERIES = {
     "op_similarity_ann": op_similarity_ann,
     "op_mmr_diversify": op_mmr_diversify,
     "op_label_outliers": op_label_outliers,
+    "op_gap_fill": op_gap_fill,
+    "op_grouping_sets": op_grouping_sets,
+    "op_unpivot": op_unpivot,
+    "op_string_agg": op_string_agg,
     "op_embedding_bucket_stats": op_embedding_bucket_stats,
     "op_embedding_neardup": op_embedding_neardup,
     "op_approx_count_distinct": op_approx_count_distinct,
@@ -2218,6 +2297,43 @@ SELECT doc_id,
                           * ln((length(ascii_text) - length(replace(ascii_text, c, '')))::DOUBLE
                                / length(ascii_text)) END)), 0.0) END, 4) AS entropy
 FROM s ORDER BY doc_id LIMIT 200
+""",
+    "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_unpivot": """
+WITH wide AS (
+  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, metric, val
+FROM (UNPIVOT wide ON n_orders, sum_price, avg_price
+      INTO NAME metric VALUE val)
+ORDER BY o_orderstatus, metric
+""",
+    "op_string_agg": """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    "op_gap_fill": """
+WITH actual AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  FROM events WHERE user_id < 10 GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+           FROM actual GROUP BY user_id),
+spine AS (SELECT user_id,
+                 unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+          FROM bounds),
+j AS (SELECT s.user_id, s.bucket, a.v
+      FROM spine s LEFT JOIN actual a USING (user_id, bucket))
+SELECT user_id, bucket,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value,
+       (v IS NULL) AS was_filled
+FROM j ORDER BY user_id, bucket LIMIT 500
 """,
     "op_label_outliers": """
 WITH ex AS (

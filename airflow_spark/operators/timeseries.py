@@ -182,3 +182,50 @@ def zscore_anomalies(
         .where(F.abs(F.col("z")) >= z_threshold)
         .drop("__mu", "__sigma")
     )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    step: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Resample an event stream onto a dense per-key time grid with
+    forward fill: bucket-average the observed values, explode each
+    key's [min, max] bucket range into a spine (``sequence`` — bounded
+    by the key's own time span, no global spine), left-join observed
+    buckets, and carry the last observation forward
+    (``last(..., ignorenulls)`` over an unbounded-preceding ROWS
+    frame). Output: (key, bucket, value, was_filled).
+
+    Scale: one grouped agg + one per-key window — both shuffle on the
+    key; the spine explode adds rows proportional to each key's time
+    span, never |keys| × global range.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    actual = df.groupBy(F.col(key_col), b).agg(
+        F.avg(value_col).alias("__v")
+    )
+    bounds = actual.groupBy(key_col).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.expr(step))
+        ).alias("bucket"),
+    )
+    j = spine.join(actual, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        key_col,
+        "bucket",
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("was_filled"),
+    )

@@ -290,3 +290,27 @@ def test_remove_duplicated_segments_short_tail_segment(spark):
     assert out[1]["clean_text"] == "a b c d e f"
     assert out[1]["n_removed"] == 1
     assert out[2]["clean_text"] == "x y z p q r"
+
+
+def test_gap_fill_carries_forward(spark):
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(hours=3), 40.0),  # hours 1,2 missing
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r["user_id"], r["bucket"].hour): (r["value"], r["was_filled"])
+        for r in gap_fill(df).collect()
+    }
+    assert got[(1, 0)] == (10.0, False)
+    assert got[(1, 1)] == (10.0, True)   # forward-filled
+    assert got[(1, 2)] == (10.0, True)
+    assert got[(1, 3)] == (40.0, False)
+    assert got[(2, 0)] == (5.0, False)
+    assert len(got) == 5  # key 2's spine is its own single bucket
