@@ -1,0 +1,76 @@
+"""Privacy / governance operators: k-anonymity suppression and
+numeric generalization.
+
+A training-data pipeline that ingests user-derived events needs a
+release gate: quasi-identifier combinations that occur fewer than k
+times re-identify people. ``k_suppress`` nulls the quasi-identifiers
+of under-k groups (suppression); ``generalize_numeric`` coarsens a
+numeric column into bands (generalization) — the two standard moves,
+both as pure expressions.
+
+Scale: one window count over the quasi-identifier key (a single
+shuffle; partial aggregation does not apply to windows, but the key
+cardinality — not the row count — bounds state). PII *content* inside
+free text is the separate ``functions.text.redact_pii`` pass.
+
+Reference analog: behavior contract only (the reference has no
+privacy surface); north-star LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def k_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int = 5, flag_col: str = "suppressed"
+) -> DataFrame:
+    """Null out ``quasi_cols`` on every row whose quasi-identifier
+    combination occurs fewer than ``k`` times; ``flag_col`` marks the
+    suppressed rows. Row count and all other columns are preserved."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    n = F.count(F.lit(1)).over(Window.partitionBy(*quasi_cols))
+    rare = (n < k).alias(flag_col)
+    keep = [c for c in df.columns if c not in quasi_cols]
+    return df.select(
+        *keep,
+        *[
+            F.when(~rare, F.col(c)).otherwise(F.lit(None)).alias(c)
+            for c in quasi_cols
+        ],
+        rare,
+    )
+
+
+def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """One-row report: distinct quasi groups, under-k groups, rows that
+    would be suppressed, and the minimum group size (the table's
+    current k-anonymity level)."""
+    g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).alias("n_under_k"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias(
+            "n_rows_suppressed"
+        ),
+        F.min("n").alias("min_group_size"),
+    )
+
+
+def generalize_numeric(
+    col: Column | str, width: float, as_label: bool = False
+) -> Column:
+    """Band a numeric column: ``floor(v / width) * width`` (or a
+    ``"[lo,hi)"`` string label) — the generalization step that lifts
+    group sizes above k without dropping rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    lo = F.floor(c / F.lit(width)) * F.lit(width)
+    if not as_label:
+        return lo
+    return F.concat(
+        F.lit("["), lo.cast("string"), F.lit(","), (lo + width).cast("string"), F.lit(")")
+    )

@@ -16,6 +16,7 @@ from ..catalog import load_tables, register_views
 from ..functions import text as textfn
 from . import (
     curation,
+    privacy,
     dedup,
     funnel,
     graph,
@@ -569,6 +570,22 @@ def op_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
         .orderBy("r_name")
+    )
+
+
+def op_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression over (lang, source) quasi-identifiers
+    with k=3: under-k combinations are nulled and flagged, all rows
+    kept."""
+    t = load_tables(spark, sf_dir)
+    return (
+        privacy.k_suppress(
+            t.documents.select("doc_id", "lang", "source"),
+            ["lang", "source"],
+            k=3,
+        )
+        .orderBy("doc_id")
+        .limit(200)
     )
 
 
@@ -1149,6 +1166,7 @@ OPERATOR_QUERIES = {
     "op_label_outliers": op_label_outliers,
     "op_gap_fill": op_gap_fill,
     "op_grouping_sets": op_grouping_sets,
+    "op_k_suppress": op_k_suppress,
     "op_unpivot": op_unpivot,
     "op_string_agg": op_string_agg,
     "op_embedding_bucket_stats": op_embedding_bucket_stats,
@@ -2299,6 +2317,16 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_k_suppress": """
+WITH g AS (SELECT doc_id, lang, source,
+                  count(*) OVER (PARTITION BY lang, source) AS n
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN n >= 3 THEN lang END AS lang,
+       CASE WHEN n >= 3 THEN source END AS source,
+       (n < 3) AS suppressed
+FROM g ORDER BY doc_id LIMIT 200
+""",
     "op_unpivot": """
 WITH wide AS (
   SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,

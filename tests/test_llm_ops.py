@@ -1178,3 +1178,54 @@ def test_label_outliers_finds_planted_outlier(spark):
     top = similarity.label_outliers(df, k=3).collect()
     assert top[0]["vec_id"] == 99
     assert top[0]["dist"] > top[1]["dist"] * 3
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_suppress_nulls_under_k_groups(spark):
+    from airflow_spark.operators.privacy import k_suppress
+
+    rows = (
+        [(i, "en", "web") for i in range(5)]
+        + [(10, "fr", "web")]          # singleton group
+        + [(11, "de", "book"), (12, "de", "book")]  # size-2 group
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    out = {r["doc_id"]: r for r in k_suppress(df, ["lang", "source"], k=3).collect()}
+    assert len(out) == 8  # every row kept
+    assert out[0]["lang"] == "en" and not out[0]["suppressed"]
+    assert out[10]["lang"] is None and out[10]["source"] is None
+    assert out[10]["suppressed"] and out[11]["suppressed"]
+
+
+def test_k_anonymity_stats(spark):
+    from airflow_spark.operators.privacy import k_anonymity_stats
+
+    rows = [(i, "en", "web") for i in range(5)] + [(10, "fr", "web")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    r = k_anonymity_stats(df, ["lang", "source"], k=3).collect()[0]
+    assert r["n_groups"] == 2
+    assert r["n_under_k"] == 1
+    assert r["n_rows_suppressed"] == 1
+    assert r["min_group_size"] == 1
+
+
+def test_generalize_numeric(spark):
+    from airflow_spark.operators.privacy import generalize_numeric
+
+    df = spark.createDataFrame([(7.0,), (10.0,), (-3.0,)], ["v"])
+    got = [
+        (r[0], r[1])
+        for r in df.select(
+            generalize_numeric("v", 5.0),
+            generalize_numeric("v", 5.0, as_label=True),
+        ).collect()
+    ]
+    assert got == [
+        (5.0, "[5.0,10.0)"),
+        (10.0, "[10.0,15.0)"),
+        (-5.0, "[-5.0,0.0)"),
+    ]
