@@ -573,6 +573,74 @@ def op_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip event values into the group's
+    [p05, p95] — exact grouped percentiles broadcast back as clip
+    bounds, then a pure projection (the outlier-capping pass before
+    loss-weighting / normalization). Flag-free output so an FP tie at
+    a boundary can't flip a column the hash sees."""
+    t = load_tables(spark, sf_dir)
+    pct = t.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("__lo"),
+        F.percentile("value", F.lit(0.95)).alias("__hi"),
+    )
+    return (
+        t.events.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")), 2
+            ).alias("v_winsorized"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+def op_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling breadth: nullif / coalesce / least / greatest."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st_or_null"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+            ).alias("st_mapped"),
+            F.round(F.least(F.col("o_totalprice"), F.lit(50000.0)), 2).alias(
+                "price_capped"
+            ),
+            F.greatest(F.length("o_orderpriority"), F.lit(8))
+            .cast("long")
+            .alias("prio_len_floor"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth: last_day, quarter, add_months (month-end
+    clamping), day difference from an epoch date."""
+    t = load_tables(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return (
+        t.orders.select(
+            "o_orderkey",
+            d.alias("o_orderdate"),
+            F.last_day(d).alias("month_end"),
+            F.quarter(d).cast("long").alias("q"),
+            F.add_months(d, 3).alias("plus3m"),
+            F.datediff(d, F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_95"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
 def op_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppression over (lang, source) quasi-identifiers
     with k=3: under-k combinations are nulled and flagged, all rows
@@ -1167,6 +1235,9 @@ OPERATOR_QUERIES = {
     "op_gap_fill": op_gap_fill,
     "op_grouping_sets": op_grouping_sets,
     "op_k_suppress": op_k_suppress,
+    "op_winsorize": op_winsorize,
+    "op_null_funcs": op_null_funcs,
+    "op_date_funcs": op_date_funcs,
     "op_unpivot": op_unpivot,
     "op_string_agg": op_string_agg,
     "op_embedding_bucket_stats": op_embedding_bucket_stats,
@@ -2317,6 +2388,32 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_winsorize": """
+WITH p AS (SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+SELECT event_id, e.event_type,
+       round(least(greatest(value, lo), hi), 2) AS v_winsorized
+FROM events e JOIN p USING (event_type)
+ORDER BY event_id LIMIT 200
+""",
+    "op_null_funcs": """
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'O') AS st_or_null,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st_mapped,
+       round(least(o_totalprice, 50000.0), 2) AS price_capped,
+       CAST(greatest(length(o_orderpriority), 8) AS BIGINT) AS prio_len_floor
+FROM orders ORDER BY o_orderkey LIMIT 100
+""",
+    "op_date_funcs": """
+SELECT o_orderkey, o_orderdate,
+       last_day(o_orderdate) AS month_end,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+FROM orders ORDER BY o_orderkey LIMIT 100
+""",
     "op_k_suppress": """
 WITH g AS (SELECT doc_id, lang, source,
                   count(*) OVER (PARTITION BY lang, source) AS n
