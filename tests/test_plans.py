@@ -265,3 +265,29 @@ def test_profile_single_aggregate_pass(spark, sf):
 
     n_scans = len(re.findall(r"(?:FileScan|\(\d+\) Scan) parquet", a["plan"]))
     assert n_scans == 1, a["plan"]
+
+
+def test_label_outliers_no_explode_in_corpus_pass(spark, sf):
+    from airflow_spark.operators.registry import op_label_outliers
+
+    a = audit_plan(op_label_outliers(spark, sf))
+    # centroids join the corpus via broadcast; top-k is TakeOrdered
+    assert "BroadcastHashJoin" in a["plan"], a["plan"]
+    assert a["top_k"], a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_winsorize_bounds_join_is_broadcast(spark, sf):
+    from airflow_spark.operators.registry import op_winsorize
+
+    a = audit_plan(op_winsorize(spark, sf))
+    assert "BroadcastHashJoin" in a["plan"], a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_gap_fill_no_cartesian(spark, sf):
+    from airflow_spark.operators.registry import op_gap_fill
+
+    a = audit_plan(op_gap_fill(spark, sf))
+    assert "CartesianProduct" not in a["plan"]
+    assert "BroadcastNestedLoopJoin" not in a["plan"]
