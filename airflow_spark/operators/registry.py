@@ -57,8 +57,10 @@ def op_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = t.documents.where(F.col("doc_id") % 3 != 0)
     new = t.documents.where(F.col("doc_id") % 3 == 0)
     key = F.substring("text", 1, 12)
+    # oversizing the filter costs KBs; undersizing costs false-positive
+    # candidates that all probe the history — size for the largest sf
     return (
-        dedup.bloom_dedup_new(new, hist, key, expected_items=400)
+        dedup.bloom_dedup_new(new, hist, key, expected_items=50_000)
         .select("doc_id", key.alias("prefix_key"))
         .orderBy("doc_id")
     )
