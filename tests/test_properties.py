@@ -72,3 +72,38 @@ def test_value_hash_order_insensitive(rows):
     # column order insensitivity too
     h3 = value_hash(["b", "a"], [(b, a) for a, b in rows])
     assert h1 == h2 == h3
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    hist_keys=st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    new_keys=st.lists(st.integers(0, 30), min_size=1, max_size=30),
+    fpp=st.sampled_from([0.3, 0.01]),
+)
+def test_bloom_dedup_always_equals_plain_anti_join(spark, hist_keys, new_keys, fpp):
+    """The bloom filter is pruning only: for ANY inputs and ANY fpp
+    (even an undersized filter full of false positives) the result
+    must equal the plain anti-join + min-id-per-key dedup."""
+    from airflow_spark.operators.dedup import bloom_dedup_new
+
+    hist = spark.createDataFrame(
+        [(i, f"k{k}") for i, k in enumerate(hist_keys)] or [(0, "__none__")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"k{k}") for i, k in enumerate(new_keys)], ["doc_id", "text"]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in bloom_dedup_new(
+            new, hist, "text", expected_items=max(1, len(hist_keys)), fpp=fpp
+        ).collect()
+    )
+    hist_set = {f"k{k}" for k in hist_keys} if hist_keys else {"__none__"}
+    first_per_key = {}
+    for i, k in enumerate(new_keys):
+        first_per_key.setdefault(f"k{k}", 100 + i)
+    want = sorted(
+        v for k, v in first_per_key.items() if k not in hist_set
+    )
+    assert got == want
