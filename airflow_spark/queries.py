@@ -440,6 +440,64 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-way join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region) with the local-supplier predicate
+    (c_nationkey = s_nationkey), one-year date window, revenue per
+    nation. The join-order/AQE stress query: two fact tables, four
+    broadcastable dims."""
+    t = load_tables(spark, sf_dir)
+    first_region = t.region.agg(F.min("r_name").alias("r_name"))
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey)
+        .join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .join(
+            t.supplier,
+            (t.lineitem.l_suppkey == t.supplier.s_suppkey)
+            & (t.customer.c_nationkey == t.supplier.s_nationkey),
+        )
+        .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .join(F.broadcast(first_region), "r_name", "left_semi")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: shipping-priority top-10 — segment-filtered
+    customers, open orders before a cutoff, late-shipped lineitems,
+    revenue per order, top-10."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, t.customer.c_custkey == t.orders.o_custkey)
+        .join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .where(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "odate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
 # ---------------------------------------------------------------------------
@@ -624,6 +682,34 @@ SELECT user_id,
        CASE WHEN min(value) >= 5.0 THEN 'ok' ELSE 'below' END AS verdict
 FROM events GROUP BY user_id ORDER BY user_id
 """,
+    "q31": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = (SELECT min(r_name) FROM region)
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    "q32": """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS odate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
 }
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
@@ -633,4 +719,5 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
+    "q31": q31, "q32": q32,
 }

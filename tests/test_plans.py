@@ -291,3 +291,17 @@ def test_gap_fill_no_cartesian(spark, sf):
     a = audit_plan(op_gap_fill(spark, sf))
     assert "CartesianProduct" not in a["plan"]
     assert "BroadcastNestedLoopJoin" not in a["plan"]
+
+
+def test_q31_dims_broadcast_no_cartesian(spark, sf):
+    a = audit_plan(RELATIONAL_QUERIES["q31"](spark, sf))
+    assert a["n_broadcast_joins"] >= 2, a["plan"]  # nation/region at least
+    assert not a["has_cartesian"], a["plan"]
+    assert a["partial_agg"], a["plan"]
+
+
+def test_q32_shipdate_filter_pushed(spark, sf):
+    a = audit_plan(RELATIONAL_QUERIES["q32"](spark, sf))
+    joined = " ".join(a["pushed_filters"])
+    assert "l_shipdate" in joined or "o_orderdate" in joined, a["plan"]
+    assert a["top_k"], a["plan"]
