@@ -74,16 +74,13 @@ def main() -> None:
     regressions = _flag_regressions(timings, sf)
     if regressions is not None:
         out["regressions"] = regressions
+    comparable = _comparable_totals(timings, sf)
+    if comparable is not None:
+        out["vs_prior_round"] = comparable
     print(json.dumps(out))
 
 
-def _flag_regressions(
-    timings: dict[str, float], sf: float | None
-) -> dict[str, float] | None:
-    """Compare per-query wall times against the most recent recorded
-    round (BENCH_r*.json at the repo root) and flag any query > 1.5x
-    its prior time (ignoring sub-0.5 s noise). None when no comparable
-    recording exists."""
+def _prior_recording(sf: float | None) -> dict | None:
     import glob
     import re
 
@@ -100,16 +97,54 @@ def _flag_regressions(
             prior = parsed.get("queries", {})
             if rec.get("sf", parsed.get("sf")) != sf or not prior:
                 continue
+            return {"round": re.search(r"BENCH_r(\d+)", path).group(1),
+                    "queries": prior}
         except (OSError, ValueError):
             continue
-        flags = {
-            name: round(t / prior[name], 2)
-            for name, t in timings.items()
-            if name in prior and prior[name] > 0 and t > 0.5
-            and t / prior[name] > 1.5
-        }
-        return flags
     return None
+
+
+def _comparable_totals(
+    timings: dict[str, float], sf: float | None
+) -> dict | None:
+    """Apples-to-apples cross-round comparison: the registry grows every
+    round, so the raw total is not comparable — also report the total
+    restricted to the queries the prior recording had."""
+    rec = _prior_recording(sf)
+    if rec is None:
+        return None
+    shared = [n for n in rec["queries"] if n in timings]
+    if not shared:
+        return None
+    prior_total = round(sum(rec["queries"][n] for n in shared), 4)
+    cur_total = round(sum(timings[n] for n in shared), 4)
+    return {
+        "prior_round": int(rec["round"]),
+        "n_shared_queries": len(shared),
+        "prior_total_shared": prior_total,
+        "current_total_shared": cur_total,
+        "ratio": round(cur_total / prior_total, 3) if prior_total else None,
+        "n_new_queries": len(timings) - len(shared),
+    }
+
+
+def _flag_regressions(
+    timings: dict[str, float], sf: float | None
+) -> dict[str, float] | None:
+    """Compare per-query wall times against the most recent recorded
+    round (BENCH_r*.json at the repo root) and flag any query > 1.5x
+    its prior time (ignoring sub-0.5 s noise). None when no comparable
+    recording exists."""
+    rec = _prior_recording(sf)
+    if rec is None:
+        return None
+    prior = rec["queries"]
+    return {
+        name: round(t / prior[name], 2)
+        for name, t in timings.items()
+        if name in prior and prior[name] > 0 and t > 0.5
+        and t / prior[name] > 1.5
+    }
 
 
 def _bench_pipelines(spark) -> dict[str, float]:
