@@ -173,3 +173,23 @@ def char_entropy(text: Column | str, max_chars: int = 2000) -> Column:
     return F.when(length > 0, F.aggregate(chars, F.lit(0.0), lambda acc, c: acc + term(c))).otherwise(
         F.lit(0.0)
     )
+
+
+#: struct-field names for PII_PATTERNS, in order
+_PII_NAMES = ["email", "card", "ssn", "phone", "ip"]
+
+
+def pii_hit_counts(text: Column | str) -> Column:
+    """Per-pattern PII hit counts as a struct
+    ``(n_email, n_card, n_ssn, n_phone, n_ip)`` — the audit/report
+    side of ``redact_pii`` (each pattern counted independently over
+    the original text, so an overlapping shape can count twice;
+    redaction order only matters when *replacing*). One codegen pass,
+    regexp_count per pattern."""
+    c = _col(text)
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for (pat, _), name in zip(PII_PATTERNS, _PII_NAMES)
+        ]
+    )

@@ -643,6 +643,62 @@ def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit counts per document (email/card/ssn/phone/ip regex
+    hits). Deterministic PII is synthesized around the doc text so the
+    counting path is exercised on this corpus; the oracle synthesizes
+    identically."""
+    t = load_tables(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.col("doc_id").cast("string"),
+        F.lit(" from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    c = textfn.pii_hit_counts(synth)
+    return (
+        t.documents.select(
+            "doc_id",
+            c.getField("n_email").alias("n_email"),
+            c.getField("n_card").alias("n_card"),
+            c.getField("n_ssn").alias("n_ssn"),
+            c.getField("n_phone").alias("n_phone"),
+            c.getField("n_ip").alias("n_ip"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def op_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per event_type (outlier-insensitive
+    normalization): exact grouped quantiles broadcast back, then a
+    projection."""
+    t = load_tables(spark, sf_dir)
+    q = t.events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med"),
+        F.percentile("value", F.lit(0.25)).alias("__p25"),
+        F.percentile("value", F.lit(0.75)).alias("__p75"),
+    )
+    iqr = F.col("__p75") - F.col("__p25")
+    scaled = F.when(iqr > 0, (F.col("value") - F.col("__med")) / iqr).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        t.events.join(F.broadcast(q), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(scaled, 4).alias("v_scaled"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
 def op_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppression over (lang, source) quasi-identifiers
     with k=3: under-k combinations are nulled and flagged, all rows
@@ -1238,6 +1294,8 @@ OPERATOR_QUERIES = {
     "op_grouping_sets": op_grouping_sets,
     "op_k_suppress": op_k_suppress,
     "op_winsorize": op_winsorize,
+    "op_pii_stats": op_pii_stats,
+    "op_robust_scale": op_robust_scale,
     "op_null_funcs": op_null_funcs,
     "op_date_funcs": op_date_funcs,
     "op_unpivot": op_unpivot,
@@ -2390,6 +2448,32 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_pii_stats": """
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-' || CAST(doc_id AS VARCHAR)
+              || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,4}\\b')) AS BIGINT) AS n_card,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip
+FROM s ORDER BY doc_id LIMIT 200
+""",
+    "op_robust_scale": """
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, 0.5) AS med,
+                  quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+           FROM events GROUP BY event_type)
+SELECT event_id, e.event_type,
+       round(CASE WHEN iqr > 0 THEN (value - med) / iqr ELSE 0.0 END, 4)
+         AS v_scaled
+FROM events e JOIN q USING (event_type)
+ORDER BY event_id LIMIT 200
+""",
     "op_winsorize": """
 WITH p AS (SELECT event_type,
                   quantile_cont(value, 0.05) AS lo,

@@ -1229,3 +1229,16 @@ def test_generalize_numeric(spark):
         (10.0, "[10.0,15.0)"),
         (-5.0, "[-5.0,0.0)"),
     ]
+
+
+def test_pii_hit_counts(spark):
+    from airflow_spark.functions.text import pii_hit_counts
+
+    df = spark.createDataFrame(
+        [("mail a@b.com and c@d.org, ssn 123-45-6789, ip 10.0.0.1",)], ["t"]
+    )
+    r = df.select(pii_hit_counts("t").alias("c")).collect()[0]["c"]
+    assert r["n_email"] == 2
+    assert r["n_ssn"] == 1
+    assert r["n_ip"] == 1
+    assert r["n_card"] == 0
