@@ -85,6 +85,11 @@ def _ops():
         "op_bm25_search",
         "op_snapshot_diff",
         "op_scd2_merge",
+        "op_bloom_dedup",
+        "op_text_clean",
+        "op_label_outliers",
+        "op_gap_fill",
+        "op_embedding_quantize",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 
