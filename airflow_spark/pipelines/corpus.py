@@ -96,3 +96,92 @@ def build_corpus_pipeline(
         return {"published_to": None}
 
     return p
+
+
+def build_ingest_pipeline(
+    source: "callable",
+    history_dir: str,
+    **pipeline_kw,
+) -> Pipeline:
+    """Incremental corpus ingest — the round-2 operators composed
+    end-to-end, run per batch against a growing curated history:
+
+        clean ─▶ pii_audit ─▶ quality_gate ─▶ dedup_vs_history ─▶ publish
+
+    clean strips markup; pii_audit counts hits then redacts; the gate
+    drops low-quality docs; dedup is the bloom-pruned exact path
+    (history scanned, never shuffled); publish appends survivors to
+    ``history_dir``. Re-running with a new batch only pays that
+    batch's cost — the history contributes one scan + one fixed-size
+    bloom bitset.
+    """
+    import os
+
+    from ..functions.text import pii_hit_counts, redact_pii, strip_markup
+
+    p = Pipeline(
+        "corpus-ingest",
+        params={"min_quality": Param(0.3, type="number")},
+        **pipeline_kw,
+    )
+
+    @p.task
+    def clean(ctx: Context) -> dict:
+        docs = source(ctx)
+        expect_schema(docs, {"doc_id": "bigint", "text": "string"})
+        expect_nonempty(docs, "empty ingest batch")
+        ctx.outputs["_clean"] = docs.withColumn("text", strip_markup(F.col("text")))
+        return {"n_in": docs.count()}
+
+    @p.task(depends_on=["clean"])
+    def pii_audit(ctx: Context) -> dict:
+        docs = ctx.outputs["_clean"]
+        c = pii_hit_counts(F.col("text"))
+        hits = docs.select(
+            F.sum(
+                c.getField("n_email")
+                + c.getField("n_card")
+                + c.getField("n_ssn")
+                + c.getField("n_phone")
+                + c.getField("n_ip")
+            ).alias("n")
+        ).first()["n"]
+        ctx.outputs["_redacted"] = docs.withColumn("text", redact_pii(F.col("text")))
+        return {"pii_hits_redacted": int(hits or 0)}
+
+    @p.task(depends_on=["pii_audit"])
+    def quality_gate(ctx: Context) -> dict:
+        scored = text.with_quality_score(ctx.outputs["_redacted"])
+        kept = scored.where(
+            F.col("quality_score") >= float(ctx.param("min_quality"))
+        ).drop("quality_score")
+        ctx.outputs["_scored"] = kept
+        return {"n_after_quality": kept.count()}
+
+    @p.task(depends_on=["quality_gate"])
+    def dedup_vs_history(ctx: Context) -> dict:
+        batch = ctx.outputs["_scored"]
+        exists = os.path.isdir(history_dir) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(history_dir)
+            for f in fs
+        )
+        if exists:
+            hist = ctx.spark.read.parquet(history_dir).select("text")
+            fresh = dedup.bloom_dedup_new(
+                batch, hist, "text", expected_items=1_000_000
+            )
+        else:
+            fresh = dedup.dedup_exact_text(batch)
+        ctx.outputs["_fresh"] = fresh
+        return {"n_fresh": fresh.count()}
+
+    @p.task(depends_on=["dedup_vs_history"])
+    def publish(ctx: Context) -> dict:
+        fresh: DataFrame = ctx.outputs["_fresh"]
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(history_dir)
+        return {"n_published": n}
+
+    return p

@@ -403,3 +403,52 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path):
     mix = {r["lang"]: r["n"] for r in
            published.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert mix == {"en": 18, "de": 12}
+
+
+def test_ingest_pipeline_two_batches(spark, tmp_path):
+    """Round-2 composition: markup strip + PII redact + quality gate +
+    bloom dedup against the history built by the previous run."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.pipelines.corpus import build_ingest_pipeline
+
+    hist = str(tmp_path / "curated")
+    body = (
+        "a perfectly reasonable training document, long enough to pass "
+        "the quality gate, with plain sentences about data engineering."
+    )
+
+    def batch1(ctx):
+        return ctx.spark.createDataFrame(
+            [
+                (1, f"<p>{body}</p>"),
+                (2, f"{body} contact me at a@b.com"),
+                (3, f"<b>{body}</b>"),  # dup of 1 after markup strip
+            ],
+            ["doc_id", "text"],
+        )
+
+    p1 = build_ingest_pipeline(batch1, hist)
+    run1 = p1.test(spark)
+    assert run1.ok, {k: t.error for k, t in run1.tasks.items()}
+    assert run1.outputs["pii_audit"]["pii_hits_redacted"] >= 1
+    assert run1.outputs["publish"]["n_published"] == 2  # 3 minus dup
+
+    published = spark.read.parquet(hist)
+    assert published.where(F.col("text").contains("a@b.com")).count() == 0
+    assert published.where(F.col("text").contains("<EMAIL>")).count() == 1
+    assert published.where(F.col("text").contains("<p>")).count() == 0
+
+    def batch2(ctx):
+        return ctx.spark.createDataFrame(
+            [
+                (10, f"<p>{body}</p>"),  # dup of history after strip
+                (11, f"{body} but this one is genuinely new content"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    run2 = build_ingest_pipeline(batch2, hist).test(spark)
+    assert run2.ok
+    assert run2.outputs["publish"]["n_published"] == 1
+    assert spark.read.parquet(hist).count() == 3
