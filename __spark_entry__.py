@@ -27,8 +27,9 @@ from airflow_spark.queries import ORACLE_SQL, RELATIONAL_QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: region×nation×customer broadcast joins + grouped agg."""
-    return RELATIONAL_QUERIES["q05"](spark, "/root/testdata/sf0.001")
+    """Flagship: TPC-H Q5 analog — 6-way join (two fact tables, four
+    broadcast dims, local-supplier predicate), revenue per nation."""
+    return RELATIONAL_QUERIES["q31"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
