@@ -643,6 +643,55 @@ def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: rolling trailing-1-hour event count per
+    user (the rate-limit / burst-detection window). RANGE over integer
+    epoch seconds — tie rows share a frame, so the result is
+    deterministic without an event_id tiebreak."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3599, 0)
+    )
+    return (
+        t.events.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
+def op_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total window (ratio_to_report): each nation's share
+    of its region's customer balance."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    per_nation = (
+        t.customer.join(
+            F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey
+        )
+        .join(F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c_acctbal").alias("bal"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.lit(100.0) * F.col("bal") / F.sum("bal").over(w), 4).alias(
+            "pct_of_region"
+        ),
+    ).orderBy("r_name", "n_name")
+
+
 def op_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit counts per document (email/card/ssn/phone/ip regex
     hits). Deterministic PII is synthesized around the doc text so the
@@ -1295,6 +1344,8 @@ OPERATOR_QUERIES = {
     "op_k_suppress": op_k_suppress,
     "op_winsorize": op_winsorize,
     "op_pii_stats": op_pii_stats,
+    "op_range_window": op_range_window,
+    "op_share": op_share,
     "op_robust_scale": op_robust_scale,
     "op_null_funcs": op_null_funcs,
     "op_date_funcs": op_date_funcs,
@@ -2448,6 +2499,26 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_range_window": """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_last_hour
+FROM events ORDER BY event_id LIMIT 300
+""",
+    "op_share": """
+WITH pn AS (SELECT r_name, n_name, sum(c_acctbal) AS bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name)
+SELECT r_name, n_name,
+       round(100.0 * bal / sum(bal) OVER (PARTITION BY r_name), 4)
+         AS pct_of_region
+FROM pn ORDER BY r_name, n_name
+""",
     "op_pii_stats": """
 WITH s AS (
   SELECT doc_id,
