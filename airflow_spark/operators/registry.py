@@ -643,6 +643,21 @@ def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket hashing-trick TF vector per document (md5 bucket mode
+    so the oracle reproduces the exact counts; integer output — no FP
+    anywhere)."""
+    t = load_tables(spark, sf_dir)
+    v = text.hashed_tf("text", dim=8, hash_fn="md5")
+    return (
+        t.documents.select(
+            "doc_id", *[v.getItem(i).alias(f"d{i}") for i in range(8)]
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def op_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame: rolling trailing-1-hour event count per
     user (the rate-limit / burst-detection window). RANGE over integer
@@ -1345,6 +1360,7 @@ OPERATOR_QUERIES = {
     "op_winsorize": op_winsorize,
     "op_pii_stats": op_pii_stats,
     "op_range_window": op_range_window,
+    "op_feature_hash": op_feature_hash,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
     "op_null_funcs": op_null_funcs,
@@ -2499,6 +2515,23 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_feature_hash": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents)
+SELECT doc_id,
+"""
+    + ",\n".join(
+        "       CAST(len(list_filter(tk, t -> "
+        "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 8 = "
+        f"{i})) AS BIGINT) AS d{i}"
+        for i in range(8)
+    )
+    + """
+FROM toks ORDER BY doc_id LIMIT 200
+""",
     "op_range_window": """
 SELECT event_id, user_id,
        CAST(count(*) OVER (

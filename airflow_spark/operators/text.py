@@ -159,3 +159,42 @@ def with_fingerprint(
     return df.withColumn("fp_md5", F.md5(c.cast("binary"))).withColumn(
         "fp_sketch", sketch
     )
+
+
+def hashed_tf(
+    text: Column | str,
+    dim: int = 64,
+    hash_fn: str = "xxhash64",
+    lowercase: bool = True,
+) -> Column:
+    """Hashing-trick term-frequency vector (``array<bigint>`` of length
+    ``dim``): each whitespace token is hashed into one of ``dim``
+    buckets; the vector is the bucket counts. A model-free document
+    embedding for clustering / LSH / cheap similarity when no learned
+    embedding column exists.
+
+    Expression-only — O(dim × tokens) per row, NO explode, NO shuffle:
+    the form that runs inside the corpus scan at 100 TB. ``hash_fn``
+    'xxhash64' is the fast engine default; 'md5' derives the bucket
+    from the md5 hex prefix so an external SQL engine (the DuckDB
+    oracle) can reproduce the exact vector."""
+    from ..functions.text import tokens_ws
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_ws(F.lower(c) if lowercase else c)
+
+    def bucket(t: Column) -> Column:
+        if hash_fn == "xxhash64":
+            h = F.xxhash64(t)
+        elif hash_fn == "md5":
+            h = F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        else:
+            raise ValueError(f"hash_fn must be xxhash64 or md5, got {hash_fn!r}")
+        return F.pmod(h, F.lit(dim))
+
+    def bucket_counter(i: int):
+        # one-arg lambda: a two-arg lambda would make pyspark bind the
+        # second parameter to the array index, shadowing the constant
+        return F.size(F.filter(toks, lambda t: bucket(t) == F.lit(i)))
+
+    return F.array(*[bucket_counter(i).cast("long") for i in range(dim)])

@@ -1242,3 +1242,21 @@ def test_pii_hit_counts(spark):
     assert r["n_ssn"] == 1
     assert r["n_ip"] == 1
     assert r["n_card"] == 0
+
+
+def test_hashed_tf_counts_tokens(spark):
+    df = spark.createDataFrame([("a b a c",), ("",)], ["t"])
+    rows = df.select(text.hashed_tf("t", dim=4).alias("v")).collect()
+    assert sum(rows[0]["v"]) == 4  # every token lands in exactly one bucket
+    assert sum(rows[1]["v"]) == 0
+    # same token -> same bucket: 'a' appears twice in one bucket
+    assert max(rows[0]["v"]) >= 2
+
+
+def test_hashed_tf_md5_equals_xxhash_totals(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    a = docs.select(text.hashed_tf("text", dim=8).alias("v"))
+    b = docs.select(text.hashed_tf("text", dim=8, hash_fn="md5").alias("v"))
+    ta = [sum(r["v"]) for r in a.collect()]
+    tb = [sum(r["v"]) for r in b.collect()]
+    assert ta == tb  # bucketings differ, token totals must not
