@@ -643,6 +643,29 @@ def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate bucket table (hypertable rollup):
+    hourly mergeable stats per event_type. The incremental refresh +
+    hybrid raw/rollup query path around this aggregate is exercised in
+    tests (operators/rollup.py)."""
+    from . import rollup
+
+    t = load_tables(spark, sf_dir)
+    return (
+        rollup.bucket_aggregate(t.events)
+        .select(
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("sum_v", 2).alias("sum_v"),
+            F.round("min_v", 2).alias("min_v"),
+            F.round("max_v", 2).alias("max_v"),
+        )
+        .orderBy("bucket", "event_type")
+        .limit(300)
+    )
+
+
 def op_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-bucket hashing-trick TF vector per document (md5 bucket mode
     so the oracle reproduces the exact counts; integer output — no FP
@@ -1361,6 +1384,7 @@ OPERATOR_QUERIES = {
     "op_pii_stats": op_pii_stats,
     "op_range_window": op_range_window,
     "op_feature_hash": op_feature_hash,
+    "op_rollup_aggregate": op_rollup_aggregate,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
     "op_null_funcs": op_null_funcs,
@@ -2515,6 +2539,16 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_rollup_aggregate": """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_v,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY bucket, event_type LIMIT 300
+""",
     "op_feature_hash": """
 WITH toks AS (
   SELECT doc_id,

@@ -314,3 +314,53 @@ def test_gap_fill_carries_forward(spark):
     assert got[(1, 3)] == (40.0, False)
     assert got[(2, 0)] == (5.0, False)
     assert len(got) == 5  # key 2's spine is its own single bucket
+
+
+def test_rollup_incremental_refresh_and_hybrid_query(spark, tmp_path):
+    import datetime as dt
+
+    from airflow_spark.operators import rollup
+
+    path = str(tmp_path / "rollup")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def ev(h, m, typ, v):
+        return (t0 + dt.timedelta(hours=h, minutes=m), typ, float(v))
+
+    batch1 = spark.createDataFrame(
+        [ev(0, 5, "a", 1), ev(0, 40, "b", 2), ev(1, 10, "a", 3), ev(2, 1, "a", 4)],
+        ["ts", "event_type", "value"],
+    )
+    r1 = rollup.refresh_rollup(spark, batch1, path)
+    # hour 2 holds max ts -> in progress -> only hours 0,1 materialize
+    assert r1["new_buckets"] == 2
+    assert spark.read.parquet(path).agg(F.max("bucket")).first()[0].hour == 1
+
+    batch2 = batch1.union(
+        spark.createDataFrame(
+            [ev(2, 30, "b", 5), ev(3, 15, "a", 6), ev(4, 2, "b", 7)],
+            ["ts", "event_type", "value"],
+        )
+    )
+    r2 = rollup.refresh_rollup(spark, batch2, path)
+    assert r2["new_buckets"] == 2  # hours 2 and 3; hour 4 now in progress
+    assert r2["high_water"].hour == 1
+
+    # hybrid over [00:30, 04:00) == direct aggregation over raw
+    start, end = t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(hours=4)
+    got = {
+        r["event_type"]: r["n"]
+        for r in rollup.hybrid_range_count(spark, batch2, path, start, end).collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in batch2.where((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want, (got, want)
+
+    # refresh with nothing new: no buckets appended
+    r3 = rollup.refresh_rollup(spark, batch2, path)
+    assert r3["new_buckets"] == 0
