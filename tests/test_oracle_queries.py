@@ -58,8 +58,8 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
-    assert set(df.columns) == {"r_name", "n_name", "cnt", "bal"}
+    assert len(rows) >= 1
+    assert set(df.columns) == {"n_name", "revenue"}
 
 
 def test_registry_alignment():
