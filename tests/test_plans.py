@@ -305,3 +305,25 @@ def test_q32_shipdate_filter_pushed(spark, sf):
     joined = " ".join(a["pushed_filters"])
     assert "l_shipdate" in joined or "o_orderdate" in joined, a["plan"]
     assert a["top_k"], a["plan"]
+
+
+def test_rollup_refresh_tail_scan_is_filtered(spark, sf, tmp_path):
+    """Incremental refresh must push the high-water timestamp filter
+    into the raw scan — the property that makes maintenance cost track
+    arrival rate, not corpus size."""
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators import rollup
+
+    events = load_tables(spark, sf).events
+    path = str(tmp_path / "r")
+    rollup.refresh_rollup(spark, events, path)
+    hw = spark.read.parquet(path).agg({"bucket": "max"}).first()[0]
+    from pyspark.sql import functions as F
+
+    tail = events.where(
+        F.col("ts") >= F.lit(hw) + F.expr("INTERVAL 1 SECOND")
+    )
+    a = audit_plan(rollup.bucket_aggregate(tail))
+    joined = " ".join(a["pushed_filters"])
+    assert "ts" in joined, a["plan"]
+    assert a["partial_agg"], a["plan"]
