@@ -643,6 +643,28 @@ def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise breadth: xor / and / or / shifts / bit_count — the
+    primitives the SimHash/bloom operators are built from, exercised
+    directly."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    return (
+        t.orders.select(
+            "o_orderkey",
+            k.bitwiseXOR(c).alias("x_xor"),
+            k.bitwiseAND(F.lit(255)).alias("x_and"),
+            k.bitwiseOR(F.lit(1)).alias("x_or"),
+            F.shiftleft(k, 3).alias("x_shl"),
+            F.shiftright(k, 2).alias("x_shr"),
+            F.bit_count(k).cast("int").alias("x_pop"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
 def op_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-aggregate bucket table (hypertable rollup):
     hourly mergeable stats per event_type. The incremental refresh +
@@ -1385,6 +1407,7 @@ OPERATOR_QUERIES = {
     "op_range_window": op_range_window,
     "op_feature_hash": op_feature_hash,
     "op_rollup_aggregate": op_rollup_aggregate,
+    "op_bitwise_funcs": op_bitwise_funcs,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
     "op_null_funcs": op_null_funcs,
@@ -2539,6 +2562,16 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_bitwise_funcs": """
+SELECT o_orderkey,
+       xor(o_orderkey, o_custkey) AS x_xor,
+       o_orderkey & 255 AS x_and,
+       o_orderkey | 1 AS x_or,
+       o_orderkey << 3 AS x_shl,
+       o_orderkey >> 2 AS x_shr,
+       CAST(bit_count(o_orderkey) AS INT) AS x_pop
+FROM orders ORDER BY o_orderkey LIMIT 100
+""",
     "op_rollup_aggregate": """
 SELECT date_trunc('hour', ts) AS bucket, event_type,
        CAST(count(*) AS BIGINT) AS n,
