@@ -643,6 +643,21 @@ def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders: four rules, ONE
+    corpus pass (conditional sums), rows = rules."""
+    from ..pipeline.expectations import evaluate_rules
+
+    t = load_tables(spark, sf_dir)
+    rules = [
+        ("key_not_null", F.col("o_orderkey").isNotNull()),
+        ("status_known", F.col("o_orderstatus").isin("F", "O", "P")),
+        ("price_positive", F.col("o_totalprice") > 0),
+        ("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+    ]
+    return evaluate_rules(t.orders, rules).orderBy("rule")
+
+
 def op_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise breadth: xor / and / or / shifts / bit_count — the
     primitives the SimHash/bloom operators are built from, exercised
@@ -1408,6 +1423,7 @@ OPERATOR_QUERIES = {
     "op_feature_hash": op_feature_hash,
     "op_rollup_aggregate": op_rollup_aggregate,
     "op_bitwise_funcs": op_bitwise_funcs,
+    "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
     "op_null_funcs": op_null_funcs,
@@ -2562,6 +2578,23 @@ SELECT doc_id,
 FROM s ORDER BY doc_id LIMIT 200
 """,
     "op_grouping_sets": _GROUPING_SETS_SQL,
+    "op_dq_rules": """
+WITH t AS (SELECT
+  CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+  CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+  CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+  CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+  CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+  CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v4
+  FROM orders)
+SELECT 'key_not_null' AS rule, p1 AS n_pass, v1 AS n_violations FROM t
+UNION ALL SELECT 'status_known', p2, v2 FROM t
+UNION ALL SELECT 'price_positive', p3, v3 FROM t
+UNION ALL SELECT 'priority_format', p4, v4 FROM t
+ORDER BY rule
+""",
     "op_bitwise_funcs": """
 SELECT o_orderkey,
        xor(o_orderkey, o_custkey) AS x_xor,

@@ -92,3 +92,44 @@ def expect_schema(df: DataFrame, required: dict[str, str], message: str = "") ->
     }
     if problems:
         raise ExpectationFailed(message or f"schema mismatch: {problems}")
+
+
+def evaluate_rules(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-quality report: ``rules`` is a list of
+    (rule_name, pass_predicate); returns one row per rule with the
+    row counts that pass/violate it. ONE aggregation pass evaluates
+    every rule (conditional sums — no per-rule scan), then a fixed
+    rules×1 unpivot; at 100 TB the corpus is read once no matter how
+    many rules are attached. NULL predicate results count as
+    violations (unknown is not a pass).
+
+    The reporting twin of ``expect_empty``: gate with expectations,
+    monitor with a rules report."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for name, pred in rules:
+        ok = F.coalesce(pred.cast("boolean"), F.lit(False))
+        aggs.append(
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias(f"__p_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__p_{name}").alias("n_pass"),
+                F.col(f"__v_{name}").alias("n_violations"),
+            )
+            for name, _ in rules
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("r"))
+        .select("r.rule", "r.n_pass", "r.n_violations")
+    )

@@ -597,3 +597,27 @@ def test_control_plane_bearer_auth(spark):
         "GET", "/pipelines", None, {"Authorization": "Bearer s3cret"}
     )
     assert st == 200 and body["pipelines"]
+
+
+def test_evaluate_rules_one_pass_report(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_spark.pipeline.expectations import evaluate_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (None, 5.0)], ["id", "v"]
+    )
+    got = {
+        r["rule"]: (r["n_pass"], r["n_violations"])
+        for r in evaluate_rules(
+            df,
+            [
+                ("id_not_null", F.col("id").isNotNull()),
+                ("v_positive", F.col("v") > 0),
+                ("null_pred_is_violation", F.col("id") > 1),  # NULL row
+            ],
+        ).collect()
+    }
+    assert got["id_not_null"] == (2, 1)
+    assert got["v_positive"] == (2, 1)
+    assert got["null_pred_is_violation"] == (1, 2)  # NULL counts as violation
