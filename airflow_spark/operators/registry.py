@@ -18,6 +18,7 @@ from . import (
     curation,
     privacy,
     dedup,
+    pq,
     funnel,
     graph,
     layout,
@@ -979,6 +980,23 @@ def op_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(corpus, qv, k=10, index=index, n_probe=3)
 
 
+def op_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compressed-domain top-10 for the same probe
+    vector (m=8 subspaces × ksub=16 codes trained on the id-sorted
+    sample — 32× compression of the 64-dim float32 corpus; ADC scoring
+    is m literal-table lookups per row). Deterministic end-to-end, so
+    the DuckDB twin re-derives identical codebooks + table from the
+    parquet itself."""
+    t = load_tables(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    corpus = t.embeddings.where(F.col("vec_id") != 0)
+    index = pq.PQIndex.train(corpus, m=8, ksub=16, seed=42, id_col="vec_id")
+    return pq.pq_adc_topk(corpus, qv, k=10, index=index)
+
+
 def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for vec_id=0's query vector (pool=100,
     λ=0.7). Rows-only like the rest of the float-similarity family
@@ -1434,6 +1452,7 @@ OPERATOR_QUERIES = {
     "op_embedding_neardup": op_embedding_neardup,
     "op_approx_count_distinct": op_approx_count_distinct,
     "op_similarity_ivf": op_similarity_ivf,
+    "op_similarity_pq": op_similarity_pq,
     "op_dedup_simhash": op_dedup_simhash,
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
     "op_dedup_jaccard_prefix": op_dedup_jaccard_prefix,
@@ -1635,6 +1654,60 @@ s AS (SELECT e.vec_id AS id, {d_corpus} AS d,
       FROM e, q WHERE e.cell IN (SELECT j FROM probes))
 SELECT id, {_SQL_COSINE.format(d='d', na='na', nb='nb')} AS score
 FROM s ORDER BY score DESC, id LIMIT 10
+"""
+
+
+def _sql_similarity_pq(m: int = 8, ksub: int = 16, k: int = 10) -> str:
+    """PQ oracle: rebuild the *identical* codebooks parquet-side
+    (``pq_codebooks_from_parquet`` — same id-sorted sample, same seeded
+    per-subspace k-means) and the *identical* ADC lookup table (same
+    numpy float64 path as ``PQIndex.adc_table``), then replicate
+    encoding (argmin squared-L2 per subspace, ties → smallest code,
+    sequential in-dimension accumulation) and the m-lookup ADC sum
+    (sequential in-subspace accumulation) in DuckDB."""
+    import os
+
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    books = pq.pq_codebooks_from_parquet(path, m=m, ksub=ksub, exclude_id=0)
+    dsub = books.shape[2]
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    qv = [float(x) for x in tbl.column("embedding").to_pylist()[ids.index(0)]]
+    table = pq.PQIndex(books).adc_table(qv)
+
+    cb_rows = ",\n  ".join(
+        "({}, {}, [{}])".format(
+            j, c, ", ".join(repr(float(x)) for x in books[j, c])
+        )
+        for j in range(m)
+        for c in range(ksub)
+    )
+    dt_flat = "[" + ", ".join(
+        repr(float(table[j][c])) for j in range(m) for c in range(ksub)
+    ) + "]"
+    code_subs = ",\n        ".join(
+        "(SELECT c FROM cb WHERE cb.j = {j} ORDER BY list_sum(list_transform("
+        "list_zip(e0.embedding[{a}:{b}], cb.v), s -> (CAST(s[1] AS DOUBLE) - s[2])"
+        " * (CAST(s[1] AS DOUBLE) - s[2]))) ASC, c ASC LIMIT 1)".format(
+            j=j, a=j * dsub + 1, b=(j + 1) * dsub
+        )
+        for j in range(m)
+    )
+    j_list = "[" + ", ".join(str(j) for j in range(m)) + "]"
+    return f"""
+WITH cb(j, c, v) AS (VALUES {cb_rows}),
+e AS (SELECT vec_id AS id,
+        [{code_subs}] AS codes
+      FROM embeddings e0 WHERE vec_id <> 0)
+SELECT id,
+       list_sum(list_transform({j_list},
+         j -> ({dt_flat}::DOUBLE[])[j * {ksub} + codes[j + 1] + 1])) AS adc_dist
+FROM e ORDER BY adc_dist ASC, id ASC LIMIT {k}
 """
 
 
@@ -2827,5 +2900,8 @@ try:
         k_cells=8, n_probe=3
     )
     OPERATOR_ORACLE_SQL["op_kmeans_cluster"] = _sql_kmeans_cluster(k_cells=8)
+    OPERATOR_ORACLE_SQL["op_similarity_pq"] = _sql_similarity_pq(
+        m=8, ksub=16, k=10
+    )
 except (OSError, ImportError):
     pass

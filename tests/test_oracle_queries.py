@@ -36,6 +36,9 @@ def test_operator_matches_oracle(spark, sf_smoke, name):
             k_cells=8, n_probe=3
         ),
         "op_kmeans_cluster": lambda: registry._sql_kmeans_cluster(k_cells=8),
+        "op_similarity_pq": lambda: registry._sql_similarity_pq(
+            m=8, ksub=16, k=10
+        ),
     }
     if name in data_derived:
         # data-derived oracle: centroid literals must be retrained on
