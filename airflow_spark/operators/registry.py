@@ -19,6 +19,7 @@ from . import (
     privacy,
     dedup,
     pq,
+    sketches,
     funnel,
     graph,
     layout,
@@ -997,6 +998,33 @@ def op_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(corpus, qv, k=10, index=index)
 
 
+def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-nation HLL customer
+    sketches UNIONED up to region level (the re-aggregation COUNT
+    DISTINCT doesn't allow) — raw data read once, the merge touches
+    only ~KB sketches. Hash-attestable at driver scale because
+    Datasketches HLL is exact in its sparse regime (per-region
+    distincts ≪ 1024 at lgk=12 for sf ≤ 0.01); the approximate regime
+    is tolerance-tested in tests/test_relational_ops.py."""
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.join(
+        F.broadcast(t.nation),
+        t.customer.c_nationkey == t.nation.n_nationkey,
+    )
+    per_nation = sketches.hll_rollup(
+        cust, "c_custkey", ["n_nationkey", "n_regionkey"]
+    )
+    per_region = sketches.hll_merge_rollup(per_nation, ["n_regionkey"])
+    return (
+        per_region.join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("r_name", F.col("distinct_est").alias("n_customers"))
+        .orderBy("r_name")
+    )
+
+
 def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for vec_id=0's query vector (pool=100,
     λ=0.7). Rows-only like the rest of the float-similarity family
@@ -1453,6 +1481,7 @@ OPERATOR_QUERIES = {
     "op_approx_count_distinct": op_approx_count_distinct,
     "op_similarity_ivf": op_similarity_ivf,
     "op_similarity_pq": op_similarity_pq,
+    "op_hll_rollup": op_hll_rollup,
     "op_dedup_simhash": op_dedup_simhash,
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
     "op_dedup_jaccard_prefix": op_dedup_jaccard_prefix,
@@ -2890,6 +2919,16 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_distribution_drift": _sql_distribution_drift(
         lo=0.0, hi=500.0, nbins=10
     ),
+    # HLL is exact in its sparse regime (distincts < ~k/4 = 1024 at
+    # lgk=12); driver-scale per-region cardinalities sit far below it,
+    # so the estimate equals the true distinct count bit-for-bit.
+    "op_hll_rollup": """
+SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
 }
 
 # The IVF oracle retrains centroids from the parquet itself — only

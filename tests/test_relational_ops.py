@@ -166,3 +166,68 @@ def test_asof_join_matches_python_reference(spark):
             candidates = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
             expect = max(candidates)[1] if candidates else None
             assert got[i] == expect, (trial, i, k, t, candidates, got[i])
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sparse_regime_is_exact(spark):
+    from airflow_spark.operators import sketches
+
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    got = {
+        r["g"]: r["distinct_est"]
+        for r in sketches.hll_rollup(df, "v", ["g"]).collect()
+    }
+    assert got == {0: 200, 1: 200, 2: 200}
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    from airflow_spark.operators import sketches
+
+    # 20 fine groups folding into 4 coarse ones, with overlapping values
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 20).alias("fine"),
+        ((F.col("id") % 20) % 4).alias("coarse"),
+        (F.col("id") % 700).alias("v"),
+    )
+    fine = sketches.hll_rollup(df, "v", ["fine", "coarse"])
+    merged = {
+        r["coarse"]: r["distinct_est"]
+        for r in sketches.hll_merge_rollup(fine, ["coarse"]).collect()
+    }
+    direct = {
+        r["coarse"]: r["distinct_est"]
+        for r in sketches.hll_rollup(df, "v", ["coarse"]).collect()
+    }
+    # union of fine sketches == sketch of the union (associativity)
+    assert merged == direct
+
+
+def test_hll_estimate_tolerance_in_approx_regime(spark):
+    from airflow_spark.operators import sketches
+
+    n = 50_000  # >> k/4 = 1024 at lgk=12: genuinely approximate
+    df = spark.range(0, n).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    est = sketches.hll_rollup(df, "v", ["g"]).first()["distinct_est"]
+    assert abs(est - n) / n < 0.05, est
+
+
+def test_hll_rollup_shuffles_sketches_not_rows(spark):
+    from airflow_spark.operators import sketches
+    from airflow_spark.plans.audit import audit_plan
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    rep = audit_plan(sketches.hll_rollup(df, "v", ["g"]), execute=True)
+    # map-side combine: partial sketches built before the exchange, so
+    # the one shuffle carries ~KB merged sketches rather than raw rows
+    # (AQE formatted explain prints the Exchange twice — final plan +
+    # Initial Plan — so assert the node sequence, not a count)
+    assert "partial_hll_sketch_agg" in rep["plan"]
+    assert not rep["has_cartesian"] and not rep["has_bnl_join"]
