@@ -482,3 +482,119 @@ def test_dedup_ingest_across_batches(spark, tmp_path):
         key="text", expected_items=1000,
     )
     assert spark.read.parquet(hist).count() == 4
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no conversion inside
+    its window emits (click, NULL) once the watermark passes the
+    window's end — the state-eviction semantics that keep outer-join
+    state bounded on an infinite stream. Two availableNow runs over one
+    checkpoint: run 1 sees the in-window match; run 2's later data
+    advances the watermark, evicting run-1 state and completing the
+    unmatched click with nulls."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from airflow_spark.streaming.monitors import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    lschema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("click_id", StringType()),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("ts_r", TimestampType()),
+            StructField("conv_id", StringType()),
+        ]
+    )
+    ldir, rdir, ck, out = (
+        tmp_path / "l",
+        tmp_path / "r",
+        tmp_path / "ck",
+        tmp_path / "out",
+    )
+
+    def run(qname):
+        # file sink (memory sink can't recover from a checkpoint)
+        left = spark.readStream.schema(lschema).parquet(str(ldir))
+        right = spark.readStream.schema(rschema).parquet(str(rdir))
+        q = (
+            stream_stream_join(
+                left,
+                right,
+                within="INTERVAL 1 HOUR",
+                watermark="30 minutes",
+                how="leftOuter",
+            )
+            .select("click_id", "conv_id")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["click_id"], r["conv_id"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    # phase 1: matched click c1, unmatched click c2
+    spark.createDataFrame(
+        [("u1", ts(0), "c1"), ("u2", ts(0), "c2")], lschema
+    ).write.parquet(str(ldir))
+    spark.createDataFrame([("u1", ts(10), "v1")], rschema).write.parquet(
+        str(rdir)
+    )
+    got1 = run("ssj_outer_1")
+    assert ("c1", "v1") in got1
+    assert ("c2", None) not in got1  # watermark hasn't passed c2's window
+
+    # phase 2: push both watermarks far past c2's window end
+    spark.createDataFrame([("u8", ts(600), "c8")], lschema).write.mode(
+        "append"
+    ).parquet(str(ldir))
+    spark.createDataFrame([("u9", ts(600), "v9")], rschema).write.mode(
+        "append"
+    ).parquet(str(rdir))
+    got2 = run("ssj_outer_2")
+    assert ("c2", None) in got2  # evicted left state completed with NULL
+
+
+def test_stream_stream_left_outer_batch_parity(spark):
+    """The same function on batch frames gives plain left-outer rows."""
+    import datetime as dt
+
+    from airflow_spark.streaming.monitors import stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    clicks = spark.createDataFrame(
+        [("u1", t0, "c1"), ("u2", t0, "c2")], ["user_id", "ts", "click_id"]
+    )
+    convs = spark.createDataFrame(
+        [("u1", t0 + dt.timedelta(minutes=10), "v1")],
+        ["user_id", "ts_r", "conv_id"],
+    )
+    got = {
+        (r["click_id"], r["conv_id"])
+        for r in stream_stream_join(
+            clicks, convs, within="INTERVAL 1 HOUR", how="leftOuter"
+        ).collect()
+    }
+    assert got == {("c1", "v1"), ("c2", None)}
