@@ -1,3 +1,4 @@
 """Physical-plan inspection helpers."""
 
 from .audit import audit_plan, explain_str  # noqa: F401
+from .lint import assert_clean, lint_plan  # noqa: F401

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from airflow_spark.plans import audit_plan
 from airflow_spark.queries import RELATIONAL_QUERIES
 
@@ -327,3 +329,87 @@ def test_rollup_refresh_tail_scan_is_filtered(spark, sf, tmp_path):
     joined = " ".join(a["pushed_filters"])
     assert "ts" in joined, a["plan"]
     assert a["partial_agg"], a["plan"]
+
+
+# ---------------------------------------------------------------------------
+# plan linter (plans/lint.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lint_flags_cross_and_bnl_joins(spark):
+    from airflow_spark.plans.lint import lint_plan
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    codes = {f["code"] for f in lint_plan(a.crossJoin(b))}
+    assert codes & {"cartesian-product", "bnl-join"}
+
+
+def test_lint_flags_global_window_but_not_topk(spark):
+    from pyspark.sql import Window
+
+    from airflow_spark.plans.lint import lint_plan
+
+    df = spark.range(100).select(F.col("id").alias("x"))
+    w = Window.orderBy("x")
+    bad = df.select("x", F.row_number().over(w).alias("r"))
+    assert "single-partition-sort" in {f["code"] for f in lint_plan(bad)}
+    # orderBy+limit compiles to TakeOrderedAndProject: no finding
+    ok = df.orderBy("x").limit(5)
+    assert "single-partition-sort" not in {f["code"] for f in lint_plan(ok)}
+
+
+def test_lint_flags_row_udf_not_builtin(spark):
+    from pyspark.sql.functions import udf
+
+    from airflow_spark.plans.lint import lint_plan
+
+    df = spark.range(10).select(F.col("id").alias("x"))
+    assert "python-row-udf" in {
+        f["code"] for f in lint_plan(df.select(udf(lambda v: v + 1)("x")))
+    }
+    assert "python-row-udf" not in {
+        f["code"] for f in lint_plan(df.select((F.col("x") + 1).alias("y")))
+    }
+
+
+def test_lint_flags_unpushed_filter_only_when_all_scans_weak(spark, sf_smoke):
+    from airflow_spark.plans.lint import lint_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    # expression on the column blocks pushdown (IsNotNull-only)
+    weak = docs.where(F.expr("doc_id % 2 = 0"))
+    assert "unpushed-filter" in {f["code"] for f in lint_plan(weak)}
+    # raw-column comparison pushes: clean
+    pushed = docs.where(F.col("doc_id") < 50)
+    assert "unpushed-filter" not in {f["code"] for f in lint_plan(pushed)}
+    # a union where ANOTHER scan pushed the comparison: not flagged
+    u = pushed.unionAll(docs)
+    assert "unpushed-filter" not in {f["code"] for f in lint_plan(u)}
+
+
+def test_lint_registry_queries_are_clean(spark, sf_smoke):
+    """The declared relational contract ships lint-clean plans (the
+    linter agreeing with the hand-audited plan tests above)."""
+    from airflow_spark.plans.lint import lint_plan
+    from airflow_spark.queries import RELATIONAL_QUERIES
+
+    for name in ("q01", "q05", "q12", "q15", "q31", "q32"):
+        findings = [
+            f
+            for f in lint_plan(RELATIONAL_QUERIES[name](spark, sf_smoke))
+            if f["severity"] in ("critical", "high")
+        ]
+        assert not findings, (name, findings)
+
+
+def test_assert_clean_raises_with_rendered_findings(spark):
+    import pytest as _pytest
+
+    from airflow_spark.plans.lint import assert_clean
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    with _pytest.raises(AssertionError, match="plan lint"):
+        assert_clean(a.crossJoin(b))
+    assert_clean(a.crossJoin(b), allow={"bnl-join", "cartesian-product"})
