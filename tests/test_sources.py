@@ -412,3 +412,112 @@ def test_write_dataset_with_manifest_orc_roundtrip(spark, tmp_path):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution ingest (sources/evolution.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_drifting_batches(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    b1 = tmp_path / "b1"
+    b2 = tmp_path / "b2"
+    s1 = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    s2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),          # widened
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),     # added
+        ]
+    )
+    spark.createDataFrame([(1, "a"), (2, "b")], s1).write.parquet(str(b1))
+    spark.createDataFrame([(3, "c", 0.5)], s2).write.parquet(str(b2))
+    return str(b1), str(b2)
+
+
+def test_read_evolving_aligns_all_batches(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from airflow_spark.sources.evolution import read_evolving
+
+    b1, b2 = _write_drifting_batches(spark, tmp_path)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    out = read_evolving(spark, [b1, b2], target)
+    assert out.schema == target
+    rows = {r["id"]: (r["name"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+
+def test_align_strict_raises_on_narrowing_try_cast_otherwise(spark):
+    from pyspark.sql import types as T
+
+    from airflow_spark.sources.evolution import align_to_schema
+
+    df = spark.createDataFrame([("7",), ("oops",)], ["v"])
+    target = T.StructType([T.StructField("v", T.IntegerType())])
+    with pytest.raises(ValueError, match="narrowing"):
+        align_to_schema(df, target)
+    got = [r["v"] for r in align_to_schema(df, target, strict=False).collect()]
+    assert got == [7, None]  # try_cast quarantines the bad row's value
+
+
+def test_align_is_projection_only(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from airflow_spark.plans.audit import audit_plan
+    from airflow_spark.sources.evolution import read_evolving
+
+    b1, b2 = _write_drifting_batches(spark, tmp_path)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rep = audit_plan(read_evolving(spark, [b1, b2], target))
+    assert rep["n_shuffles"] == 0
+    assert not rep["has_cartesian"]
+
+
+def test_schema_drift_report(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from airflow_spark.sources.evolution import schema_drift_report
+
+    b1, b2 = _write_drifting_batches(spark, tmp_path)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    rep = {
+        (r["batch"], r["column"], r["drift"]): (
+            r["batch_type"],
+            r["target_type"],
+            r["lossy"],
+        )
+        for r in schema_drift_report(
+            spark, {"b1": b1, "b2": b2}, target
+        ).collect()
+    }
+    assert rep[("b1", "id", "retyped")] == ("int", "bigint", False)  # widening
+    assert rep[("b1", "flag", "missing")] == (None, "boolean", None)
+    assert rep[("b2", "score", "added")] == ("double", None, None)
+    assert rep[("b2", "flag", "missing")] == (None, "boolean", None)
+    assert ("b2", "id", "retyped") not in rep  # b2 already matches
