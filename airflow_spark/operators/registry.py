@@ -682,6 +682,41 @@ def op_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function breadth: build a per-region name→key map
+    (map_from_entries over a SORTED entry array — collect_list order is
+    not deterministic, array_sort makes it so), then drive every result
+    column through map operators: size, map_keys, map_filter +
+    map_values under a higher-order fold, element_at by computed key.
+    The oracle computes the same scalars relationally — attesting the
+    map semantics, not a map render. Map build cost is bounded by group
+    cardinality (nations per region), never corpus size."""
+    t = load_tables(spark, sf_dir)
+    m = t.nation.groupBy("n_regionkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("n_name", "n_nationkey")))
+        ).alias("m")
+    )
+    return (
+        m.select(
+            "n_regionkey",
+            F.size("m").alias("n_nations"),
+            F.array_min(F.map_keys("m")).alias("first_nation"),
+            F.aggregate(
+                F.map_values(
+                    F.map_filter("m", lambda k, v: k.startswith("A"))
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("sum_a_keys"),
+            F.element_at(F.col("m"), F.array_min(F.map_keys("m"))).alias(
+                "first_key_id"
+            ),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def op_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-aggregate bucket table (hypertable rollup):
     hourly mergeable stats per event_type. The incremental refresh +
@@ -1469,6 +1504,7 @@ OPERATOR_QUERIES = {
     "op_feature_hash": op_feature_hash,
     "op_rollup_aggregate": op_rollup_aggregate,
     "op_bitwise_funcs": op_bitwise_funcs,
+    "op_map_funcs": op_map_funcs,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -2706,6 +2742,15 @@ SELECT o_orderkey,
        o_orderkey >> 2 AS x_shr,
        CAST(bit_count(o_orderkey) AS INT) AS x_pop
 FROM orders ORDER BY o_orderkey LIMIT 100
+""",
+    "op_map_funcs": """
+SELECT n_regionkey,
+       CAST(count(*) AS INT) AS n_nations,
+       min(n_name) AS first_nation,
+       CAST(coalesce(sum(n_nationkey) FILTER (WHERE n_name LIKE 'A%'), 0)
+            AS INT) AS sum_a_keys,
+       arg_min(n_nationkey, n_name) AS first_key_id
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """,
     "op_rollup_aggregate": """
 SELECT date_trunc('hour', ts) AS bucket, event_type,
