@@ -717,6 +717,35 @@ def op_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-handling breadth: the ``try_*`` family returns NULL where
+    the plain operator would throw — division by zero, bigint overflow,
+    out-of-bounds element, unparseable timestamp. The row-level
+    quarantine semantics a 100 TB ingest needs (one poison row must
+    not kill a stage); extends q21's try_cast coverage."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.round(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 4
+            ).alias("d_ok"),
+            F.try_add(
+                F.col("o_orderkey") + F.lit(1), F.lit(9223372036854775807)
+            ).alias("add_ovf"),
+            F.try_element_at(F.array(F.col("o_orderkey")), F.lit(5)).alias(
+                "elem_oob"
+            ),
+            F.try_to_timestamp(F.lit("nope")).alias("ts_bad"),
+            F.try_to_timestamp(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+            ).alias("ts_ok"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
 def op_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-aggregate bucket table (hypertable rollup):
     hourly mergeable stats per event_type. The incremental refresh +
@@ -1505,6 +1534,7 @@ OPERATOR_QUERIES = {
     "op_rollup_aggregate": op_rollup_aggregate,
     "op_bitwise_funcs": op_bitwise_funcs,
     "op_map_funcs": op_map_funcs,
+    "op_try_funcs": op_try_funcs,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -2751,6 +2781,16 @@ SELECT n_regionkey,
             AS INT) AS sum_a_keys,
        arg_min(n_nationkey, n_name) AS first_key_id
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    "op_try_funcs": """
+SELECT o_orderkey,
+       round(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                  ELSE o_totalprice / (o_custkey % 3) END, 4) AS d_ok,
+       CAST(NULL AS BIGINT) AS add_ovf,     -- o_orderkey+1 >= 1 always overflows
+       ([o_orderkey])[5] AS elem_oob,
+       TRY_CAST('nope' AS TIMESTAMP) AS ts_bad,
+       CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_ok
+FROM orders ORDER BY o_orderkey LIMIT 100
 """,
     "op_rollup_aggregate": """
 SELECT date_trunc('hour', ts) AS bucket, event_type,

@@ -94,6 +94,29 @@ def expect_schema(df: DataFrame, required: dict[str, str], message: str = "") ->
         raise ExpectationFailed(message or f"schema mismatch: {problems}")
 
 
+def expect_plan_clean(
+    df: DataFrame,
+    allow: set[str] | frozenset[str] = frozenset(),
+    execute: bool = False,
+    message: str = "",
+) -> None:
+    """Fail when the frame's physical plan carries a scale-killer
+    finding (plans/lint.py: cartesian product, global single-partition
+    sort, row-at-a-time Python UDF, …) — the plan-shape analog of the
+    data expectations above, for `Pipeline.test` / CI hooks so a
+    regression fails the test run, not the 100 TB production run."""
+    from ..plans.lint import lint_plan
+
+    findings = [
+        f for f in lint_plan(df, execute=execute) if f["code"] not in allow
+    ]
+    if findings:
+        lines = "; ".join(
+            f"[{f['severity']}] {f['code']}: {f['advice']}" for f in findings
+        )
+        raise ExpectationFailed(message or f"plan lint findings: {lines}")
+
+
 def evaluate_rules(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:

@@ -621,3 +621,21 @@ def test_evaluate_rules_one_pass_report(spark):
     assert got["id_not_null"] == (2, 1)
     assert got["v_positive"] == (2, 1)
     assert got["null_pred_is_violation"] == (1, 2)  # NULL counts as violation
+
+
+def test_expect_plan_clean_gates_and_allows(spark):
+    from pyspark.sql import functions as F
+
+    from airflow_spark.pipeline.expectations import (
+        ExpectationFailed,
+        expect_plan_clean,
+    )
+
+    a = spark.range(10).select(F.col("id").alias("x"))
+    b = spark.range(10).select(F.col("id").alias("y"))
+    import pytest as _pytest
+
+    with _pytest.raises(ExpectationFailed, match="plan lint"):
+        expect_plan_clean(a.crossJoin(b))
+    expect_plan_clean(a.crossJoin(b), allow={"bnl-join", "cartesian-product"})
+    expect_plan_clean(a.where(F.col("x") > 3))  # clean plan passes
