@@ -72,6 +72,30 @@ def incremental_task(
     return run
 
 
+def idempotent_batch_writer(
+    output_dir: str, fmt: str = "parquet"
+) -> Callable[[DataFrame, int], None]:
+    """An effectively-once ``foreachBatch`` sink: each micro-batch
+    lands in its own ``batch_id=<id>`` partition directory with
+    ``mode("overwrite")``. ``foreachBatch`` is at-least-once — a crash
+    between the sink write and the checkpoint commit replays the batch
+    — but a replay here overwrites its own partition instead of
+    appending duplicates. Read the result as one partitioned table
+    (``spark.read.parquet(output_dir)``); downstream sees each batch
+    exactly once.
+
+    (`dedup_ingest` below doesn't need this: its history append is
+    self-healing because a replayed batch re-deduplicates against the
+    history that already contains it.)"""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").format(fmt).save(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    return _write
+
+
 def dedup_ingest(
     spark: SparkSession,
     source_dir: str,

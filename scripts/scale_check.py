@@ -90,6 +90,7 @@ def _ops():
         "op_label_outliers",
         "op_gap_fill",
         "op_embedding_quantize",
+        "op_similarity_pq",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 

@@ -598,3 +598,19 @@ def test_stream_stream_left_outer_batch_parity(spark):
         ).collect()
     }
     assert got == {("c1", "v1"), ("c2", None)}
+
+
+def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
+    """Replaying a micro-batch (foreachBatch's at-least-once failure
+    mode) overwrites its own batch partition instead of duplicating."""
+    from airflow_spark.streaming.incremental import idempotent_batch_writer
+
+    out = str(tmp_path / "sink")
+    write = idempotent_batch_writer(out)
+    b0 = spark.range(5).withColumnRenamed("id", "v")
+    write(b0, 0)
+    write(b0, 0)  # replay of batch 0
+    write(spark.range(5, 8).withColumnRenamed("id", "v"), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 5 + 3, replay did not duplicate
+    assert got.select("batch_id").distinct().count() == 2
