@@ -717,6 +717,34 @@ def op_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation breadth: union / intersect / except (all
+    distinct-producing), membership, position — sorted and rendered to
+    strings so element order can't diverge between engines."""
+    t = load_tables(spark, sf_dir)
+    k = (F.col("o_orderkey") % 10).cast("long")
+    c = (F.col("o_custkey") % 10).cast("long")
+    a = F.array(k, c, F.lit(3).cast("long"))
+    b = F.array(c, F.lit(5).cast("long"))
+    u = F.array_sort(F.array_union(a, b))
+
+    def _s(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
+    return (
+        t.orders.select(
+            "o_orderkey",
+            _s(u).alias("u_str"),
+            _s(F.array_sort(F.array_intersect(a, b))).alias("i_str"),
+            _s(F.array_sort(F.array_except(a, b))).alias("e_str"),
+            F.array_contains(b, k).alias("has_k"),
+            F.array_position(u, F.lit(5).cast("long")).alias("pos5"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
 def op_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-handling breadth: the ``try_*`` family returns NULL where
     the plain operator would throw — division by zero, bigint overflow,
@@ -1535,6 +1563,7 @@ OPERATOR_QUERIES = {
     "op_bitwise_funcs": op_bitwise_funcs,
     "op_map_funcs": op_map_funcs,
     "op_try_funcs": op_try_funcs,
+    "op_array_set_funcs": op_array_set_funcs,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -2781,6 +2810,24 @@ SELECT n_regionkey,
             AS INT) AS sum_a_keys,
        arg_min(n_nationkey, n_name) AS first_key_id
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    "op_array_set_funcs": """
+WITH s AS (SELECT o_orderkey,
+  [o_orderkey % 10, o_custkey % 10, CAST(3 AS BIGINT)] AS a,
+  [o_custkey % 10, CAST(5 AS BIGINT)] AS b
+  FROM orders)
+SELECT o_orderkey,
+  -- coalesce: DuckDB renders an EMPTY list as NULL, Spark as ''
+  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','),
+           '') AS u_str,
+  coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','),
+           '') AS i_str,
+  coalesce(array_to_string(list_sort(list_distinct(
+    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e_str,
+  list_contains(b, o_orderkey % 10) AS has_k,
+  CAST(coalesce(list_position(list_sort(list_distinct(list_concat(a, b))),
+                              CAST(5 AS BIGINT)), 0) AS BIGINT) AS pos5
+FROM s ORDER BY o_orderkey LIMIT 100
 """,
     "op_try_funcs": """
 SELECT o_orderkey,
