@@ -1117,6 +1117,22 @@ def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH ANN path against exact brute-force for
+    the standard probe vector — the retrieval-eval harness attested
+    end-to-end (the oracle recomputes BOTH result lists and the overlap
+    in SQL from the same parquet)."""
+    t = load_tables(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    corpus = t.embeddings.where(F.col("vec_id") != 0)
+    brute = similarity.cosine_topk(corpus, qv, k=10)
+    ann = similarity.ann_topk(corpus, qv, k=10, num_bits=8, n_probe=4)
+    return similarity.recall_at_k(ann, brute, k=10)
+
+
 def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for vec_id=0's query vector (pool=100,
     λ=0.7). Rows-only like the rest of the float-similarity family
@@ -1577,6 +1593,7 @@ OPERATOR_QUERIES = {
     "op_similarity_ivf": op_similarity_ivf,
     "op_similarity_pq": op_similarity_pq,
     "op_hll_rollup": op_hll_rollup,
+    "op_retrieval_eval": op_retrieval_eval,
     "op_dedup_simhash": op_dedup_simhash,
     "op_dedup_ngram_jaccard": op_dedup_ngram_jaccard,
     "op_dedup_jaccard_prefix": op_dedup_jaccard_prefix,
@@ -1703,6 +1720,22 @@ s AS (SELECT c.vec_id AS id,
       FROM c, q WHERE c.bucket IN (SELECT b FROM probes))
 SELECT id, {_SQL_COSINE.format(d='d', na='na', nb='nb')} AS score
 FROM s ORDER BY score DESC, id LIMIT 10
+"""
+
+
+def _sql_retrieval_eval(k: int = 10) -> str:
+    """Recall@k oracle: recompute the brute-force AND ANN top-k lists
+    (the same two generators the individual ops attest against) and
+    their overlap, entirely in SQL."""
+    brute = _sql_similarity_topk()
+    ann = _sql_similarity_ann(num_bits=8, n_probe=4)
+    return f"""
+WITH bt AS (SELECT id FROM ({brute}) x),
+     an AS (SELECT id FROM ({ann}) y)
+SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST({k} AS BIGINT) AS k,
+       round(count(*) / {float(k)}, 4) AS recall_at_k
+FROM bt JOIN an USING (id)
 """
 
 
@@ -3045,6 +3078,7 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_dedup_simhash": _sql_dedup_simhash(num_bits=60, max_hamming=3),
     "op_similarity_topk": _sql_similarity_topk(),
     "op_similarity_ann": _sql_similarity_ann(num_bits=8, n_probe=4),
+    "op_retrieval_eval": _sql_retrieval_eval(k=10),
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),

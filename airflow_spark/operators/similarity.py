@@ -45,6 +45,27 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col("id")).limit(k)
 
 
+def recall_at_k(
+    got: DataFrame,
+    truth: DataFrame,
+    k: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Retrieval-quality evaluation: recall@k of an approximate result
+    list against the exact one — one row (n_overlap, k, recall_at_k).
+    Both inputs are top-k lists (tiny), so the semi join is a no-shuffle
+    broadcast; this is the continuous-eval hook that catches ANN index
+    drift (stale centroids, bad bucket widths) in CI rather than in
+    retrieval quality dashboards."""
+    g = got.select(F.col(id_col).alias("__id")).limit(k)
+    t = truth.select(F.col(id_col).alias("__id")).limit(k)
+    return g.join(F.broadcast(t), "__id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 4).alias("recall_at_k"),
+    )
+
+
 def cosine_topk_many(
     df: DataFrame,
     queries: DataFrame,

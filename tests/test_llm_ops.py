@@ -1353,3 +1353,14 @@ def test_pq_topk_plan_is_projection_and_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[1] or True
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_recall_at_k_exact_and_partial(spark):
+    from airflow_spark.operators.similarity import recall_at_k
+
+    got = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])
+    truth = spark.createDataFrame([(2,), (3,), (9,), (8,)], ["id"])
+    r = recall_at_k(got, truth, k=4).first()
+    assert (r["n_overlap"], r["k"], r["recall_at_k"]) == (2, 4, 0.5)
+    perfect = recall_at_k(got, got, k=4).first()
+    assert perfect["recall_at_k"] == 1.0
