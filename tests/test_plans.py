@@ -413,3 +413,81 @@ def test_assert_clean_raises_with_rendered_findings(spark):
     with _pytest.raises(AssertionError, match="plan lint"):
         assert_clean(a.crossJoin(b))
     assert_clean(a.crossJoin(b), allow={"bnl-join", "cartesian-product"})
+
+
+# ---------------------------------------------------------------------------
+# column lineage (plans/lineage.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lineage_projection_and_expressions(spark, sf_smoke):
+    from airflow_spark.plans.lineage import column_lineage
+
+    n = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    d = n.select(
+        (F.col("n_nationkey") + 1).alias("k2"),
+        F.concat_ws("-", "n_name", F.col("n_regionkey").cast("string")).alias("label"),
+    )
+    lin = column_lineage(d)
+    assert lin["k2"] == ["n_nationkey"]
+    assert lin["label"] == ["n_name", "n_regionkey"]
+
+
+def test_lineage_join_agg_and_inverse(spark, sf_smoke):
+    from airflow_spark.plans.lineage import affected_columns, column_lineage
+
+    n = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    r = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    d = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_name").alias("n_nations"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+    )
+    lin = column_lineage(d)
+    assert lin == {
+        "r_name": ["r_name"],
+        "n_nations": ["n_name"],
+        "max_key": ["n_nationkey"],
+    }
+    assert affected_columns(d, "n_name") == ["n_nations"]
+    assert affected_columns(d, "r_regionkey") == []  # join key only
+
+
+def test_lineage_window_explode_union(spark, sf_smoke):
+    from pyspark.sql import Window
+
+    from airflow_spark.plans.lineage import column_lineage
+
+    n = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    r = spark.read.parquet(f"{sf_smoke}/region.parquet")
+
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    lin_w = column_lineage(n.select("n_name", F.row_number().over(w).alias("rk")))
+    assert lin_w["rk"] == ["n_nationkey", "n_regionkey"]
+
+    lin_g = column_lineage(
+        n.select("n_nationkey", F.explode(F.split("n_name", "A")).alias("part"))
+    )
+    assert lin_g["part"] == ["n_name"]
+
+    lin_u = column_lineage(
+        n.select(F.col("n_name").alias("x")).unionAll(
+            r.select(F.col("r_name").alias("x"))
+        )
+    )
+    assert lin_u["x"] == ["n_name", "r_name"]  # both union branches
+
+
+def test_lineage_on_flagship_query(spark, sf_smoke):
+    """Lineage over the real 6-way-join flagship stays traceable."""
+    from airflow_spark.plans.lineage import column_lineage
+    from airflow_spark.queries import RELATIONAL_QUERIES
+
+    lin = column_lineage(RELATIONAL_QUERIES["q31"](spark, sf_smoke))
+    assert "n_name" in lin and lin["n_name"] == ["n_name"]
+    # revenue derives from lineitem price and discount
+    rev_col = next(c for c in lin if "rev" in c.lower())
+    assert set(lin[rev_col]) >= {"l_extendedprice", "l_discount"}
