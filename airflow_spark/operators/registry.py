@@ -745,6 +745,21 @@ def op_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..n-1 row ids in doc_id order WITHOUT a global
+    single-partition window: range-shard → parallel in-shard ranks →
+    broadcast per-shard offsets (``sampling.assign_contiguous_ids``).
+    The oracle is the naive global ROW_NUMBER the distributed form must
+    exactly reproduce."""
+    t = load_tables(spark, sf_dir)
+    return (
+        sampling.assign_contiguous_ids(t.documents, "doc_id")
+        .select("doc_id", "row_idx")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def op_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-handling breadth: the ``try_*`` family returns NULL where
     the plain operator would throw — division by zero, bigint overflow,
@@ -1580,6 +1595,7 @@ OPERATOR_QUERIES = {
     "op_map_funcs": op_map_funcs,
     "op_try_funcs": op_try_funcs,
     "op_array_set_funcs": op_array_set_funcs,
+    "op_stable_ids": op_stable_ids,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -2843,6 +2859,11 @@ SELECT n_regionkey,
             AS INT) AS sum_a_keys,
        arg_min(n_nationkey, n_name) AS first_key_id
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    "op_stable_ids": """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_idx
+FROM documents ORDER BY doc_id LIMIT 200
 """,
     "op_array_set_funcs": """
 WITH s AS (SELECT o_orderkey,

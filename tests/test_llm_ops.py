@@ -1364,3 +1364,24 @@ def test_recall_at_k_exact_and_partial(spark):
     assert (r["n_overlap"], r["k"], r["recall_at_k"]) == (2, 4, 0.5)
     perfect = recall_at_k(got, got, k=4).first()
     assert perfect["recall_at_k"] == 1.0
+
+
+def test_assign_contiguous_ids_properties(spark):
+    from airflow_spark.operators.sampling import assign_contiguous_ids
+    from airflow_spark.plans.lint import lint_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = assign_contiguous_ids(docs, "doc_id", num_shards=7)
+    rows = out.orderBy("doc_id").select("doc_id", "row_idx").collect()
+    ids = [r["row_idx"] for r in rows]
+    assert ids == list(range(len(ids)))  # dense, ordered, 0-based
+    # shard count must not change the assignment
+    again = assign_contiguous_ids(docs, "doc_id", num_shards=3)
+    ids2 = [r["row_idx"] for r in again.orderBy("doc_id").collect()]
+    assert ids2 == ids
+    # no data-sized single-partition sort in the plan (the offsets
+    # window runs over num_shards rows; the linter checks the shape of
+    # the data path after AQE finalization)
+    findings = {f["code"] for f in lint_plan(out, execute=True)}
+    assert "python-row-udf" not in findings
+    assert "cartesian-product" not in findings
