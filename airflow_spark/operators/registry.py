@@ -745,6 +745,31 @@ def op_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_struct_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/JSON codec breadth: build a nested struct (scalar +
+    array field), serialize with to_json, re-parse with from_json
+    against a declared schema, and extract every field — the oracle
+    computes the same fields directly, so any roundtrip corruption
+    (type mangling, array order, null handling) breaks the hash."""
+    t = load_tables(spark, sf_dir)
+    s = F.struct(
+        F.col("n_nationkey").alias("k"),
+        F.upper("n_name").alias("nm"),
+        F.array(F.col("n_regionkey"), F.col("n_nationkey")).alias("tags"),
+    )
+    parsed = F.from_json(
+        F.to_json(s), "struct<k:int,nm:string,tags:array<int>>"
+    )
+    return t.nation.select(
+        "n_nationkey",
+        parsed["k"].alias("k2"),
+        parsed["nm"].alias("nm2"),
+        F.element_at(parsed["tags"], 1).alias("tag1"),
+        F.get_json_object(F.to_json(s), "$.nm").alias("nm3"),
+        F.size(parsed["tags"]).alias("n_tags"),
+    ).orderBy("n_nationkey")
+
+
 def op_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 0..n-1 row ids in doc_id order WITHOUT a global
     single-partition window: range-shard → parallel in-shard ranks →
@@ -1596,6 +1621,7 @@ OPERATOR_QUERIES = {
     "op_try_funcs": op_try_funcs,
     "op_array_set_funcs": op_array_set_funcs,
     "op_stable_ids": op_stable_ids,
+    "op_struct_json_roundtrip": op_struct_json_roundtrip,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -2859,6 +2885,15 @@ SELECT n_regionkey,
             AS INT) AS sum_a_keys,
        arg_min(n_nationkey, n_name) AS first_key_id
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    "op_struct_json_roundtrip": """
+SELECT n_nationkey,
+       n_nationkey AS k2,
+       upper(n_name) AS nm2,
+       n_regionkey AS tag1,
+       upper(n_name) AS nm3,
+       CAST(2 AS INT) AS n_tags
+FROM nation ORDER BY n_nationkey
 """,
     "op_stable_ids": """
 SELECT doc_id,
