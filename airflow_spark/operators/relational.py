@@ -28,49 +28,91 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` on the same key (backward as-of, inclusive).
+    """For each left row, attach the matching right row on the same
+    key: the latest with ``right_ts <= left_ts`` (``direction=
+    "backward"``, inclusive — the default) or the earliest with
+    ``right_ts >= left_ts`` (``"forward"``). With ``tolerance_s`` the
+    match is discarded (NULLs) when it is more than that many seconds
+    away — the pandas ``merge_asof`` axes, distributed.
 
     One shuffle (hash on key), one sort per partition — the same cost
     as a sort-merge join, with no row explosion. Left rows keep all
     their columns; matched right columns arrive suffixed, NULL when no
-    right row precedes the left row.
+    right row qualifies.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got "
+            f"{direction!r} (nearest = run both and pick per-row upstream)"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c != key]
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    # carry the right timestamp internally for the tolerance check
+    carry_cols = list(right_cols)
+    if right_ts not in carry_cols:
+        carry_cols.append(right_ts)
 
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in carry_cols],
     )
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in carry_cols],
     )
-    # right rows sort before left rows at equal ts → '<=' semantics
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → '<=' semantics
+        order = [F.col("__ts").asc(), F.col("__is_left").asc()]
+    else:
+        # scan time DESCENDING so "last seen" is the earliest right row
+        # at-or-after; right still before left at equal ts → '>='
+        order = [F.col("__ts").desc(), F.col("__is_left").asc()]
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_cols
+            for c in carry_cols
         ],
     )
-    return carried.where(F.col("__is_left") == 1).select(
+    out = carried.where(F.col("__is_left") == 1)
+    if tolerance_s is not None:
+        within = (
+            F.abs(
+                F.col("__ts").cast("double")
+                - F.col(f"__m_{right_ts}").cast("double")
+            )
+            <= F.lit(float(tolerance_s))
+        )
+        out = out.select(
+            "*",
+            *[
+                F.when(within, F.col(f"__m_{c}"))
+                .alias(f"__t_{c}")
+                for c in carry_cols
+            ],
+        )
+        prefix = "__t_"
+    else:
+        prefix = "__m_"
+    return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__m_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(f"{prefix}{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
 
 

@@ -231,3 +231,93 @@ def test_hll_rollup_shuffles_sketches_not_rows(spark):
     # Initial Plan — so assert the node sequence, not a count)
     assert "partial_hll_sketch_agg" in rep["plan"]
     assert not rep["has_cartesian"] and not rep["has_bnl_join"]
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from airflow_spark.operators.relational import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "a"), (1, ts(50), "b"), (2, ts(10), "c")],
+        ["k", "ts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), "r0"), (1, ts(20), "r20"), (1, ts(60), "r60")],
+        ["k", "ts", "rval"],
+    )
+
+    back = {
+        r["lval"]: r["rval_r"]
+        for r in asof_join(left, right, "k", right_cols=["rval"]).collect()
+    }
+    assert back == {"a": "r0", "b": "r20", "c": None}
+
+    fwd = {
+        r["lval"]: r["rval_r"]
+        for r in asof_join(
+            left, right, "k", right_cols=["rval"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": "r20", "b": "r60", "c": None}
+
+    # equal timestamps are inclusive in both directions
+    eq = spark.createDataFrame([(1, ts(20), "x")], ["k", "ts", "lval"])
+    for d in ("backward", "forward"):
+        got = asof_join(eq, right, "k", right_cols=["rval"], direction=d).first()
+        assert got["rval_r"] == "r20", d
+
+    # tolerance: 10-min backward match survives, 49-min match is nulled
+    tol = {
+        r["lval"]: r["rval_r"]
+        for r in asof_join(
+            left, right, "k", right_cols=["rval"], tolerance_s=15 * 60
+        ).collect()
+    }
+    assert tol == {"a": "r0", "b": None, "c": None}
+
+
+def test_asof_join_forward_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from airflow_spark.operators.relational import asof_join
+
+    rng = np.random.default_rng(7)
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 40), unit="s"),
+            "lid": range(40),
+        }
+    ).sort_values("ts")
+    rp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 30),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 30), unit="s"),
+            "rid": range(30),
+        }
+    ).sort_values("ts")
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward"
+    ).set_index("lid")["rid"]
+    got = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            "k",
+            right_cols=["rid"],
+            direction="forward",
+        ).collect()
+    }
+    for lid in range(40):
+        w = want.loc[lid]
+        assert (got[lid] is None and pd.isna(w)) or got[lid] == w, lid
