@@ -42,6 +42,33 @@ def tumbling_window_counts(
     )
 
 
+def windowed_distinct_counts(
+    events: DataFrame,
+    distinct_col: str = "user_id",
+    window_len: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "1 hour",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-window per-key APPROXIMATE distinct counts (unique users per
+    hour per event type). Exact count(DISTINCT) is not supported on a
+    stream (unbounded per-window value state); the HLL±± sketch behind
+    ``approx_count_distinct`` is — fixed-size mergeable state per
+    (window, key), map-side combined like any partial aggregate. Works
+    batch or streaming from the same code; batch callers get the same
+    estimate (tolerance-tested vs exact)."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window_len).alias("win"), F.col(key_col)
+    ).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("n_distinct"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 def sliding_window_counts(
     events: DataFrame,
     window_len: str = "1 hour",

@@ -614,3 +614,51 @@ def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 8  # 5 + 3, replay did not duplicate
     assert got.select("batch_id").distinct().count() == 2
+
+
+def test_windowed_distinct_batch_tolerance_and_streaming_run(
+    spark, sf_smoke, tmp_path
+):
+    """approx distinct per window: batch estimate within tolerance of
+    exact; the same code runs as a real availableNow stream (exact
+    count(DISTINCT) cannot) and matches its own batch output."""
+    from airflow_spark.streaming.monitors import windowed_distinct_counts
+
+    batch = _with_event_ts(spark.read.parquet(f"{sf_smoke}/events.parquet"))
+    got = windowed_distinct_counts(batch, "user_id", "6 hours").collect()
+    exact = {
+        (r["win"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.window("ts", "6 hours").alias("win"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got
+    for r in got:
+        e = exact[(r["win"], r["event_type"])]
+        assert abs(r["n_distinct"] - e) <= max(1, 0.1 * e)
+
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_smoke}/events.parquet")
+    raw = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    stream = _with_event_ts(
+        spark.readStream.schema(raw.schema).parquet(str(stream_dir))
+    )
+    q = (
+        windowed_distinct_counts(stream, "user_id", "6 hours")
+        .writeStream.format("memory")
+        .queryName("wdc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["win"], r["event_type"]): (r["n_distinct"], r["cnt"])
+        for r in spark.sql("SELECT * FROM wdc").collect()
+    }
+    assert streamed == {
+        (r["win"], r["event_type"]): (r["n_distinct"], r["cnt"]) for r in got
+    }
