@@ -491,3 +491,36 @@ def test_lineage_on_flagship_query(spark, sf_smoke):
     # revenue derives from lineitem price and discount
     rev_col = next(c for c in lin if "rev" in c.lower())
     assert set(lin[rev_col]) >= {"l_extendedprice", "l_discount"}
+
+
+# ---------------------------------------------------------------------------
+# size estimates / broadcast advice (plans/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_estimated_size_and_broadcast_advice(spark, sf_smoke):
+    from airflow_spark.plans.stats import (
+        broadcast_if_small,
+        estimated_size_bytes,
+        should_broadcast,
+    )
+
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    lineitem = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    n_size = estimated_size_bytes(nation)
+    assert 0 < n_size < 1_000_000          # tiny dim, sane estimate
+    assert estimated_size_bytes(lineitem) > n_size
+    assert should_broadcast(nation)         # under default 10 MB
+    assert not should_broadcast(nation, threshold_bytes=-1)
+    assert not should_broadcast(nation, threshold_bytes=10)
+
+    # hint applied only when safe: the join plan broadcasts the dim
+    from airflow_spark.plans.audit import audit_plan
+
+    j = lineitem.join(
+        broadcast_if_small(nation),
+        lineitem.l_suppkey % 25 == nation.n_nationkey,
+    )
+    assert audit_plan(j)["n_broadcast_joins"] >= 1
+    # over-threshold side: hint NOT applied (falls back to plain frame)
+    assert broadcast_if_small(nation, threshold_bytes=10) is not None
