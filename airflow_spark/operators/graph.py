@@ -135,3 +135,41 @@ def connected_components(
         f"connected_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters)"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering signal (community density, spam-ring detection).
+
+    Compact-forward algorithm: canonicalize each undirected edge to
+    (lo, hi) once, so every triangle {a<b<c} is enumerated exactly once
+    as wedge (a-b, b-c) closed by edge (a-c) — two equi joins, no
+    direction blow-up, no CartesianProduct. Cost is Σ wedges per
+    mid-node; at scale, cap or salt super-node hubs the same way the
+    dedup family caps hot LSH buckets.
+
+    Returns (node, n_triangles) for every node in at least one
+    triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])  # a < b < c by construction
+    per_corner = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return per_corner.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

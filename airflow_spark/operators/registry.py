@@ -745,6 +745,18 @@ def op_array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on a deterministic synthetic graph
+    derived from orders (edges (o_custkey%40, o_orderkey%40)) — the
+    compact-forward two-join enumeration, oracle-mirrored in SQL."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 40).alias("dst"),
+    )
+    return graph.triangle_count(edges).orderBy("node")
+
+
 def op_struct_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct/JSON codec breadth: build a nested struct (scalar +
     array field), serialize with to_json, re-parse with from_json
@@ -1622,6 +1634,7 @@ OPERATOR_QUERIES = {
     "op_array_set_funcs": op_array_set_funcs,
     "op_stable_ids": op_stable_ids,
     "op_struct_json_roundtrip": op_struct_json_roundtrip,
+    "op_triangle_count": op_triangle_count,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -1889,6 +1902,9 @@ def _sql_similarity_pq(m: int = 8, ksub: int = 16, k: int = 10) -> str:
     dt_flat = "[" + ", ".join(
         repr(float(table[j][c])) for j in range(m) for c in range(ksub)
     ) + "]"
+    # NOTE: a codegen'd |c|²−2·x·c arithmetic-chain variant was measured
+    # SLOWER than this fold form at sf0.1 (1024 per-row array getItems
+    # vs one slice per code) — keep the zip_with fold.
     code_subs = ",\n        ".join(
         "(SELECT c FROM cb WHERE cb.j = {j} ORDER BY list_sum(list_transform("
         "list_zip(e0.embedding[{a}:{b}], cb.v), s -> (CAST(s[1] AS DOUBLE) - s[2])"
@@ -2885,6 +2901,20 @@ SELECT n_regionkey,
             AS INT) AS sum_a_keys,
        arg_min(n_nationkey, n_name) AS first_key_id
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    "op_triangle_count": """
+WITH e AS (SELECT DISTINCT least(o_custkey % 40, o_orderkey % 40) AS lo,
+                           greatest(o_custkey % 40, o_orderkey % 40) AS hi
+           FROM orders WHERE o_custkey % 40 <> o_orderkey % 40),
+t AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab
+      JOIN e bc ON ab.hi = bc.lo
+      JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+n AS (SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node ORDER BY node
 """,
     "op_struct_json_roundtrip": """
 SELECT n_nationkey,

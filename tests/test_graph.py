@@ -64,3 +64,33 @@ def test_connected_components_raises_when_not_converged(spark):
 
 def test_connected_components_empty_edges(spark):
     assert graph.connected_components(_edges(spark, [])).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from airflow_spark.operators.graph import triangle_count
+
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(spark.createDataFrame(k4, ["src", "dst"])).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # triangle + pendant edge: pendant node has none
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(tri).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+    # direction + duplicates + self-loops must not change the result
+    messy = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 1), (1, 2), (2, 2), (3, 4)], ["src", "dst"]
+    )
+    got_m = {r["node"]: r["n_triangles"] for r in triangle_count(messy).collect()}
+    assert got_m == {1: 1, 2: 1, 3: 1}
+
+    # path graph: no triangles at all
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert triangle_count(path).count() == 0
