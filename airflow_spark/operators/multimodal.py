@@ -245,6 +245,113 @@ def extract_image_features(
     )
 
 
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _dhash(luma, hash_size: int = 8) -> int:
+    """Difference hash (dHash, public algorithm): box-mean downscale
+    the luma plane to (hash_size, hash_size+1), emit one bit per
+    horizontal neighbor comparison → a 64-bit perceptual signature.
+    Deterministic (integral-image box means, no resampling kernels);
+    robust to re-encode / resize / small brightness shifts, which
+    byte-level sha256 dedup cannot see through."""
+    import numpy as np
+
+    h, w = luma.shape
+    rows = np.linspace(0, h, hash_size + 1).astype(int)
+    cols = np.linspace(0, w, hash_size + 2).astype(int)
+    # integral image -> exact box sums for arbitrary grid cells
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = luma.cumsum(0).cumsum(1)
+    grid = np.empty((hash_size, hash_size + 1))
+    for r in range(hash_size):
+        for c in range(hash_size + 1):
+            r0, r1, c0, c1 = rows[r], rows[r + 1], cols[c], cols[c + 1]
+            area = max((r1 - r0) * (c1 - c0), 1)
+            grid[r, c] = (
+                ii[r1, c1] - ii[r0, c1] - ii[r1, c0] + ii[r0, c0]
+            ) / area
+    bits = (grid[:, 1:] > grid[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def extract_image_hashes(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    strict: bool = False,
+    hash_size: int = 8,
+) -> DataFrame:
+    """(media_id, dhash, decoded) per image — Arrow-batched over the
+    binary column; only the 8-byte hash leaves the scan, never pixels.
+    Undecodable payloads: strict=True raises, else dhash NULL with
+    decoded=false (quarantine row, same posture as the corrupt-record
+    readers)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                real = _try_real_decode(raw)
+                if real is None and strict:
+                    raise NotImplementedError(
+                        "no codec could decode this payload (stdlib path "
+                        "handles 8-bit PNG; install Pillow for JPEG/...)"
+                    )
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "dhash": (
+                            _dhash(real["luma"], hash_size)
+                            if real is not None
+                            else None
+                        ),
+                        "decoded": real is not None,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in IMAGE_HASH_SCHEMA]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_extract, IMAGE_HASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket: int = 256,
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual image near-duplicates: dHash signatures fed through
+    the SAME banded Hamming machinery as text SimHash
+    (``dedup.simhash_neardup_pairs`` — 4-band pigeonhole candidates,
+    bit_count verify, hot-bucket cap). One decode pass; the pair
+    search shuffles 8-byte hashes, never images."""
+    from . import dedup as _dedup
+
+    hashes = (
+        extract_image_hashes(df, data_col, id_col, strict=strict)
+        .where(F.col("decoded"))
+        .select(F.col(id_col).alias("id"), F.col("dhash").alias("simhash"))
+    )
+    return _dedup.simhash_neardup_pairs(
+        hashes, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -1385,3 +1385,68 @@ def test_assign_contiguous_ids_properties(spark):
     findings = {f["code"] for f in lint_plan(out, execute=True)}
     assert "python-row-udf" not in findings
     assert "cartesian-product" not in findings
+
+
+# ---------------------------------------------------------------------------
+# perceptual image-hash dedup (multimodal dHash -> banded Hamming)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_png(w=40, h=32, tilt=1.0, bright=0):
+    import numpy as np
+
+    x = np.arange(w)[None, :] * tilt
+    y = np.arange(h)[:, None] * 2.0
+    g = np.clip(x + y + bright, 0, 255).astype(np.uint8)
+    return _encode_png(np.stack([g, g, g], axis=-1))
+
+
+def test_image_dhash_invariance_and_discrimination(spark):
+    from airflow_spark.operators.multimodal import extract_image_hashes
+
+    rows = [
+        (1, _gradient_png()),                      # base
+        (2, _gradient_png(bright=6)),              # re-exposed clone
+        (3, _gradient_png(w=80, h=64)),            # 2x upscale of same scene
+        (4, _gradient_png(tilt=-1.0)),             # mirrored gradient: different
+        (5, b"not an image"),                      # undecodable
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    got = {r["media_id"]: r for r in extract_image_hashes(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[5]["dhash"] is None and not got[5]["decoded"]
+    # brightness shift: identical gradient structure -> identical hash
+    assert ham(got[1]["dhash"], got[2]["dhash"]) <= 2
+    # scale invariance: box-mean grid sees the same scene
+    assert ham(got[1]["dhash"], got[3]["dhash"]) <= 4
+    # mirrored image: far away
+    assert ham(got[1]["dhash"], got[4]["dhash"]) > 16
+
+
+def test_image_neardup_pairs_banded(spark):
+    from airflow_spark.operators.multimodal import image_neardup_pairs
+
+    rows = [
+        (1, _gradient_png()),
+        (2, _gradient_png(bright=6)),      # near-dup of 1
+        (3, _gradient_png(tilt=-1.0)),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in image_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_image_hashes_strict_raises(spark):
+    import pytest as _pytest
+
+    from airflow_spark.operators.multimodal import extract_image_hashes
+
+    df = spark.createDataFrame([(1, b"junk")], ["media_id", "data"])
+    with _pytest.raises(Exception, match="codec"):
+        extract_image_hashes(df, strict=True).collect()
