@@ -577,6 +577,116 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def _audio_fingerprint(samples, sr: int, n_bands: int = 12, n_frames: int = 5) -> int:
+    """Spectral-shape fingerprint (chromaprint-style, public idea): the
+    clip is cut into ``n_frames`` equal windows; each window's FFT
+    magnitude is pooled into ``n_bands`` log-spaced bands; one bit per
+    (frame, band) marks whether that band's energy BEAT the previous
+    frame's same band (temporal delta — robust to overall gain, codec
+    smoothing, mild noise; first frame compares against the clip mean).
+    n_frames*n_bands bits ≤ 64 → one long per clip, same banded-Hamming
+    search machinery as text SimHash / image dHash."""
+    import numpy as np
+
+    if n_bands * n_frames > 64:
+        raise ValueError("audio fingerprint: n_bands*n_frames must be <= 64")
+    n = len(samples)
+    if n < n_frames * 2:
+        return 0
+    frame_len = n // n_frames
+    spectra = []
+    for f in range(n_frames):
+        seg = samples[f * frame_len : (f + 1) * frame_len]
+        mag = np.abs(np.fft.rfft(seg))[1:]  # drop DC
+        edges = np.unique(
+            np.geomspace(1, len(mag), n_bands + 1).astype(int)
+        )
+        bands = np.zeros(n_bands)
+        for b in range(min(n_bands, len(edges) - 1)):
+            bands[b] = mag[edges[b] : edges[b + 1]].mean() if edges[b + 1] > edges[b] else 0.0
+        spectra.append(bands)
+    spectra = np.array(spectra)
+    ref = np.vstack([spectra.mean(axis=0)[None, :], spectra[:-1]])
+    # a bit fires only when the band BEATS its reference by a margin
+    # proportional to the clip's peak band energy: near-silent bands
+    # otherwise compare quantization noise (which does NOT scale with
+    # gain) against itself and flip under re-encoding/gain changes.
+    # The margin scales with the signal, so gain invariance holds.
+    bits = (spectra > ref + 1e-3 * spectra.max()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def extract_audio_fingerprints(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """(media_id, afp, decoded) per clip — Arrow-batched; only the
+    8-byte fingerprint leaves the scan. Undecodable payloads: strict
+    raises, else NULL + decoded=false (quarantine posture)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                dec = _decode_wav(bytes(data))
+                if dec is None and strict:
+                    raise NotImplementedError(
+                        "no codec could decode this payload (stdlib path "
+                        "handles PCM WAV; install soundfile for more)"
+                    )
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "afp": (
+                            _audio_fingerprint(dec[0], dec[1])
+                            if dec is not None
+                            else None
+                        ),
+                        "decoded": dec is not None,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FP_SCHEMA])
+
+    return df.select(id_col, data_col).mapInPandas(_extract, AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    max_hamming: int = 8,
+    max_bucket: int = 256,
+    strict: bool = False,
+) -> DataFrame:
+    """Perceptual audio near-duplicates: spectral fingerprints through
+    the banded-Hamming pair search (`dedup.simhash_neardup_pairs`) —
+    one decode pass, 8-byte shuffles, hot-bucket caps."""
+    from . import dedup as _dedup
+
+    fps = (
+        extract_audio_fingerprints(df, data_col, id_col, strict=strict)
+        .where(F.col("decoded"))
+        .select(F.col(id_col).alias("id"), F.col("afp").alias("simhash"))
+    )
+    return _dedup.simhash_neardup_pairs(
+        fps, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
 def extract_video_features(
     df: DataFrame,
     every_ms: int = 1000,

@@ -1450,3 +1450,74 @@ def test_image_hashes_strict_raises(spark):
     df = spark.createDataFrame([(1, b"junk")], ["media_id", "data"])
     with _pytest.raises(Exception, match="codec"):
         extract_image_hashes(df, strict=True).collect()
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup (spectral-shape hash -> banded Hamming)
+# ---------------------------------------------------------------------------
+
+
+def _melody_wav(tones, sr=8000, per=0.2, gain=20000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(sr * per)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        frames = b"".join(
+            struct.pack(
+                "<h",
+                int(gain * math.sin(2 * math.pi * f * i / sr)),
+            )
+            for f in tones
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_gain_invariant_discriminative(spark):
+    import wave as _  # noqa: F401
+
+    from airflow_spark.operators.multimodal import extract_audio_fingerprints
+
+    up = [300, 500, 900, 1500, 2500]
+    down = list(reversed(up))
+    rows = [
+        (1, _melody_wav(up)),
+        (2, _melody_wav(up, gain=5000)),    # same melody, -12 dB
+        (3, _melody_wav(down)),             # reversed melody
+        (4, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    got = {r["media_id"]: r for r in extract_audio_fingerprints(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[4]["afp"] is None and not got[4]["decoded"]
+    assert ham(got[1]["afp"], got[2]["afp"]) <= 2   # gain-invariant
+    assert ham(got[1]["afp"], got[3]["afp"]) >= 6   # different melody
+
+
+def test_audio_neardup_pairs_banded(spark):
+    from airflow_spark.operators.multimodal import audio_neardup_pairs
+
+    up = [300, 500, 900, 1500, 2500]
+    rows = [
+        (1, _melody_wav(up)),
+        (2, _melody_wav(up, gain=8000)),
+        (3, _melody_wav(list(reversed(up)))),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "data"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in audio_neardup_pairs(df, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
