@@ -9,7 +9,7 @@ and hash salts are not portable SQL) and is property-tested in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, register_views
@@ -495,11 +495,23 @@ def op_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (accuracy property-tested vs
-    exact; not oracle-hashable — estimator differs across engines)."""
+    """HyperLogLog++ distinct estimate. The estimator differs across
+    engines, so the raw estimate is not oracle-hashable; instead the
+    registry entry emits a DERIVED CHECK the oracle can reproduce: the
+    exact distinct count plus a boolean attesting the HLL estimate
+    landed within 2x its configured rsd (0.02). The oracle emits the
+    same exact count and literal TRUE — the hash matches iff the
+    sketch met its accuracy contract on this data."""
     t = load_tables(spark, sf_dir)
     return t.orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx")
+        F.count_distinct("o_custkey").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= F.lit(0.04) * F.count_distinct("o_custkey")
+        ).alias("within_tol"),
     )
 
 
@@ -1012,19 +1024,29 @@ def op_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch per event_type (Greenwald-Khanna style
     percentile_approx, accuracy 10k): single-pass, mergeable partials —
     the 100 TB quantile path where exact percentile's full sort per
-    group is off the table. Deterministic for fixed data but
-    sketch-algorithm-specific, so rows-only (accuracy bounded by the
-    tolerance property test against exact percentiles)."""
+    group is off the table. The sketch output is algorithm-specific,
+    so the registry entry emits a DERIVED CHECK: the exact quantiles
+    (hash-attested against DuckDB quantile_cont, same as
+    op_percentile) plus booleans attesting the sketch landed within
+    5% relative error of each (the bound covers the small-n regime
+    where exact percentile interpolates between samples but the
+    sketch returns an actual sample: measured worst-case 4.0% at
+    n=199, 0.6% at n=2k, 0.2% at n=20k). Oracle emits literal TRUE
+    for the booleans — hash matches iff the sketch met the bound."""
     t = load_tables(spark, sf_dir)
+
+    def ok(q: float) -> Column:
+        approx = F.percentile_approx("value", F.lit(q), F.lit(10000))
+        exact = F.percentile("value", F.lit(q))
+        return F.abs(approx - exact) <= F.lit(0.05) * F.abs(exact)
+
     return (
         t.events.groupBy("event_type")
         .agg(
-            F.round(
-                F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 2
-            ).alias("p50_approx"),
-            F.round(
-                F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 2
-            ).alias("p95_approx"),
+            F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50_exact"),
+            F.round(F.percentile("value", F.lit(0.95)), 2).alias("p95_exact"),
+            ok(0.5).alias("p50_ok"),
+            ok(0.95).alias("p95_ok"),
         )
         .orderBy("event_type")
     )
@@ -1187,16 +1209,36 @@ def op_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-10 for vec_id=0's query vector (pool=100,
-    λ=0.7). Rows-only like the rest of the float-similarity family
-    (float accumulation order is not portable SQL); diversity-vs-top-k
-    behavior is property-tested on planted clusters."""
+    λ=0.7). The greedy MMR sequence is not SQL-expressible, so the
+    registry entry emits a DERIVED CHECK the oracle reproduces
+    exactly: the selected-set invariants (k rows, all distinct) plus
+    the first pick's id and relevance — MMR's first selection is by
+    construction the pure-relevance argmax, which the oracle recomputes
+    with the same portable cosine spelling as op_similarity_topk.
+    Diversity-vs-top-k behavior is property-tested on planted
+    clusters (tests/test_llm_ops.py)."""
+    from ..functions.vectors import cosine_similarity, lit_vector
+
     t = load_tables(spark, sf_dir)
     qv = [
         float(x)
         for x in t.embeddings.where(F.col("vec_id") == 0).first()["embedding"]
     ]
-    return similarity.mmr_topk(
-        t.embeddings.where(F.col("vec_id") != 0), qv, k=10, pool=100
+    corpus = t.embeddings.where(F.col("vec_id") != 0)
+    res = similarity.mmr_topk(corpus, qv, k=10, pool=100)
+    agg = res.agg(
+        F.count("id").alias("n_selected"),
+        F.count_distinct("id").alias("n_distinct"),
+        F.min(F.when(F.col("rank") == 1, F.col("id"))).alias("top1_id"),
+    )
+    scored = corpus.select(
+        F.col("vec_id").alias("top1_id"),
+        F.round(
+            cosine_similarity(F.col("embedding"), lit_vector(qv)), 6
+        ).alias("top1_rel"),
+    )
+    return scored.join(F.broadcast(agg), "top1_id").select(
+        "n_selected", "n_distinct", "top1_id", "top1_rel"
     )
 
 
@@ -2816,6 +2858,22 @@ SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50,
        round(quantile_cont(value, 0.95), 2) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    # Derived check: exact distinct count + literal TRUE; the Spark
+    # side computes TRUE iff the HLL estimate is within 2x rsd.
+    "op_approx_count_distinct": """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS within_tol
+FROM orders
+""",
+    # Derived check: exact quantiles (same spelling as op_percentile)
+    # + literal TRUE accuracy booleans for the GK sketch.
+    "op_approx_percentile": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 2) AS p50_exact,
+       round(quantile_cont(value, 0.95), 2) AS p95_exact,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     "op_string_funcs": """
 SELECT p_partkey, trim(p_name) AS t, lpad(p_brand, 12, '_') AS padded,
        replace(p_name, ' ', '-') AS dashed,
@@ -3163,6 +3221,16 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_dedup_containment": _sql_dedup_containment(threshold=0.6, k=300),
     "op_dedup_simhash": _sql_dedup_simhash(num_bits=60, max_hamming=3),
     "op_similarity_topk": _sql_similarity_topk(),
+    # Derived check for the greedy MMR: invariants (k selected, all
+    # distinct) + first pick == pure-relevance argmax, recomputed with
+    # the portable cosine spelling.
+    "op_mmr_diversify": f"""
+SELECT CAST(10 AS BIGINT) AS n_selected,
+       CAST(10 AS BIGINT) AS n_distinct,
+       id AS top1_id, score AS top1_rel
+FROM ({_sql_similarity_topk()}) t
+ORDER BY score DESC, id LIMIT 1
+""",
     "op_similarity_ann": _sql_similarity_ann(num_bits=8, n_probe=4),
     "op_retrieval_eval": _sql_retrieval_eval(k=10),
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
