@@ -1,0 +1,166 @@
+"""Corpus-level token statistics: collocations, vocabulary coverage,
+and frequent-item (heavy-hitter) detection.
+
+These are the descriptive-statistics passes a training-data pipeline
+runs before and after filtering: which word pairs are collocations
+(boilerplate detection, tokenizer-merge candidates), what fraction of
+each document is out-of-vocabulary (noise / wrong-language signal),
+and which values dominate a key (skew discovery before a join).
+
+Scale shapes (all pure DataFrame, no UDFs):
+
+- ``bigram_lift``: one explode over the corpus feeding ONE map-side-
+  combined count per bigram; unigram counts and the total-token scalar
+  are vocabulary-sized and broadcast. Association strength is the
+  *lift* c_xy·N / (c_x·c_y) — the exp of PMI, same ranking — computed
+  as a single IEEE division of exact integer products, so the value
+  (not just the order) is portable to the SQL oracle bit-for-bit,
+  with no libm ``ln`` in the hash path.
+- ``vocab_coverage``: pass 1 builds the top-V vocabulary (map-side
+  combine, V rows out); pass 2 re-walks the corpus once with the
+  vocabulary broadcast. OOV rate per document without any corpus-side
+  shuffle beyond the per-document re-group.
+- ``heavy_hitters``: exact support-threshold frequent items via one
+  map-side-combined count; the one-pass sketch twin
+  (``DataFrame.freqItems``, lossy counting) is mergeable and
+  shuffle-free at any scale, and its superset guarantee (every true
+  hitter appears; false positives possible) is what the registry op
+  attests.
+
+Reference scope: the reference has no corpus analytics (its text
+surface is log payloads); these extend SURVEY.md's LLM-data-pipeline
+section alongside operators/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_ws, word_shingles
+
+
+def bigram_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k word-bigram collocations by lift = c_xy·N / (c_x·c_y)
+    (monotone in PMI). Bigram counts keep multiplicity (one explode,
+    map-side combine); unigram counts and N are broadcast. Determinism:
+    exact integer counts, one double division, ties by bigram text."""
+    toks = docs.select(tokens_ws(F.lower(F.col(text_col))).alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("n_total"))
+    bi = (
+        docs.select(
+            F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+        .withColumn("x", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("y", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c1").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c1").alias("c_y"))
+    return (
+        bi.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                (F.col("c_xy") * F.col("n_total"))
+                / (F.col("c_x") * F.col("c_y")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Per-document OOV statistics against the corpus top-``vocab_size``
+    vocabulary (count desc, token asc tie-break — deterministic).
+    Output: id, n_tokens, n_oov, oov_rate."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c1").desc(), F.col("tok"))
+            ),
+        )
+        .where(F.col("rk") <= vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support: float = 0.02,
+    attest_sketch: bool = True,
+) -> DataFrame:
+    """Exact frequent items: values whose count exceeds ``support``·N,
+    with their count and share. When ``attest_sketch`` is set, also
+    verify each against the one-pass lossy-counting sketch
+    (``DataFrame.freqItems``): the sketch guarantees a SUPERSET of the
+    true hitters, so ``in_sketch`` must be true for every row — the
+    derived check the oracle reproduces as literal TRUE."""
+    counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.col("n_total") * F.lit(support))
+        .select(
+            col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+    if attest_sketch:
+        sketch = df.freqItems([col], support=support)
+        items = [r for r in sketch.first()[0]]
+        out = out.withColumn(
+            "in_sketch",
+            F.col(col).isin(items)
+            if items
+            else F.lit(False),
+        )
+    return out.orderBy(F.col("cnt").desc(), F.col(col))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables, register_views
 from ..functions import text as textfn
 from . import (
+    corpus_stats,
     curation,
     privacy,
     dedup,
@@ -1633,6 +1634,51 @@ def op_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-bigram collocations by lift (= exp PMI): boilerplate /
+    merge-candidate mining over the corpus. Exact integer counts + one
+    IEEE division keep the score hash-portable (no libm ln)."""
+    t = load_tables(spark, sf_dir)
+    return corpus_stats.bigram_lift(t.documents, min_count=5, k=100)
+
+
+def op_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-20 vocabulary
+    (two-pass: tiny vocab broadcast back over one corpus walk)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        corpus_stats.vocab_coverage(t.documents, vocab_size=20)
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def op_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens above 2% support, exact counts + shares, each
+    attested present in the one-pass lossy-counting sketch
+    (DataFrame.freqItems superset guarantee → in_sketch TRUE, which
+    the oracle emits literally)."""
+    from ..functions.text import tokens_ws
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        F.explode(tokens_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    return corpus_stats.heavy_hitters(toks, "tok", support=0.02)
+
+
+def op_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Jaccard of neighborhoods) on
+    the deterministic orders-derived graph (mod 300 — sparse enough at
+    driver scale to have non-edges worth scoring)."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    return graph.link_predict_common_neighbors(edges, k=100)
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
@@ -1677,6 +1723,10 @@ OPERATOR_QUERIES = {
     "op_stable_ids": op_stable_ids,
     "op_struct_json_roundtrip": op_struct_json_roundtrip,
     "op_triangle_count": op_triangle_count,
+    "op_link_predict": op_link_predict,
+    "op_collocations": op_collocations,
+    "op_vocab_coverage": op_vocab_coverage,
+    "op_heavy_hitters": op_heavy_hitters,
     "op_dq_rules": op_dq_rules,
     "op_share": op_share,
     "op_robust_scale": op_robust_scale,
@@ -3236,6 +3286,72 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_collocations": f"""
+WITH tk AS (SELECT {_SQL_TOKS_OF.format(t='text')} AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS tok FROM tk),
+u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY tok),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM u),
+bi0 AS (SELECT unnest(list_transform(
+            range(1, greatest(len(toks) - 1, 0) + 1),
+            i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+        FROM tk),
+b AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bi0 GROUP BY bigram HAVING count(*) >= 5)
+SELECT b.bigram, b.c_xy,
+       round((b.c_xy * t.n_total) / (ux.c1 * uy.c1), 6) AS lift
+FROM b
+CROSS JOIN tot t
+JOIN u ux ON ux.tok = split_part(b.bigram, ' ', 1)
+JOIN u uy ON uy.tok = split_part(b.bigram, ' ', 2)
+ORDER BY lift DESC, b.bigram LIMIT 100
+""",
+    "op_vocab_coverage": f"""
+WITH tok AS (SELECT doc_id, unnest(toks) AS tok
+             FROM (SELECT doc_id, {_SQL_TOKS_OF.format(t='text')} AS toks
+                   FROM documents) x),
+u AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+v AS (SELECT tok FROM u ORDER BY c1 DESC, tok LIMIT 20)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS oov_rate
+FROM tok t LEFT JOIN v ON t.tok = v.tok
+GROUP BY t.doc_id ORDER BY t.doc_id LIMIT 200
+""",
+    # in_sketch is the lossy-counting superset attestation (literal
+    # TRUE here; the Spark side computes membership in freqItems).
+    "op_heavy_hitters": f"""
+WITH tok AS (SELECT unnest({_SQL_TOKS_OF.format(t='text')}) AS tok
+             FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+SELECT c.tok, c.cnt, round(c.cnt / t.n_total, 6) AS share,
+       TRUE AS in_sketch
+FROM c, t WHERE c.cnt > t.n_total * 0.02
+ORDER BY c.cnt DESC, c.tok
+""",
+    "op_link_predict": """
+WITH und AS (
+  SELECT DISTINCT least(o_custkey % 300, o_orderkey % 300) AS lo,
+         greatest(o_custkey % 300, o_orderkey % 300) AS hi
+  FROM orders WHERE o_custkey % 300 <> o_orderkey % 300),
+adj AS (SELECT lo AS node, hi AS nbr FROM und
+        UNION ALL SELECT hi, lo FROM und),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY node),
+pairs AS (SELECT l.node AS a, r.node AS b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+          GROUP BY 1, 2),
+ne AS (SELECT p.* FROM pairs p
+       LEFT JOIN und e ON p.a = e.lo AND p.b = e.hi
+       WHERE e.lo IS NULL)
+SELECT ne.a, ne.b, ne.n_common,
+       round(ne.n_common / (da.deg + db.deg - ne.n_common), 6) AS score
+FROM ne JOIN deg da ON ne.a = da.node JOIN deg db ON ne.b = db.node
+ORDER BY score DESC, ne.a, ne.b LIMIT 100
+""",
     "op_distribution_drift": _sql_distribution_drift(
         lo=0.0, hi=500.0, nbins=10
     ),

@@ -94,3 +94,48 @@ def test_triangle_count_known_graphs(spark):
     # path graph: no triangles at all
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert triangle_count(path).count() == 0
+
+
+def test_link_predict_path_and_square(spark):
+    from airflow_spark.operators.graph import link_predict_common_neighbors
+
+    # path a-b-c: only candidate pair is (a, c) via common neighbor b;
+    # both endpoints have degree 1 -> Jaccard 1/(1+1-1) = 1.0
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = link_predict_common_neighbors(path).collect()
+    assert [(r["a"], r["b"], r["n_common"], r["score"]) for r in got] == [
+        (1, 3, 1, 1.0)
+    ]
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two
+    # neighbors, Jaccard 2/(2+2-2) = 1.0; adjacent pairs are edges and
+    # must be excluded
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"])
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["score"])
+        for r in link_predict_common_neighbors(sq).collect()
+    }
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_predict_max_degree_drops_hub_mid_nodes(spark):
+    from airflow_spark.operators.graph import link_predict_common_neighbors
+
+    # star center 0 with leaves 1..5 plus edge 1-2: every leaf pair is
+    # a candidate through the hub. Capping max_degree=3 drops node 0
+    # from the inverted index, so only pairs with a non-hub common
+    # neighbor survive — here none (1-2 is an edge, and no other pair
+    # shares a low-degree neighbor).
+    rows = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    full = link_predict_common_neighbors(edges)
+    assert full.count() == 9  # C(5,2) leaf pairs minus the 1-2 edge
+    capped = link_predict_common_neighbors(edges, max_degree=3)
+    assert capped.count() == 0
+
+    # degrees for the Jaccard denominator are computed before the cap:
+    # uncapped scores must match a hand computation for pair (3, 4)
+    r34 = {
+        (r["a"], r["b"]): r["score"] for r in full.collect()
+    }[(3, 4)]
+    assert r34 == 1.0  # deg 1 each, one common neighbor

@@ -1522,3 +1522,50 @@ def test_audio_neardup_pairs_banded(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bigram_lift_planted_collocation(spark):
+    """Tokens that only ever occur as a pair must out-lift tokens that
+    pair randomly, and the lift value must match the hand formula."""
+    from airflow_spark.operators.corpus_stats import bigram_lift
+
+    # "new york" always adjacent (5x); filler tokens vary
+    docs = spark.createDataFrame(
+        [(i, "new york visit " + ("a b " * (i + 1)).strip()) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    got = {r["bigram"]: (r["c_xy"], r["lift"]) for r in
+           bigram_lift(docs, min_count=5, k=10).collect()}
+    assert "new york" in got
+    c_xy, lift = got["new york"]
+    assert c_xy == 5
+    n_total = 5 * 3 + 2 * sum(range(1, 6))  # 15 + 30 tokens
+    assert lift == round(c_xy * n_total / (5 * 5), 6)
+    # "new york" (perfect collocation, rarer unigrams) must out-lift "a b"
+    if "a b" in got:
+        assert lift > got["a b"][1]
+
+
+def test_vocab_coverage_known_oov(spark):
+    from airflow_spark.operators.corpus_stats import vocab_coverage
+
+    # vocab_size=2 -> vocab = {"x", "y"} (most frequent); "rare" is OOV
+    docs = spark.createDataFrame(
+        [(1, "x x y rare"), (2, "x y y"), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+           for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert got == {1: (4, 1, 0.25), 2: (3, 0, 0.0), 3: (2, 0, 0.0)}
+
+
+def test_heavy_hitters_exact_and_sketch_superset(spark):
+    from airflow_spark.operators.corpus_stats import heavy_hitters
+
+    # 60x a, 30x b, 10 singletons: support 0.2 -> hitters {a, b}
+    rows = [("a",)] * 60 + [("b",)] * 30 + [(f"s{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = heavy_hitters(df, "k", support=0.2).collect()
+    assert [(r["k"], r["cnt"]) for r in got] == [("a", 60), ("b", 30)]
+    assert all(r["in_sketch"] for r in got)
+    assert got[0]["share"] == 0.6
