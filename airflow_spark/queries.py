@@ -498,6 +498,126 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog (volume shipping): revenue flowing between the
+    nation pair (NATION_0, NATION_1) in either direction, by supplier
+    nation × customer nation × ship year. Two fact joins + two aliased
+    broadcast nation dims — the classic self-joined-dimension shape."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t.supplier.join(
+            t.lineitem, t.supplier.s_suppkey == t.lineitem.l_suppkey
+        )
+        .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_0")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_0")
+            )
+        )
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog (returned items): revenue lost to returns
+    (l_returnflag = 'R') per customer over one quarter of orders,
+    top-20 — fact⋈fact⋈dim with a broadcast nation lookup and
+    TakeOrdered top-k."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey)
+        .join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .join(
+            F.broadcast(t.nation),
+            t.customer.c_nationkey == t.nation.n_nationkey,
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (supplier-part relationship count): distinct
+    suppliers per (brand, type) over the lineitem fact, excluding one
+    brand and the promo type — grouped exact count(DISTINCT) with a
+    broadcast part dim."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey
+        )
+        .where((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog (large-volume orders): orders whose total
+    quantity exceeds 300, joined back to their customer — the
+    aggregate-then-rejoin (HAVING over a fact, fact⋈fact⋈dim) shape.
+    Quantities are whole numbers stored as doubles, so the sum is
+    order-independent and exact."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(t.orders, big.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
 # ---------------------------------------------------------------------------
@@ -710,6 +830,54 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
+    "q33": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+    OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    "q34": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "q35": """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+""",
+    "q36": """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS odate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
 }
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
@@ -719,5 +887,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q16": q16, "q17": q17, "q18": q18, "q19": q19, "q20": q20,
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
-    "q31": q31, "q32": q32,
+    "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
+    "q36": q36,
 }
