@@ -543,3 +543,47 @@ def remove_duplicated_segments(
             ),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    score_col: str = "score",
+    k0: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retriever result lists:
+    ``rrf(d) = Σ_r 1/(k0 + rank_r(d))`` — the standard way to combine
+    lexical (TF-IDF/BM25) and vector retrievers without score
+    calibration, since only ranks enter the sum.
+
+    Inputs are bounded top-k lists (each ≤ a few hundred rows by
+    contract — the retrievers already did the corpus-scale work), so
+    the global rank windows and outer joins here are tiny; ranks are
+    assigned by (score desc, id) for deterministic ties, and the
+    fused sum is a fixed-order chain of IEEE adds — portable to the
+    SQL oracle. Documents missing from one list contribute 0 from it.
+    """
+    from functools import reduce
+
+    ranked = []
+    for i, df in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias(f"__r{i}"))
+        )
+    joined = reduce(
+        lambda a, b: a.join(b, id_col, "full_outer"), ranked
+    )
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        for i in range(len(rankings))
+    ]
+    total = reduce(lambda a, b: a + b, terms)
+    return (
+        joined.select(id_col, F.round(total, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1232,14 +1232,19 @@ def op_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("id").alias("n_distinct"),
         F.min(F.when(F.col("rank") == 1, F.col("id"))).alias("top1_id"),
     )
-    scored = corpus.select(
-        F.col("vec_id").alias("top1_id"),
-        F.round(
-            cosine_similarity(F.col("embedding"), lit_vector(qv)), 6
-        ).alias("top1_rel"),
-    )
-    return scored.join(F.broadcast(agg), "top1_id").select(
-        "n_selected", "n_distinct", "top1_id", "top1_rel"
+    # join BEFORE computing the cosine so the expensive expression runs
+    # on the single matched row, not a second full-corpus pass
+    return (
+        corpus.withColumnRenamed("vec_id", "top1_id")
+        .join(F.broadcast(agg), "top1_id")
+        .select(
+            "n_selected",
+            "n_distinct",
+            "top1_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), lit_vector(qv)), 6
+            ).alias("top1_rel"),
+        )
     )
 
 
@@ -1634,6 +1639,35 @@ def op_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10 EWMA (α=0.25 — binary-exact weights) per user over
+    event values; the collect+fold spelling reproduces bit-for-bit in
+    the oracle's list_reduce."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.ewma(
+        t.events.where(F.col("user_id") < 20),
+        "user_id",
+        "ts",
+        "value",
+        alpha=0.25,
+        window_rows=10,
+        order_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value"), "ewma"
+    ).orderBy("user_id", "ts").limit(300)
+
+
+def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the TF-IDF and BM25
+    top-50 lists for the standard term set — rank-only combination, no
+    score calibration; fused top-20."""
+    t = load_tables(spark, sf_dir)
+    tfidf = curation.tfidf_keyword_search(t.documents, _SEARCH_TERMS, k=50)
+    bm25 = curation.bm25_keyword_search(t.documents, _SEARCH_TERMS, k=50)
+    return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
+
+
 def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top word-bigram collocations by lift (= exp PMI): boilerplate /
     merge-candidate mining over the corpus. Exact integer counts + one
@@ -1724,6 +1758,8 @@ OPERATOR_QUERIES = {
     "op_struct_json_roundtrip": op_struct_json_roundtrip,
     "op_triangle_count": op_triangle_count,
     "op_link_predict": op_link_predict,
+    "op_ewma": op_ewma,
+    "op_hybrid_rrf": op_hybrid_rrf,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3286,6 +3322,33 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    # EWMA: same collect-then-fold FP sequence via list_reduce; α=0.25
+    # and 1-α=0.75 are binary-exact so the multiplies match Spark's.
+    "op_ewma": """
+SELECT user_id, ts, round(value, 4) AS value,
+       round(list_reduce(l, (acc, x) -> acc * 0.75 + 0.25 * x), 6)
+           AS ewma
+FROM (SELECT user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                 AS l
+      FROM events WHERE user_id < 20) t
+ORDER BY user_id, ts LIMIT 300
+""",
+    "op_hybrid_rrf": f"""
+WITH t1 AS ({_sql_keyword_search(k=50)}),
+     t2 AS ({_sql_bm25(k=50)}),
+r1 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+       FROM t1),
+r2 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+       FROM t2)
+SELECT coalesce(r1.id, r2.id) AS id,
+       round(coalesce(1.0 / (60 + r1.r), 0.0)
+             + coalesce(1.0 / (60 + r2.r), 0.0), 6) AS rrf
+FROM r1 FULL OUTER JOIN r2 ON r1.id = r2.id
+ORDER BY rrf DESC, id LIMIT 20
+""",
     "op_collocations": f"""
 WITH tk AS (SELECT {_SQL_TOKS_OF.format(t='text')} AS toks FROM documents),
 uni AS (SELECT unnest(toks) AS tok FROM tk),

@@ -229,3 +229,52 @@ def gap_fill(
         F.last("__v", ignorenulls=True).over(w).alias("value"),
         F.col("__v").isNull().alias("was_filled"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    window_rows: int = 10,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, restarted at the
+    head of a trailing ``window_rows`` frame: the recursive
+    ``acc ← acc·(1−α) + α·x`` fold applied left-to-right over the
+    frame's values. Truncating the memory to a bounded frame is what
+    makes EWMA legal as a window expression — the full-history
+    recursion has no per-row frame — and with (1−α)^10 ≈ 6% the
+    truncation is already inside float noise for trend-smoothing use.
+
+    Executes as collect_list over a ROWS frame + an ``aggregate``
+    higher-order fold — all codegen, no UDF, and the fold's FP
+    operation sequence is deterministic (frame order is fixed by the
+    window sort), so the value is portable to the SQL oracle via
+    ``list_reduce``. Prefer an α whose (1−α) is binary-exact (0.25,
+    0.5) when hash-attesting across engines.
+
+    ``order_cols`` appends tie-breakers after ``ts_col`` so the frame
+    order (and therefore the fold) is unique even with duplicate
+    timestamps.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    folded = F.aggregate(
+        rest,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.round(folded, 6).alias("ewma"),
+    )

@@ -364,3 +364,39 @@ def test_rollup_incremental_refresh_and_hybrid_query(spark, tmp_path):
     # refresh with nothing new: no buckets appended
     r3 = rollup.refresh_rollup(spark, batch2, path)
     assert r3["new_buckets"] == 0
+
+
+def test_ewma_matches_hand_recursion(spark):
+    """EWMA fold must equal the hand-computed recursion, restart at
+    the frame head, and respect tie-breaker ordering."""
+    from airflow_spark.operators.timeseries import ewma
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    got = {
+        r["ts"]: r["ewma"]
+        for r in ewma(df, "k", "ts", "value", alpha=0.25, window_rows=3).collect()
+    }
+    # window 3, alpha .25: t0=10; t1=.75*10+.25*20=12.5;
+    # t2=.75*12.5+.25*30=16.875; t3 restarts at 20:
+    # .75*(.75*20+.25*30)+.25*40 = .75*22.5+10 = 26.875
+    assert got == {0: 10.0, 1: 12.5, 2: 16.875, 3: 26.875}
+
+
+def test_rrf_fuse_rank_only_combination(spark):
+    """RRF must rank by summed reciprocal ranks, ignore score scales,
+    and give single-list docs only their one contribution."""
+    from airflow_spark.operators.curation import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 10.0)], ["id", "score"]
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.5)], ["id", "score"]
+    )
+    got = [(r["id"], r["rrf"]) for r in rrf_fuse([a, b], k0=60, k=10).collect()]
+    # doc 2: rank 2 in a, rank 1 in b -> 1/62 + 1/61 (top)
+    # doc 1: 1/61; doc 4: 1/62; doc 3: 1/63
+    assert [g[0] for g in got] == [2, 1, 4, 3]
+    assert got[0][1] == round(1 / 62 + 1 / 61, 6)
+    assert got[1][1] == round(1 / 61, 6)
