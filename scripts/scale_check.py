@@ -91,6 +91,11 @@ def _ops():
         "op_gap_fill",
         "op_embedding_quantize",
         "op_similarity_pq",
+        "op_collocations",
+        "op_vocab_coverage",
+        "op_heavy_hitters",
+        "op_hybrid_rrf",
+        "op_ewma",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 
