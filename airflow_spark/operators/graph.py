@@ -36,12 +36,17 @@ def pagerank(
     Simplified update (no dangling redistribution):
     ``r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u)``.
     """
-    # loop invariants: persist once — every round re-reads all three,
-    # and without the cache each round would re-run the (possibly
-    # expensive) edge derivation upstream of this operator
+    # loop invariants: persist once, CO-PARTITIONED ON THE JOIN KEY —
+    # `distinct` leaves edges hash-partitioned on (src, dst), which
+    # does NOT satisfy the per-round join on src alone, so without the
+    # explicit repartition every round re-shuffles all |E| edges. With
+    # it, the only per-round exchange is the |V|-sized contribution
+    # aggregate (ranks arrive already hash-partitioned on the key via
+    # attribute lineage from the previous round's groupBy).
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition("src")
         .persist()
     )
     nodes = (
