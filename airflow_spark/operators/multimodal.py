@@ -2,12 +2,15 @@
 columns with typed metadata structs.
 
 The Spark-side plumbing is real and tested — schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing — while the codec layer is
-stubbed: this container has no image/audio libraries, so decode either
-raises ``NotImplementedError`` (strict mode) or produces a
+``mapInPandas`` pipelines, partition sizing — and decode is REAL for
+the formats the stdlib can handle: PNG (zlib inflate + unfilter), WAV
+PCM (wave module + numpy MFCCs/fingerprints), and uncompressed RGB-DIB
+AVI video (RIFF parse + numpy per-frame luma). Compressed codecs
+(JPEG, MP3, H.264, …) need external libraries this container lacks, so
+those either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake derived from the bytes (test mode). Swapping in a
-real codec (PIL/ffmpeg) changes ONE function (`_decode_image_impl`),
-not the distributed plan.
+real codec (PIL/ffmpeg) changes ONE function per modality
+(`_decode_image_impl` & co.), not the distributed plan.
 
 Scale notes:
 - media rows are large → ``media_repartition`` right-sizes partitions
@@ -687,6 +690,91 @@ def audio_neardup_pairs(
     )
 
 
+def _parse_avi(data: bytes):
+    """Lenient RIFF/AVI container parse (pure stdlib): returns
+    ``{us_per_frame, width, height, bpp, compression, frames}`` where
+    ``frames`` is a list of (offset, size) into ``data`` for the video
+    stream chunks ('00db'/'00dc'), or None when not an AVI. Only
+    offsets are collected — frame bytes are sliced on demand, so
+    parsing a long video costs metadata, not a copy of every frame."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    info = {
+        "us_per_frame": 0,
+        "width": 0,
+        "height": 0,
+        "bpp": 0,
+        "compression": None,
+        "frames": [],
+    }
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_lo, body_hi = pos + 8, min(pos + 8 + size, hi)
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif cid == b"avih" and size >= 40:
+                info["us_per_frame"], = struct.unpack(
+                    "<I", data[body_lo : body_lo + 4]
+                )
+                info["width"], info["height"] = struct.unpack(
+                    "<II", data[body_lo + 32 : body_lo + 40]
+                )
+            elif cid == b"strf" and size >= 20 and info["compression"] is None:
+                # BITMAPINFOHEADER: biBitCount @14, biCompression @16
+                info["bpp"], = struct.unpack(
+                    "<H", data[body_lo + 14 : body_lo + 16]
+                )
+                info["compression"], = struct.unpack(
+                    "<I", data[body_lo + 16 : body_lo + 20]
+                )
+            elif cid in (b"00db", b"00dc") and size > 0:
+                info["frames"].append((body_lo, size))
+            pos = body_lo + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    return info if info["frames"] else None
+
+
+def _dib_luma(raw: bytes, width: int, height: int, bpp: int):
+    """Decode one uncompressed DIB frame (BI_RGB: bottom-up rows, BGR,
+    4-byte row padding) to a float luma matrix, or None if the buffer
+    doesn't match the declared geometry."""
+    import numpy as np
+
+    if bpp not in (24, 32) or width <= 0 or height <= 0:
+        return None
+    stride = ((width * (bpp // 8) + 3) // 4) * 4
+    if len(raw) < stride * height:
+        return None
+    rows = np.frombuffer(raw[: stride * height], dtype=np.uint8).reshape(
+        height, stride
+    )
+    px = rows[:, : width * (bpp // 8)].reshape(height, width, bpp // 8)
+    px = px[::-1]  # bottom-up → top-down
+    b, g, r = (
+        px[:, :, 0].astype(np.float64),
+        px[:, :, 1].astype(np.float64),
+        px[:, :, 2].astype(np.float64),
+    )
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def _luma_embedding(luma, grid: int = 8) -> list[float]:
+    """Deterministic 8-dim embedding: row means of the luma pooled to a
+    ``grid``-row banding, scaled to [0, 1]."""
+    import numpy as np
+
+    h = luma.shape[0]
+    bands = np.array_split(np.arange(h), grid)
+    return [float(luma[idx].mean() / 255.0) for idx in bands]
+
+
 def extract_video_features(
     df: DataFrame,
     every_ms: int = 1000,
@@ -695,24 +783,61 @@ def extract_video_features(
     strict: bool = False,
 ) -> DataFrame:
     """Per-sampled-frame features: the frame plan (sample_frames) joined
-    back to the payload once, then Arrow-batched 'decode' per frame.
+    back to the payload once, then Arrow-batched decode per frame.
     The join ships the binary to each frame row's task exactly once per
-    media row (frames of one video stay in one partition)."""
+    media row (frames of one video stay in one partition).
+
+    Decode is REAL for uncompressed RGB-DIB AVI (RIFF parse + numpy —
+    the video analog of the WAV-PCM audio path): each sampled timestamp
+    maps to its container frame via the avih frame interval, and
+    sha256 / mean_luma / embedding come from the actual frame pixels.
+    Compressed codecs keep the stub contract (strict raises; otherwise
+    a deterministic payload-hash fake)."""
     frames = sample_frames(df, every_ms, id_col)
     joined = frames.join(df.select(id_col, data_col), id_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        avi_cache: dict[int, tuple] = {}
         for pdf in batches:
             out = []
             for mid, ts, data in zip(
                 pdf[id_col], pdf["frame_ts_ms"], pdf[data_col]
             ):
                 raw = bytes(data)
+                key = int(mid)
+                if key not in avi_cache:
+                    # keep only the current media's parse: frame rows of
+                    # one video arrive consecutively (co-partitioned)
+                    avi_cache = {key: _parse_avi(raw)}
+                avi = avi_cache[key]
+                decodable = avi is not None and avi.get("compression") == 0
+                if decodable:
+                    us = avi["us_per_frame"] or 1
+                    idx = min(
+                        int(ts) * 1000 // us, len(avi["frames"]) - 1
+                    )
+                    off, size = avi["frames"][idx]
+                    fbytes = raw[off : off + size]
+                    luma = _dib_luma(
+                        fbytes, avi["width"], avi["height"], avi["bpp"]
+                    )
+                    if luma is not None:
+                        out.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_ts_ms": int(ts),
+                                "sha256": hashlib.sha256(fbytes).hexdigest(),
+                                "mean_luma": float(luma.mean() / 255.0),
+                                "embedding": _luma_embedding(luma),
+                            }
+                        )
+                        continue
                 if strict:
                     raise NotImplementedError(
-                        "video decode requires a codec (e.g. ffmpeg)"
+                        "video decode beyond uncompressed RGB AVI requires "
+                        "a codec (e.g. ffmpeg); not available here"
                     )
                 h = hashlib.sha256(raw + int(ts).to_bytes(8, "big")).digest()
                 out.append(

@@ -19,12 +19,22 @@ from pyspark.sql import SparkSession
 #:   timestamps in the catalog view (see catalog.py).
 #: - AQE: runtime re-planning (coalesce partitions, skew joins) — the
 #:   100 TB posture.
+#: - runtime bloomFilter: inject a bloom filter built from the smaller
+#:   join side into the larger side's scan — row-group-level pruning on
+#:   shuffle joins that broadcast can't handle (the big⋈big case that
+#:   dominates at 100 TB). Correctness-neutral: false positives only
+#:   relax the filter.
+#: - parquet aggregatePushdown: answer bare min/max/count aggregates
+#:   from parquet footer statistics without scanning row data — the
+#:   profiler/emptiness-check fast path.
 _SESSION_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 

@@ -1569,3 +1569,86 @@ def test_heavy_hitters_exact_and_sketch_superset(spark):
     assert [(r["k"], r["cnt"]) for r in got] == [("a", 60), ("b", 30)]
     assert all(r["in_sketch"] for r in got)
     assert got[0]["share"] == 0.6
+
+
+def _rgb_avi(frames_rgb, us_per_frame=1000_000, bpp=24):
+    """Minimal uncompressed RGB AVI: RIFF(AVI  LIST(hdrl avih
+    LIST(strl strh strf)) LIST(movi 00db...)). frames_rgb: list of
+    (h, w, 3) uint8 numpy arrays (RGB, top-down)."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames_rgb[0].shape[:2]
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0, len(frames_rgb), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+                       1, 30, 0, len(frames_rgb), 0, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                       0, 0, 0, 0, 0)
+    stride = ((w * 3 + 3) // 4) * 4
+    movi = b""
+    for fr in frames_rgb:
+        bgr = fr[::-1, :, ::-1]  # bottom-up rows, BGR order
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi += chunk(b"00db", rows.tobytes())
+    body = (
+        lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", movi)
+    )
+    return b"RIFF" + __import__("struct").pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_video_real_rgb_avi_decode(spark):
+    """Uncompressed RGB AVI must decode for real: per-frame luma and
+    embeddings from actual pixels, frame selection by timestamp."""
+    import numpy as np
+
+    dark = np.zeros((8, 6, 3), dtype=np.uint8)
+    light = np.full((8, 6, 3), 200, dtype=np.uint8)
+    half = np.zeros((8, 6, 3), dtype=np.uint8)
+    half[:4] = 255  # top half white
+    avi = _rgb_avi([dark, light, half], us_per_frame=1_000_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi), ("video/avi", 6, 8, 3000, None, 3))],
+        "media_id long, data binary, meta struct<mime:string,width:int,"
+        "height:int,duration_ms:long,sample_rate:int,n_frames:int>",
+    )
+    out = {
+        r["frame_ts_ms"]: r
+        for r in multimodal.extract_video_features(
+            df, every_ms=1000, strict=True
+        ).collect()
+    }
+    assert set(out) == {0, 1000, 2000}
+    assert out[0]["mean_luma"] == 0.0
+    assert abs(out[1000]["mean_luma"] - 200.0 / 255.0) < 1e-9
+    # half-white frame: top-half bands ~1.0, bottom-half ~0.0
+    emb = out[2000]["embedding"]
+    assert emb[0] > 0.9 and emb[-1] < 0.1
+    assert abs(out[2000]["mean_luma"] - 0.5) < 0.01
+    # distinct real frame hashes
+    assert len({r["sha256"] for r in out.values()}) == 3
+
+
+def test_video_strict_raises_on_compressed(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00\x00\x01notavi"), ("video/mp4", 2, 2, 1000, None, 1))],
+        "media_id long, data binary, meta struct<mime:string,width:int,"
+        "height:int,duration_ms:long,sample_rate:int,n_frames:int>",
+    )
+    with _pytest.raises(Exception):
+        multimodal.extract_video_features(df, every_ms=1000, strict=True).collect()
