@@ -101,16 +101,14 @@ def vocab_coverage(
     toks = docs.select(
         F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
     )
+    # top-V via orderBy+limit, NOT a no-partition row_number window: the
+    # former compiles to a distributed TakeOrderedAndProject, the latter
+    # would drag every distinct token through one sorting task
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("c1"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("c1").desc(), F.col("tok"))
-            ),
-        )
-        .where(F.col("rk") <= vocab_size)
+        .orderBy(F.col("c1").desc(), F.col("tok"))
+        .limit(vocab_size)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
     return (
@@ -138,16 +136,26 @@ def heavy_hitters(
     attest_sketch: bool = True,
 ) -> DataFrame:
     """Exact frequent items: values whose count exceeds ``support``·N,
-    with their count and share. When ``attest_sketch`` is set, also
-    verify each against the one-pass lossy-counting sketch
+    with their count and share. The threshold test is done in EXACT
+    integer arithmetic (cnt·denom > N·numer with support = numer/denom
+    from its decimal literal) — a float product could round across the
+    boundary differently from the SQL oracle's DECIMAL comparison when
+    N·support lands exactly on a count. When ``attest_sketch`` is set,
+    also verify each hitter against the one-pass lossy-counting sketch
     (``DataFrame.freqItems``): the sketch guarantees a SUPERSET of the
     true hitters, so ``in_sketch`` must be true for every row — the
     derived check the oracle reproduces as literal TRUE."""
+    from fractions import Fraction
+
+    frac = Fraction(str(support))
+    numer, denom = frac.numerator, frac.denominator
     counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("n_total"))
     out = (
         counts.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") > F.col("n_total") * F.lit(support))
+        .where(
+            F.col("cnt") * F.lit(denom) > F.col("n_total") * F.lit(numer)
+        )
         .select(
             col,
             "cnt",

@@ -709,6 +709,11 @@ def _parse_avi(data: bytes):
         "compression": None,
         "frames": [],
     }
+    # stream bookkeeping: strh chunks appear in stream order, and movi
+    # chunk ids are '<NN>db'/'<NN>dc' with NN = that order — so the
+    # video stream's frames (and ITS strf, not e.g. a preceding audio
+    # stream's WAVEFORMAT) are found even when audio is stream 0
+    state = {"n_streams": 0, "video_idx": None, "last_is_video": False}
 
     def walk(lo: int, hi: int) -> None:
         pos = lo
@@ -725,7 +730,18 @@ def _parse_avi(data: bytes):
                 info["width"], info["height"] = struct.unpack(
                     "<II", data[body_lo + 32 : body_lo + 40]
                 )
-            elif cid == b"strf" and size >= 20 and info["compression"] is None:
+            elif cid == b"strh" and size >= 4:
+                is_video = data[body_lo : body_lo + 4] == b"vids"
+                if is_video and state["video_idx"] is None:
+                    state["video_idx"] = state["n_streams"]
+                state["last_is_video"] = is_video
+                state["n_streams"] += 1
+            elif (
+                cid == b"strf"
+                and size >= 20
+                and state["last_is_video"]
+                and info["compression"] is None
+            ):
                 # BITMAPINFOHEADER: biBitCount @14, biCompression @16
                 info["bpp"], = struct.unpack(
                     "<H", data[body_lo + 14 : body_lo + 16]
@@ -733,7 +749,14 @@ def _parse_avi(data: bytes):
                 info["compression"], = struct.unpack(
                     "<I", data[body_lo + 16 : body_lo + 20]
                 )
-            elif cid in (b"00db", b"00dc") and size > 0:
+            elif (
+                size > 0
+                and len(cid) == 4
+                and cid[2:4] in (b"db", b"dc")
+                and cid[0:2].isdigit()
+                and state["video_idx"] is not None
+                and int(cid[0:2]) == state["video_idx"]
+            ):
                 info["frames"].append((body_lo, size))
             pos = body_lo + size + (size & 1)  # chunks are word-aligned
 
@@ -766,13 +789,16 @@ def _dib_luma(raw: bytes, width: int, height: int, bpp: int):
 
 
 def _luma_embedding(luma, grid: int = 8) -> list[float]:
-    """Deterministic 8-dim embedding: row means of the luma pooled to a
-    ``grid``-row banding, scaled to [0, 1]."""
+    """Deterministic ``grid``-dim embedding: row means of the luma
+    pooled into row bands, scaled to [0, 1]. Frames with fewer rows
+    than ``grid`` repeat-pad the last band's value so the dimension is
+    stable and no band is empty (an empty slice would mean() to NaN)."""
     import numpy as np
 
     h = luma.shape[0]
-    bands = np.array_split(np.arange(h), grid)
-    return [float(luma[idx].mean() / 255.0) for idx in bands]
+    bands = np.array_split(np.arange(h), min(grid, h))
+    vals = [float(luma[idx].mean() / 255.0) for idx in bands]
+    return vals + [vals[-1]] * (grid - len(vals))
 
 
 def extract_video_features(
@@ -808,9 +834,13 @@ def extract_video_features(
                 raw = bytes(data)
                 key = int(mid)
                 if key not in avi_cache:
-                    # keep only the current media's parse: frame rows of
-                    # one video arrive consecutively (co-partitioned)
-                    avi_cache = {key: _parse_avi(raw)}
+                    # bounded per-key cache: co-partitioned rows can
+                    # still INTERLEAVE media ids within a partition
+                    # (shuffle readers merge map outputs), so evicting
+                    # wholesale would re-parse the container per frame
+                    if len(avi_cache) >= 64:
+                        avi_cache.pop(next(iter(avi_cache)))
+                    avi_cache[key] = _parse_avi(raw)
                 avi = avi_cache[key]
                 decodable = avi is not None and avi.get("compression") == 0
                 if decodable:

@@ -3391,7 +3391,7 @@ c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
 t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
 SELECT c.tok, c.cnt, round(c.cnt / t.n_total, 6) AS share,
        TRUE AS in_sketch
-FROM c, t WHERE c.cnt > t.n_total * 0.02
+FROM c, t WHERE c.cnt * 50 > t.n_total
 ORDER BY c.cnt DESC, c.tok
 """,
     "op_link_predict": """

@@ -519,11 +519,18 @@ def mmr_topk(
     """
     import numpy as np
 
+    # relevance is ROUNDED to 6 decimals before ranking — the same
+    # spelling as cosine_topk and the SQL oracles, so the pool order,
+    # its boundary, and the first pick (pure-relevance argmax) are
+    # reproducible across engines even when two raw float64 cosines
+    # differ by less than 5e-7
     pooled = (
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            cosine_similarity(F.col(vec_col), lit_vector(query_vec)).alias("rel"),
+            F.round(
+                cosine_similarity(F.col(vec_col), lit_vector(query_vec)), 6
+            ).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col("id"))
         .limit(pool)

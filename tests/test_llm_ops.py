@@ -1652,3 +1652,51 @@ def test_video_strict_raises_on_compressed(spark):
     )
     with _pytest.raises(Exception):
         multimodal.extract_video_features(df, every_ms=1000, strict=True).collect()
+
+
+def test_video_avi_audio_stream_first(spark):
+    """An AVI whose audio stream precedes the video stream must still
+    decode: the video strf is matched by stream TYPE (vids) and frames
+    by the video stream's index ('01db' here), and small frames must
+    not produce NaN embedding bands."""
+    import struct
+
+    import numpy as np
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    h, w = 4, 6  # fewer rows than the 8-band embedding grid
+    frame = np.full((h, w, 3), 100, dtype=np.uint8)
+    avih = struct.pack("<IIIIIIIIIIIIII", 1_000_000, 0, 0, 0, 1, 0, 2, 0,
+                       w, h, 0, 0, 0, 0)
+    # stream 0: audio (strf is a WAVEFORMAT-ish blob, must be ignored)
+    auds = lst(b"strl", chunk(b"strh", struct.pack("<4s4s", b"auds", b"\x00" * 4))
+               + chunk(b"strf", b"\x01\x00" + b"\x00" * 22))
+    vids = lst(b"strl", chunk(b"strh", struct.pack("<4s4s", b"vids", b"DIB "))
+               + chunk(b"strf", struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                            0, 0, 0, 0, 0)))
+    stride = ((w * 3 + 3) // 4) * 4
+    bgr = frame[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    movi = chunk(b"01db", rows.tobytes())
+    body = lst(b"hdrl", chunk(b"avih", avih) + auds + vids) + lst(b"movi", movi)
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    df = spark.createDataFrame(
+        [(7, bytearray(avi), ("video/avi", w, h, 1000, None, 1))],
+        "media_id long, data binary, meta struct<mime:string,width:int,"
+        "height:int,duration_ms:long,sample_rate:int,n_frames:int>",
+    )
+    out = multimodal.extract_video_features(df, every_ms=1000, strict=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["mean_luma"] - 100.0 / 255.0) < 1e-9
+    assert len(r["embedding"]) == 8
+    assert all(not (e != e) for e in r["embedding"])  # no NaN
+    assert all(abs(e - 100.0 / 255.0) < 1e-6 for e in r["embedding"])  # float32 column
