@@ -1668,6 +1668,22 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user sketches per event_type plus the
+    merged all-types rollup — the mergeable distinct sketch with set
+    operations (unlike HLL), built on a portable md5 hash so the
+    sketch AND its estimate hash-attest exactly against the oracle."""
+    t = load_tables(spark, sf_dir)
+    sk = sketches.kmv_sketch(t.events, "user_id", ["event_type"], k=64)
+    fine = sketches.kmv_estimate(sk, 64).select(
+        "event_type", "n_kept", "distinct_est"
+    )
+    merged = sketches.kmv_estimate(sketches.kmv_merge(sk, [], k=64), 64).select(
+        F.lit("__all__").alias("event_type"), "n_kept", "distinct_est"
+    )
+    return fine.unionByName(merged).orderBy("event_type")
+
+
 def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top word-bigram collocations by lift (= exp PMI): boilerplate /
     merge-candidate mining over the corpus. Exact integer counts + one
@@ -1760,6 +1776,7 @@ OPERATOR_QUERIES = {
     "op_link_predict": op_link_predict,
     "op_ewma": op_ewma,
     "op_hybrid_rrf": op_hybrid_rrf,
+    "op_kmv_distinct": op_kmv_distinct,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3322,6 +3339,30 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    # KMV bottom-k sketch: portable md5 hashes → the sketch contents,
+    # n_kept, and the (k-1)*2^60/h_k estimate reproduce exactly.
+    "op_kmv_distinct": """
+WITH h AS (SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hh
+           FROM events),
+fine AS (SELECT event_type, hh,
+                row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
+         FROM h),
+fk AS (SELECT event_type, CAST(count(*) AS INT) AS n_kept, max(hh) AS kth
+       FROM fine WHERE rn <= 64 GROUP BY event_type),
+mu AS (SELECT DISTINCT hh FROM fine WHERE rn <= 64),
+mr AS (SELECT hh, row_number() OVER (ORDER BY hh) AS rn FROM mu),
+mk AS (SELECT CAST(count(*) AS INT) AS n_kept, max(hh) AS kth
+       FROM mr WHERE rn <= 64)
+SELECT event_type, n_kept,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE round(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE), 4)
+       END AS distinct_est
+FROM (SELECT event_type, n_kept, kth FROM fk
+      UNION ALL SELECT '__all__', n_kept, kth FROM mk) u
+ORDER BY event_type
+""",
     # EWMA: same collect-then-fold FP sequence via list_reduce; α=0.25
     # and 1-α=0.75 are binary-exact so the multiplies match Spark's.
     "op_ewma": """

@@ -65,3 +65,123 @@ def hll_merge_rollup(
         .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
         .withColumn(estimate_col, F.hll_sketch_estimate(sketch_col))
     )
+
+
+def _kmv_hash(col):
+    """Portable 60-bit uniform hash: first 15 hex digits of md5 —
+    bit-identical in DuckDB as CAST(concat('0x', substr(md5(x),1,15))
+    AS BIGINT), so KMV sketches (unlike HLL's engine-specific
+    registers) hash-attest EXACTLY across engines."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    k: int = 64,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / bottom-k) distinct sketch:
+    the ``k`` smallest portable hashes of the group's distinct values,
+    as a sorted array. The KMV estimator D ≈ (k−1)/U_k (U_k = the kth
+    smallest hash normalized to [0,1]) has ~1/√k relative error, and —
+    the property HLL lacks — bottom-k sets support UNION (merge arrays,
+    keep k smallest: the k smallest of a union are each among their own
+    group's k smallest) and INTERSECTION (Jaccard of the union's
+    bottom-k, times the union estimate).
+
+    Shape: distinct on (group, hash) is the one real shuffle; the
+    per-group bottom-k is a window rank over the distinct stream —
+    spillable sort, never a driver collect. Exact while a group's
+    distinct count stays ≤ k (n_kept < k ⇒ the sketch IS the distinct
+    set)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        *by, _kmv_hash(F.col(value_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*by).orderBy("__h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*by)
+        .agg(F.sort_array(F.collect_list("__h")).alias(sketch_col))
+    )
+
+
+def kmv_estimate(
+    sketch_df: DataFrame, k: int, sketch_col: str = "kmv"
+) -> DataFrame:
+    """Attach ``n_kept`` and ``distinct_est`` to a KMV sketch frame.
+    Exact below k; else (k−1)·2⁶⁰/h_k — one IEEE division of exactly
+    representable doubles, so the estimate itself is oracle-portable."""
+    from pyspark.sql import functions as F
+
+    n_kept = F.size(F.col(sketch_col))
+    kth = F.element_at(F.col(sketch_col), n_kept).cast("double")
+    est = F.when(n_kept < F.lit(k), n_kept.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(float(2**60)) / kth, 4)
+    )
+    return sketch_df.withColumn("n_kept", n_kept).withColumn(
+        "distinct_est", est
+    )
+
+
+def kmv_merge(
+    sketch_df: DataFrame,
+    by: list[str],
+    k: int = 64,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Roll KMV sketches up to a coarser grouping: explode, dedupe,
+    keep the k smallest — input is the tiny sketch table, so the
+    re-aggregation cost is independent of corpus size, and the result
+    equals sketching the coarse group from raw data directly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    exploded = (
+        sketch_df.select(*by, F.explode(F.col(sketch_col)).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    w = w.orderBy("__h")
+    out = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    if by:
+        return out.groupBy(*by).agg(
+            F.sort_array(F.collect_list("__h")).alias(sketch_col)
+        )
+    return out.groupBy(F.lit(1).alias("__g")).agg(
+        F.sort_array(F.collect_list("__h")).alias(sketch_col)
+    ).drop("__g")
+
+
+def kmv_intersection_estimate(
+    a, b, k: int
+):
+    """Column expression: estimated |A∩B| from two KMV arrays — the
+    bottom-k of the union gives Jaccard ρ = |U∩A∩B|/|U| and the union
+    estimate D(U); |A∩B| ≈ ρ·D(U). Deterministic array/integer ops +
+    two divisions."""
+    from pyspark.sql import functions as F
+
+    u = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    n_u = F.size(u)
+    kth = F.element_at(u, n_u).cast("double")
+    est_u = F.when(
+        n_u < F.lit(k), n_u.cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(2**60)) / kth)
+    rho = (
+        F.size(F.array_intersect(F.array_intersect(u, a), b)).cast("double")
+        / n_u.cast("double")
+    )
+    return F.round(rho * est_u, 4)

@@ -321,3 +321,48 @@ def test_asof_join_forward_matches_pandas_merge_asof(spark):
     for lid in range(40):
         w = want.loc[lid]
         assert (got[lid] is None and pd.isna(w)) or got[lid] == w, lid
+
+
+def test_kmv_sketch_exact_merge_and_intersection(spark):
+    """KMV must be exact below k, mergeable (union of bottom-k equals
+    bottom-k of the union), and its estimator within ~3/sqrt(k) of the
+    true distinct count; intersection estimate must see real overlap."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.operators import sketches
+
+    # two groups with known distincts and 50-element overlap
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(150, 400)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    # exact regime: k larger than any distinct count
+    sk_big = sketches.kmv_estimate(
+        sketches.kmv_sketch(df, "v", ["g"], k=1024), 1024
+    )
+    got = {r["g"]: (r["n_kept"], r["distinct_est"]) for r in sk_big.collect()}
+    assert got == {"a": (200, 200.0), "b": (250, 250.0)}
+
+    # estimation regime: within 3/sqrt(k) relative error
+    k = 64
+    sk = sketches.kmv_sketch(df, "v", ["g"], k=k)
+    est = {r["g"]: r["distinct_est"] for r in sketches.kmv_estimate(sk, k).collect()}
+    for g, true in (("a", 200), ("b", 250)):
+        assert abs(est[g] - true) / true < 3 / (k ** 0.5), (g, est[g])
+
+    # mergeability: rollup of per-group sketches == sketch of the union
+    merged = sketches.kmv_merge(sk, [], k=k).collect()[0]["kmv"]
+    direct = sketches.kmv_sketch(
+        df.select(F.lit("all").alias("g"), "v"), "v", ["g"], k=k
+    ).collect()[0]["kmv"]
+    assert merged == direct
+
+    # intersection estimate: true overlap is 50
+    wide = (
+        sk.groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(F.first("kmv"))
+    )
+    inter = wide.select(
+        sketches.kmv_intersection_estimate(F.col("a"), F.col("b"), k).alias("i")
+    ).collect()[0]["i"]
+    assert 10 <= inter <= 120, inter  # ~50 within sketch noise
