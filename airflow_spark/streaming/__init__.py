@@ -4,6 +4,7 @@ reference's cron-polling checks (SURVEY.md §2.11)."""
 from .monitors import (  # noqa: F401
     dedupe_events,
     drift_monitor,
+    ewma_monitor,
     freshness_monitor,
     last_seen_monitor,
     session_window_counts,

@@ -303,3 +303,64 @@ def last_seen_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("acc", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _ewma_fn(alpha: float, ts_col: str = "ts", value_col: str = "value"):
+    """Per-key streaming EWMA fold: state is ONE (acc, n) pair per key
+    — O(1) regardless of stream length, the property that makes the
+    recursion streaming-legal where the batch form needs a bounded
+    window frame. Batch rows are folded in (ts) order so replays of
+    the same batches reproduce the same value."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        acc, n = state.get if state.exists else (None, 0)
+        n0 = n
+        for pdf in pdfs:
+            for v in pdf.sort_values(ts_col)[value_col]:
+                x = float(v)
+                acc = x if acc is None else acc * (1.0 - alpha) + alpha * x
+                n += 1
+        if n > n0:  # emit only when this invocation consumed rows
+            state.update((acc, n))
+            yield pd.DataFrame([{"user_id": user_id, "ewma": acc, "n": n}])
+
+    return fn
+
+
+def ewma_monitor(
+    events: DataFrame,
+    alpha: float = 0.25,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming EWMA per key (update mode): emits the running
+    smoothed value after each micro-batch that touched the key. The
+    batch-mode twin is ``operators/timeseries.py:ewma`` (bounded-frame
+    restart); this is the unbounded-memory-free streaming recursion."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _ewma_fn(alpha, ts_col, value_col),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

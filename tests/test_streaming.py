@@ -662,3 +662,38 @@ def test_windowed_distinct_batch_tolerance_and_streaming_run(
     assert streamed == {
         (r["win"], r["event_type"]): (r["n_distinct"], r["cnt"]) for r in got
     }
+
+
+def test_stateful_ewma_fold_across_batches():
+    """The streaming EWMA must continue the recursion across batches
+    (state carries acc/n), fold within-batch rows in ts order, and be
+    replay-deterministic."""
+    from airflow_spark.streaming.monitors import _ewma_fn
+
+    fn = _ewma_fn(alpha=0.25)
+    st = FakeState()
+    t = pd.Timestamp
+
+    # batch 1: values 10, 20 (out of ts order in the frame)
+    out = _run(
+        fn,
+        (7,),
+        [pd.DataFrame({"ts": [t("2026-01-01 01:00"), t("2026-01-01 00:00")],
+                       "value": [20.0, 10.0]})],
+        st,
+    )
+    # fold in ts order: acc = 10; then .75*10+.25*20 = 12.5
+    assert out[0]["ewma"].iloc[0] == 12.5
+    assert st._v == (12.5, 2)
+
+    # batch 2 continues from state: .75*12.5 + .25*40 = 19.375
+    out = _run(
+        fn, (7,),
+        [pd.DataFrame({"ts": [t("2026-01-01 02:00")], "value": [40.0]})], st,
+    )
+    assert out[0]["ewma"].iloc[0] == 19.375
+    assert st._v == (19.375, 3)
+
+    # empty batch for this key: no emission, state intact
+    assert _run(fn, (7,), [], st) == []
+    assert st._v == (19.375, 3)
