@@ -1668,6 +1668,28 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-10 rolling median per user — the percentile
+    window aggregate Spark lacks, spelled as a bounded collect+sort
+    frame that the oracle reproduces list-for-list."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.rolling_median(
+        t.events.where(F.col("user_id") < 20),
+        "user_id",
+        "ts",
+        "value",
+        window_rows=10,
+        order_cols=["event_id"],
+    )
+    return (
+        out.select(
+            "user_id", "ts", F.round("value", 4).alias("value"), "roll_median"
+        )
+        .orderBy("user_id", "ts")
+        .limit(300)
+    )
+
+
 def op_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) distinct-user sketches per event_type plus the
     merged all-types rollup — the mergeable distinct sketch with set
@@ -1777,6 +1799,7 @@ OPERATOR_QUERIES = {
     "op_ewma": op_ewma,
     "op_hybrid_rrf": op_hybrid_rrf,
     "op_kmv_distinct": op_kmv_distinct,
+    "op_rolling_median": op_rolling_median,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3339,6 +3362,21 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    # Rolling median: same bounded collect+sort list spelling; the
+    # middle-element picks use integer floor division on both sides.
+    "op_rolling_median": """
+SELECT user_id, ts, round(value, 4) AS value,
+       round(CASE WHEN len(l) % 2 = 1 THEN l[(len(l) + 1) // 2]
+                  ELSE (l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 2
+             END, 6) AS roll_median
+FROM (SELECT user_id, ts, value,
+             list_sort(list(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 9 PRECEDING
+                                         AND CURRENT ROW)) AS l
+      FROM events WHERE user_id < 20) t
+ORDER BY user_id, ts LIMIT 300
+""",
     # KMV bottom-k sketch: portable md5 hashes → the sketch contents,
     # n_kept, and the (k-1)*2^60/h_k estimate reproduce exactly.
     "op_kmv_distinct": """

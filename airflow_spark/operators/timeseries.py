@@ -278,3 +278,40 @@ def ewma(
         value_col,
         F.round(folded, 6).alias("ewma"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 10,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact trailing-N rolling median per key. Spark has no percentile
+    window aggregate, so the frame is collected (bounded: ≤ N values),
+    sorted, and the middle element(s) averaged — all codegen array
+    expressions, and the same list spelling reproduces in the SQL
+    oracle (engine-native median-over-window functions differ in
+    interpolation, the explicit form cannot)."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    n = F.size(arr)
+    # Column `/` is double division; the truncating int cast restores
+    # floor semantics (operands are positive)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return df.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.round(med, 6).alias("roll_median"),
+    )

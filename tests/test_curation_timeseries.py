@@ -400,3 +400,17 @@ def test_rrf_fuse_rank_only_combination(spark):
     assert [g[0] for g in got] == [2, 1, 4, 3]
     assert got[0][1] == round(1 / 62 + 1 / 61, 6)
     assert got[1][1] == round(1 / 61, 6)
+
+
+def test_rolling_median_hand_values(spark):
+    from airflow_spark.operators.timeseries import rolling_median
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 1, 9, 3])],
+        ["k", "ts", "value"],
+    )
+    got = [r["roll_median"] for r in
+           rolling_median(df, "k", "ts", "value", window_rows=3)
+           .orderBy("ts").collect()]
+    # frames: [5] -> 5; [5,1] -> 3; [5,1,9] -> 5; [1,9,3] -> 3
+    assert got == [5.0, 3.0, 5.0, 3.0]
