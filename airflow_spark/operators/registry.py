@@ -1668,6 +1668,30 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate breadth: count_if / bool_and / bool_or /
+    max_by / median per event_type. max_by's ordering key is made
+    UNIQUE (cents·10¹⁰ + event_id — monotone in (value, id)) because
+    an argmax on a tied key is nondeterministic in both engines."""
+    t = load_tables(spark, sf_dir)
+    key = (
+        F.round(F.col("value") * 100).cast("bigint")
+        * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_big"),
+            F.bool_and(F.col("value") > 0).alias("all_pos"),
+            F.bool_or(F.col("value") > 450).alias("any_huge"),
+            F.max_by("event_id", key).alias("top_event"),
+            F.round(F.median("value"), 2).alias("med"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def op_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trailing-10 rolling median per user — the percentile
     window aggregate Spark lacks, spelled as a bounded collect+sort
@@ -1800,6 +1824,7 @@ OPERATOR_QUERIES = {
     "op_hybrid_rrf": op_hybrid_rrf,
     "op_kmv_distinct": op_kmv_distinct,
     "op_rolling_median": op_rolling_median,
+    "op_agg_funcs": op_agg_funcs,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3362,6 +3387,17 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_agg_funcs": """
+SELECT event_type,
+       CAST(count_if(value > 100) AS BIGINT) AS n_big,
+       bool_and(value > 0) AS all_pos,
+       bool_or(value > 450) AS any_huge,
+       max_by(event_id,
+              CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id)
+           AS top_event,
+       round(median(value), 2) AS med
+FROM events GROUP BY event_type ORDER BY event_type
+""",
     # Rolling median: same bounded collect+sort list spelling; the
     # middle-element picks use integer floor division on both sides.
     "op_rolling_median": """
