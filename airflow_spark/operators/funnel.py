@@ -112,3 +112,51 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset" if bucket == "week" else "day_offset")
     )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    gap_minutes: int = 30,
+    n_steps: int = 3,
+    k: int = 20,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Most common opening journeys: per session (inactivity-gap
+    sessionization), take the first ``n_steps`` steps in event order
+    and count identical paths across all sessions — the "what do users
+    do first" report next to funnels (which need a predeclared step
+    list; paths discover it).
+
+    Shape: the session window and the step collection share the
+    (user, ts) sort from ONE shuffle; path strings (tiny) feed a
+    map-side-combined count and a TakeOrdered top-k. Ties in ``ts``
+    break by ``order_cols`` so the path string is deterministic."""
+    from ..operators.timeseries import sessionize
+    from pyspark.sql import Window
+
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(user_col, "session_idx").orderBy(*order)
+    stepped = (
+        s.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_steps)
+    )
+    paths = (
+        stepped.groupBy(user_col, "session_idx")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(
+                    F.collect_list(F.struct("__rn", step_col))
+                ).getField(step_col)
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

@@ -1668,6 +1668,15 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step opening journeys across 30-min sessions —
+    path discovery next to the predeclared-step funnel."""
+    t = load_tables(spark, sf_dir)
+    return funnel.top_paths(
+        t.events, gap_minutes=30, n_steps=3, k=20, order_cols=["event_id"]
+    )
+
+
 def op_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate breadth: count_if / bool_and / bool_or /
     max_by / median per event_type. max_by's ordering key is made
@@ -1825,6 +1834,7 @@ OPERATOR_QUERIES = {
     "op_kmv_distinct": op_kmv_distinct,
     "op_rolling_median": op_rolling_median,
     "op_agg_funcs": op_agg_funcs,
+    "op_top_paths": op_top_paths,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3387,6 +3397,26 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_top_paths": """
+WITH l AS (SELECT user_id, ts, event_type, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+s AS (SELECT user_id, ts, event_type, event_id,
+             sum(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 1800 THEN 1
+                      ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+      FROM l),
+r AS (SELECT user_id, session_idx, event_type,
+             row_number() OVER (PARTITION BY user_id, session_idx
+                                ORDER BY ts, event_id) AS rn
+      FROM s),
+p AS (SELECT user_id, session_idx,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, session_idx)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+""",
     "op_agg_funcs": """
 SELECT event_type,
        CAST(count_if(value > 100) AS BIGINT) AS n_big,

@@ -79,3 +79,28 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 1): 1,   # u1 retained in W2
         ("2024-01-08", 0): 1,   # u3's own cohort
     }
+
+
+def test_top_paths_orders_steps_and_counts_sessions(spark):
+    """Paths must respect event order within a session, truncate to
+    n_steps, and start a new session across the inactivity gap."""
+    import datetime as dt
+
+    from airflow_spark.operators.funnel import top_paths
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1, one session: a > b > c > d (truncated to 3)
+        (1, t0, "a", 1), (1, t0 + m, "b", 2), (1, t0 + 2 * m, "c", 3),
+        (1, t0 + 3 * m, "d", 4),
+        # user 1, second session after a 2h gap: a > b
+        (1, t0 + dt.timedelta(hours=2), "a", 5),
+        (1, t0 + dt.timedelta(hours=2) + m, "b", 6),
+        # user 2: a > b > c again
+        (2, t0, "a", 7), (2, t0 + m, "b", 8), (2, t0 + 2 * m, "c", 9),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    got = {r["path"]: r["n_sessions"] for r in
+           top_paths(df, gap_minutes=30, n_steps=3, order_cols=["event_id"]).collect()}
+    assert got == {"a>b>c": 2, "a>b": 1}
