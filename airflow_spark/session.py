@@ -32,7 +32,7 @@ _SESSION_CONFS = {
 #:   join side into the larger side's scan — row-group-level pruning on
 #:   shuffle joins that broadcast can't handle (the big⋈big case that
 #:   matters at 100 TB). Correctness-neutral (false positives only
-#:   relax the filter); verified by a full-registry (135-entry) oracle pass with
+#:   relax the filter); verified by a full-registry oracle pass with
 #:   the flag on.
 #: - parquet aggregatePushdown: answer bare min/max/count aggregates
 #:   from parquet footer statistics without scanning row data.
