@@ -255,3 +255,57 @@ def link_predict_common_neighbors(
         .orderBy(F.col("score").desc(), "a", "b")
         .limit(k)
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` over the
+    undirected graph, breadth-first to ``max_depth`` hops — the
+    bounded-iteration answer to a recursive CTE (which Spark lacks;
+    the oracle twin IS one).
+
+    Frontier form: each round expands only the newly-discovered nodes
+    (frontier ⋈ adjacency, anti-join against everything seen), so a
+    round's cost tracks the frontier size, not the visited set — on a
+    high-diameter graph the per-round joins stay proportional to the
+    BFS wavefront. Early exit when the frontier empties; the emptiness
+    probe is one tiny action per round, the price of not running
+    max_depth dead rounds.
+
+    Returns (node, dist) including (source, 0)."""
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+        .unionAll(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+        .repartition("node")
+        .persist()
+    )
+    dist = spark.createDataFrame([(source, 0)], "node bigint, dist int")
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).persist()
+        frontier = nxt
+    return dist

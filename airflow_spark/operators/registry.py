@@ -1668,6 +1668,18 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path hops from node 0 on the orders-derived
+    mod-300 graph (depth ≤ 3) — the bounded-iteration answer to a
+    recursive CTE, hash-attested against a real WITH RECURSIVE twin."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    return graph.bfs_distances(edges, source=0, max_depth=3).orderBy("node")
+
+
 def op_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most common 3-step opening journeys across 30-min sessions —
     path discovery next to the predeclared-step funnel."""
@@ -1835,6 +1847,7 @@ OPERATOR_QUERIES = {
     "op_rolling_median": op_rolling_median,
     "op_agg_funcs": op_agg_funcs,
     "op_top_paths": op_top_paths,
+    "op_bfs_distances": op_bfs_distances,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3397,6 +3410,25 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    # the one oracle that IS a recursive CTE: UNION (not UNION ALL)
+    # dedups (node, dist) pairs so cycles cannot blow up the recursion;
+    # min(dist) per node = the BFS discovery level.
+    "op_bfs_distances": """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT least(o_custkey % 300, o_orderkey % 300) AS lo,
+         greatest(o_custkey % 300, o_orderkey % 300) AS hi
+  FROM orders WHERE o_custkey % 300 <> o_orderkey % 300),
+adj AS (SELECT lo AS node, hi AS nbr FROM und
+        UNION ALL SELECT hi, lo FROM und),
+bfs(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT a.nbr, b.dist + 1
+  FROM bfs b JOIN adj a ON a.node = b.node
+  WHERE b.dist < 3)
+SELECT node, CAST(min(dist) AS INT) AS dist
+FROM bfs GROUP BY node ORDER BY node
+""",
     "op_top_paths": """
 WITH l AS (SELECT user_id, ts, event_type, event_id,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -139,3 +139,19 @@ def test_link_predict_max_degree_drops_hub_mid_nodes(spark):
         (r["a"], r["b"]): r["score"] for r in full.collect()
     }[(3, 4)]
     assert r34 == 1.0  # deg 1 each, one common neighbor
+
+
+def test_bfs_distances_levels_and_cutoff(spark):
+    from airflow_spark.operators.graph import bfs_distances
+
+    # path 0-1-2-3-4 with a shortcut 0-3: BFS order matters
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], ["src", "dst"]
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, 0, 6).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+    # depth cutoff stops expansion; unreachable components excluded
+    e2 = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (8, 9)], ["src", "dst"])
+    got2 = {r["node"]: r["dist"] for r in bfs_distances(e2, 0, 2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2}
