@@ -160,3 +160,71 @@ def top_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    gap_minutes: int = 30,
+    min_pair_baskets: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Market-basket association rules over session baskets: a basket
+    is the DISTINCT item set of one inactivity-gap session; for every
+    co-occurring unordered pair (x < y) report support, both
+    directional confidences, and lift.
+
+    Shape: distinct (basket, item) is one shuffle; pair counts come
+    from the basket-keyed self-join (cost Σ basket_size², never
+    |items|² over the catalog); per-item basket counts are tiny and
+    broadcast; N is a broadcast scalar. All scores are single IEEE
+    divisions of exact integer counts — oracle-portable."""
+    from ..operators.timeseries import sessionize
+
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    baskets = (
+        s.select(
+            F.concat_ws(
+                "#", F.col(user_col).cast("string"), F.col("session_idx")
+            ).alias("bid"),
+            F.col(item_col).alias("item"),
+        )
+        .distinct()
+    )
+    n_baskets = baskets.select("bid").distinct().agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    lx = baskets.select("bid", F.col("item").alias("x"))
+    ly = baskets.select("bid", F.col("item").alias("y"))
+    pairs = (
+        lx.join(ly, "bid")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_pair_baskets)
+    )
+    cx = item_counts.select(F.col("item").alias("x"), F.col("c").alias("c_x"))
+    cy = item_counts.select(F.col("item").alias("y"), F.col("c").alias("c_y"))
+    return (
+        pairs.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(F.col("c_xy") / F.col("n_b"), 6).alias("support"),
+            F.round(F.col("c_xy") / F.col("c_x"), 6).alias("conf_x_y"),
+            F.round(F.col("c_xy") / F.col("c_y"), 6).alias("conf_y_x"),
+            F.round(
+                (F.col("c_xy") * F.col("n_b"))
+                / (F.col("c_x") * F.col("c_y")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(k)
+    )

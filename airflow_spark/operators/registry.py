@@ -1668,6 +1668,40 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over session baskets: support /
+    directional confidence / lift per co-occurring event-type pair."""
+    t = load_tables(spark, sf_dir)
+    return funnel.association_rules(
+        t.events, gap_minutes=30, min_pair_baskets=5, k=50
+    )
+
+
+def op_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic (ref 100, alarm above 500) per
+    user over a trailing-20 frame — change detection via the same
+    bounded-fold spelling as EWMA."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.cusum_alarms(
+        t.events.where(F.col("user_id") < 20),
+        "user_id",
+        "ts",
+        "value",
+        ref=100.0,
+        threshold=500.0,
+        window_rows=20,
+        order_cols=["event_id"],
+    )
+    return (
+        out.select(
+            "user_id", "ts", F.round("value", 4).alias("value"),
+            "cusum", "alarm",
+        )
+        .orderBy("user_id", "ts")
+        .limit(300)
+    )
+
+
 def op_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted shortest-path hops from node 0 on the orders-derived
     mod-300 graph (depth ≤ 3) — the bounded-iteration answer to a
@@ -1848,6 +1882,8 @@ OPERATOR_QUERIES = {
     "op_agg_funcs": op_agg_funcs,
     "op_top_paths": op_top_paths,
     "op_bfs_distances": op_bfs_distances,
+    "op_assoc_rules": op_assoc_rules,
+    "op_cusum": op_cusum,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
     "op_heavy_hitters": op_heavy_hitters,
@@ -3410,6 +3446,54 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_assoc_rules": """
+WITH l AS (SELECT user_id, ts, event_type,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+s AS (SELECT user_id, event_type,
+             sum(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 1800 THEN 1
+                      ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+      FROM l),
+b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '#'
+                      || CAST(session_idx AS VARCHAR) AS bid,
+             event_type AS item
+      FROM s),
+n AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n_b FROM b),
+ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY item),
+p AS (SELECT x.item AS x, y.item AS y, CAST(count(*) AS BIGINT) AS c_xy
+      FROM b x JOIN b y ON x.bid = y.bid AND x.item < y.item
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.x, p.y, p.c_xy,
+       round(p.c_xy / n.n_b, 6) AS support,
+       round(p.c_xy / cx.c, 6) AS conf_x_y,
+       round(p.c_xy / cy.c, 6) AS conf_y_x,
+       round((p.c_xy * n.n_b) / (cx.c * cy.c), 6) AS lift
+FROM p
+CROSS JOIN n
+JOIN ic cx ON cx.item = p.x
+JOIN ic cy ON cy.item = p.y
+ORDER BY lift DESC, p.x, p.y LIMIT 50
+""",
+    # CUSUM: zero-prepended list_reduce reproduces the fold-from-0.0;
+    # the alarm compares the UNROUNDED statistic on both sides.
+    "op_cusum": """
+SELECT user_id, ts, round(value, 4) AS value,
+       round(list_reduce(list_prepend(0.0, l),
+                         (acc, x) -> greatest(0.0, acc + (x - 100.0))), 6)
+           AS cusum,
+       list_reduce(list_prepend(0.0, l),
+                   (acc, x) -> greatest(0.0, acc + (x - 100.0))) > 500.0
+           AS alarm
+FROM (SELECT user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING
+                               AND CURRENT ROW) AS l
+      FROM events WHERE user_id < 20) t
+ORDER BY user_id, ts LIMIT 300
+""",
     # the one oracle that IS a recursive CTE: UNION (not UNION ALL)
     # dedups (node, dist) pairs so cycles cannot blow up the recursion;
     # min(dist) per node = the BFS discovery level.

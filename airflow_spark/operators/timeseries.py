@@ -315,3 +315,43 @@ def rolling_median(
         value_col,
         F.round(med, 6).alias("roll_median"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    ref: float,
+    threshold: float,
+    window_rows: int = 20,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per key over a trailing frame:
+    ``S_t = max(0, S_{t−1} + (x_t − ref))`` restarted at the frame
+    head (same bounded-recursion trick as :func:`ewma` — the full
+    recursion has no per-row frame), with an alarm flag when S_t
+    exceeds ``threshold``. The classic change-detection accumulator:
+    drifts above ``ref`` accumulate, dips reset toward zero.
+
+    Codegen fold; the SQL oracle reproduces the exact FP sequence via
+    ``list_reduce`` over a zero-prepended list."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    s = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + (x - F.lit(ref))),
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.round(s, 6).alias("cusum"),
+        (s > F.lit(threshold)).alias("alarm"),
+    )

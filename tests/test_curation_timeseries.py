@@ -414,3 +414,18 @@ def test_rolling_median_hand_values(spark):
            .orderBy("ts").collect()]
     # frames: [5] -> 5; [5,1] -> 3; [5,1,9] -> 5; [1,9,3] -> 3
     assert got == [5.0, 3.0, 5.0, 3.0]
+
+
+def test_cusum_accumulates_and_resets(spark):
+    from airflow_spark.operators.timeseries import cusum_alarms
+
+    # ref=10: +5, +5 accumulate to 10; a deep dip clamps to 0; spike alarms
+    vals = [15.0, 15.0, 0.0, 40.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], ["k", "ts", "value"]
+    )
+    got = [(r["cusum"], r["alarm"]) for r in
+           cusum_alarms(df, "k", "ts", "value", ref=10.0, threshold=25.0,
+                        window_rows=10).orderBy("ts").collect()]
+    # S: 5, 10, max(0,10-10)=0, 0+30=30 (alarm)
+    assert got == [(5.0, False), (10.0, False), (0.0, False), (30.0, True)]

@@ -104,3 +104,33 @@ def test_top_paths_orders_steps_and_counts_sessions(spark):
     got = {r["path"]: r["n_sessions"] for r in
            top_paths(df, gap_minutes=30, n_steps=3, order_cols=["event_id"]).collect()}
     assert got == {"a>b>c": 2, "a>b": 1}
+
+
+def test_association_rules_hand_counts(spark):
+    """Pair counts/confidences must match hand computation over known
+    session baskets."""
+    import datetime as dt
+
+    from airflow_spark.operators.funnel import association_rules
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    def sess(uid, hour, items):
+        base = t0 + dt.timedelta(hours=hour * 3)
+        return [(uid, base + i * m, it) for i, it in enumerate(items)]
+
+    rows = (
+        sess(1, 0, ["a", "b"]) + sess(1, 1, ["a", "b", "c"])
+        + sess(2, 0, ["a", "b"]) + sess(2, 1, ["a"]) + sess(3, 0, ["b", "c"])
+    )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {(r["x"], r["y"]): r for r in
+           association_rules(df, min_pair_baskets=1, k=10).collect()}
+    # baskets: {ab, abc, ab, a, bc}; N=5, c_a=4, c_b=4, c_c=2
+    ab = got[("a", "b")]
+    assert ab["c_xy"] == 3 and ab["support"] == 0.6
+    assert ab["conf_x_y"] == 0.75 and ab["conf_y_x"] == 0.75
+    assert ab["lift"] == round(3 * 5 / (4 * 4), 6)
+    bc = got[("b", "c")]
+    assert bc["c_xy"] == 2 and bc["conf_y_x"] == 1.0  # c -> b always
