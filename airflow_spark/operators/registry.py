@@ -1668,6 +1668,18 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted average per user — the irregular-sampling
+    TSDB aggregate (each value held until the next observation)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.time_weighted_avg(
+            t.events.where(F.col("user_id") < 20), "user_id", "ts", "value"
+        )
+        .limit(300)
+    )
+
+
 def op_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over session baskets: support /
     directional confidence / lift per co-occurring event-type pair."""
@@ -1883,6 +1895,7 @@ OPERATOR_QUERIES = {
     "op_top_paths": op_top_paths,
     "op_bfs_distances": op_bfs_distances,
     "op_assoc_rules": op_assoc_rules,
+    "op_time_weighted_avg": op_time_weighted_avg,
     "op_cusum": op_cusum,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
@@ -3446,6 +3459,18 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_time_weighted_avg": """
+WITH s AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value,
+                  (epoch_us(coalesce(
+                      lead(ts) OVER (PARTITION BY user_id,
+                                     date_trunc('hour', ts) ORDER BY ts),
+                      date_trunc('hour', ts) + INTERVAL 1 HOUR))
+                   - epoch_us(ts)) / 1000000.0 AS w
+           FROM events WHERE user_id < 20)
+SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_samples,
+       round(sum(value * w) / sum(w), 4) AS twa
+FROM s GROUP BY user_id, bucket ORDER BY user_id, bucket LIMIT 300
+""",
     "op_assoc_rules": """
 WITH l AS (SELECT user_id, ts, event_type,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -355,3 +355,54 @@ def cusum_alarms(
         F.round(s, 6).alias("cusum"),
         (s > F.lit(threshold)).alias("alarm"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) for IRREGULARLY sampled
+    series — the TSDB aggregate where a plain avg over-weights bursts:
+    each observation holds its value until the next one (last one holds
+    to the bucket end), and the average weights values by held seconds.
+
+    One window (lead over the (key, bucket) sort) + one grouped agg,
+    both on the same shuffle key. Output:
+    (key, bucket, n_samples, twa)."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    w = Window.partitionBy(key_col, "bucket").orderBy(ts_col)
+    bucket_end = F.col("bucket") + F.expr(f"INTERVAL 1 {bucket}")
+    staged = df.select(
+        F.col(key_col),
+        b.alias("bucket"),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn(
+        # microsecond-exact weights (unix_timestamp would truncate the
+        # sub-second part and skew the weighting): integer micro
+        # difference, ONE division — the FP form the oracle's
+        # epoch_us(...) / 1e6 reproduces bit-for-bit
+        "__w",
+        (
+            F.unix_micros(
+                F.coalesce(F.lead(ts_col).over(w), bucket_end).cast(
+                    "timestamp"
+                )
+            )
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        )
+        / F.lit(1_000_000.0),
+    )
+    return (
+        staged.groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(
+                F.sum(F.col("__v") * F.col("__w")) / F.sum("__w"), 4
+            ).alias("twa"),
+        )
+        .orderBy(key_col, "bucket")
+    )

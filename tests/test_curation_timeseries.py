@@ -429,3 +429,21 @@ def test_cusum_accumulates_and_resets(spark):
                         window_rows=10).orderBy("ts").collect()]
     # S: 5, 10, max(0,10-10)=0, 0+30=30 (alarm)
     assert got == [(5.0, False), (10.0, False), (0.0, False), (30.0, True)]
+
+
+def test_time_weighted_avg_holds_values(spark):
+    """TWA must weight each observation by held time (last one held to
+    the bucket end), not by sample count."""
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t0, 10.0), (1, t0 + dt.timedelta(minutes=45), 50.0)],
+        ["k", "ts", "value"],
+    )
+    r = time_weighted_avg(df, "k", "ts", "value").collect()[0]
+    # 10 held 45 min + 50 held 15 min = (10*2700 + 50*900)/3600 = 20
+    assert r["n_samples"] == 2 and r["twa"] == 20.0
+    # plain avg would say 30 — the burst-overweighting TWA avoids
