@@ -1668,6 +1668,30 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance between neighboring customer names within
+    a nation (data-entry QA shape: compare each record to its sort
+    neighbor, never all pairs). Exact dynamic-programming distance —
+    identical in both engines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return (
+        t.customer.select(
+            "c_custkey",
+            "c_name",
+            F.lead("c_name").over(w).alias("nn"),
+        )
+        .where(F.col("nn").isNotNull())
+        .select(
+            "c_custkey", F.levenshtein("c_name", "nn").alias("dist")
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
 def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly time-weighted average per user — the irregular-sampling
     TSDB aggregate (each value held until the next observation)."""
@@ -1896,6 +1920,7 @@ OPERATOR_QUERIES = {
     "op_bfs_distances": op_bfs_distances,
     "op_assoc_rules": op_assoc_rules,
     "op_time_weighted_avg": op_time_weighted_avg,
+    "op_edit_distance": op_edit_distance,
     "op_cusum": op_cusum,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
@@ -3459,6 +3484,14 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_edit_distance": """
+SELECT c_custkey, CAST(levenshtein(c_name, nn) AS INT) AS dist
+FROM (SELECT c_custkey, c_name,
+             lead(c_name) OVER (PARTITION BY c_nationkey
+                                ORDER BY c_custkey) AS nn
+      FROM customer) t
+WHERE nn IS NOT NULL ORDER BY c_custkey LIMIT 200
+""",
     "op_time_weighted_avg": """
 WITH s AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value,
                   (epoch_us(coalesce(
