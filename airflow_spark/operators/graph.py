@@ -309,3 +309,53 @@ def bfs_distances(
         dist = dist.unionByName(nxt).persist()
         frontier = nxt
     return dist
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest path costs over the undirected weighted
+    graph, restricted to paths of at most ``rounds`` edges —
+    Bellman-Ford relaxation rounds, the bounded-iteration form of the
+    weighted recursive CTE. Parallel edges are kept (min picks the
+    lightest); prefer integer-valued weights when hash-attesting so
+    path sums are exact.
+
+    Each round is one join (current dists ⋈ adjacency) + one min-agg —
+    both shuffles keyed by node; adjacency is co-partitioned once.
+    Returns (node, dist) for nodes reachable within ``rounds`` hops."""
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"), "w")
+        .unionAll(
+            und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"), "w")
+        )
+        .repartition("node")
+        .persist()
+    )
+    dist = spark.createDataFrame([(source, 0.0)], "node bigint, dist double")
+    for _ in range(rounds):
+        cand = dist.join(adj, "node").select(
+            F.col("nbr").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+    return dist

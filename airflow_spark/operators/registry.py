@@ -1738,6 +1738,19 @@ def op_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (≤ 3 hops) from node 0 on a thinned
+    orders graph with integer-valued weights (exact path sums) —
+    Bellman-Ford rounds vs a weighted WITH RECURSIVE oracle."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+        ((F.col("o_orderkey") % 7) + 1).cast("double").alias("w"),
+    )
+    return graph.sssp_bounded(edges, source=0, rounds=3).orderBy("node")
+
+
 def op_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted shortest-path hops from node 0 on the orders-derived
     mod-300 graph (depth ≤ 3) — the bounded-iteration answer to a
@@ -1918,6 +1931,7 @@ OPERATOR_QUERIES = {
     "op_agg_funcs": op_agg_funcs,
     "op_top_paths": op_top_paths,
     "op_bfs_distances": op_bfs_distances,
+    "op_sssp": op_sssp,
     "op_assoc_rules": op_assoc_rules,
     "op_time_weighted_avg": op_time_weighted_avg,
     "op_edit_distance": op_edit_distance,
@@ -3551,6 +3565,26 @@ FROM (SELECT user_id, ts, value,
                                AND CURRENT ROW) AS l
       FROM events WHERE user_id < 20) t
 ORDER BY user_id, ts LIMIT 300
+""",
+    # weighted recursion: UNION dedups (node, dist, hops) triples;
+    # integer-valued weights keep every path sum exact, so min() picks
+    # identical costs in both engines.
+    "op_sssp": """
+WITH RECURSIVE und AS (
+  SELECT DISTINCT least(o_custkey % 300, o_orderkey % 300) AS lo,
+         greatest(o_custkey % 300, o_orderkey % 300) AS hi,
+         CAST((o_orderkey % 7) + 1 AS DOUBLE) AS w
+  FROM orders
+  WHERE o_orderkey % 13 = 0 AND o_custkey % 300 <> o_orderkey % 300),
+adj AS (SELECT lo AS node, hi AS nbr, w FROM und
+        UNION ALL SELECT hi, lo, w FROM und),
+walk(node, d, hops) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+  UNION
+  SELECT a.nbr, wk.d + a.w, wk.hops + 1
+  FROM walk wk JOIN adj a ON a.node = wk.node
+  WHERE wk.hops < 3)
+SELECT node, min(d) AS dist FROM walk GROUP BY node ORDER BY node
 """,
     # the one oracle that IS a recursive CTE: UNION (not UNION ALL)
     # dedups (node, dist) pairs so cycles cannot blow up the recursion;

@@ -155,3 +155,23 @@ def test_bfs_distances_levels_and_cutoff(spark):
     e2 = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (8, 9)], ["src", "dst"])
     got2 = {r["node"]: r["dist"] for r in bfs_distances(e2, 0, 2).collect()}
     assert got2 == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_bounded_prefers_cheaper_multi_hop(spark):
+    from airflow_spark.operators.graph import sssp_bounded
+
+    # direct 0-2 costs 10; the two-hop route via 1 costs 6
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 1.0), (0, 2, 10.0)], ["src", "dst", "w"]
+    )
+    got = {r["node"]: r["dist"] for r in sssp_bounded(e, 0, rounds=3).collect()}
+    assert got == {0: 0.0, 1: 5.0, 2: 6.0}
+
+    # hop bound: with 1 round the via-1 route is not yet found
+    got1 = {r["node"]: r["dist"] for r in sssp_bounded(e, 0, rounds=1).collect()}
+    assert got1 == {0: 0.0, 1: 5.0, 2: 10.0}
+
+    # parallel edges: the lighter one wins
+    e2 = spark.createDataFrame([(0, 1, 5.0), (0, 1, 2.0)], ["src", "dst", "w"])
+    got2 = {r["node"]: r["dist"] for r in sssp_bounded(e2, 0, rounds=2).collect()}
+    assert got2 == {0: 0.0, 1: 2.0}
