@@ -2,11 +2,13 @@
 
 - ``entry(spark)`` — flagship query (multi-way broadcast join + grouped
   agg) over sf0.001.
-- ``queries()`` — every implemented operator: the 30 declared relational
-  queries (SURVEY.md §2.12) plus the LLM-data-pipeline operators
-  (dedup / similarity / text analysis).
-- ``oracle_sql()`` — DuckDB-runnable ANSI SQL per query where
-  SQL-expressible; omitted for property-tested ops (streaming, LSH).
+- ``queries()`` — every implemented operator: the declared relational
+  queries (SURVEY.md §2.12, incl. the TPC-H analogs) plus the
+  LLM-data-pipeline / analytics operators (dedup, similarity, text,
+  graph, time-series, sketches, session analytics).
+- ``oracle_sql()`` — DuckDB-runnable SQL per query; every registry
+  entry carries one (approx sketches and the greedy MMR attest via
+  derived checks — exact twins + accuracy-bound booleans).
 """
 
 from __future__ import annotations

@@ -1668,6 +1668,27 @@ def op_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.rrf_fuse([tfidf, bm25], id_col="id", k0=60, k=20)
 
 
+def op_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — metric-stream downsampling
+    with row_number-picked open/close folded into one grouped agg."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.ohlc_bars(
+            t.events, "event_type", "ts", "value", order_cols=["event_id"]
+        )
+        .limit(300)
+    )
+
+
+def op_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month event-volume growth per event type. The bucket
+    is cast to DATE: DuckDB's date_trunc('month') yields DATE while
+    Spark's yields timestamp."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.period_growth(t.events, "event_type", "ts", "month")
+    return out.withColumn("bucket", F.col("bucket").cast("date"))
+
+
 def op_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance between neighboring customer names within
     a nation (data-entry QA shape: compare each record to its sort
@@ -1935,6 +1956,8 @@ OPERATOR_QUERIES = {
     "op_assoc_rules": op_assoc_rules,
     "op_time_weighted_avg": op_time_weighted_avg,
     "op_edit_distance": op_edit_distance,
+    "op_ohlc": op_ohlc,
+    "op_period_growth": op_period_growth,
     "op_cusum": op_cusum,
     "op_collocations": op_collocations,
     "op_vocab_coverage": op_vocab_coverage,
@@ -3498,6 +3521,34 @@ ORDER BY score DESC, id LIMIT 1
     "op_embedding_bucket_stats": _sql_embedding_bucket_stats(num_bits=8),
     "op_embedding_neardup": _sql_embedding_neardup(num_bits=12, threshold=0.95),
     "op_dup_passages": _sql_dup_passages(shingle_n=5, min_docs=2, k=100),
+    "op_ohlc": """
+WITH s AS (SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+                  row_number() OVER (PARTITION BY event_type,
+                                     date_trunc('hour', ts)
+                                     ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type,
+                                     date_trunc('hour', ts)
+                                     ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+SELECT event_type, bucket,
+       min(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       min(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY event_type, bucket
+ORDER BY event_type, bucket LIMIT 300
+""",
+    "op_period_growth": """
+WITH c AS (SELECT event_type, date_trunc('month', ts) AS bucket,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type, date_trunc('month', ts))
+SELECT event_type, bucket, n,
+       lag(n) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_n,
+       round((n - lag(n) OVER (PARTITION BY event_type ORDER BY bucket))
+             / lag(n) OVER (PARTITION BY event_type ORDER BY bucket), 6)
+           AS growth
+FROM c ORDER BY event_type, bucket
+""",
     "op_edit_distance": """
 SELECT c_custkey, CAST(levenshtein(c_name, nn) AS INT) AS dist
 FROM (SELECT c_custkey, c_name,

@@ -317,6 +317,78 @@ def rolling_median(
     )
 
 
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Open/high/low/close bars per (key, bucket) — the downsampling
+    shape for any metric stream. Open/close are picked by row_number
+    over the (ts, tiebreak) sort in both directions and folded into
+    the SAME grouped aggregate as high/low/volume (conditional min) —
+    one shuffle, no self-joins, and a spelling every engine orders
+    identically (struct-min argmax portability varies; row_number does
+    not)."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    wa = Window.partitionBy(key_col, "bucket").orderBy(*order)
+    wd = Window.partitionBy(key_col, "bucket").orderBy(
+        *[c.desc() for c in order]
+    )
+    staged = (
+        df.select(
+            F.col(key_col),
+            b.alias("bucket"),
+            F.col(ts_col),
+            F.col(value_col).cast("double").alias("__v"),
+            *[F.col(c) for c in (order_cols or [])],
+        )
+        .withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rd", F.row_number().over(wd))
+    )
+    return (
+        staged.groupBy(key_col, "bucket")
+        .agg(
+            F.min(F.when(F.col("__ra") == 1, F.col("__v"))).alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.min(F.when(F.col("__rd") == 1, F.col("__v"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(key_col, "bucket")
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "month",
+) -> DataFrame:
+    """Period-over-period activity growth per key: bucket counts, the
+    previous period's count, and the relative change — one grouped agg
+    feeding one lag window over the (tiny) per-key period frame.
+    Growth is a single division of exact integer counts."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = (
+        df.select(F.col(key_col), b.alias("bucket"))
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    prev = F.lag("n").over(w)
+    return counts.select(
+        key_col,
+        "bucket",
+        "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) / prev, 6).alias("growth"),
+    ).orderBy(key_col, "bucket")
+
+
 def cusum_alarms(
     df: DataFrame,
     key_col: str,

@@ -447,3 +447,35 @@ def test_time_weighted_avg_holds_values(spark):
     # 10 held 45 min + 50 held 15 min = (10*2700 + 50*900)/3600 = 20
     assert r["n_samples"] == 2 and r["twa"] == 20.0
     # plain avg would say 30 — the burst-overweighting TWA avoids
+
+
+def test_ohlc_bars_pick_first_and_last(spark):
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import ohlc_bars
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=10)
+    rows = [("a", t0, 30.0, 1), ("a", t0 + m, 10.0, 2), ("a", t0 + 2 * m, 50.0, 3),
+            ("a", t0 + 3 * m, 20.0, 4)]
+    df = spark.createDataFrame(rows, ["k", "ts", "value", "event_id"])
+    r = ohlc_bars(df, "k", "ts", "value", order_cols=["event_id"]).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        30.0, 50.0, 10.0, 20.0, 4
+    )
+
+
+def test_period_growth_relative_change(spark):
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import period_growth
+
+    rows = (
+        [("a", dt.datetime(2026, 1, 5)) for _ in range(10)]
+        + [("a", dt.datetime(2026, 2, 5)) for _ in range(15)]
+        + [("a", dt.datetime(2026, 3, 5)) for _ in range(12)]
+    )
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    got = [(r["n"], r["prev_n"], r["growth"]) for r in
+           period_growth(df, "k", "ts", "month").collect()]
+    assert got == [(10, None, None), (15, 10, 0.5), (12, 15, -0.2)]
