@@ -96,16 +96,29 @@ def bloom_filter_might_contain(
     id_col: str,
 ) -> DataFrame:
     """Rows of ``df`` whose key is *possibly* in the filter (every
-    probe bit set). No false negatives; false-positive rate set by the
-    build parameters. The probe explodes ``df`` ``num_hashes``-fold and
-    broadcast-joins the (tiny) words table — ``df`` is the small side
-    of the incremental pattern, so the explode is cheap."""
+    probe bit set). No false negatives — membership is decided per
+    DISTINCT KEY and joined back on the key itself, so duplicate or
+    null ``id_col`` values cannot merge the probe sets of different
+    keys (grouping probes by a non-unique row id would bool_and across
+    unrelated keys and drop true members). False-positive rate set by
+    the build parameters. The probe explodes the distinct keys
+    ``num_hashes``-fold and broadcast-joins the (tiny) words table —
+    ``df`` is the small side of the incremental pattern, so the
+    explode is cheap. ``id_col`` is retained for signature
+    compatibility but no longer needs to be unique."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    probes = df.select(
-        F.col(id_col),
-        F.explode(_probe_positions(key, num_bits, num_hashes)).alias("pos"),
+    keyed = (
+        df.select(key.alias("__bloom_k"))
+        .where(F.col("__bloom_k").isNotNull())
+        .distinct()
+    )
+    probes = keyed.select(
+        "__bloom_k",
+        F.explode(
+            _probe_positions(F.col("__bloom_k"), num_bits, num_hashes)
+        ).alias("pos"),
     ).select(
-        id_col,
+        "__bloom_k",
         F.shiftright("pos", 6).alias("word_idx"),
         (F.col("pos") % 64).alias("bit_idx"),
     )
@@ -114,10 +127,12 @@ def bloom_filter_might_contain(
     )
     hits = (
         probes.join(F.broadcast(bloom), "word_idx", "left")
-        .select(id_col, hit.alias("hit"))
-        .groupBy(id_col)
+        .select("__bloom_k", hit.alias("hit"))
+        .groupBy("__bloom_k")
         .agg(F.bool_and("hit").alias("all_hit"))
         .where("all_hit")
-        .select(id_col)
+        .select("__bloom_k")
     )
-    return df.join(F.broadcast(hits), id_col, "left_semi")
+    return df.join(
+        F.broadcast(hits), key.eqNullSafe(F.col("__bloom_k")), "left_semi"
+    )

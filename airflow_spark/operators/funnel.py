@@ -90,6 +90,13 @@ def cohort_retention(
 ) -> DataFrame:
     """Retention triangle: distinct active users per (cohort period ×
     period offset), cohort = the user's first-activity period."""
+    if bucket not in ("day", "week"):
+        raise ValueError(
+            f"cohort_retention supports bucket='day' or 'week', got "
+            f"{bucket!r}: offsets divide by a fixed day count, which is "
+            "wrong for variable-length buckets like months (use "
+            "months_between-based offsets for those)"
+        )
     u, ts = F.col(user_col), F.col(ts_col)
     per = F.date_trunc(bucket, ts)
     # date-typed cohort label (a week bucket IS a date; also matches
@@ -143,14 +150,22 @@ def top_paths(
     stepped = (
         s.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_steps)
+        # NULL steps become an explicit token: concat_ws silently DROPS
+        # nulls, which would collapse [a, NULL, b] and [a, b] into the
+        # same path string. Step values containing the separator would
+        # be ambiguous too — acceptable for enum-like step columns,
+        # use a non-printable separator otherwise.
+        .withColumn(
+            "__step", F.coalesce(F.col(step_col).cast("string"), F.lit("(null)"))
+        )
     )
     paths = (
         stepped.groupBy(user_col, "session_idx")
         .agg(
             F.concat_ws(
                 ">", F.array_sort(
-                    F.collect_list(F.struct("__rn", step_col))
-                ).getField(step_col)
+                    F.collect_list(F.struct("__rn", "__step"))
+                ).getField("__step")
             ).alias("path")
         )
     )

@@ -46,10 +46,28 @@ def pack_sequences(
     )
     cum = F.sum(token_col).over(w) - F.col(token_col)
     local = F.floor(cum / pack_budget).cast("long")
-    # globally unique pack id: (shard, local) packed into one long
+    # globally unique pack id: (shard, local) packed into one long.
+    # The composition is only injective while 0 <= local < 1e9 and
+    # shard >= 0 — a shard holding a billion packs (or a caller passing
+    # a signed hash instead of pmod) would silently merge unrelated
+    # packs downstream, so out-of-range rows raise instead.
+    shard = F.col(shard_col).cast("long")
     return df.withColumn(
         out_col,
-        (F.col(shard_col).cast("long") * F.lit(1_000_000_000) + local),
+        F.when(
+            (local >= 0) & (local < F.lit(1_000_000_000)) & (shard >= 0),
+            shard * F.lit(1_000_000_000) + local,
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pack id overflow: shard=%s local=%s — use more "
+                    "shards (or a struct id) past 1e9 packs per shard; "
+                    "shard values must be non-negative (pmod, not hash)",
+                    shard,
+                    local,
+                )
+            ).cast("long")
+        ),
     )
 
 

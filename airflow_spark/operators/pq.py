@@ -242,9 +242,10 @@ def pq_adc_topk(
     m: int = 8,
     ksub: int = 16,
     seed: int = 42,
+    codes_col: str = "codes",
 ) -> DataFrame:
-    """Compressed-domain top-k: encode (or reuse a pre-encoded codes
-    column), score by ADC lookup, keep the k smallest distances
+    """Compressed-domain top-k: encode (or reuse a pre-encoded
+    ``codes_col``), score by ADC lookup, keep the k smallest distances
     (TakeOrderedAndProject — no global sort). Pass a pre-trained
     ``index`` to amortize training across queries (the production
     shape). Ties break on id."""
@@ -253,13 +254,14 @@ def pq_adc_topk(
             df, vec_col=vec_col, id_col=id_col, m=m, ksub=ksub, seed=seed
         )
     table = index.adc_table(query_vec)
-    coded = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col))
-        if "codes" not in df.columns
-        else df.select(F.col(id_col).alias("id"), "codes")
-    )
-    if "codes" not in coded.columns:
-        coded = coded.withColumn("codes", index.codes_col(vec_col))
+    if codes_col in df.columns:
+        coded = df.select(
+            F.col(id_col).alias("id"), F.col(codes_col).alias("codes")
+        )
+    else:
+        coded = df.select(F.col(id_col).alias("id"), F.col(vec_col)).withColumn(
+            "codes", index.codes_col(vec_col)
+        )
     scored = coded.select(
         "id", index.adc_score_col("codes", table).alias("adc_dist")
     )

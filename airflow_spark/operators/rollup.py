@@ -26,7 +26,6 @@ form. Declared in the build brief as a custom operator Spark lacks
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,12 +67,15 @@ def refresh_rollup(
     """Incrementally maintain the rollup at ``path``: aggregate only
     complete buckets newer than the last materialized one and append
     them. Returns {"new_buckets": n, "high_water": ts|None}."""
-    exists = os.path.isdir(path) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
-    )
+    # existence via the reader, NOT os.path: driver-local os.path.isdir
+    # is always False for remote stores (s3://, hdfs://), which would
+    # silently re-append every complete bucket on every refresh —
+    # duplicate rollup rows and 2x/3x counts downstream
     high_water = None
-    if exists:
+    try:
         high_water = spark.read.parquet(path).agg(F.max("bucket")).first()[0]
+    except Exception:  # noqa: BLE001 - PATH_NOT_FOUND / empty table
+        high_water = None
 
     # the in-progress bucket (the one holding max ts) is excluded
     frontier = events.agg(
@@ -89,10 +91,15 @@ def refresh_rollup(
         tail = tail.where(
             F.date_trunc(bucket, F.col(ts_col)) > F.lit(high_water)
         )
-    agg = bucket_aggregate(tail, bucket, ts_col, group_cols, value_col)
-    n_new = agg.select("bucket").distinct().count()
-    if n_new:
-        agg.write.mode("append").parquet(path)
+    # persist: the count action and the append would otherwise each
+    # rescan and re-aggregate the raw tail (2x the refresh budget)
+    agg = bucket_aggregate(tail, bucket, ts_col, group_cols, value_col).persist()
+    try:
+        n_new = agg.select("bucket").distinct().count()
+        if n_new:
+            agg.write.mode("append").parquet(path)
+    finally:
+        agg.unpersist()
     return {"new_buckets": n_new, "high_water": high_water}
 
 

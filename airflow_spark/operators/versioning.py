@@ -60,16 +60,35 @@ def snapshot_diff(
     """
     if not key_cols or not compare_cols:
         raise ValueError("snapshot_diff requires key_cols and compare_cols")
-    o = old.select(*key_cols, _row_hash(compare_cols).alias("__h_old"))
-    n = new.select(*key_cols, _row_hash(compare_cols).alias("__h_new"))
-    joined = o.join(n, on=list(key_cols), how="full_outer")
+    # null-safe key equality (like the scd2 functions below): a plain
+    # USING join never matches NULL keys, which would report a phantom
+    # removed+added pair for an unchanged (NULL, ...)-keyed row
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        _row_hash(compare_cols).alias("__h_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        _row_hash(compare_cols).alias("__h_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
     status = (
         F.when(F.col("__h_old").isNull(), F.lit("added"))
         .when(F.col("__h_new").isNull(), F.lit("removed"))
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    out = joined.select(*key_cols, status.alias("status"))
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("status"),
+    )
     if not include_unchanged:
         out = out.where(F.col("status") != "unchanged")
     return out
@@ -114,7 +133,7 @@ def scd2_apply_changes(
     o = current.select(
         *[F.col(c).alias(f"__o_{c}") for c in (*key_cols, *compare_cols)],
         F.col("valid_from").alias("__o_valid_from"),
-        _row_hash([f"__o_{c}" for c in compare_cols]).alias("__h_old"),
+        _row_hash(compare_cols).alias("__h_old"),
     )
     n_cols = [
         *[F.col(c).alias(f"__n_{c}") for c in (*key_cols, *compare_cols)],
@@ -200,7 +219,7 @@ def scd2_merge(
     o = current.select(
         *[F.col(c).alias(f"__o_{c}") for c in (*key_cols, *compare_cols)],
         F.col("valid_from").alias("__o_valid_from"),
-        _row_hash([f"__o_{c}" for c in compare_cols]).alias("__h_old"),
+        _row_hash(compare_cols).alias("__h_old"),
     )
     n = snapshot.select(
         *[F.col(c).alias(f"__n_{c}") for c in (*key_cols, *compare_cols)],

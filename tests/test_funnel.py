@@ -134,3 +134,14 @@ def test_association_rules_hand_counts(spark):
     assert ab["lift"] == round(3 * 5 / (4 * 4), 6)
     bc = got[("b", "c")]
     assert bc["c_xy"] == 2 and bc["conf_y_x"] == 1.0  # c -> b always
+
+
+def test_cohort_retention_rejects_unsupported_bucket(spark):
+    import pytest as _pytest
+
+    from airflow_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame([(1, __import__("datetime").datetime(2026, 1, 1))],
+                               ["user_id", "ts"])
+    with _pytest.raises(ValueError, match="day.*week"):
+        cohort_retention(df, bucket="month")

@@ -1700,3 +1700,20 @@ def test_video_avi_audio_stream_first(spark):
     assert len(r["embedding"]) == 8
     assert all(not (e != e) for e in r["embedding"])  # no NaN
     assert all(abs(e - 100.0 / 255.0) < 1e-6 for e in r["embedding"])  # float32 column
+
+
+def test_bloom_probe_survives_duplicate_ids(spark):
+    """Membership is per distinct key: duplicate id values must not
+    merge probe sets and drop true members (the old false negative)."""
+    from airflow_spark.operators import bloom as B
+
+    nb, nh = B.bloom_params(100, 0.01)
+    hist = spark.createDataFrame([("in-filter",)], ["k"])
+    filt = B.bloom_build(hist, "k", nb, nh)
+    # two rows share id=7; one key is a true member
+    df = spark.createDataFrame(
+        [(7, "in-filter"), (7, "definitely-not-present-xyz")], ["id", "k"]
+    )
+    got = {r["k"] for r in
+           B.bloom_filter_might_contain(df, "k", filt, nb, nh, "id").collect()}
+    assert "in-filter" in got  # no false negative

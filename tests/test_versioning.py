@@ -136,3 +136,19 @@ def test_snapshot_diff_requires_cols(spark):
         versioning.snapshot_diff(old, new, [], ["text"])
     with pytest.raises(ValueError):
         versioning.snapshot_diff(old, new, ["doc_id"], [])
+
+
+def test_snapshot_diff_null_keys_match_null_safe(spark):
+    """A NULL-keyed row unchanged across snapshots must NOT appear as
+    a phantom removed+added pair (null-safe key join)."""
+    from airflow_spark.operators.versioning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "x"), (1, "a")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "x"), (1, "b")], "k int, v string"
+    )
+    got = {(r["k"], r["status"]) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {(1, "changed")}  # the NULL key row is unchanged
