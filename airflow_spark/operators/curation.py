@@ -97,7 +97,9 @@ def decontaminate(
         corpus_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_shared"),
+            # distinct grams, NOT join pairs: a gram occurring in three
+            # benchmark docs must count once toward this doc's overlap
+            F.countDistinct("sh").alias("n_shared"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
@@ -154,22 +156,15 @@ def split_by_group_hash(
     engines, and corpus growth (adding rows never moves an existing
     group).
 
-    ``split_weights`` like {'train': 0.8, 'val': 0.1, 'test': 0.1} —
-    boundaries over buckets 0..9999, split names assigned in sorted
-    order."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        % 10000
-    )
+    ``split_weights`` like {'train': 0.8, 'val': 0.1, 'test': 0.1}
+    (must sum to ~1) — boundaries over buckets 0..9999, split names
+    assigned in sorted order."""
+    from ..functions.hashing import md5_uniform
+
+    total = sum(split_weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split_weights must sum to 1, got {total}")
+    bucket = md5_uniform(F.col(group_col), salt, modulus=10000)
     expr = None
     lo = 0.0
     for name, wgt in sorted(split_weights.items()):
@@ -199,7 +194,10 @@ def chunk_documents(
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
-    c = F.col(text_col)
+    # null text behaves like the empty string (one empty chunk):
+    # explode over a null-propagated sequence would silently DROP the
+    # document's row, losing the doc_id from downstream joins
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chunks = F.greatest(
         F.ceil((F.length(c) - F.lit(overlap)) / F.lit(step)), F.lit(1)
     ).cast("int")
@@ -241,7 +239,15 @@ def unigram_logprob_score(
         F.col(id_col).alias("id"),
         F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).limit(vocab_cap)
+    # top-frequency vocabulary, DETERMINISTIC: a bare limit() keeps an
+    # arbitrary partition-order subset, which could drop the most
+    # frequent tokens and change scores between runs
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(vocab_cap)
+    )
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
         toks.join(F.broadcast(counts), "tok", "left")
@@ -408,8 +414,12 @@ def quantile_bins(
         .cast("bigint")
         .alias("bucket")
     )
+    # null values would land in bucket 1 (the > predicate is null for
+    # them, filter drops them, size()=0) and skew its count while the
+    # boundaries — percentile ignores nulls — describe real values only
     return (
-        df.crossJoin(bounds)
+        df.where(v.isNotNull())
+        .crossJoin(bounds)
         .select(bucket, v.alias("__v"))
         .groupBy("bucket")
         .agg(

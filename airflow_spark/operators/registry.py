@@ -2534,7 +2534,7 @@ sh AS (SELECT doc_id AS id,
        FROM tok),
 bench AS (SELECT id AS bench_id, sh FROM sh WHERE id % 97 = 0),
 corp AS (SELECT id, sh FROM sh WHERE id % 97 <> 0),
-hits AS (SELECT corp.id AS id, count(*) AS n_shared,
+hits AS (SELECT corp.id AS id, count(DISTINCT sh) AS n_shared,
                 count(DISTINCT bench_id) AS n_bench_docs
          FROM corp JOIN bench USING (sh) GROUP BY corp.id)
 SELECT d.doc_id AS id,

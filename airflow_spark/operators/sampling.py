@@ -96,19 +96,21 @@ def weighted_sample(
     Execution: one projection + TakeOrderedAndProject — no shuffle of
     the full table, no global sort materialization.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    u = (h + 1) / F.lit(4294967296.0)
+    from ..functions.hashing import md5_unit_interval
+
+    u = md5_unit_interval(F.col(id_col), salt)
     xi = u / F.col(weight_col)
+    # guard: a null weight/id nulls xi and ascending sort puts NULLS
+    # FIRST (they would be "sampled" before every valid row); a
+    # non-positive weight has no sampling interpretation either — such
+    # rows are excluded from the draw
+    eligible = df.where(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(id_col).isNotNull()
+    )
     return (
-        df.withColumn("__xi", xi)
+        eligible.withColumn("__xi", xi)
         .orderBy("__xi", id_col)
         .limit(k)
         .drop("__xi")

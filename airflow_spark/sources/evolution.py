@@ -109,18 +109,27 @@ def read_evolving(
     must be reconciled by the aligner, per batch. Within one path,
     ``merge=True`` unions footers so add/drop-column drift is visible;
     pass ``merge=False`` once the target is pinned to skip footer-merge
-    cost (absent columns still null-fill per row group)."""
+    cost — that path reads with the EXPLICIT target schema (absent
+    columns null-fill per row group). Reading with merge=False and an
+    inferred schema would sample ONE arbitrary footer and silently drop
+    a column other files in the same path do carry."""
     paths = [path] if isinstance(path, str) else list(path)
-    frames = [
-        align_to_schema(
-            spark.read.option(
-                "mergeSchema", "true" if merge else "false"
-            ).parquet(p),
-            target,
-            strict=strict,
-        )
-        for p in paths
-    ]
+    if merge:
+        frames = [
+            align_to_schema(
+                spark.read.option("mergeSchema", "true").parquet(p),
+                target,
+                strict=strict,
+            )
+            for p in paths
+        ]
+    else:
+        frames = [
+            align_to_schema(
+                spark.read.schema(target).parquet(p), target, strict=strict
+            )
+            for p in paths
+        ]
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -141,7 +150,13 @@ def schema_drift_report(
     rows = []
     for name, p in sorted(batches.items()):
         have = {
-            f.name: f.dataType for f in spark.read.parquet(p).schema.fields
+            f.name: f.dataType
+            # mergeSchema: auditing one arbitrary footer would miss
+            # drift introduced partway through a batch — and disagree
+            # with read_evolving, which merges
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(p)
+            .schema.fields
         }
         for col in sorted(set(have) - set(want)):
             rows.append((name, col, "added", have[col].simpleString(), None, None))

@@ -46,7 +46,13 @@ def incremental_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    return q.awaitTermination(timeout_s)
+    done = q.awaitTermination(timeout_s)
+    if not done:
+        # leaving the query running would race the next scheduled run
+        # on the same checkpoint ("Cannot start query with the same
+        # checkpoint location concurrently")
+        q.stop()
+    return done
 
 
 def incremental_task(
@@ -120,20 +126,22 @@ def dedup_ingest(
     Runs with ``availableNow`` so a scheduler can fire it per interval
     (same cadence model as ``incremental_ingest``).
     """
-    import os
-
     from pyspark.sql import functions as F
 
     from ..operators import dedup as _dedup
 
     def _handle(batch: DataFrame, _bid: int) -> None:
-        exists = os.path.isdir(history_dir) and any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(history_dir)
-            for f in fs
-        )
-        if exists:
+        # existence via the reader, NOT os.path: a driver-local isdir is
+        # always False for remote stores (s3://, hdfs://), which would
+        # take the first-batch branch forever and append duplicates
+        # while reporting success
+        try:
             hist = batch.sparkSession.read.parquet(history_dir)
+            hist.schema  # force resolution (PATH_NOT_FOUND surfaces here)
+            exists = True
+        except Exception:  # noqa: BLE001 - missing/empty history
+            exists = False
+        if exists:
             fresh = _dedup.bloom_dedup_new(
                 batch, hist, key, id_col=id_col,
                 expected_items=expected_items, fpp=fpp,
@@ -156,4 +164,7 @@ def dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    return q.awaitTermination(timeout_s)
+    done = q.awaitTermination(timeout_s)
+    if not done:
+        q.stop()  # do not leave a writer racing the next run's query
+    return done
