@@ -483,18 +483,26 @@ def incremental_neardup(
     banded join against the store (shuffle of signatures, never text).
     Returns (id_a, id_b, jaccard_est, is_historical_pair=false-side).
     """
-    import os
-
     from ..sources.tables import upsert_parquet
 
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_k
     ).persist()
-    have_store = os.path.isdir(sig_store_path) and any(
-        f.endswith(".parquet") for _r, _d, fs in os.walk(sig_store_path) for f in fs
-    )
+    # existence via the reader (driver-local os.path is always False on
+    # remote stores, which would silently skip the history side)
+    try:
+        spark.read.parquet(sig_store_path).schema
+        have_store = True
+    except Exception:  # noqa: BLE001 - missing/empty store
+        have_store = False
     if have_store:
         history = spark.read.parquet(sig_store_path)
+        # a re-delivered batch's ids already sit in the store: keep the
+        # new copy only, or the union holds each id twice and every
+        # band bucket emits (X, X) self-pairs with jaccard 1.0
+        history = history.join(
+            new_sigs.select("id"), "id", "left_anti"
+        )
         allsigs = history.unionByName(new_sigs).persist()
     else:
         allsigs = new_sigs

@@ -191,6 +191,9 @@ def spherical_kmeans(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
     )
     rng = np.random.default_rng(seed)
+    # more cells than sample rows: clamp (every row its own centroid)
+    # instead of numpy's obscure replace=False ValueError
+    k = min(k, len(sample))
     cent = sample[rng.choice(len(sample), size=k, replace=False)]
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)
@@ -537,8 +540,9 @@ def mmr_topk(
         .collect()
     )
     if not pooled:
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], "rank int, id bigint, score double"
+            [], f"rank int, id {id_type}, score double"
         )
     ids = np.array([r["id"] for r in pooled])
     rel = np.array([r["rel"] for r in pooled], dtype=np.float64)
@@ -555,10 +559,12 @@ def mmr_topk(
         mmr[chosen] = -np.inf
         best = int(min(range(len(ids)), key=lambda i: (-mmr[i], ids[i])))
         chosen[best] = True
-        rows.append((rank + 1, int(ids[best]), float(round(mmr[best], 6))))
+        rows.append((rank + 1, ids[best].item() if hasattr(ids[best], "item")
+                     else ids[best], float(round(mmr[best], 6))))
         max_sim = np.maximum(max_sim, unit @ unit[best])
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(
-        rows, "rank int, id bigint, score double"
+        rows, f"rank int, id {id_type}, score double"
     )
 
 

@@ -78,6 +78,13 @@ class ControlPlane:
         headers: dict | None = None,
     ):
         """(method, path, body, headers) → (http_status, payload dict)."""
+        from urllib.parse import urlsplit
+
+        # strip any query string/fragment before routing: a health
+        # checker's /health?probe=1 must still match
+        path = urlsplit(path).path
+        if body is not None and not isinstance(body, dict):
+            return 400, {"error": "request body must be a JSON object"}
         parts = [p for p in path.split("/") if p]
         if method == "GET" and parts == ["health"]:
             return 200, _health(

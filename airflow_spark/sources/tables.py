@@ -27,18 +27,43 @@ def write_partitioned(
     rows_per_byte_hint: float | None = None,
 ) -> None:
     """Write parquet partitioned by ``partition_by``. Within each
-    partition directory, files are right-sized by repartitioning on the
-    partition columns (one shuffle, then parquet's own row-group
-    sizing)."""
-    w = df
-    if partition_by:
-        # co-locate rows of one output partition in one task so each
-        # directory gets few, large files instead of tasks × dirs shards
-        w = df.repartition(*[F.col(c) for c in partition_by])
-        writer = w.write.mode(mode).partitionBy(*partition_by)
+    partition directory files are right-sized: with
+    ``rows_per_byte_hint`` (bytes per row, e.g. from a prior table's
+    size/rows) each directory gets ``ceil(rows·bytes_per_row /
+    target_file_bytes)`` tasks via a per-partition salt — a skewed
+    500 GB partition becomes ~4000 x 128 MB files instead of one file
+    per directory. Without the hint, rows of one partition co-locate
+    in one task (few large files — fine for balanced partitions)."""
+    if not partition_by:
+        df.write.mode(mode).parquet(path)
+        return
+    cols = [F.col(c) for c in partition_by]
+    if rows_per_byte_hint:
+        counts = (
+            df.groupBy(*partition_by)
+            .agg(F.count(F.lit(1)).alias("__rows"))
+            .select(
+                *partition_by,
+                F.greatest(
+                    F.ceil(
+                        F.col("__rows")
+                        * F.lit(float(rows_per_byte_hint))
+                        / F.lit(float(target_file_bytes))
+                    ),
+                    F.lit(1),
+                ).cast("int").alias("__nf"),
+            )
+        )
+        salted = df.join(F.broadcast(counts), partition_by).withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*df.columns), F.col("__nf")).cast("int"),
+        )
+        w = salted.repartition(*cols, F.col("__salt")).drop("__nf", "__salt")
     else:
-        writer = w.write.mode(mode)
-    writer.parquet(path)
+        # co-locate rows of one output partition in one task so each
+        # directory gets few, large files instead of tasks x dirs shards
+        w = df.repartition(*cols)
+    w.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
 def upsert_parquet(
@@ -93,19 +118,43 @@ def table_bytes(spark: SparkSession, path: str) -> int:
     return total
 
 
+def _looks_partitioned(path: str) -> bool:
+    """True when the tree's first level contains key=value directories
+    (local-path heuristic; remote callers pass partition_by anyway)."""
+    try:
+        return any(
+            "=" in d and os.path.isdir(os.path.join(path, d))
+            for d in os.listdir(path)
+        )
+    except OSError:
+        return False
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet tree into ~bytes/target files (returns the new
     file count). Reads its own footprint to decide the output width —
-    measure, don't guess."""
+    measure, don't guess. A Hive-partitioned tree MUST pass its
+    ``partition_by`` columns: rewriting it flat would destroy the
+    directory layout (readers lose partition pruning) and let partition
+    discovery re-type key values — detected and raised, never silent."""
     size = table_bytes(spark, path)
     n_files = max(1, round(size / target_file_bytes))
+    if partition_by is None and _looks_partitioned(path):
+        raise ValueError(
+            f"compact: {path} is Hive-partitioned (key=value dirs); "
+            "pass partition_by to preserve the layout"
+        )
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact__"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     # atomic-ish swap (same filesystem)
     bak = path.rstrip("/") + ".__old__"
     os.rename(path, bak)

@@ -85,6 +85,10 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 def corrupt_fraction(df: DataFrame) -> float:
     """Fraction of malformed rows (one aggregate pass) — gate loads
     with e.g. ``assert corrupt_fraction(df) < 0.001``."""
+    # Spark refuses an aggregate over a raw PERMISSIVE scan whose only
+    # referenced column is the internal corrupt-record column — cache
+    # first (the same pitfall split_corrupt documents above)
+    df = df.cache()
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.col(CORRUPT_COL)).alias("bad"),

@@ -36,7 +36,15 @@ def latest_per_key(
     """Latest-wins dedup of a change batch: keep the row with the
     highest ``seq_col`` per key (ties broken deterministically by the
     remaining columns via the row_number ordering)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    # tie-break: equal seq values must pick the SAME row on replay, or
+    # checkpoint-recovery redelivery diverges the history — order by
+    # every remaining column after the sequence
+    others = [
+        c for c in changes.columns if c != seq_col and c not in key_cols
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), *[F.col(c).desc_nulls_last() for c in others]
+    )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -47,8 +55,11 @@ def latest_per_key(
 def _history_version_dirs(base: str) -> list[str]:
     if not os.path.isdir(base):
         return []
+    # NUMERIC sort: lexicographic would put 'v9' after 'v10' and freeze
+    # the history at v9 forever once ten versions exist
     return sorted(
-        d for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()
+        (d for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
     )
 
 

@@ -113,3 +113,15 @@ def test_scd2_stream_folds_batches(spark, tmp_path):
     assert cur == {1: "a2", 3: "c"}          # k=2 deleted, k=1 latest-wins
     closed = final.where(~F.col("is_current")).count()
     assert closed == 1                        # the closed k=2 row
+
+
+def test_history_version_dirs_sort_numerically(tmp_path):
+    """'v10' must come after 'v9' — lexicographic sorting would freeze
+    the history at v9 forever."""
+    from airflow_spark.streaming.cdc import current_history_path
+
+    base = tmp_path / "hist"
+    base.mkdir()
+    for v in ("v0", "v9", "v10", "v2"):
+        (base / v).mkdir()
+    assert current_history_path(str(base)).endswith("v10")

@@ -639,3 +639,15 @@ def test_expect_plan_clean_gates_and_allows(spark):
         expect_plan_clean(a.crossJoin(b))
     expect_plan_clean(a.crossJoin(b), allow={"bnl-join", "cartesian-product"})
     expect_plan_clean(a.where(F.col("x") > 3))  # clean plan passes
+
+
+def test_api_dispatch_query_string_and_bad_body(spark):
+    """Routing must ignore query strings, and a valid-JSON non-object
+    body must get a 400, not a connection-killing AttributeError."""
+    from airflow_spark.pipeline.api import ControlPlane
+
+    cp = ControlPlane(spark, pipelines={})
+    status, payload = cp.dispatch("GET", "/health?probe=1")
+    assert status == 200
+    status, payload = cp.dispatch("POST", "/pipelines/x/trigger", body=[1, 2])
+    assert status == 400 and "object" in payload["error"]

@@ -147,9 +147,21 @@ def test_write_partitioned_prunes_and_compacts(spark, tmp_path):
     pruned = back.where(back.etype == "error")
     a = audit_plan(pruned)
     assert "PartitionFilters" in a["plan"] and "etype" in a["plan"]
-    n_files = compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    # compacting a partitioned tree without its partition columns would
+    # flatten the layout — refused loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition_by"):
+        compact(spark, out, target_file_bytes=10 * 1024 * 1024)
+    n_files = compact(
+        spark, out, target_file_bytes=10 * 1024 * 1024, partition_by=["etype"]
+    )
     assert n_files >= 1
-    assert spark.read.parquet(out).count() == events.count()
+    back2 = spark.read.parquet(out)
+    assert back2.count() == events.count()
+    # the partition layout (and pruning) survives the rewrite
+    a2 = audit_plan(back2.where(back2.etype == "error"))
+    assert "PartitionFilters" in a2["plan"] and "etype" in a2["plan"]
 
 
 def test_upsert_parquet_replace_keep_insert(spark, tmp_path):
