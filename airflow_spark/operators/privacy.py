@@ -35,12 +35,15 @@ def k_suppress(
         raise ValueError("quasi_cols must be non-empty")
     n = F.count(F.lit(1)).over(Window.partitionBy(*quasi_cols))
     rare = (n < k).alias(flag_col)
-    keep = [c for c in df.columns if c not in quasi_cols]
+    quasi = set(quasi_cols)
+    # preserve the ORIGINAL column order (positional consumers — union,
+    # insertInto — would misalign if quasi columns moved to the end)
     return df.select(
-        *keep,
         *[
             F.when(~rare, F.col(c)).otherwise(F.lit(None)).alias(c)
-            for c in quasi_cols
+            if c in quasi
+            else F.col(c)
+            for c in df.columns
         ],
         rare,
     )
@@ -51,13 +54,17 @@ def k_anonymity_stats(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataF
     would be suppressed, and the minimum group size (the table's
     current k-anonymity level)."""
     g = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    # coalesce: on an empty table sum/min aggregate NULL, which would
+    # crash int() release gates or silently pass >= comparisons
     return g.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).alias("n_under_k"),
-        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).alias(
-            "n_rows_suppressed"
-        ),
-        F.min("n").alias("min_group_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, 1).otherwise(0)), F.lit(0)
+        ).alias("n_under_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)), F.lit(0)
+        ).alias("n_rows_suppressed"),
+        F.coalesce(F.min("n"), F.lit(0)).alias("min_group_size"),
     )
 
 

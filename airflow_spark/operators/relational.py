@@ -57,19 +57,28 @@ def asof_join(
     if right_ts not in carry_cols:
         carry_cols.append(right_ts)
 
+    # carry the matched right row as ONE struct, not per-column lasts:
+    # last(col, ignorenulls) per column would skip a matched row's NULL
+    # field and fill it from an OLDER row — a chimera mixing values of
+    # different right rows (and a tolerance check against the wrong
+    # row's timestamp). The struct is non-null exactly when a right row
+    # exists, so the whole row matches or none of it does.
+    _ = rtypes  # kept for signature stability of older callers
+    r_struct = F.struct(*[F.col(c).alias(c) for c in carry_cols])
+    struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in carry_cols],
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     r_tag = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in carry_cols],
+        r_struct.alias("__r"),
     )
     if direction == "backward":
         # right rows sort before left rows at equal ts → '<=' semantics
@@ -84,35 +93,24 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in carry_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     )
     out = carried.where(F.col("__is_left") == 1)
     if tolerance_s is not None:
         within = (
             F.abs(
                 F.col("__ts").cast("double")
-                - F.col(f"__m_{right_ts}").cast("double")
+                - F.col(f"__m.{right_ts}").cast("double")
             )
             <= F.lit(float(tolerance_s))
         )
-        out = out.select(
-            "*",
-            *[
-                F.when(within, F.col(f"__m_{c}"))
-                .alias(f"__t_{c}")
-                for c in carry_cols
-            ],
-        )
-        prefix = "__t_"
+        matched = F.when(within, F.col("__m"))
     else:
-        prefix = "__m_"
+        matched = F.col("__m")
+    out = out.select("*", matched.alias("__mt"))
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"{prefix}{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(f"__mt.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
 
 
@@ -140,14 +138,22 @@ def interval_join(
         F.explode(
             F.sequence(
                 F.date_trunc(_unit(bucket), F.col(start_col)),
-                F.date_trunc(_unit(bucket), F.col(end_col)),
+                # a malformed end < start interval would make sequence
+                # throw and fail the whole job — clamp, it matches no
+                # event anyway (the residual filter is empty for it)
+                F.greatest(
+                    F.date_trunc(_unit(bucket), F.col(end_col)),
+                    F.date_trunc(_unit(bucket), F.col(start_col)),
+                ),
                 F.expr(f"INTERVAL {bucket}"),
             )
         ),
     )
+    # qualify the residual predicate per side: a shared column name
+    # (e.g. 'ts' on both) would otherwise be AMBIGUOUS_REFERENCE
     return (
         ev.join(iv, [key, "__bucket"])
-        .where((F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col)))
+        .where((ev[left_ts] >= iv[start_col]) & (ev[left_ts] < iv[end_col]))
         .drop("__bucket")
     )
 

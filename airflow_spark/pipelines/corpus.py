@@ -115,8 +115,6 @@ def build_ingest_pipeline(
     batch's cost — the history contributes one scan + one fixed-size
     bloom bitset.
     """
-    import os
-
     from ..functions.text import pii_hit_counts, redact_pii, strip_markup
 
     p = Pipeline(
@@ -161,27 +159,37 @@ def build_ingest_pipeline(
     @p.task(depends_on=["quality_gate"])
     def dedup_vs_history(ctx: Context) -> dict:
         batch = ctx.outputs["_scored"]
-        exists = os.path.isdir(history_dir) and any(
-            f.endswith(".parquet")
-            for _r, _d, fs in os.walk(history_dir)
-            for f in fs
-        )
-        if exists:
+        # existence via the reader: driver-local os.path is always
+        # False on remote stores (s3://, hdfs://), which would skip the
+        # history branch forever and re-append known documents each run
+        try:
             hist = ctx.spark.read.parquet(history_dir).select("text")
+            hist.schema
+            exists = True
+        except Exception:  # noqa: BLE001 - missing/empty history
+            exists = False
+        if exists:
             fresh = dedup.bloom_dedup_new(
                 batch, hist, "text", expected_items=1_000_000
             )
         else:
             fresh = dedup.dedup_exact_text(batch)
+        # persist: the dedup plan scans history + builds the bloom
+        # bitset — the count here and the publish write must not each
+        # re-run it
+        fresh = fresh.persist()
+        n = fresh.count()
         ctx.outputs["_fresh"] = fresh
-        return {"n_fresh": fresh.count()}
+        ctx.outputs["_n_fresh"] = n
+        return {"n_fresh": n}
 
     @p.task(depends_on=["dedup_vs_history"])
     def publish(ctx: Context) -> dict:
         fresh: DataFrame = ctx.outputs["_fresh"]
-        n = fresh.count()
+        n = int(ctx.outputs["_n_fresh"])  # counted once upstream
         if n:
             fresh.write.mode("append").parquet(history_dir)
+        fresh.unpersist()
         return {"n_published": n}
 
     return p

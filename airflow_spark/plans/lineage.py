@@ -185,13 +185,17 @@ def column_lineage(df: DataFrame) -> dict[str, list[str]]:
         return out
 
     out_attrs = df._jdf.queryExecution().analyzed().output()  # noqa: SLF001
+    # duplicate output names (a join keeping both sides' 'id') MERGE
+    # their source sets — overwriting would drop the first column's
+    # lineage and make impact analysis miss real dependents
     result: dict[str, list[str]] = {}
     for i in range(out_attrs.size()):
         a = out_attrs.apply(i)
         eid = (str(a.exprId().jvmId()), a.exprId().id())
-        result[a.name()] = sorted(
-            {names.get(s, str(s[1])) for s in resolve(eid)}
-        )
+        srcs = {names.get(s, str(s[1])) for s in resolve(eid)}
+        if a.name() in result:
+            srcs |= set(result[a.name()])
+        result[a.name()] = sorted(srcs)
     return result
 
 

@@ -148,12 +148,23 @@ def lint_plan(df: DataFrame, execute: bool = False) -> list[dict]:
                 "Scan parquet (IsNotNull-only PushedFilters)",
             )
         )
-    # Aggregation with an exchange but no partial (map-side) step.
-    has_agg = re.search(r"HashAggregate|ObjectHashAggregate|SortAggregate", plan)
+    # Aggregation with an exchange but a missing partial (map-side)
+    # step. Per-NODE counting, not a plan-wide substring: one
+    # partial-capable aggregate elsewhere must not mask a different
+    # aggregate that shuffles raw rows. In simple mode every aggregate
+    # node prints its functions inline, partial phases as
+    # ``partial_<fn>`` — a plan whose final-phase node count exceeds
+    # its partial-phase node count has at least one unpaired final.
+    agg_nodes = re.findall(
+        r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)\([^\n]*",
+        simple,
+    )
+    n_partial_nodes = sum(1 for n in agg_nodes if "partial_" in n)
+    n_final_nodes = len(agg_nodes) - n_partial_nodes
     if (
-        has_agg
+        agg_nodes
         and re.search(r"Exchange (?:hash|range)", simple + plan)
-        and not re.search(r"partial", plan, re.IGNORECASE)
+        and n_final_nodes > n_partial_nodes
     ):
         findings.append(
             _finding(

@@ -125,7 +125,15 @@ class RequestsPoster(_RequestsBase):
                 f"{self.method} {url} transport failure: {e}"
             ) from e
         payload = self._check(resp, f"{self.method} {url}")
-        if self.success_flag is not None and isinstance(payload, dict):
+        if self.success_flag is not None:
+            # a 2xx with a non-object body (proxy error page, array)
+            # cannot carry the success flag — treating it as success
+            # is exactly the 200-with-failure-body mode the flag guards
+            if not isinstance(payload, dict):
+                raise HttpError(
+                    f"{self.method} {url} expected a JSON object with "
+                    f"{self.success_flag!r}, got {type(payload).__name__}"
+                )
             if not payload.get(self.success_flag):
                 raise HttpError(
                     f"{self.method} {url} reported "

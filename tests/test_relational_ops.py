@@ -366,3 +366,25 @@ def test_kmv_sketch_exact_merge_and_intersection(spark):
         sketches.kmv_intersection_estimate(F.col("a"), F.col("b"), k).alias("i")
     ).collect()[0]["i"]
     assert 10 <= inter <= 120, inter  # ~50 within sketch noise
+
+
+def test_asof_join_null_right_field_is_not_backfilled(spark):
+    """A matched right row's NULL field must stay NULL — per-column
+    carry would skip it and splice in an older row's value (a chimera
+    that never existed)."""
+    import datetime as dt
+
+    from airflow_spark.operators.relational import asof_join
+
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [(1, t(2026, 1, 1, 0, 0, 20))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t(2026, 1, 1, 0, 0, 5), 7.0),
+         (1, t(2026, 1, 1, 0, 0, 10), None)],
+        ["k", "ts", "v"],
+    )
+    got = asof_join(left, right, "k").collect()[0]
+    # the as-of match is the ts=10 row whose v IS NULL
+    assert got["v_r"] is None
