@@ -41,8 +41,14 @@ def char_shingles(text: Column | str, k: int = 5, lowercase: bool = True) -> Col
     c = _col(text)
     if lowercase:
         c = F.lower(c)
-    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
+    n = F.length(c) - F.lit(k - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — a text
+    # shorter than k must yield [] explicitly or substr walks ghost
+    # positions (and position 0 raises at runtime in the word variant)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(text: Column | str, n: int = 3, lowercase: bool = True) -> Column:
@@ -53,11 +59,17 @@ def word_shingles(text: Column | str, n: int = 3, lowercase: bool = True) -> Col
     if lowercase:
         c = F.lower(c)
     toks = tokens_ws(c)
-    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    m = F.size(toks) - F.lit(n - 1)
+    # same sequence(1, 0) pitfall as char_shingles: a document with
+    # fewer than n tokens must yield [] — slice(toks, 0, n) otherwise
+    # throws INVALID_PARAMETER_VALUE.START and kills the whole job
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def normalize_text(
@@ -86,8 +98,10 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b", "<CARD>"),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    # IP before the greedy phone digit-run: a dotted quad 9+ chars
+    # long would otherwise be eaten as <PHONE> and the IP rule is dead
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
 ]
 
 
@@ -176,7 +190,8 @@ def char_entropy(text: Column | str, max_chars: int = 2000) -> Column:
 
 
 #: struct-field names for PII_PATTERNS, in order
-_PII_NAMES = ["email", "card", "ssn", "phone", "ip"]
+# order mirrors PII_PATTERNS (IP precedes phone there)
+_PII_NAMES = ["email", "card", "ssn", "ip", "phone"]
 
 
 def pii_hit_counts(text: Column | str) -> Column:

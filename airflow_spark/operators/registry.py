@@ -2338,7 +2338,8 @@ WITH t AS (
   FROM documents),
 f AS (
   SELECT n,
-         (n - len(toks) + 1) / greatest(len(toks), 1) AS mean_wlen,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           / greatest(len(toks), 1) AS mean_wlen,
          len(list_filter(toks, x -> list_contains({stop}, x)))
            / greatest(len(toks), 1) AS stop_ratio,
          len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(n, 1) AS pr,

@@ -98,7 +98,13 @@ def with_quality_score(
     c = F.col(text_col)
     toks = F.transform(tokens_ws(c), lambda t: F.lower(t))
     n_toks = F.greatest(F.size(toks), F.lit(1))
-    mean_wlen = (F.length(c) - F.size(toks) + 1) / n_toks
+    # exact mean token length: the (len - n_toks + 1)/n_toks shortcut
+    # assumes single-space separators, so multi-space/newline-formatted
+    # text inflated it and could flip the wlen_ok band
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n_toks
+    )
     stop_ratio = F.size(
         F.filter(toks, lambda t: t.isin(*stopwords))
     ) / n_toks

@@ -139,11 +139,28 @@ class Param:
     type: str = "string"  # integer | number | string | boolean
     description: str = ""
 
-    _CASTS = {"integer": int, "number": float, "string": str, "boolean": bool}
+    _CASTS = {"integer": int, "number": float, "string": str}
+
+    @staticmethod
+    def _to_bool(value: Any) -> bool:
+        # bool('false') is True — string-typed sources (CLI/config/env)
+        # would silently invert flags without explicit parsing
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            v = value.strip().lower()
+            if v in ("true", "1", "yes", "on"):
+                return True
+            if v in ("false", "0", "no", "off", ""):
+                return False
+            raise ValueError(f"param value {value!r} is not boolean")
+        return bool(value)
 
     def resolve(self, value: Any) -> Any:
         if value is None:
             return self.default
+        if self.type == "boolean":
+            return self._to_bool(value)
         cast = self._CASTS.get(self.type)
         if cast is None:
             return value
@@ -344,6 +361,18 @@ class Pipeline:
                         ctx.outputs[tname] = None
                         pending.discard(tname)
                         continue
+                    if (
+                        t.expand_over
+                        and t.expand_over in results
+                        and results[t.expand_over].status == "skipped"
+                    ):
+                        # a when-guarded producer prunes its mapped
+                        # dependent too (P11): the run must not fail
+                        # just because the condition was false
+                        results[tname] = TaskResult(tname, "skipped")
+                        ctx.outputs[tname] = None
+                        pending.discard(tname)
+                        continue
                     running[pool.submit(self._exec_task, t, ctx, deadline)] = tname
                     pending.discard(tname)
                 if running:
@@ -451,7 +480,18 @@ class Pipeline:
                 t.name, "failed",
                 error=f"expand_over {t.expand_over!r} produced no list",
             )
-        elements = list(source)
+        try:
+            elements = list(source)
+        except TypeError:
+            # a non-iterable upstream output must fail THIS task (and
+            # run the notifier/state-store path), not escape run()
+            return TaskResult(
+                t.name, "failed",
+                error=(
+                    f"expand_over {t.expand_over!r} produced "
+                    f"non-iterable {type(source).__name__}"
+                ),
+            )
         el_results: list[dict] = []
         failures: list[str] = []
         outs = []

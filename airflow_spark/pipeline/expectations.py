@@ -142,12 +142,14 @@ def evaluate_rules(
             F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias(f"__v_{name}")
         )
     wide = df.agg(*aggs)
+    # backtick-quote: a rule named 'v.positive' would otherwise parse
+    # as a nested-field access and fail analysis
     pairs = F.array(
         *[
             F.struct(
                 F.lit(name).alias("rule"),
-                F.col(f"__p_{name}").alias("n_pass"),
-                F.col(f"__v_{name}").alias("n_violations"),
+                F.col(f"`__p_{name}`").alias("n_pass"),
+                F.col(f"`__v_{name}`").alias("n_violations"),
             )
             for name, _ in rules
         ]

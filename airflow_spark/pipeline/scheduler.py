@@ -44,7 +44,18 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
         else:
             lo_p = hi_p = int(part)
         out.update(range(lo_p, hi_p + 1, step))
-    return {v for v in out if lo <= v <= hi}
+    # dow 7 is the standard-cron Sunday alias
+    if hi == 6 and 7 in out:
+        out.discard(7)
+        out.add(0)
+    # silently discarding out-of-range values would make a typo like
+    # minute 60 — or '* * * * 7' without the alias — never fire at all
+    bad = {v for v in out if not lo <= v <= hi}
+    if bad:
+        raise ValueError(
+            f"cron field value(s) {sorted(bad)} outside [{lo}, {hi}]"
+        )
+    return out
 
 
 def cron_matches(expr: str, when: dt.datetime) -> bool:
@@ -121,7 +132,13 @@ class Scheduler:
                 continue
             entry.last_fire = fire
             logger.info("firing %s for interval %s", p.name, fire)
-            runs.append(p.run(self.spark, run_ts=fire, **entry.run_kwargs))
+            try:
+                runs.append(p.run(self.spark, run_ts=fire, **entry.run_kwargs))
+            except Exception:  # noqa: BLE001
+                # one raising pipeline must not starve the others in
+                # this poll or kill run_loop; the interval stays
+                # consumed (at-most-once, catchup=False semantics)
+                logger.exception("pipeline %s raised during run", p.name)
         return runs
 
     def run_loop(self, poll_s: float = 30.0, max_polls: int | None = None) -> None:

@@ -1717,3 +1717,29 @@ def test_bloom_probe_survives_duplicate_ids(spark):
     got = {r["k"] for r in
            B.bloom_filter_might_contain(df, "k", filt, nb, nh, "id").collect()}
     assert "in-filter" in got  # no false negative
+
+
+def test_shingles_short_docs_yield_empty(spark):
+    """Documents shorter than the shingle width must yield [] — the
+    sequence(1, 0) descending pitfall crashed the whole job before."""
+    from airflow_spark.functions.text import char_shingles, word_shingles
+
+    df = spark.range(1)
+    row = df.select(
+        word_shingles(F.lit("hello world"), 3).alias("w2"),
+        word_shingles(F.lit(""), 3).alias("w0"),
+        char_shingles(F.lit("ab"), 5).alias("c2"),
+        char_shingles(F.lit(""), 5).alias("c0"),
+    ).first()
+    assert row["w2"] == [] and row["w0"] == []
+    assert row["c2"] == [] and row["c0"] == []
+
+
+def test_redact_pii_ip_before_phone(spark):
+    from airflow_spark.functions.text import redact_pii
+
+    df = spark.range(1)
+    out = df.select(
+        redact_pii(F.lit("at 192.168.100.100 call +1 555 123 4567")).alias("r")
+    ).first()["r"]
+    assert "<IP>" in out and "<PHONE>" in out

@@ -651,3 +651,75 @@ def test_api_dispatch_query_string_and_bad_body(spark):
     assert status == 200
     status, payload = cp.dispatch("POST", "/pipelines/x/trigger", body=[1, 2])
     assert status == 400 and "object" in payload["error"]
+
+
+def test_cron_sunday_alias_and_out_of_range(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from airflow_spark.pipeline.scheduler import cron_matches
+
+    sunday = dt.datetime(2026, 8, 16, 0, 0)  # a Sunday
+    assert cron_matches("0 0 * * 7", sunday)  # dow 7 = Sunday alias
+    assert cron_matches("0 0 * * 0", sunday)
+    with _pytest.raises(ValueError, match="outside"):
+        cron_matches("60 0 * * *", sunday)  # minute typo errors loudly
+
+
+def test_param_boolean_string_parsing():
+    import pytest as _pytest
+
+    from airflow_spark.pipeline.core import Param
+
+    p = Param(default=False, type="boolean")
+    assert p.resolve("false") is False
+    assert p.resolve("0") is False
+    assert p.resolve("true") is True
+    assert p.resolve(True) is True
+    with _pytest.raises(ValueError):
+        p.resolve("maybe")
+
+
+def test_skipped_producer_prunes_expanded_dependent(spark):
+    """A when-guarded (skipped) upstream must skip its expand_over
+    dependent, not fail the run."""
+    import datetime as dt
+
+    from airflow_spark.pipeline.core import Pipeline
+
+    p = Pipeline("prune")
+
+    @p.task(when=lambda ctx: False)
+    def src(ctx):
+        return [1, 2, 3]
+
+    @p.task(expand_over="src", depends_on=["src"])
+    def mapped(ctx, el):
+        return el * 2
+
+    run = p.test(spark, run_ts=dt.datetime(2026, 1, 1))
+    assert run.tasks["src"].status == "skipped"
+    assert run.tasks["mapped"].status == "skipped"
+    assert run.status == "success"
+
+
+def test_expand_over_non_iterable_fails_task_not_run(spark):
+    import datetime as dt
+
+    from airflow_spark.pipeline.core import Pipeline
+
+    p = Pipeline("bad-expand")
+
+    @p.task()
+    def src(ctx):
+        return 5  # not a list
+
+    @p.task(expand_over="src", depends_on=["src"])
+    def mapped(ctx, el):
+        return el
+
+    run = p.test(spark, run_ts=dt.datetime(2026, 1, 1))
+    assert run.tasks["mapped"].status == "failed"
+    assert "non-iterable" in run.tasks["mapped"].error
+    assert run.status == "failed"  # recorded, notifier path — no raise
