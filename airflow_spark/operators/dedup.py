@@ -490,10 +490,13 @@ def incremental_neardup(
     ).persist()
     # existence via the reader (driver-local os.path is always False on
     # remote stores, which would silently skip the history side)
+    from pyspark.errors import AnalysisException
+
     try:
         spark.read.parquet(sig_store_path).schema
         have_store = True
-    except Exception:  # noqa: BLE001 - missing/empty store
+    except AnalysisException:
+        # missing/empty store only; transient failures propagate
         have_store = False
     if have_store:
         history = spark.read.parquet(sig_store_path)

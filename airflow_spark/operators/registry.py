@@ -1719,7 +1719,11 @@ def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         timeseries.time_weighted_avg(
-            t.events.where(F.col("user_id") < 20), "user_id", "ts", "value"
+            t.events.where(F.col("user_id") < 20),
+            "user_id",
+            "ts",
+            "value",
+            order_cols=["event_id"],
         )
         .limit(300)
     )
@@ -3562,7 +3566,8 @@ WHERE nn IS NOT NULL ORDER BY c_custkey LIMIT 200
 WITH s AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value,
                   (epoch_us(coalesce(
                       lead(ts) OVER (PARTITION BY user_id,
-                                     date_trunc('hour', ts) ORDER BY ts),
+                                     date_trunc('hour', ts)
+                                     ORDER BY ts, event_id),
                       date_trunc('hour', ts) + INTERVAL 1 HOUR))
                    - epoch_us(ts)) / 1000000.0 AS w
            FROM events WHERE user_id < 20)
@@ -3576,8 +3581,8 @@ WITH l AS (SELECT user_id, ts, event_type,
            FROM events),
 s AS (SELECT user_id, event_type,
              sum(CASE WHEN prev IS NULL
-                       OR epoch(ts) - epoch(prev) > 1800 THEN 1
-                      ELSE 0 END)
+                       OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+                      THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
       FROM l),
 b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '#'
@@ -3663,8 +3668,8 @@ WITH l AS (SELECT user_id, ts, event_type, event_id,
            FROM events),
 s AS (SELECT user_id, ts, event_type, event_id,
              sum(CASE WHEN prev IS NULL
-                       OR epoch(ts) - epoch(prev) > 1800 THEN 1
-                      ELSE 0 END)
+                       OR floor(epoch(ts)) - floor(epoch(prev)) > 1800
+                      THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
       FROM l),
 r AS (SELECT user_id, session_idx, event_type,
@@ -3672,7 +3677,8 @@ r AS (SELECT user_id, session_idx, event_type,
                                 ORDER BY ts, event_id) AS rn
       FROM s),
 p AS (SELECT user_id, session_idx,
-             string_agg(event_type, '>' ORDER BY rn) AS path
+             string_agg(coalesce(event_type, '(null)'), '>'
+                        ORDER BY rn) AS path
       FROM r WHERE rn <= 3 GROUP BY user_id, session_idx)
 SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
@@ -3709,7 +3715,7 @@ ORDER BY user_id, ts LIMIT 300
 WITH h AS (SELECT DISTINCT event_type,
              CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS BIGINT) AS hh
-           FROM events),
+           FROM events WHERE user_id IS NOT NULL),
 fine AS (SELECT event_type, hh,
                 row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rn
          FROM h),

@@ -71,10 +71,15 @@ def refresh_rollup(
     # is always False for remote stores (s3://, hdfs://), which would
     # silently re-append every complete bucket on every refresh —
     # duplicate rollup rows and 2x/3x counts downstream
+    from pyspark.errors import AnalysisException
+
     high_water = None
     try:
         high_water = spark.read.parquet(path).agg(F.max("bucket")).first()[0]
-    except Exception:  # noqa: BLE001 - PATH_NOT_FOUND / empty table
+    except AnalysisException:
+        # PATH_NOT_FOUND / empty table only: a transient read failure
+        # (credentials, corrupt footer) must PROPAGATE — treating it as
+        # "no rollup yet" would re-append every bucket
         high_water = None
 
     # the in-progress bucket (the one holding max ts) is excluded

@@ -103,9 +103,14 @@ def kmv_sketch(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    hashed = df.select(
-        *by, _kmv_hash(F.col(value_col)).alias("__h")
-    ).distinct()
+    # NULL values hash to NULL, which would sort first (Spark window
+    # nulls-first), burn a bottom-k slot, then be dropped by
+    # collect_list — n_kept < k masquerading as the exact regime
+    hashed = (
+        df.select(*by, _kmv_hash(F.col(value_col)).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*by).orderBy("__h")
     return (
         hashed.withColumn("__rn", F.row_number().over(w))

@@ -435,6 +435,7 @@ def time_weighted_avg(
     ts_col: str,
     value_col: str,
     bucket: str = "hour",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Time-weighted average per (key, bucket) for IRREGULARLY sampled
     series — the TSDB aggregate where a plain avg over-weights bursts:
@@ -445,13 +446,15 @@ def time_weighted_avg(
     both on the same shuffle key. Output:
     (key, bucket, n_samples, twa)."""
     b = F.date_trunc(bucket, F.col(ts_col))
-    w = Window.partitionBy(key_col, "bucket").orderBy(ts_col)
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col, "bucket").orderBy(*order)
     bucket_end = F.col("bucket") + F.expr(f"INTERVAL 1 {bucket}")
     staged = df.select(
         F.col(key_col),
         b.alias("bucket"),
         F.col(ts_col),
         F.col(value_col).cast("double").alias("__v"),
+        *[F.col(c) for c in (order_cols or [])],
     ).withColumn(
         # microsecond-exact weights (unix_timestamp would truncate the
         # sub-second part and skew the weighting): integer micro

@@ -162,11 +162,14 @@ def build_ingest_pipeline(
         # existence via the reader: driver-local os.path is always
         # False on remote stores (s3://, hdfs://), which would skip the
         # history branch forever and re-append known documents each run
+        from pyspark.errors import AnalysisException
+
         try:
             hist = ctx.spark.read.parquet(history_dir).select("text")
             hist.schema
             exists = True
-        except Exception:  # noqa: BLE001 - missing/empty history
+        except AnalysisException:
+            # missing/empty history only; transient failures propagate
             exists = False
         if exists:
             fresh = dedup.bloom_dedup_new(

@@ -159,8 +159,12 @@ def lint_plan(df: DataFrame, execute: bool = False) -> list[dict]:
         r"(?:HashAggregate|ObjectHashAggregate|SortAggregate)\([^\n]*",
         simple,
     )
-    n_partial_nodes = sum(1 for n in agg_nodes if "partial_" in n)
-    n_final_nodes = len(agg_nodes) - n_partial_nodes
+    # only nodes that actually COMPUTE functions participate: the
+    # function-less dedup phases of a distinct aggregate print
+    # functions=[] and would otherwise count as unpaired finals
+    working = [n for n in agg_nodes if re.search(r"functions=\[[^\]]", n)]
+    n_partial_nodes = sum(1 for n in working if "partial_" in n)
+    n_final_nodes = len(working) - n_partial_nodes
     if (
         agg_nodes
         and re.search(r"Exchange (?:hash|range)", simple + plan)

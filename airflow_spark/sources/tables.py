@@ -54,9 +54,20 @@ def write_partitioned(
                 ).cast("int").alias("__nf"),
             )
         )
-        salted = df.join(F.broadcast(counts), partition_by).withColumn(
-            "__salt",
-            F.pmod(F.xxhash64(*df.columns), F.col("__nf")).cast("int"),
+        # null-safe join: an inner equi-join would silently DROP every
+        # row whose partition key is NULL (they belong in
+        # __HIVE_DEFAULT_PARTITION__, not in /dev/null)
+        cond = None
+        for c in partition_by:
+            e = df[c].eqNullSafe(counts[c])
+            cond = e if cond is None else cond & e
+        salted = (
+            df.join(F.broadcast(counts), cond)
+            .drop(*[counts[c] for c in partition_by])
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(*df.columns), F.col("__nf")).cast("int"),
+            )
         )
         w = salted.repartition(*cols, F.col("__salt")).drop("__nf", "__salt")
     else:

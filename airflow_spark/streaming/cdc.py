@@ -39,8 +39,15 @@ def latest_per_key(
     # tie-break: equal seq values must pick the SAME row on replay, or
     # checkpoint-recovery redelivery diverges the history — order by
     # every remaining column after the sequence
+    from pyspark.sql import types as T
+
+    unorderable = (T.MapType,)
     others = [
-        c for c in changes.columns if c != seq_col and c not in key_cols
+        f.name
+        for f in changes.schema.fields
+        if f.name != seq_col
+        and f.name not in key_cols
+        and not isinstance(f.dataType, unorderable)
     ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(seq_col).desc(), *[F.col(c).desc_nulls_last() for c in others]

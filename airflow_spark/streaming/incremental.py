@@ -135,11 +135,15 @@ def dedup_ingest(
         # always False for remote stores (s3://, hdfs://), which would
         # take the first-batch branch forever and append duplicates
         # while reporting success
+        from pyspark.errors import AnalysisException
+
         try:
             hist = batch.sparkSession.read.parquet(history_dir)
             hist.schema  # force resolution (PATH_NOT_FOUND surfaces here)
             exists = True
-        except Exception:  # noqa: BLE001 - missing/empty history
+        except AnalysisException:
+            # missing/empty history only — transient read failures
+            # propagate rather than silently skipping cross-batch dedup
             exists = False
         if exists:
             fresh = _dedup.bloom_dedup_new(

@@ -321,7 +321,12 @@ EWMA_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _ewma_fn(alpha: float, ts_col: str = "ts", value_col: str = "value"):
+def _ewma_fn(
+    alpha: float,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_name: str = "user_id",
+):
     """Per-key streaming EWMA fold: state is ONE (acc, n) pair per key
     — O(1) regardless of stream length, the property that makes the
     recursion streaming-legal where the batch form needs a bounded
@@ -334,14 +339,19 @@ def _ewma_fn(alpha: float, ts_col: str = "ts", value_col: str = "value"):
         (user_id,) = key
         acc, n = state.get if state.exists else (None, 0)
         n0 = n
-        for pdf in pdfs:
-            for v in pdf.sort_values(ts_col)[value_col]:
+        # ONE sort over the whole micro-batch: a key's rows can span
+        # several Arrow chunks in arbitrary order — sorting per chunk
+        # would fold later-timestamped values before earlier ones
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks, ignore_index=True)
+            for v in allrows.sort_values(ts_col)[value_col]:
                 x = float(v)
                 acc = x if acc is None else acc * (1.0 - alpha) + alpha * x
                 n += 1
         if n > n0:  # emit only when this invocation consumed rows
             state.update((acc, n))
-            yield pd.DataFrame([{"user_id": user_id, "ewma": acc, "n": n}])
+            yield pd.DataFrame([{key_name: user_id, "ewma": acc, "n": n}])
 
     return fn
 
@@ -357,9 +367,16 @@ def ewma_monitor(
     smoothed value after each micro-batch that touched the key. The
     batch-mode twin is ``operators/timeseries.py:ewma`` (bounded-frame
     restart); this is the unbounded-memory-free streaming recursion."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, events.schema[key_col].dataType),
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
     return events.groupBy(key_col).applyInPandasWithState(
-        _ewma_fn(alpha, ts_col, value_col),
-        outputStructType=EWMA_OUTPUT_SCHEMA,
+        _ewma_fn(alpha, ts_col, value_col, key_name=key_col),
+        outputStructType=out_schema,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
