@@ -8,6 +8,14 @@ control-plane results). Layout rules for 100 TB:
 - size files near the reader's split size (small files are the #1
   operational failure of big parquet lakes) — ``compact`` rewrites a
   partition tree to target file counts based on measured bytes.
+
+LOCAL-FILESYSTEM CONTRACT: ``upsert_parquet`` / ``compact`` use the
+os.rename directory swap, and ``table_bytes`` walks the driver's
+filesystem — plain parquet has no transaction log, so this module's
+swap discipline only holds where rename is atomic (one local/NFS
+filesystem). On object stores, run the identical merge plans against
+a table format with a log (Delta/Iceberg) instead; the read/merge
+shapes here transfer unchanged.
 """
 
 from __future__ import annotations

@@ -8,7 +8,9 @@ is (1) deduplicated latest-wins per key, (2) merged with
 from the batch untouched), and (3) the new history is swapped in
 atomically (write to a versioned directory, then flip; readers of the
 old version are unaffected — same swap discipline as
-``dedup.incremental_neardup``).
+``dedup.incremental_neardup``). The versioned-directory store is a
+LOCAL-FILESYSTEM design (os-level listing + rename): on object
+stores, point the same fold at a Delta/Iceberg table instead.
 
 Exactly-once: the stream checkpoint records the batch offset; a
 re-delivered batch re-merges idempotently (same run_ts + latest-wins
