@@ -45,16 +45,19 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: (session id, sf_dir, name) → DataFrame. DataFrames are immutable
+#: (app id, sf_dir, name) → DataFrame. DataFrames are immutable
 #: lazy plans, so caching them across queries is safe and removes
 #: repeated file-listing/footer reads (measurable driver latency when a
-#: registry of 40+ queries each re-opens its inputs).
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: registry of 40+ queries each re-opens its inputs). Keyed by the
+#: session's applicationId, NOT id(spark): a recycled object address
+#: after session.stop() would hand a new session plans bound to the
+#: dead SparkContext.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table with catalog normalization applied (cached)."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
@@ -62,9 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-as-long → µs timestamp (see module docstring).
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # INTEGER division: Column `/` is double, which cannot represent
+        # ns epochs (~1.7e18 > 2^53) exactly — rows near a microsecond
+        # boundary would land 1 us off the true ts div 1000
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     _CACHE[key] = df
     return df
 

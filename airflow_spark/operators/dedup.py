@@ -401,11 +401,19 @@ def simhash_neardup_pairs(
     num_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` bits. Candidates via the
-    4-band trick (Hamming ≤ 3 ⇒ at least one of 4 equal-width bands is
-    equal — pigeonhole, so recall is exactly 1.0), verified with
-    bit_count(xor). Only same-band docs meet — no cross join."""
-    width = num_bits // 4
-    mask = (1 << width) - 1
+    banding trick with ``max_hamming + 1`` bands (Hamming ≤ h ⇒ at
+    least one of h+1 bands is untouched — pigeonhole, so recall is
+    exactly 1.0 for ANY threshold, not just the classic 4-band h≤3),
+    verified with bit_count(xor). Only same-band docs meet — no cross
+    join. More bands = smaller bands = more candidate collisions, the
+    usual recall/cost trade as the threshold loosens."""
+    num_bands = max_hamming + 1
+    if num_bands > num_bits:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs {num_bands} bands but the "
+            f"signature has only {num_bits} bits"
+        )
+    bounds = [b * num_bits // num_bands for b in range(num_bands + 1)]
     banded = sigs.select(
         "id",
         "simhash",
@@ -414,11 +422,13 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned("simhash", bounds[b])
+                        .bitwiseAND(
+                            F.lit((1 << (bounds[b + 1] - bounds[b])) - 1)
+                        )
                         .alias("chunk"),
                     )
-                    for b in range(4)
+                    for b in range(num_bands)
                 ]
             )
         ).alias("bk"),

@@ -56,9 +56,12 @@ def grouped_quantiles(
     demonstrates that even 'per-key custom stats' usually have an
     expression form)."""
     probs = probs or [0.5, 0.95, 0.99]
+
+    def label(p: float) -> str:
+        # p=0.999 must not collapse onto p=0.99's label: use the full
+        # probability digits (p99_9), not a truncating int(p*100)
+        return "p" + f"{p * 100:g}".replace(".", "_")
+
     return df.groupBy(key).agg(
-        *[
-            F.percentile(value_col, F.lit(p)).alias(f"p{int(p * 100)}")
-            for p in probs
-        ]
+        *[F.percentile(value_col, F.lit(p)).alias(label(p)) for p in probs]
     )

@@ -155,7 +155,13 @@ def _try_real_decode(data: bytes):
         pass
     except Exception:
         return None  # Pillow present but payload undecodable
-    return _decode_png(data)
+    try:
+        return _decode_png(data)
+    except Exception:  # noqa: BLE001 - truncated/corrupt chunk bytes
+        # a payload with the PNG magic but garbage after it must follow
+        # the quarantine/fake contract, not kill the Spark task with a
+        # struct/zlib error
+        return None
 
 
 def _luma_features(luma) -> dict:
@@ -494,9 +500,16 @@ def extract_audio_features(
                 )
             yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
 
-    src = df.withColumn("__dur", F.col("meta.duration_ms")).withColumn(
-        "__sr", F.col("meta.sample_rate")
-    )
+    # meta is optional (the image path guards identically): WAV
+    # payloads derive duration/rate from the file itself
+    if "meta" in df.columns:
+        src = df.withColumn("__dur", F.col("meta.duration_ms")).withColumn(
+            "__sr", F.col("meta.sample_rate")
+        )
+    else:
+        src = df.withColumn(
+            "__dur", F.lit(None).cast("long")
+        ).withColumn("__sr", F.lit(None).cast("int"))
     return src.select(id_col, data_col, "__dur", "__sr").mapInPandas(
         _extract, AUDIO_FEATURES_SCHEMA
     )
@@ -760,7 +773,12 @@ def _parse_avi(data: bytes):
                 info["frames"].append((body_lo, size))
             pos = body_lo + size + (size & 1)  # chunks are word-aligned
 
-    walk(12, len(data))
+    try:
+        walk(12, len(data))
+    except Exception:  # noqa: BLE001 - truncated chunk bodies
+        # a cut-off AVI must fall back to the stub/strict contract,
+        # not crash the mapInPandas worker with a struct.error
+        return None
     return info if info["frames"] else None
 
 

@@ -147,23 +147,42 @@ class RunStateStore:
         cutoff = (now - retention).replace(tzinfo=None)
         kept = self.runs().where(F.col("started") >= F.lit(cutoff))
         rows = kept.collect()  # state table is small by construction
-        for f in os.listdir(self.path):
-            full = os.path.join(self.path, f)
-            if os.path.isfile(full):  # leave the _xcom subdir intact
-                os.remove(full)
+
+        # write the kept rows FIRST, then swap the old files out: a
+        # crash between delete and rewrite would otherwise lose the
+        # whole run history (same swap discipline as sources/tables.py)
+        def _swap(dirpath, schema, keep_rows):
+            tmp = dirpath.rstrip("/") + ".__vacuum__"
+            self.spark.createDataFrame(keep_rows, schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(dirpath):
+                full = os.path.join(dirpath, f)
+                if os.path.isfile(full):
+                    os.remove(full)
+            for f in os.listdir(tmp):
+                src = os.path.join(tmp, f)
+                if os.path.isfile(src):
+                    os.rename(src, os.path.join(dirpath, f))
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
         if rows:
-            self.spark.createDataFrame(rows, RUN_SCHEMA).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.path)
+            _swap(self.path, RUN_SCHEMA, rows)
+        else:
+            for f in os.listdir(self.path):
+                full = os.path.join(self.path, f)
+                if os.path.isfile(full):
+                    os.remove(full)
         # same retention applies to the XCom table
         if os.path.isdir(self.xcom_path):
             xkept = self.xcoms().where(F.col("recorded") >= F.lit(cutoff)).collect()
-            for f in os.listdir(self.xcom_path):
-                full = os.path.join(self.xcom_path, f)
-                if os.path.isfile(full):
-                    os.remove(full)
             if xkept:
-                self.spark.createDataFrame(xkept, XCOM_SCHEMA).coalesce(
-                    1
-                ).write.mode("append").parquet(self.xcom_path)
+                _swap(self.xcom_path, XCOM_SCHEMA, xkept)
+            else:
+                for f in os.listdir(self.xcom_path):
+                    full = os.path.join(self.xcom_path, f)
+                    if os.path.isfile(full):
+                        os.remove(full)
         return len(rows)

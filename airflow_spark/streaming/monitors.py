@@ -256,22 +256,37 @@ LAST_SEEN_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _last_seen_fn(stale_after_s: int):
+def _last_seen_fn(
+    stale_after_s: int,
+    ts_col: str = "ts",
+    key_name: str = "user_id",
+    drop_after_alert: bool = True,
+):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
             last_ts, alerted = state.get
+            out = None
             if not alerted:
-                state.update((last_ts, True))
-                yield pd.DataFrame(
-                    [{"user_id": user_id, "status": "stale_alert", "last_ts": last_ts}]
+                out = pd.DataFrame(
+                    [{key_name: user_id, "status": "stale_alert",
+                      "last_ts": last_ts}]
                 )
+            # drop the entry after alerting: a key that never returns
+            # would otherwise hold state forever (unbounded growth
+            # under key churn); a returning key is treated as new
+            if drop_after_alert:
+                state.remove()
+            elif not alerted:
+                state.update((last_ts, True))
+            if out is not None:
+                yield out
             return
         max_ts = None
         for pdf in pdfs:
-            m = pd.to_datetime(pdf["ts"]).max()
+            m = pd.to_datetime(pdf[ts_col]).max()
             if max_ts is None or m > max_ts:
                 max_ts = m
         prev = state.get if state.exists else (None, False)
@@ -280,7 +295,7 @@ def _last_seen_fn(stale_after_s: int):
         state.update((max_ts, False))  # fresh data clears the alert latch
         state.setTimeoutDuration(stale_after_s * 1000)
         yield pd.DataFrame(
-            [{"user_id": user_id, "status": "alive", "last_ts": max_ts}]
+            [{key_name: user_id, "status": "alive", "last_ts": max_ts}]
         )
 
     return fn
@@ -290,15 +305,26 @@ def last_seen_monitor(
     events: DataFrame,
     stale_after_s: int = 3600,
     key_col: str = "user_id",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Stateful per-key last-seen with alert-once semantics (the
     streaming form of the DNS freshness DAG): emits 'alive' on new
     data, one 'stale_alert' when a key goes quiet past the timeout,
-    re-arms when the key returns. Requires a streaming source with
+    re-arms when the key returns. The alerted entry is REMOVED from
+    the state store (a permanently-quiet key would otherwise leak
+    state forever under key churn). Output schema follows the actual
+    key column's name and type. Requires a streaming source with
     update output mode (processing-time timeouts)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, events.schema[key_col].dataType),
+            T.StructField("status", T.StringType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
     return events.groupBy(key_col).applyInPandasWithState(
-        _last_seen_fn(stale_after_s),
-        outputStructType=LAST_SEEN_OUTPUT_SCHEMA,
+        _last_seen_fn(stale_after_s, ts_col=ts_col, key_name=key_col),
+        outputStructType=out_schema,
         stateStructType=LAST_SEEN_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

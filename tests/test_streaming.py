@@ -105,6 +105,11 @@ class FakeState:
         self._v = value
         self.hasTimedOut = timed_out
         self.timeout_ms = None
+        self.removed = False
+
+    def remove(self):
+        self._v = None
+        self.removed = True
 
     @property
     def exists(self):
@@ -136,15 +141,14 @@ def test_last_seen_alive_then_alert_once_then_rearm():
     assert out[0]["status"].iloc[0] == "alive"
     assert st._v[1] is False and st.timeout_ms == 60_000
 
-    # timeout fires → exactly one stale alert, latch set
+    # timeout fires → exactly one stale alert, state DROPPED (a key
+    # that never returns must not hold state forever)
     st.hasTimedOut = True
     out = _run(fn, (7,), [], st)
     assert out[0]["status"].iloc[0] == "stale_alert"
-    assert st._v[1] is True
-    # second timeout → no duplicate alert
-    assert _run(fn, (7,), [], st) == []
+    assert st.removed and st._v is None
 
-    # key returns → alive again, latch cleared, newer ts kept
+    # key returns → treated as new, alive again
     st.hasTimedOut = False
     ts2 = pd.Timestamp("2026-01-01 13:00:00")
     out = _run(fn, (7,), [pd.DataFrame({"ts": [ts2]})], st)
