@@ -107,3 +107,119 @@ def test_bloom_dedup_always_equals_plain_anti_join(spark, hist_keys, new_keys, f
         v for k, v in first_per_key.items() if k not in hist_set
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    k=st.sampled_from([16, 64]),
+    n_groups=st.integers(1, 4),
+)
+def test_kmv_merge_equals_direct_sketch(spark, values, k, n_groups):
+    """Union of per-group bottom-k sketches == bottom-k of the union,
+    for ANY value distribution and group split (the mergeability that
+    makes KMV rollup-safe); estimator is exact below k."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.operators import sketches
+
+    rows = [(i % n_groups, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    per_group = sketches.kmv_sketch(df, "v", ["g"], k=k)
+    merged = sketches.kmv_merge(per_group, [], k=k).collect()[0]["kmv"]
+    direct = sketches.kmv_sketch(
+        df.select(F.lit(0).alias("g"), "v"), "v", ["g"], k=k
+    ).collect()[0]["kmv"]
+    assert merged == direct
+
+    n_distinct = len(set(values))
+    if n_distinct <= k:
+        est = sketches.kmv_estimate(
+            sketches.kmv_merge(per_group, [], k=k), k
+        ).collect()[0]
+        assert est["n_kept"] == n_distinct
+        assert est["distinct_est"] == float(n_distinct)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.integers(0, 2**63 - 1),
+    flips=st.lists(st.integers(0, 63), min_size=0, max_size=6, unique=True),
+    max_hamming=st.integers(1, 6),
+)
+def test_simhash_banding_recall_any_threshold(spark, base, flips, max_hamming):
+    """The generalized max_hamming+1 banding must find EVERY pair
+    within the threshold (pigeonhole recall 1.0), for any threshold —
+    not just the classic 4-band h<=3."""
+    from airflow_spark.operators.dedup import simhash_neardup_pairs
+
+    def to_signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    df = spark.createDataFrame(
+        [(1, to_signed(base)), (2, to_signed(other))], ["id", "simhash"]
+    )
+    got = simhash_neardup_pairs(df, max_hamming=max_hamming).collect()
+    if len(flips) <= max_hamming and flips:
+        assert len(got) == 1 and got[0]["hamming"] == len(flips)
+    elif len(flips) > max_hamming:
+        assert got == []
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(-1000, 1000, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    window=st.integers(1, 8),
+)
+def test_rolling_median_matches_numpy(spark, values, window):
+    import numpy as np
+
+    from airflow_spark.operators.timeseries import rolling_median
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(values)], ["k", "ts", "value"]
+    )
+    got = [
+        r["roll_median"]
+        for r in rolling_median(df, "k", "ts", "value", window_rows=window)
+        .orderBy("ts")
+        .collect()
+    ]
+    for i, g in enumerate(got):
+        frame = values[max(0, i - window + 1) : i + 1]
+        assert abs(g - float(np.median(frame))) < 1e-6, (i, g, frame)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    ),
+    ref=st.floats(-50, 50, allow_nan=False, width=16),
+)
+def test_cusum_matches_numpy_recursion(spark, values, ref):
+    from airflow_spark.operators.timeseries import cusum_alarms
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(values)], ["k", "ts", "value"]
+    )
+    got = [
+        r["cusum"]
+        for r in cusum_alarms(
+            df, "k", "ts", "value", ref=float(ref), threshold=1e18,
+            window_rows=10_000,
+        ).orderBy("ts").collect()
+    ]
+    s = 0.0
+    for i, v in enumerate(values):
+        s = max(0.0, s + (float(v) - float(ref)))
+        assert abs(got[i] - round(s, 6)) < 1e-6, (i, got[i], s)
