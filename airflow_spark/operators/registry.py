@@ -1326,6 +1326,23 @@ def op_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified PPS: 20 documents per language drawn with probability
+    ∝ n_chars — the per-group sequential-Poisson form (one window over
+    the group shuffle, no global sort)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        sampling.weighted_sample_per_group(
+            t.documents.select("doc_id", "lang", "n_chars"),
+            "lang",
+            "n_chars",
+            20,
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PPS sample: 100 documents drawn with probability
     ∝ n_chars via sequential Poisson priorities (portable md5 uniform —
@@ -2019,6 +2036,7 @@ OPERATOR_QUERIES = {
     "op_funnel": op_funnel,
     "op_cohort_retention": op_cohort_retention,
     "op_weighted_sample": op_weighted_sample,
+    "op_weighted_sample_group": op_weighted_sample_group,
     "op_regexp_funcs": op_regexp_funcs,
 }
 
@@ -2822,6 +2840,18 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
          AS n_no_vowels
 FROM documents ORDER BY doc_id LIMIT 200
+""",
+    "op_weighted_sample_group": """
+WITH a AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(concat('0x', substr(md5('wsg:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1) / 4294967296.0 / n_chars AS xi
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY xi, doc_id) AS rn
+      FROM a)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20 ORDER BY doc_id
 """,
     "op_weighted_sample": """
 WITH a AS (

@@ -170,3 +170,37 @@ def assign_contiguous_ids(
         )
         .drop("__shard", "__offset")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "wsg",
+) -> DataFrame:
+    """Sequential-Poisson weighted sample of ``k`` rows PER GROUP (the
+    stratified form of :func:`weighted_sample`): priorities
+    ``xi = u/weight`` from the portable md5 uniform, ranked within each
+    group — deterministic, engine-reproducible, growth-stable (new rows
+    never displace a kept row unless their priority wins). One window
+    over the group shuffle; no global sort. Rows with null ids or
+    non-positive weights are excluded from the draw (same contract as
+    the global form)."""
+    from ..functions.hashing import md5_unit_interval
+
+    u = md5_unit_interval(F.col(id_col), salt)
+    eligible = df.where(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(id_col).isNotNull()
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        (u / F.col(weight_col)).asc(), F.col(id_col)
+    )
+    return (
+        eligible.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

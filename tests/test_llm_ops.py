@@ -1743,3 +1743,29 @@ def test_redact_pii_ip_before_phone(spark):
         redact_pii(F.lit("at 192.168.100.100 call +1 555 123 4567")).alias("r")
     ).first()["r"]
     assert "<IP>" in out and "<PHONE>" in out
+
+
+def test_weighted_sample_per_group_stratified(spark):
+    """Each group draws its own k; heavier rows are preferred within
+    their group; draws are stable under corpus growth."""
+    from airflow_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [("a", i, 1.0 if i else 1000.0) for i in range(20)] + [
+        ("b", 100 + i, 1.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    got = weighted_sample_per_group(df, "g", "w", 3, "id").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert len(by_g["a"]) == 3 and len(by_g["b"]) == 3
+    assert 0 in by_g["a"]  # the 1000x-weight row is (near-)certain
+
+    # growth stability: adding rows to group b must not change group a
+    more = df.unionByName(
+        spark.createDataFrame([("b", 200 + i, 1.0) for i in range(50)],
+                              ["g", "id", "w"])
+    )
+    got2 = {r["id"] for r in weighted_sample_per_group(more, "g", "w", 3, "id")
+            .where(F.col("g") == "a").collect()}
+    assert got2 == by_g["a"]
