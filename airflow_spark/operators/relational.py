@@ -33,20 +33,23 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the matching right row on the same
     key: the latest with ``right_ts <= left_ts`` (``direction=
-    "backward"``, inclusive — the default) or the earliest with
-    ``right_ts >= left_ts`` (``"forward"``). With ``tolerance_s`` the
-    match is discarded (NULLs) when it is more than that many seconds
-    away — the pandas ``merge_asof`` axes, distributed.
+    "backward"``, inclusive — the default), the earliest with
+    ``right_ts >= left_ts`` (``"forward"``), or whichever of the two is
+    closer in time (``"nearest"``, ties to backward). With
+    ``tolerance_s`` the match is discarded (NULLs) when it is more than
+    that many seconds away — all three pandas ``merge_asof`` axes,
+    distributed.
 
     One shuffle (hash on key), one sort per partition — the same cost
-    as a sort-merge join, with no row explosion. Left rows keep all
-    their columns; matched right columns arrive suffixed, NULL when no
-    right row qualifies.
+    as a sort-merge join, with no row explosion (``nearest`` pays a
+    second sort of the same shuffled partition for the forward carry).
+    Left rows keep all their columns; matched right columns arrive
+    suffixed, NULL when no right row qualifies.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be 'backward' or 'forward', got "
-            f"{direction!r} (nearest = run both and pick per-row upstream)"
+            f"asof_join: direction must be 'backward', 'forward', or "
+            f"'nearest', got {direction!r}"
         )
     if right_cols is None:
         right_cols = [c for c in right.columns if c != key]
@@ -80,21 +83,49 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols],
         r_struct.alias("__r"),
     )
-    if direction == "backward":
-        # right rows sort before left rows at equal ts → '<=' semantics
-        order = [F.col("__ts").asc(), F.col("__is_left").asc()]
-    else:
-        # scan time DESCENDING so "last seen" is the earliest right row
-        # at-or-after; right still before left at equal ts → '>='
-        order = [F.col("__ts").desc(), F.col("__is_left").asc()]
-    w = (
+    # right rows sort before left rows at equal ts → inclusive bounds
+    w_back = (
         Window.partitionBy(key)
-        .orderBy(*order)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = l_tag.unionByName(r_tag).select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
+    # scanning time DESCENDING makes "last seen" the earliest right row
+    # at-or-after
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    union = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        carried = union.select(
+            "*", F.last("__r", ignorenulls=True).over(w_back).alias("__m")
+        )
+    elif direction == "forward":
+        carried = union.select(
+            "*", F.last("__r", ignorenulls=True).over(w_fwd).alias("__m")
+        )
+    else:  # nearest: both carries over the SAME shuffle, pick per row
+        mb = F.last("__r", ignorenulls=True).over(w_back)
+        mf = F.last("__r", ignorenulls=True).over(w_fwd)
+        both = union.select("*", mb.alias("__mb"), mf.alias("__mf"))
+        dist_b = (
+            F.col("__ts").cast("double")
+            - F.col(f"__mb.{right_ts}").cast("double")
+        )
+        dist_f = (
+            F.col(f"__mf.{right_ts}").cast("double")
+            - F.col("__ts").cast("double")
+        )
+        carried = both.select(
+            "*",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            # ties go to backward — pandas merge_asof semantics
+            .when(dist_b <= dist_f, F.col("__mb"))
+            .otherwise(F.col("__mf"))
+            .alias("__m"),
+        ).drop("__mb", "__mf")
     out = carried.where(F.col("__is_left") == 1)
     if tolerance_s is not None:
         within = (

@@ -388,3 +388,44 @@ def test_asof_join_null_right_field_is_not_backfilled(spark):
     got = asof_join(left, right, "k").collect()[0]
     # the as-of match is the ts=10 row whose v IS NULL
     assert got["v_r"] is None
+
+
+def test_asof_join_nearest_matches_pandas_merge_asof(spark):
+    import numpy as np
+    import pandas as pd
+
+    from airflow_spark.operators.relational import asof_join
+
+    rng = np.random.default_rng(21)
+    lp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 40), unit="s"),
+            "lid": range(40),
+        }
+    ).sort_values("ts")
+    rp = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 30),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, 30), unit="s"),
+            "rid": range(30),
+        }
+    ).sort_values("ts")
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="nearest"
+    ).set_index("lid")["rid"]
+    got = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            "k",
+            right_cols=["rid"],
+            direction="nearest",
+        ).collect()
+    }
+    for lid in range(40):
+        w = want.loc[lid]
+        assert (got[lid] is None and pd.isna(w)) or got[lid] == w, lid
