@@ -1326,6 +1326,62 @@ def op_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent rounded value per event_type with a DETERMINISTIC
+    tie-break (highest count, then smallest value) — engine-native
+    mode() functions leave ties unspecified, so the portable spelling
+    is count + rank."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t.events.groupBy(
+            "event_type", F.round(F.col("value"), 0).alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("v").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("v").alias("mode_value"), "cnt")
+        .orderBy("event_type")
+    )
+
+
+def op_window_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window-function breadth set: offset lag with default,
+    lead, first/last value with explicit frames and ignore-nulls."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev = t.events.where(F.col("user_id") < 10)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            F.round(F.lag("value", 2, 0.0).over(w), 4).alias("lag2"),
+            F.round(F.lead("value", 1).over(w), 4).alias("lead1"),
+            F.round(F.first("value").over(frame), 4).alias("first_v"),
+            F.round(F.last("value").over(frame), 4).alias("last_v"),
+            F.round(
+                F.first(
+                    F.when(F.col("value") > 100, F.col("value")),
+                    ignorenulls=True,
+                ).over(frame),
+                4,
+            ).alias("first_big"),
+        )
+        .orderBy("user_id", "ts")
+        .limit(300)
+    )
+
+
 def op_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified PPS: 20 documents per language drawn with probability
     ∝ n_chars — the per-group sequential-Poisson form (one window over
@@ -2037,6 +2093,8 @@ OPERATOR_QUERIES = {
     "op_cohort_retention": op_cohort_retention,
     "op_weighted_sample": op_weighted_sample,
     "op_weighted_sample_group": op_weighted_sample_group,
+    "op_mode": op_mode,
+    "op_window_funcs2": op_window_funcs2,
     "op_regexp_funcs": op_regexp_funcs,
 }
 
@@ -2840,6 +2898,31 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
          AS n_no_vowels
 FROM documents ORDER BY doc_id LIMIT 200
+""",
+    "op_mode": """
+WITH c AS (SELECT event_type, round(value, 0) AS v,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY event_type, round(value, 0)),
+r AS (SELECT event_type, v, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, v ASC) AS rn
+      FROM c)
+SELECT event_type, v AS mode_value, cnt FROM r
+WHERE rn = 1 ORDER BY event_type
+""",
+    "op_window_funcs2": """
+SELECT user_id, ts, round(value, 4) AS value,
+       round(coalesce(lag(value, 2) OVER w, 0.0), 4) AS lag2,
+       round(lead(value, 1) OVER w, 4) AS lead1,
+       round(first_value(value) OVER wf, 4) AS first_v,
+       round(last_value(value) OVER wf, 4) AS last_v,
+       round(first_value(CASE WHEN value > 100 THEN value END IGNORE NULLS)
+                 OVER wf, 4) AS first_big
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, ts LIMIT 300
 """,
     "op_weighted_sample_group": """
 WITH a AS (
