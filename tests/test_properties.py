@@ -223,3 +223,76 @@ def test_cusum_matches_numpy_recursion(spark, values, ref):
     for i, v in enumerate(values):
         s = max(0.0, s + (float(v) - float(ref)))
         assert abs(got[i] - round(s, 6)) < 1e-6, (i, got[i], s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_tasks=st.integers(2, 7),
+    edge_bits=st.integers(0, 2**20),
+    fail_at=st.integers(0, 6),
+    data=st.data(),
+)
+def test_random_dag_statuses_and_order(spark, n_tasks, edge_bits, fail_at, data):
+    """For ANY dag shape: every task runs after all its dependencies,
+    a failing task marks exactly its descendants upstream_failed, and
+    everything else succeeds."""
+    import datetime as dt
+    import threading
+
+    from airflow_spark.pipeline.core import Pipeline
+
+    # random DAG: edge (i -> j) for i < j, from the bitmask
+    edges = {}
+    bit = 0
+    for j in range(n_tasks):
+        edges[j] = []
+        for i in range(j):
+            if (edge_bits >> bit) & 1:
+                edges[j].append(i)
+            bit += 1
+    failing = fail_at % n_tasks
+
+    p = Pipeline("rand", max_parallel_tasks=4)
+    order: list[int] = []
+    lock = threading.Lock()
+
+    def make(idx):
+        def fn(ctx):
+            with lock:
+                order.append(idx)
+            if idx == failing:
+                raise RuntimeError("boom")
+            return idx
+
+        fn.__name__ = f"t{idx}"
+        return fn
+
+    for j in range(n_tasks):
+        p.task(depends_on=[f"t{i}" for i in edges[j]])(make(j))
+
+    run = p.test(spark, run_ts=dt.datetime(2026, 1, 1))
+
+    # transitive descendants of the failing task (edges only point
+    # backward i < j, so plain recursion terminates)
+    def reaches_failing(j):
+        return any(i == failing or reaches_failing(i) for i in edges[j])
+
+    desc = {j for j in range(n_tasks) if j != failing and reaches_failing(j)}
+
+    assert run.status == "failed"
+    for j in range(n_tasks):
+        st_ = run.tasks[f"t{j}"].status
+        if j == failing:
+            assert st_ == "failed", (j, st_)
+        elif j in desc:
+            assert st_ == "upstream_failed", (j, st_)
+        else:
+            assert st_ == "success", (j, st_)
+
+    # topological order: each executed task appears after its deps
+    pos = {idx: i for i, idx in enumerate(order)}
+    for j in range(n_tasks):
+        if j in pos:
+            for i in edges[j]:
+                if i in pos:
+                    assert pos[i] < pos[j], (i, j, order)
