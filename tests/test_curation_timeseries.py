@@ -479,3 +479,50 @@ def test_period_growth_relative_change(spark):
     got = [(r["n"], r["prev_n"], r["growth"]) for r in
            period_growth(df, "k", "ts", "month").collect()]
     assert got == [(10, None, None), (15, 10, 0.5), (12, 15, -0.2)]
+
+
+def test_incremental_join_view_equals_full_join(spark, tmp_path):
+    """Delta-join maintenance must equal a from-scratch join after
+    every append batch, including left-only, right-only, and
+    both-sides batches (the three delta terms)."""
+    from airflow_spark.operators.ivm import refresh_join_view
+
+    view = str(tmp_path / "view")
+    L, R = [], []
+
+    def check():
+        ldf = spark.createDataFrame(L, "l_id long, k string, lv long")
+        rdf = spark.createDataFrame(R, "r_id long, k string, rv long")
+        res = refresh_join_view(spark, ldf, rdf, view, "k", "l_id", "r_id")
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in spark.read.parquet(view).collect()
+        )
+        want = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in ldf.join(rdf, "k").collect()
+        )
+        assert got == want, (got, want)
+        return res
+
+    # batch 1: initial materialization
+    L += [(1, "a", 10), (2, "b", 20)]
+    R += [(1, "a", 100)]
+    assert check()["appended"] == 1
+
+    # batch 2: right-only append — matches the OLD left rows
+    R += [(2, "b", 200), (3, "a", 300)]
+    assert check()["appended"] == 2
+
+    # batch 3: left-only append — matches ALL right rows seen so far
+    L += [(3, "a", 30)]
+    assert check()["appended"] == 2  # (a,30,100) and (a,30,300)
+
+    # batch 4: both sides at once — covers the ΔL⋈ΔR cross term
+    L += [(4, "c", 40)]
+    R += [(4, "c", 400), (5, "b", 500)]
+    res = check()
+    assert res["appended"] == 2  # (c,40,400) via dL(x)full-R, (b,20,500)
+
+    # batch 5: no new rows — a no-op refresh appends nothing
+    assert check()["appended"] == 0
