@@ -66,11 +66,13 @@ def write_zordered(
     the within-partition sort gives each file a tight min/max envelope
     on every participating column.
     """
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     z = zorder_value(list(cols), bits).alias("__z")
     out = df.withColumn("__z", z)
     shaped = (
         out.repartitionByRange(num_files, "__z")
-        if num_files
+        if num_files is not None
         else out.repartitionByRange("__z")
     )
     shaped.sortWithinPartitions("__z").drop("__z").write.mode(

@@ -39,8 +39,14 @@ def salted_join(
             "the small side is replicated per salt, so right/full/semi/"
             "anti joins would duplicate or drop rows"
         )
+    # content-INDEPENDENT salt: hashing row content would (a) crash on
+    # MapType columns (Spark forbids hashing maps) and (b) collapse a
+    # hot key made of byte-identical rows onto ONE salt — the exact
+    # straggler this utility exists to break up. The salt only routes
+    # rows, so determinism is not needed for correctness.
     big_s = big.withColumn(
-        "__salt", (F.pmod(F.xxhash64(*big.columns), F.lit(num_salts))).cast("int")
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"),
     )
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
@@ -92,13 +98,23 @@ def salted_collect(
     num_salts: int = 16,
     as_set: bool = False,
 ) -> DataFrame:
-    """collect_list/set per key in two phases so a hot key never
-    funnels through a single task's memory: (key, salt) partial
-    collects → flatten per key. Returns (key, values)."""
+    """collect_list/set per key in two phases: (key, salt) partial
+    collects → flatten per key. Returns (key, values).
+
+    What the salting bounds: the AGGREGATION-side state. For
+    ``as_set=True`` phase 1 dedups within each salt, so the final
+    merge sees at most num_salts × |distinct| pre-deduped arrays. For
+    ``as_set=False`` the final task necessarily materializes the whole
+    list — that is the requested OUTPUT — so the win is limited to the
+    phase-1 build side; if the full list itself cannot fit in one
+    task, the caller needs a different representation (exploded rows),
+    not a collect. The salt is content-independent (a hot key of
+    identical values must still spread across salts)."""
     fn = F.collect_set if as_set else F.collect_list
     partial = (
         df.withColumn(
-            "__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(num_salts))
+            "__salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)),
         )
         .groupBy(key, "__salt")
         .agg(fn(value_col).alias("__part"))

@@ -35,11 +35,14 @@ def health(
     except Exception as e:  # noqa: BLE001
         out["spark"] = {"status": "unhealthy", "error": str(e)}
     if scheduler is not None:
-        entries = {
-            name: (e.last_fire.isoformat() if e.last_fire else None)
-            for name, e in scheduler.entries.items()
-        }
-        out["scheduler"] = {"status": "healthy", "pipelines": entries}
+        try:
+            entries = {
+                name: (e.last_fire.isoformat() if e.last_fire else None)
+                for name, e in dict(scheduler.entries).items()
+            }
+            out["scheduler"] = {"status": "healthy", "pipelines": entries}
+        except Exception as e:  # noqa: BLE001 - a probe must never crash
+            out["scheduler"] = {"status": "unhealthy", "error": str(e)}
     if state_store is not None:
         try:
             out["state_store"] = {

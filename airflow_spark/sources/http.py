@@ -60,7 +60,9 @@ def map_payload_source(
     """Fetch a ``{key: struct}`` JSON map → (key, *struct) rows (S3:
     Syncthing folder→stats, dags/Backups.py:117-132)."""
     payload = fetcher(url)
-    rows = [{key_name: k, **v} for k, v in payload.items()]
+    # key_name LAST: a payload field with the same name must not
+    # shadow the map key (rows would lose their correlation entirely)
+    rows = [{**v, key_name: k} for k, v in payload.items()]
     schema = T.StructType(
         [T.StructField(key_name, T.StringType()), *value_schema.fields]
     )
@@ -127,11 +129,15 @@ def http_sink(
     Small-result contract: sinks collect ≤ ``max_rows`` (alerting /
     control-plane writes); bulk data movement belongs in table sinks.
     """
+    if profile not in allow_profiles:
+        # validate the plan WITHOUT executing it: a disabled (dev)
+        # profile must not pay the full upstream compute for a no-op
+        df.schema, df.columns  # analysis errors still surface
+        _ = url_template.format(**{c: "" for c in df.columns})
+        return 0
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(f"http_sink result exceeds max_rows={max_rows}")
-    if profile not in allow_profiles:
-        return 0
     for r in rows:
         d = r.asDict(recursive=True)
         poster(url_template.format(**d), d)

@@ -13,6 +13,25 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+def _start_writer(
+    source: DataFrame,
+    emit,
+    query_name: str,
+    checkpoint_dir: str | None,
+    trigger_available_now: bool,
+    processing_time: str | None,
+):
+    """Shared foreachBatch writer configuration for the alert paths."""
+    writer = source.writeStream.queryName(query_name).foreachBatch(emit)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.outputMode("update").start()
+
+
 def alert_stream(
     violations: DataFrame,
     notifier: Callable[[dict], None],
@@ -30,20 +49,31 @@ def alert_stream(
     """
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.limit(max_alerts_per_batch).collect()
-        for r in rows:
+        # deterministic truncation: an unordered limit would drop an
+        # ARBITRARY subset (different on replay, silently losing
+        # alerts); sort by every column and over-fetch by one so the
+        # cut is reported
+        ordered = batch_df.orderBy(*batch_df.columns)
+        rows = ordered.limit(max_alerts_per_batch + 1).collect()
+        truncated = len(rows) > max_alerts_per_batch
+        for r in rows[:max_alerts_per_batch]:
             ctx = r.asDict(recursive=True)
             ctx["batch_id"] = batch_id
             notifier(ctx)
+        if truncated:
+            notifier(
+                {
+                    "batch_id": batch_id,
+                    "alert": "TRUNCATED",
+                    "detail": f"batch exceeded max_alerts_per_batch="
+                    f"{max_alerts_per_batch}; remaining alerts dropped",
+                }
+            )
 
-    writer = violations.writeStream.queryName(query_name).foreachBatch(_emit)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.outputMode("update").start()
+    return _start_writer(
+        violations, _emit, query_name, checkpoint_dir,
+        trigger_available_now, processing_time,
+    )
 
 
 def drift_alert_stream(
@@ -90,11 +120,7 @@ def drift_alert_stream(
             ctx["batch_id"] = batch_id
             notifier(ctx)
 
-    writer = stream_df.writeStream.queryName(query_name).foreachBatch(_emit)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.outputMode("update").start()
+    return _start_writer(
+        stream_df, _emit, query_name, checkpoint_dir,
+        trigger_available_now, processing_time,
+    )
