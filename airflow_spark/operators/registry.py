@@ -2098,6 +2098,30 @@ OPERATOR_QUERIES = {
     "op_regexp_funcs": op_regexp_funcs,
 }
 
+# Driver-budget ordering: cheap hash-attested entries first, the
+# measured-expensive family (>2 s at sf0.1 — LSH dedup, iterative
+# graph, PQ, search scoring) LAST, so a driver time cut-off costs the
+# fewest correctness rows (round 1 lost the tail of this dict to one).
+_EXPENSIVE_TAIL = [
+    "op_bm25_search",
+    "op_dedup_ngram_jaccard",
+    "op_link_predict",
+    "op_dedup_jaccard_prefix",
+    "op_assoc_rules",
+    "op_dedup_containment",
+    "op_collocations",
+    "op_dup_passages",
+    "op_similarity_pq",
+    "op_dedup_simhash",
+    "op_bfs_distances",
+    "op_pagerank",
+    "op_dedup_minhash",
+]
+OPERATOR_QUERIES = {
+    **{k: v for k, v in OPERATOR_QUERIES.items() if k not in _EXPENSIVE_TAIL},
+    **{k: OPERATOR_QUERIES[k] for k in _EXPENSIVE_TAIL if k in OPERATOR_QUERIES},
+}
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle-SQL builders for the LSH / text-heuristic family.
 #
