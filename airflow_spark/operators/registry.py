@@ -17,6 +17,7 @@ from ..functions import text as textfn
 from . import (
     corpus_stats,
     curation,
+    inference,
     privacy,
     dedup,
     pq,
@@ -1977,6 +1978,89 @@ def op_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.link_predict_common_neighbors(edges, k=100)
 
 
+def op_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage islands per user (each event opens a
+    15-minute activity window; overlapping windows merge) — the
+    ``range_agg`` aggregate, integer-exact epoch arithmetic."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.merge_intervals(t.events, "user_id", "ts", pad_s=900)
+        .select(
+            "user_id", "island_idx", "n_events", "start_s", "covered_s"
+        )
+        .orderBy("user_id", "island_idx")
+        .limit(300)
+    )
+
+
+def op_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event_type stream: one row
+    per consecutive same-state run with its span (uptime/state-machine
+    view). Tie-broken on event_id for determinism."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.state_durations(
+            t.events, "user_id", "ts", "event_type", order_cols=["event_id"]
+        )
+        .select(
+            "user_id", "run_idx", "state", "n_events", "duration_s"
+        )
+        .orderBy("user_id", "run_idx")
+        .limit(300)
+    )
+
+
+def op_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time via the built-in
+    regr_* aggregate family (one pass, mergeable partials): the
+    distributed closed-form fit, no iteration."""
+    t = load_tables(spark, sf_dir)
+    x = (F.floor(F.unix_timestamp("ts")).cast("long") / F.lit(86400.0))
+    staged = t.events.select(
+        "event_type", x.alias("__x"), F.col("value").alias("__y")
+    )
+    out = inference.grouped_regression(staged, "event_type", "__x", "__y")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+def op_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of documents.lang × documents.source:
+    one contingency count pass, marginals as window sums over the tiny
+    cell frame, χ² = Σ (o−e)²/e with closed-form dof."""
+    t = load_tables(spark, sf_dir)
+    out = inference.chisq_report(t.documents, "lang", "source")
+    return out.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("n_total").cast("long").alias("n_total"),
+        "chisq",
+        F.col("dof").cast("long").alias("dof"),
+    )
+
+
+def op_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts per event_type — the
+    robust twin of op_zscore_anomalies (immune to the outliers
+    themselves): two exact-percentile passes + a flagging projection."""
+    t = load_tables(spark, sf_dir)
+    return inference.mad_outliers(t.events, "event_type", "value", 3.0)
+
+
+def op_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs
+    Benford's law (fraud/corruption smell test). Digit from the
+    integer rendering — no log10 FP edge at powers of ten."""
+    t = load_tables(spark, sf_dir)
+    return inference.benford_digits(t.orders, "o_totalprice")
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
@@ -2096,6 +2180,12 @@ OPERATOR_QUERIES = {
     "op_mode": op_mode,
     "op_window_funcs2": op_window_funcs2,
     "op_regexp_funcs": op_regexp_funcs,
+    "op_interval_merge": op_interval_merge,
+    "op_state_durations": op_state_durations,
+    "op_regression": op_regression,
+    "op_chisq": op_chisq,
+    "op_mad_outliers": op_mad_outliers,
+    "op_benford": op_benford,
 }
 
 # Driver-budget ordering: cheap hash-attested entries first, the
@@ -3975,6 +4065,106 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
+""",
+    # integer epoch arithmetic throughout — no FP in the hash path
+    "op_interval_merge": """
+WITH iv AS (SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(floor(epoch(ts)) AS BIGINT) + 900 AS e
+            FROM events),
+flg AS (SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM iv),
+isl AS (SELECT user_id, s, e,
+               CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY s, e) AS BIGINT)
+                 AS island_idx
+        FROM flg)
+SELECT user_id, island_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(s) AS start_s,
+       max(e) - min(s) AS covered_s
+FROM isl GROUP BY user_id, island_idx
+ORDER BY user_id, island_idx LIMIT 300
+""",
+    "op_state_durations": """
+WITH st AS (SELECT user_id, event_type, event_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                   lag(event_type) OVER w AS prev_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+run AS (SELECT user_id, event_type, ep,
+               CAST(sum(CASE WHEN prev_state IS NULL
+                               OR prev_state <> event_type
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS run_idx
+        FROM st)
+SELECT user_id, run_idx,
+       min(event_type) AS state,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(ep) - min(ep) AS duration_s
+FROM run GROUP BY user_id, run_idx
+ORDER BY user_id, run_idx LIMIT 300
+""",
+    "op_regression": """
+SELECT event_type,
+       CAST(regr_count(value, x) AS BIGINT) AS n,
+       round(regr_slope(value, x), 6) AS slope,
+       round(regr_intercept(value, x), 2) AS intercept,
+       round(regr_r2(value, x), 6) AS r2
+FROM (SELECT event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) / 86400.0 AS x
+      FROM events) s
+GROUP BY event_type ORDER BY event_type
+""",
+    # χ² via N·Σ_obs o²/(rowTot·colTot) − N (empty grid cells telescope
+    # into the −N term) — matches inference.chisq_report exactly
+    "op_chisq": """
+WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY lang, source),
+m AS (SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS row_tot,
+             sum(o) OVER (PARTITION BY source) AS col_tot
+      FROM cells)
+SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_a,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(o) AS BIGINT) AS n_total,
+       round(sum(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                 / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+             * CAST(sum(o) AS DOUBLE) - CAST(sum(o) AS DOUBLE), 4) AS chisq,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+            AS BIGINT) AS dof
+FROM m
+""",
+    "op_mad_outliers": """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, abs(e.value - med.med) AS d, med.med
+        FROM events e JOIN med ON e.event_type = med.event_type),
+mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(max(dev.med), 4) AS med,
+       round(max(mad.mad), 4) AS mad,
+       CAST(sum(CASE WHEN dev.d > (3.0 * 1.4826) * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type ORDER BY dev.event_type
+""",
+    "op_benford": """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice >= 1.0),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS share,
+       round(log10(1.0 + 1.0 / digit), 4) AS benford
+FROM c ORDER BY digit
 """,
 }
 

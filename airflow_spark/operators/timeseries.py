@@ -481,3 +481,89 @@ def time_weighted_avg(
         )
         .orderBy(key_col, "bucket")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    pad_s: int = 900,
+) -> DataFrame:
+    """Coverage islands: each event opens an activity interval
+    ``[ts, ts + pad_s)``; overlapping/touching intervals per key merge
+    into islands (the union-of-intervals aggregate TSDBs ship as
+    ``range_agg``). Returns one row per island:
+    (key, island_idx, n_events, start_s, end_s, covered_s).
+
+    Classic gaps-and-islands on the running maximum: an island starts
+    where the interval start exceeds the cumulative max end of all
+    EARLIER intervals. Integer epoch-second arithmetic throughout —
+    no FP, so results are engine-exact. One shuffle on ``key_col``;
+    the two windows and the grouped agg share it."""
+    start = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = Window.partitionBy(key_col).orderBy("__start", "__end")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        df.select(
+            F.col(key_col),
+            start.alias("__start"),
+            (start + F.lit(int(pad_s))).alias("__end"),
+        )
+        .withColumn("__prev_max_end", F.max("__end").over(w_prev))
+        .withColumn(
+            "__is_new",
+            F.when(
+                F.col("__prev_max_end").isNull()
+                | (F.col("__start") > F.col("__prev_max_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island_idx", F.sum("__is_new").over(w))
+    )
+    return (
+        staged.groupBy(key_col, "island_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__start").alias("start_s"),
+            F.max("__end").alias("end_s"),
+            (F.max("__end") - F.min("__start")).alias("covered_s"),
+        )
+        .orderBy(key_col, "island_idx")
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Run-length encoding of a state column per key: consecutive
+    events with the same state collapse into one run with its span
+    (the state-machine/uptime view of an event stream). Returns
+    (key, run_idx, state, n_events, start_s, duration_s).
+
+    ``order_cols`` breaks timestamp ties deterministically (pass the
+    event id). Same single-shuffle shape as ``sessionize`` — the
+    boundary flag is lag(state) != state instead of a time gap."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_state = F.lag(state_col).over(w)
+    is_new = F.when(
+        prev_state.isNull() | (prev_state != F.col(state_col)), F.lit(1)
+    ).otherwise(F.lit(0))
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    staged = df.withColumn("run_idx", F.sum(is_new).over(w)).withColumn(
+        "__epoch", epoch
+    )
+    return (
+        staged.groupBy(key_col, "run_idx")
+        .agg(
+            F.first(state_col).alias("state"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__epoch").alias("start_s"),
+            (F.max("__epoch") - F.min("__epoch")).alias("duration_s"),
+        )
+        .orderBy(key_col, "run_idx")
+    )

@@ -618,6 +618,130 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog (shipping-mode priority split): lines shipped
+    more than 60 days after their order date, split per l_linestatus
+    into high- vs low-priority order counts — the fact⋈fact join with
+    CASE-conditional aggregation (one pass, map-side partial agg)."""
+    t = load_tables(spark, sf_dir)
+    high = F.col("o_orderpriority").startswith("1-") | F.col(
+        "o_orderpriority"
+    ).startswith("2-")
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog (promo revenue share): percentage of one
+    quarter's lineitem revenue from PROMO-type parts — broadcast dim
+    join feeding a conditional-ratio scalar aggregate."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey
+        )
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog (disjunctive predicate join): revenue from
+    three OR-of-AND brand/size/quantity bands — the predicate shape
+    that exercises OR pushdown through a join without falling back to
+    a cartesian plan."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    band1 = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+        & q.between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+        & q.between(10, 30)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+        & q.between(20, 40)
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey
+        )
+        .where(band1 | band2 | band3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (global sales opportunity): customers with
+    above-average positive balances and no orders, grouped by a
+    derived country code — scalar subquery + anti join + grouped agg."""
+    t = load_tables(spark, sf_dir)
+    pos_avg = t.customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        t.customer.join(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            t.orders,
+            t.customer.c_custkey == t.orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy((F.col("c_nationkey") % 5).cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog (small-quantity revenue): lineitems under half
+    their part's average quantity, total extended price / 7 — the
+    aggregate-then-rejoin correlated shape on the JOIN KEY (complement
+    of op_above_own_avg's window decorrelation)."""
+    t = load_tables(spark, sf_dir)
+    part_avg = t.lineitem.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        t.lineitem.join(
+            part_avg.withColumnRenamed("l_partkey", "__pk"),
+            F.col("l_partkey") == F.col("__pk"),
+        )
+        .where(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
 # ---------------------------------------------------------------------------
@@ -878,6 +1002,56 @@ JOIN orders ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """,
+    "q37": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority LIKE '1-%'
+                       OR o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority LIKE '1-%'
+                       OR o_orderpriority LIKE '2-%' THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    "q38": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    "q39": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+    "q40": """
+SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey % 5
+ORDER BY cntrycode
+""",
+    "q41": """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON l_partkey = pa.pk
+WHERE l_quantity < 0.5 * avg_qty
+""",
 }
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
@@ -888,5 +1062,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q21": q21, "q22": q22, "q23": q23, "q24": q24, "q25": q25,
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
-    "q36": q36,
+    "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
+    "q41": q41,
 }

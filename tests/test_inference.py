@@ -1,0 +1,173 @@
+"""Unit tests for the statistical-inference and run-length operators
+(operators/inference.py + timeseries.merge_intervals/state_durations).
+
+The registry entries are oracle-hashed in test_oracle_queries; these
+tests pin the operator semantics on hand-built frames where the
+expected values are computable by eye.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from airflow_spark.operators import inference, timeseries
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_merge_intervals_merges_overlaps_and_splits_gaps(spark):
+    # pad 60 s: events at 12:00:00 and 12:00:30 overlap; 12:10 is its
+    # own island; an event inside an earlier long reach still merges
+    rows = [
+        (1, _ts(0, 0)),
+        (1, _ts(0, 30)),
+        (1, _ts(10, 0)),
+        (2, _ts(0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = timeseries.merge_intervals(df, "user_id", "ts", pad_s=60).collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.island_idx for r in u1] == [1, 2]
+    first = u1[0]
+    assert first.n_events == 2
+    assert first.covered_s == 90  # 00:00 .. 01:30
+    assert u1[1].covered_s == 60
+    assert [r.n_events for r in out if r.user_id == 2] == [1]
+
+
+def test_merge_intervals_touching_endpoints_merge(spark):
+    # [0, 60) and [60, 120): start == prev end is NOT > pme → merges
+    rows = [(1, _ts(0, 0)), (1, _ts(1, 0))]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = timeseries.merge_intervals(df, "user_id", "ts", pad_s=60).collect()
+    assert len(out) == 1
+    assert out[0].covered_s == 120
+
+
+# ---------------------------------------------------------------------------
+# state_durations
+# ---------------------------------------------------------------------------
+
+
+def test_state_durations_run_length_encoding(spark):
+    rows = [
+        (1, _ts(0), "a", 1),
+        (1, _ts(1), "a", 2),
+        (1, _ts(2), "b", 3),
+        (1, _ts(3), "a", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_type STRING, event_id INT"
+    )
+    out = timeseries.state_durations(
+        df, "user_id", "ts", "event_type", order_cols=["event_id"]
+    ).collect()
+    assert [(r.run_idx, r.state, r.n_events, r.duration_s) for r in out] == [
+        (1, "a", 2, 60),
+        (2, "b", 1, 0),
+        (3, "a", 1, 0),
+    ]
+
+
+def test_state_durations_breaks_ties_on_order_cols(spark):
+    # same timestamp: event_id decides which state comes first
+    rows = [(1, _ts(0), "b", 2), (1, _ts(0), "a", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_type STRING, event_id INT"
+    )
+    out = timeseries.state_durations(
+        df, "user_id", "ts", "event_type", order_cols=["event_id"]
+    ).collect()
+    assert [r.state for r in out] == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# grouped_regression
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_regression_recovers_exact_line(spark):
+    rows = [("g", float(x), 2.0 * x + 1.0) for x in range(10)] + [
+        ("flat", float(x), 5.0) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, x DOUBLE, y DOUBLE")
+    out = {
+        r.k: r
+        for r in inference.grouped_regression(df, "k", "x", "y").collect()
+    }
+    assert out["g"].n == 10
+    assert out["g"].slope == pytest.approx(2.0, abs=1e-9)
+    assert out["g"].intercept == pytest.approx(1.0, abs=1e-9)
+    assert out["g"].r2 == pytest.approx(1.0, abs=1e-9)
+    assert out["flat"].slope == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# chisq_report
+# ---------------------------------------------------------------------------
+
+
+def test_chisq_zero_for_independent_uniform(spark):
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    r = inference.chisq_report(df, "a", "b").collect()[0]
+    assert r.n_cells == 4 and r.n_total == 20 and r.dof == 1
+    assert r.chisq == pytest.approx(0.0, abs=1e-9)
+
+
+def test_chisq_positive_for_dependent(spark):
+    # perfect association: a==x ⇔ b==u
+    rows = [("x", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    r = inference.chisq_report(df, "a", "b").collect()[0]
+    # 2×2 perfect association → χ² = n
+    assert r.chisq == pytest.approx(20.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_flags_planted_outlier_robustly(spark):
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k STRING, value DOUBLE"
+    )
+    r = inference.mad_outliers(df, "k", "value", 3.0).collect()[0]
+    assert r.n == 6
+    assert r.med == pytest.approx(12.5)
+    assert r.n_outliers == 1  # only the 1000; the MAD ignores it
+
+
+def test_mad_zero_spread_group_has_no_outliers(spark):
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "k STRING, value DOUBLE"
+    )
+    r = inference.mad_outliers(df, "k", "value", 3.0).collect()[0]
+    assert r.mad == 0.0 and r.n_outliers == 0
+
+
+# ---------------------------------------------------------------------------
+# benford_digits
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    vals = [1.5, 19.0, 123.0, 2.0, 0.5, 900.0]  # 0.5 excluded
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    out = {r.digit: r for r in inference.benford_digits(df, "v").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1].n == 3 and out[2].n == 1 and out[9].n == 1
+    assert out[1].share == pytest.approx(0.6)
+    assert out[1].benford == pytest.approx(0.3010)
+    assert out[9].benford == pytest.approx(0.0458)
