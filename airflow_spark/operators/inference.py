@@ -151,3 +151,86 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
             F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 4
         ).alias("benford"),
     ).orderBy("digit")
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregate pass (all C(n,2) ``corr`` aggregates share the scan and
+    the partial-agg shuffle — the corpus is read once regardless of
+    how many pairs). Output is long-form: (col_a, col_b, corr_ab),
+    upper triangle only, built by unpivoting the single wide result
+    row — the unpivot touches one row, never the corpus."""
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    wide = df.agg(
+        *[
+            F.corr(F.col(a), F.col(b)).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"{a}__{b}").alias("corr_ab"),
+            )
+            for a, b in pairs
+        ]
+    )
+    ex = wide.select(F.explode(entries).alias("e"))
+    return ex.select("e.col_a", "e.col_b", "e.corr_ab").orderBy(
+        "col_a", "col_b"
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col,
+    success_col,
+) -> DataFrame:
+    """Two-proportion z-test over a binary variant assignment: per
+    variant n and successes (exact integers), pooled rate, and the
+    z statistic (p1 − p2) / sqrt(p(1−p)(1/n1 + 1/n2)) — the A/B-test
+    significance readout, one conditional-count pass.
+
+    ``variant_col`` must yield exactly two values 0/1 (bigint);
+    ``success_col`` a boolean. Returns a single row:
+    (n0, s0, n1, s1, p0, p1, z)."""
+    v = variant_col if not isinstance(variant_col, str) else F.col(variant_col)
+    s = success_col if not isinstance(success_col, str) else F.col(success_col)
+    staged = df.select(
+        v.cast("long").alias("__v"), s.cast("int").alias("__s")
+    )
+    agg = staged.agg(
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__s")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__s")).otherwise(0)).alias("s1"),
+    )
+    p0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    pool = (F.col("s0") + F.col("s1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (
+            1.0 / F.col("n0").cast("double")
+            + 1.0 / F.col("n1").cast("double")
+        )
+    )
+    return agg.select(
+        "n0",
+        "s0",
+        "n1",
+        "s1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        # nullif guards the degenerate pooled rates (0 or 1): the SE
+        # is 0 there and ANSI mode would raise on the division — the
+        # z statistic is undefined, so NULL is the honest answer
+        F.round((p0 - p1) / F.nullif(se, F.lit(0.0)), 4).alias("z"),
+    )

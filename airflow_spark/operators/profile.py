@@ -60,3 +60,92 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
+    """Missing-range detection over an integer id sequence (the
+    completeness audit for ingest keys: "which orderkeys never
+    arrived?"). Returns one row per gap: (gap_start, gap_end, n_missing)
+    where the bounds are the first and last MISSING ids.
+
+    Scale shape: the corpus-sized work is two hash anti self-joins
+    (an id is a gap BOUNDARY iff id+1 / id−1 is absent) — never a
+    global sort of the id set. Only the boundary rows (one per gap)
+    reach the pairing windows, so the single-partition sort there is
+    bounded by the number of gaps, not the table. Integer-exact."""
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).cast("long").alias("__id")).distinct()
+    bounds = F.broadcast(
+        ids.agg(F.min("__id").alias("__mn"), F.max("__id").alias("__mx"))
+    )
+    succ = ids.select((F.col("__id") + 1).alias("__id"))
+    pred = ids.select((F.col("__id") - 1).alias("__id"))
+    # id whose successor is absent opens a gap at id+1 (unless it is
+    # the global max); id whose predecessor is absent closes the
+    # previous gap at id-1 (unless it is the global min)
+    starts = (
+        ids.join(pred.hint("shuffle_hash"), "__id", "left_anti")
+        .crossJoin(bounds)
+        .where(F.col("__id") < F.col("__mx"))
+        .select((F.col("__id") + 1).alias("gap_start"))
+    )
+    ends = (
+        ids.join(succ.hint("shuffle_hash"), "__id", "left_anti")
+        .crossJoin(bounds)
+        .where(F.col("__id") > F.col("__mn"))
+        .select((F.col("__id") - 1).alias("gap_end"))
+    )
+    ws = Window.orderBy("gap_start")
+    we = Window.orderBy("gap_end")
+    k_starts = starts.withColumn("__k", F.row_number().over(ws))
+    k_ends = ends.withColumn("__k", F.row_number().over(we))
+    return (
+        k_starts.join(k_ends, "__k")
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC concentration profile: rank keys by their summed
+    weight and classify by cumulative share — A up to ``a_cut`` of the
+    total, B up to ``b_cut``, C the tail (the 80/20 revenue-
+    concentration audit). Returns (key, total_w, cum_share, abc_class).
+
+    One grouped sum (corpus-sized, partial-agg) then windows over the
+    per-key frame (cardinality of the key, not the corpus). The
+    cumulative share divides two double sums rounded at 6 — boundary
+    flips would need a key sitting within 1e-12 of the cut."""
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__w")
+    )
+    # rank on the ROUNDED weight: two keys with decimal-equal totals
+    # must tie (and fall back to the key) in every engine — raw double
+    # sums carry accumulation-order noise that could flip their order
+    w_cum = Window.orderBy(
+        F.round("__w", 2).desc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_tot = Window.partitionBy()
+    cum_share = F.sum("__w").over(w_cum) / F.sum("__w").over(w_tot)
+    return per_key.select(
+        F.col(key_col),
+        F.round("__w", 2).alias("total_w"),
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(cum_share <= F.lit(float(a_cut)), "A")
+        .when(cum_share <= F.lit(float(b_cut)), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy(F.col("total_w").desc(), key_col)

@@ -2061,6 +2061,86 @@ def op_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inference.benford_digits(t.orders, "o_totalprice")
 
 
+def op_downsample_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMax viz downsampling: 20 equal time buckets per user (users
+    0-9), keeping the min- and max-value point of each — the
+    shuffle-once two-window form (no LTTB sequential dependence)."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.downsample_minmax(
+        t.events.where(F.col("user_id") < 10), "user_id", "ts", "value",
+        n_buckets=20,
+    )
+    return (
+        out.select(
+            "user_id",
+            "bucket_idx",
+            "kind",
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id", "bucket_idx", "kind")
+        .limit(500)
+    )
+
+
+def op_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem numeric
+    columns in ONE aggregate pass (six corr aggregates share the scan
+    and the partial-agg shuffle)."""
+    out = inference.corr_matrix(
+        load_tables(spark, sf_dir).lineitem,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return out.select(
+        "col_a", "col_b", F.round("corr_ab", 6).alias("corr_ab")
+    ).orderBy("col_a", "col_b")
+
+
+def op_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-range audit over a deterministically thinned orderkey
+    sequence (every 7th key dropped): anti-join boundary detection —
+    no global sort of the id set."""
+    t = load_tables(spark, sf_dir)
+    thinned = t.orders.where(F.col("o_orderkey") % 7 != 0)
+    return (
+        profile.sequence_gaps(thinned, "o_orderkey")
+        .orderBy("gap_start")
+        .limit(300)
+    )
+
+
+def op_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: users split into variants by user_id
+    parity; success = the user ever made a purchase above 150 (a
+    mid-range rate at every sf — "ever purchased" saturates to 1.0 on
+    this corpus and degenerates the SE). Exact per-variant counts +
+    the pooled-SE z statistic in one pass over the per-user frame."""
+    t = load_tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0),
+                1,
+            ).otherwise(0)
+        ).alias("__succ")
+    )
+    return inference.two_proportion_ztest(
+        per_user, F.col("user_id") % 2, F.col("__succ") == 1
+    )
+
+
+def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue-concentration classes over parts (cumulative
+    share of summed l_extendedprice, A ≤ 80% ≤ B ≤ 95% < C)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        profile.abc_classification(
+            t.lineitem, "l_partkey", "l_extendedprice"
+        )
+        .orderBy(F.col("total_w").desc(), "l_partkey")
+        .limit(200)
+    )
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
@@ -2186,6 +2266,11 @@ OPERATOR_QUERIES = {
     "op_chisq": op_chisq,
     "op_mad_outliers": op_mad_outliers,
     "op_benford": op_benford,
+    "op_downsample_minmax": op_downsample_minmax,
+    "op_corr_matrix": op_corr_matrix,
+    "op_id_gaps": op_id_gaps,
+    "op_ab_test": op_ab_test,
+    "op_abc_class": op_abc_class,
 }
 
 # Driver-budget ordering: cheap hash-attested entries first, the
@@ -4165,6 +4250,97 @@ SELECT digit, n,
        round(n / CAST(sum(n) OVER () AS DOUBLE), 4) AS share,
        round(log10(1.0 + 1.0 / digit), 4) AS benford
 FROM c ORDER BY digit
+""",
+    "op_downsample_minmax": """
+WITH s AS (SELECT user_id, ts, value, epoch_us(ts) AS ep,
+                  min(epoch_us(ts)) OVER (PARTITION BY user_id) AS lo,
+                  max(epoch_us(ts)) OVER (PARTITION BY user_id) AS hi
+           FROM events WHERE user_id < 10),
+b AS (SELECT user_id, ts, value,
+             least(CAST(floor(20 * (ep - lo)
+                               / greatest(hi - lo, 1)) AS BIGINT),
+                   19) AS bucket_idx
+      FROM s),
+r AS (SELECT user_id, bucket_idx, ts, value,
+             row_number() OVER (PARTITION BY user_id, bucket_idx
+                                ORDER BY value ASC, ts ASC) AS rmin,
+             row_number() OVER (PARTITION BY user_id, bucket_idx
+                                ORDER BY value DESC, ts ASC) AS rmax
+      FROM b)
+SELECT user_id, bucket_idx, kind, round(value, 4) AS value
+FROM (SELECT user_id, bucket_idx, 'min' AS kind, value
+      FROM r WHERE rmin = 1
+      UNION ALL
+      SELECT user_id, bucket_idx, 'max' AS kind, value
+      FROM r WHERE rmax = 1) u
+ORDER BY user_id, bucket_idx, kind LIMIT 500
+""",
+    "op_corr_matrix": """
+WITH a AS (SELECT corr(l_quantity, l_extendedprice) AS qe,
+                  corr(l_quantity, l_discount) AS qd,
+                  corr(l_quantity, l_tax) AS qt,
+                  corr(l_extendedprice, l_discount) AS ed,
+                  corr(l_extendedprice, l_tax) AS et,
+                  corr(l_discount, l_tax) AS dt
+           FROM lineitem)
+SELECT col_a, col_b, corr_ab FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(qe, 6) AS corr_ab FROM a
+  UNION ALL SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM a
+  UNION ALL SELECT 'l_quantity', 'l_tax', round(qt, 6) FROM a
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', round(ed, 6) FROM a
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', round(et, 6) FROM a
+  UNION ALL SELECT 'l_discount', 'l_tax', round(dt, 6) FROM a) u
+ORDER BY col_a, col_b
+""",
+    "op_id_gaps": """
+WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+             WHERE o_orderkey % 7 <> 0),
+l AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids)
+SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+       id - prev - 1 AS n_missing
+FROM l WHERE prev IS NOT NULL AND id - prev > 1
+ORDER BY gap_start LIMIT 300
+""",
+    "op_ab_test": """
+WITH pu AS (SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                             AND value > 150.0
+                            THEN 1 ELSE 0 END) AS succ
+            FROM events GROUP BY user_id),
+agg AS (SELECT
+  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+  CAST(sum(CASE WHEN user_id % 2 = 0 THEN succ ELSE 0 END) AS BIGINT) AS s0,
+  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(sum(CASE WHEN user_id % 2 = 1 THEN succ ELSE 0 END) AS BIGINT) AS s1
+ FROM pu)
+SELECT n0, s0, n1, s1,
+       round(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p0,
+       round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
+       round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             / sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(s0 + s1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE)
+                       + 1.0 / CAST(n1 AS DOUBLE))), 4) AS z
+FROM agg
+""",
+    "op_abc_class": """
+WITH pk AS (SELECT l_partkey, sum(l_extendedprice) AS w
+            FROM lineitem GROUP BY l_partkey),
+c AS (SELECT l_partkey, w,
+             sum(w) OVER (ORDER BY round(w, 2) DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER () AS tot
+      FROM pk)
+SELECT l_partkey, round(w, 2) AS total_w,
+       round(cw / tot, 6) AS cum_share,
+       CASE WHEN cw / tot <= 0.8 THEN 'A'
+            WHEN cw / tot <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c ORDER BY total_w DESC, l_partkey LIMIT 200
 """,
 }
 

@@ -567,3 +567,64 @@ def state_durations(
         )
         .orderBy(key_col, "run_idx")
     )
+
+
+def downsample_minmax(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Visual-fidelity downsampling: split each series into
+    ``n_buckets`` equal time buckets and keep the min-value and
+    max-value point per bucket (the MinMax variant of viz
+    downsampling — unlike LTTB it has no sequential dependence on the
+    previously selected point, so it stays a pure two-window
+    projection: engine-exact, shuffle-once, no Arrow batches).
+
+    Ties on value keep the earliest (ts) point. Returns one row per
+    kept point: (key, bucket_idx, ts, value, kind ∈ {'min','max'});
+    a single-point bucket emits both kinds for that point.
+
+    Scale: one shuffle on (key); bucket bounds come from a per-key
+    min/max window on the same shuffle, so the whole thing is one
+    exchange + one sort regardless of corpus size."""
+    wk = Window.partitionBy(key_col)
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo = F.min(ep).over(wk)
+    hi = F.max(ep).over(wk)
+    span = F.greatest(hi - lo, F.lit(1))
+    bucket = F.least(
+        (F.lit(int(n_buckets)) * (ep - lo) / span).cast("long"),
+        F.lit(int(n_buckets) - 1),
+    )
+    staged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("__v"),
+    ).withColumn("__bucket", bucket)
+    wmin = Window.partitionBy(key_col, "__bucket").orderBy(
+        F.col("__v").asc(), F.col(ts_col).asc()
+    )
+    wmax = Window.partitionBy(key_col, "__bucket").orderBy(
+        F.col("__v").desc(), F.col(ts_col).asc()
+    )
+    ranked = staged.withColumn("__rmin", F.row_number().over(wmin)).withColumn(
+        "__rmax", F.row_number().over(wmax)
+    )
+    mins = ranked.where(F.col("__rmin") == 1).select(
+        F.col(key_col),
+        F.col("__bucket").alias("bucket_idx"),
+        F.col(ts_col),
+        F.col("__v").alias("value"),
+        F.lit("min").alias("kind"),
+    )
+    maxs = ranked.where(F.col("__rmax") == 1).select(
+        F.col(key_col),
+        F.col("__bucket").alias("bucket_idx"),
+        F.col(ts_col),
+        F.col("__v").alias("value"),
+        F.lit("max").alias("kind"),
+    )
+    return mins.unionByName(maxs)

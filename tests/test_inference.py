@@ -171,3 +171,112 @@ def test_benford_digit_extraction_and_shares(spark):
     assert out[1].share == pytest.approx(0.6)
     assert out[1].benford == pytest.approx(0.3010)
     assert out[9].benford == pytest.approx(0.0458)
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix / two_proportion_ztest
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_exact_linear_and_anti(spark):
+    rows = [(float(x), 2.0 * x, -3.0 * x + 7.0) for x in range(8)]
+    df = spark.createDataFrame(rows, "a DOUBLE, b DOUBLE, c DOUBLE")
+    out = {
+        (r.col_a, r.col_b): r.corr_ab
+        for r in inference.corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+
+
+def test_ztest_counts_and_sign(spark):
+    # variant 0: 8/10 success; variant 1: 2/10
+    rows = [(0, i < 8) for i in range(10)] + [(1, i < 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "v INT, s BOOLEAN")
+    import pyspark.sql.functions as F
+
+    r = inference.two_proportion_ztest(df, F.col("v"), F.col("s")).collect()[0]
+    assert (r.n0, r.s0, r.n1, r.s1) == (10, 8, 10, 2)
+    assert r.p0 == pytest.approx(0.8) and r.p1 == pytest.approx(0.2)
+    assert r.z == pytest.approx(2.6833, abs=1e-3)
+
+
+def test_ztest_degenerate_rate_yields_null_z(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(0, True)] * 5 + [(1, True)] * 5  # pooled rate 1.0 → SE 0
+    df = spark.createDataFrame(rows, "v INT, s BOOLEAN")
+    r = inference.two_proportion_ztest(df, F.col("v"), F.col("s")).collect()[0]
+    assert r.z is None
+
+
+# ---------------------------------------------------------------------------
+# sequence_gaps / abc_classification
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_gaps_finds_ranges(spark):
+    from airflow_spark.operators import profile
+
+    ids = [1, 2, 3, 7, 8, 12]  # gaps: 4-6, 9-11
+    df = spark.createDataFrame([(i,) for i in ids], "id BIGINT")
+    out = profile.sequence_gaps(df, "id").collect()
+    assert [(r.gap_start, r.gap_end, r.n_missing) for r in out] == [
+        (4, 6, 3),
+        (9, 11, 3),
+    ]
+
+
+def test_sequence_gaps_dense_sequence_is_empty(spark):
+    from airflow_spark.operators import profile
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "id BIGINT")
+    assert profile.sequence_gaps(df, "id").count() == 0
+
+
+def test_abc_classification_cuts(spark):
+    from airflow_spark.operators import profile
+
+    # weights 80 / 15 / 5 → cumulative 0.80 A, 0.95 B, 1.00 C
+    rows = [("a", 80.0), ("b", 15.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "k STRING, w DOUBLE")
+    out = {r.k: r for r in profile.abc_classification(df, "k", "w").collect()}
+    assert out["a"].abc_class == "A"
+    assert out["b"].abc_class == "B"
+    assert out["c"].abc_class == "C"
+    assert out["c"].cum_share == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# downsample_minmax
+# ---------------------------------------------------------------------------
+
+
+def test_downsample_minmax_keeps_extremes_per_bucket(spark):
+    # one key, 2 buckets over [0, 40) minutes: values spike at 12:05
+    # (bucket 0) and dip at 12:30 (bucket 1)
+    rows = [
+        (1, _ts(0), 10.0),
+        (1, _ts(5), 99.0),
+        (1, _ts(10), 20.0),
+        (1, _ts(25), 30.0),
+        (1, _ts(30), 1.0),
+        (1, _ts(40), 25.0),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP, v DOUBLE")
+    out = timeseries.downsample_minmax(df, "k", "ts", "v", n_buckets=2)
+    got = {
+        (r.bucket_idx, r.kind): r.value for r in out.collect()
+    }
+    assert got[(0, "max")] == 99.0
+    assert got[(0, "min")] == 10.0
+    assert got[(1, "min")] == 1.0
+    assert got[(1, "max")] == 30.0  # 25.0 at the exact end lands in bucket 1
+
+
+def test_downsample_single_point_bucket_emits_both_kinds(spark):
+    df = spark.createDataFrame([(1, _ts(0), 5.0)], "k INT, ts TIMESTAMP, v DOUBLE")
+    out = timeseries.downsample_minmax(df, "k", "ts", "v", n_buckets=4).collect()
+    assert sorted(r.kind for r in out) == ["max", "min"]
+    assert all(r.value == 5.0 for r in out)
