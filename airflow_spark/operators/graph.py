@@ -359,3 +359,59 @@ def sssp_bounded(
             .persist()
         )
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition (membership): iteratively peel nodes with
+    degree < k until a fixpoint; survivors form the k-core — the dense
+    subgraph used for community seeds and spam/bot cluster mining.
+
+    Returns (node, deg) for nodes in the k-core, with their degree
+    INSIDE the core. Each round is one symmetric-adjacency semi-join +
+    a grouped degree count — cost tracks the surviving edge set, which
+    only shrinks. Deterministic: the peel order doesn't affect the
+    fixpoint (k-core is unique). Raises on non-convergence like
+    ``connected_components`` — a silent partial peel would answer with
+    a supergraph of the core.
+
+    Self-loops are dropped (a self-loop would let an isolated node
+    keep itself alive forever); parallel edges collapse."""
+    sym = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.where(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("a"), F.col(src).alias("b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    cur = sym
+    prev_edges = cur.count()
+    for _ in range(max_iters):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a").persist()
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .persist()
+        )
+        n_edges = nxt.count()
+        if n_edges == prev_edges:
+            return (
+                nxt.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .select(F.col("a").alias("node"), "deg")
+                .orderBy("node")
+            )
+        cur, prev_edges = nxt, n_edges
+    raise RuntimeError(
+        f"kcore did not reach a fixpoint in {max_iters} rounds"
+    )

@@ -2141,6 +2141,42 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=12) of the deterministic orders-derived
+    graph (mod 300): iterative peel to the unique fixpoint, attested
+    against an unrolled-rounds SQL twin."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    return graph.kcore(edges, k=12).orderBy("node")
+
+
+def op_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE subword tokenization (trained merges, greedy
+    lowest-rank inference) applied distributed via Arrow-batched
+    mapInPandas — the genuinely-sequential-per-word op Catalyst can't
+    express. Merges are engine-independent model parameters (pure
+    Python over the parquet word counts), so the oracle attests the
+    distributed application against an independent reference
+    tokenization word-for-word."""
+    from . import tokenize
+
+    t = load_tables(spark, sf_dir)
+    merges = tokenize.train_bpe(
+        tokenize.word_counts_from_parquet(sf_dir), n_merges=40
+    )
+    out = tokenize.bpe_token_counts(t.documents, "doc_id", "text", merges)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"), "n_words", "n_tokens", "roundtrip_ok"
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
@@ -2271,6 +2307,8 @@ OPERATOR_QUERIES = {
     "op_id_gaps": op_id_gaps,
     "op_ab_test": op_ab_test,
     "op_abc_class": op_abc_class,
+    "op_bpe_tokenize": op_bpe_tokenize,
+    "op_kcore": op_kcore,
 }
 
 # Driver-budget ordering: cheap hash-attested entries first, the
@@ -4344,6 +4382,74 @@ FROM c ORDER BY total_w DESC, l_partkey LIMIT 200
 """,
 }
 
+def _sql_kcore(k: int = 12, rounds: int = 10) -> str:
+    """Unrolled-rounds k-core oracle (the ``op_pagerank`` pattern):
+    each CTE round recomputes degrees and keeps ≥k nodes' edges. The
+    Spark side iterates to the unique fixpoint; equality holds because
+    peeling converges within ``rounds`` on this data (verified at
+    every sf — one extra no-op round is harmless since the fixpoint is
+    idempotent)."""
+    # MATERIALIZED: every round is referenced twice more downstream —
+    # without it DuckDB inlines the CTE chain exponentially (2^rounds
+    # parquet scans exhausts the fd limit before planning finishes)
+    sql = """
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 300 AS a, o_orderkey % 300 AS b
+  FROM orders WHERE o_custkey % 300 <> o_orderkey % 300),
+e0 AS MATERIALIZED (SELECT a, b FROM base UNION SELECT b, a FROM base)"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+k{i} AS MATERIALIZED (SELECT a FROM {prev}
+                      GROUP BY a HAVING count(*) >= {k}),
+e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e
+         JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+FROM {prev} GROUP BY a ORDER BY node
+"""
+    return sql
+
+
+OPERATOR_ORACLE_SQL["op_kcore"] = _sql_kcore(k=12, rounds=10)
+
+
+def _sql_bpe_tokenize(n_merges: int = 40) -> str:
+    """BPE oracle: merges retrained from the parquet word counts by
+    the same engine-independent pure-Python trainer, then every vocab
+    word tokenized by the REFERENCE implementation — the per-word
+    token counts become a literal lookup table and the SQL reduces to
+    split + join + sum. A hash match attests the distributed
+    mapInPandas application reproduces the reference tokenization on
+    every word of every document."""
+    import os
+
+    from . import tokenize as tk
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    wc = tk.word_counts_from_parquet(sf)
+    ranks = {
+        tuple(p): i for i, p in enumerate(tk.train_bpe(wc, n_merges))
+    }
+    entries = ",\n  ".join(
+        f"('{w}', {len(tk.bpe_word_tokens(w, ranks))})" for w in sorted(wc)
+    )
+    return f"""
+WITH lut(w, n_toks) AS (VALUES {entries}),
+words AS (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents),
+nz AS (SELECT doc_id, w FROM words WHERE w <> '')
+SELECT nz.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(lut.n_toks) AS BIGINT) AS n_tokens,
+       TRUE AS roundtrip_ok
+FROM nz JOIN lut ON nz.w = lut.w
+GROUP BY nz.doc_id ORDER BY nz.doc_id LIMIT 200
+"""
+
+
 # The IVF oracle retrains centroids from the parquet itself — only
 # declarable when the oracle-scale data is present (it is in the driver
 # environment; guard for foreign checkouts).
@@ -4355,5 +4461,6 @@ try:
     OPERATOR_ORACLE_SQL["op_similarity_pq"] = _sql_similarity_pq(
         m=8, ksub=16, k=10
     )
+    OPERATOR_ORACLE_SQL["op_bpe_tokenize"] = _sql_bpe_tokenize(n_merges=40)
 except (OSError, ImportError):
     pass

@@ -150,3 +150,41 @@ def scd2_stream(
         .start()
     )
     return q.awaitTermination(timeout_s)
+
+
+def versions(base: str) -> list[int]:
+    """Retained version numbers of a versioned history store,
+    ascending (footer-only: a directory listing, no data read)."""
+    return [int(d[1:]) for d in _history_version_dirs(base)]
+
+
+def read_version(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel by VERSION: read a specific retained ``v<N>`` of a
+    versioned history store (``None`` → latest). Readers of an older
+    version are unaffected by later atomic swaps — the rename-swap
+    store never mutates a published directory."""
+    vs = versions(base)
+    if not vs:
+        raise FileNotFoundError(f"no versions under {base}")
+    v = vs[-1] if version is None else int(version)
+    if v not in vs:
+        raise FileNotFoundError(
+            f"version v{v} not retained under {base} (have {vs})"
+        )
+    return spark.read.parquet(os.path.join(base, f"v{v}"))
+
+
+def snapshot_asof(history: DataFrame, ts) -> DataFrame:
+    """Time-travel by TIMESTAMP over an SCD2 history: reconstruct the
+    table exactly as it stood at ``ts`` — rows whose validity interval
+    covers the instant (valid_from ≤ ts, and ts < valid_to or still
+    open). A pure partition-prunable filter: no join, no window; at
+    100 TB this is the reason to keep SCD2 history instead of nightly
+    full copies."""
+    t = F.lit(ts).cast("timestamp")
+    return history.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("is_current")

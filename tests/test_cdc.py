@@ -125,3 +125,47 @@ def test_history_version_dirs_sort_numerically(tmp_path):
     for v in ("v0", "v9", "v10", "v2"):
         (base / v).mkdir()
     assert current_history_path(str(base)).endswith("v10")
+
+
+def test_time_travel_by_version_and_timestamp(spark, tmp_path):
+    """read_version reads any retained vN untouched by later swaps;
+    snapshot_asof reconstructs the table at an instant from the SCD2
+    validity intervals."""
+    hist_base = str(tmp_path / "hist_tt")
+    schema = "k bigint, v string, seq bigint"
+    b1 = spark.createDataFrame(
+        [Row(k=1, v="a", seq=1), Row(k=2, v="b", seq=1)], schema=schema
+    )
+    cdc.apply_changes_batch(
+        spark, b1, hist_base, ["k"], ["v"], "seq", "2026-03-01 00:00:00"
+    )
+    b2 = spark.createDataFrame([Row(k=1, v="a2", seq=2)], schema=schema)
+    cdc.apply_changes_batch(
+        spark, b2, hist_base, ["k"], ["v"], "seq", "2026-03-02 00:00:00"
+    )
+
+    assert cdc.versions(hist_base) == [0, 1]
+    v0 = {r["k"]: r["v"] for r in cdc.read_version(spark, hist_base, 0).collect()}
+    assert v0 == {1: "a", 2: "b"}
+    latest = cdc.read_version(spark, hist_base)
+    assert latest.where(F.col("is_current")).count() == 2  # k1 v2 + k2
+
+    # as-of between the two runs: k=1 still shows "a"
+    asof = {
+        r["k"]: r["v"]
+        for r in cdc.snapshot_asof(latest, "2026-03-01 12:00:00").collect()
+    }
+    assert asof == {1: "a", 2: "b"}
+    # as-of after the second run: k=1 flipped to "a2"
+    asof2 = {
+        r["k"]: r["v"]
+        for r in cdc.snapshot_asof(latest, "2026-03-02 12:00:00").collect()
+    }
+    assert asof2 == {1: "a2", 2: "b"}
+    # before everything: empty table
+    assert cdc.snapshot_asof(latest, "2026-02-01 00:00:00").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cdc.read_version(spark, hist_base, 7)

@@ -175,3 +175,46 @@ def test_sssp_bounded_prefers_cheaper_multi_hop(spark):
     e2 = spark.createDataFrame([(0, 1, 5.0), (0, 1, 2.0)], ["src", "dst", "w"])
     got2 = {r["node"]: r["dist"] for r in sssp_bounded(e2, 0, rounds=2).collect()}
     assert got2 == {0: 0.0, 1: 2.0}
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_peels_pendant_chain(spark):
+    from airflow_spark.operators.graph import kcore
+
+    # K4 with a pendant path hanging off node 0: 2-core = the K4 only
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(0, 10), (10, 11)], "src LONG, dst LONG"
+    )
+    out = {r.node: r.deg for r in kcore(edges, k=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(d == 3 for d in out.values())
+
+
+def test_kcore_cascading_peel(spark):
+    from airflow_spark.operators.graph import kcore
+
+    # triangle + tail: removing the tail drops node 2's degree, but
+    # the triangle still stands at k=2; at k=3 everything dies
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src LONG, dst LONG"
+    )
+    assert set(
+        r.node for r in kcore(edges, k=2).collect()
+    ) == {0, 1, 2}
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_ignores_self_loops_and_duplicates(spark):
+    from airflow_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 0), (1, 1), (0, 1)], "src LONG, dst LONG"
+    )
+    out = {r.node: r.deg for r in kcore(edges, k=1).collect()}
+    assert out == {0: 1, 1: 1}
+    assert kcore(edges, k=2).count() == 0

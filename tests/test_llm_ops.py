@@ -1769,3 +1769,80 @@ def test_weighted_sample_per_group_stratified(spark):
     got2 = {r["id"] for r in weighted_sample_per_group(more, "g", "w", 3, "id")
             .where(F.col("g") == "a").collect()}
     assert got2 == by_g["a"]
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenization (operators/tokenize.py)
+# ---------------------------------------------------------------------------
+
+
+class TestBpeTokenize:
+    def test_training_merges_most_frequent_pair_first(self):
+        from airflow_spark.operators import tokenize
+
+        # "ab" dominates: the (a, b) merge must be learned first
+        merges = tokenize.train_bpe({"abab": 10, "cd": 1}, n_merges=2)
+        assert merges[0] == ("a", "b")
+
+    def test_training_tie_breaks_lexicographically(self):
+        from airflow_spark.operators import tokenize
+
+        # equal counts for (x, y) and (a, b) → lexicographically
+        # smaller pair first, deterministically
+        merges = tokenize.train_bpe({"xy": 3, "ab": 3}, n_merges=1)
+        assert merges[0] == ("a", "b")
+
+    def test_inference_applies_merges_greedily(self):
+        from airflow_spark.operators import tokenize
+
+        ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+        assert tokenize.bpe_word_tokens("lower", ranks) == ["low", "er"]
+        # unknown word: falls back to characters
+        assert tokenize.bpe_word_tokens("hi", ranks) == ["h", "i"]
+
+    def test_roundtrip_is_lossless(self):
+        from airflow_spark.operators import tokenize
+
+        wc = {"spark": 5, "sparse": 3, "parse": 2}
+        ranks = {
+            tuple(p): i
+            for i, p in enumerate(tokenize.train_bpe(wc, n_merges=10))
+        }
+        for w in wc:
+            assert "".join(tokenize.bpe_word_tokens(w, ranks)) == w
+
+    def test_distributed_counts_match_reference(self, spark):
+        from airflow_spark.operators import tokenize
+
+        rows = [(1, "the cat sat"), (2, "the the cat"), (3, "")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        wc = {"the": 3, "cat": 2, "sat": 1}
+        merges = tokenize.train_bpe(wc, n_merges=3)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        out = {
+            r.id: r
+            for r in tokenize.bpe_token_counts(
+                df, "doc_id", "text", merges
+            ).collect()
+        }
+        exp1 = sum(
+            len(tokenize.bpe_word_tokens(w, ranks))
+            for w in ["the", "cat", "sat"]
+        )
+        assert out[1].n_tokens == exp1 and out[1].n_words == 3
+        assert out[2].n_words == 3
+        assert out[3].n_words == 0 and out[3].n_tokens == 0
+        assert all(r.roundtrip_ok for r in out.values())
+
+    def test_more_merges_never_increase_token_count(self):
+        from airflow_spark.operators import tokenize
+
+        wc = {"banana": 4, "bandana": 2}
+        few = tokenize.train_bpe(wc, n_merges=2)
+        many = tokenize.train_bpe(wc, n_merges=8)
+        rf = {tuple(p): i for i, p in enumerate(few)}
+        rm = {tuple(p): i for i, p in enumerate(many)}
+        for w in wc:
+            assert len(tokenize.bpe_word_tokens(w, rm)) <= len(
+                tokenize.bpe_word_tokens(w, rf)
+            )

@@ -701,3 +701,94 @@ def test_stateful_ewma_fold_across_batches():
     # empty batch for this key: no emission, state intact
     assert _run(fn, (7,), [], st) == []
     assert st._v == (19.375, 3)
+
+
+def test_token_bucket_rate_limiter_fold():
+    """Event-time token bucket: burst drains the bucket, refill
+    restores allowance, state carries across batches, replays are
+    deterministic."""
+    from airflow_spark.streaming.monitors import _token_bucket_fn
+
+    fn = _token_bucket_fn(capacity=2.0, refill_per_s=1.0)
+    st = FakeState()
+    t = pd.Timestamp
+
+    # burst of 3 at the same second: capacity 2 → third throttled
+    out = _run(
+        fn,
+        (5,),
+        [pd.DataFrame({"ts": [t("2026-01-01 00:00:00")] * 3})],
+        st,
+    )
+    assert list(out[0]["allowed"]) == [True, True, False]
+
+    # 1.5 s later: 1.5 tokens refilled → one allowed, next throttled
+    out = _run(
+        fn,
+        (5,),
+        [pd.DataFrame({"ts": [t("2026-01-01 00:00:01.5"),
+                              t("2026-01-01 00:00:01.5")]})],
+        st,
+    )
+    assert list(out[0]["allowed"]) == [True, False]
+
+    # long quiet period: refill clamps at capacity (2), not unbounded
+    out = _run(
+        fn,
+        (5,),
+        [pd.DataFrame({"ts": [t("2026-01-01 01:00:00")] * 3})],
+        st,
+    )
+    assert list(out[0]["allowed"]) == [True, True, False]
+
+    # within-batch out-of-order rows fold in ts order
+    st2 = FakeState()
+    out = _run(
+        fn,
+        (9,),
+        [pd.DataFrame({"ts": [t("2026-01-01 00:00:10"),
+                              t("2026-01-01 00:00:00"),
+                              t("2026-01-01 00:00:00")]})],
+        st2,
+    )
+    assert list(out[0]["allowed"]) == [True, True, True]  # refill between
+
+
+def test_rate_limit_monitor_streaming_run(spark, tmp_path):
+    """Live applyInPandasWithState run: every event gets a verdict,
+    per-key allowance matches the event-time bucket exactly."""
+    import datetime as dt
+
+    from airflow_spark.streaming.monitors import rate_limit_monitor
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: burst of 4 in one second → 2 allowed (capacity 2)
+        *[(1, base) for _ in range(4)],
+        # user 2: spaced 5 s apart → all allowed (refill 1/s)
+        *[(2, base + dt.timedelta(seconds=5 * i)) for i in range(3)],
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    src = tmp_path / "rl_src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        rate_limit_monitor(stream, capacity=2.0, refill_per_s=1.0)
+        .writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM rl_out").collect()
+    assert len(out) == 7
+    per_user = {
+        u: sorted(
+            (r for r in out if r.user_id == u), key=lambda r: r.ts
+        )
+        for u in (1, 2)
+    }
+    assert sum(r.allowed for r in per_user[1]) == 2
+    assert all(r.allowed for r in per_user[2])
