@@ -597,3 +597,102 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    total_rows: int,
+    order_by: str,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (α = 0.5): per-group
+    quotas ∝ sqrt(group count), the multilingual-corpus rebalancing
+    that upweights low-resource groups relative to proportional
+    sampling. Unlike ``sample_mixture`` the weights come from the DATA
+    (no hand-tuned dict) — a rarely-seen language automatically gets
+    more than its raw share.
+
+    sqrt (not pow) keeps the shares IEEE-exact across engines; quotas
+    are floor(total × share) so no round-half ambiguity. All
+    engine-side: group counts → broadcast share frame → window-rank
+    take on the same group shuffle."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = Window.partitionBy()
+    quotas = counts.select(
+        group_col,
+        F.floor(
+            F.lit(float(total_rows))
+            * F.sqrt(F.col("__c").cast("double"))
+            / F.sum(F.sqrt(F.col("__c").cast("double"))).over(tot)
+        ).alias("__quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(order_by)
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model quality score (the unigram scorer's
+    context-aware sibling): mean log P(w_i | w_{i-1}) over each
+    document's word bigrams, with add-half smoothing over the corpus
+    vocabulary — P = (c(prev, w) + 0.5) / (c_ctx(prev) + 0.5·V).
+    Repetitive boilerplate scores HIGH (its bigrams are corpus-
+    frequent), gibberish word salads score LOW even when every single
+    word is common — the signal unigrams structurally miss.
+
+    Shape: one posexplode + a lag window per doc builds bigrams on the
+    (id) shuffle; bigram and context counts are corpus-vocab-sized
+    aggregates broadcast back. Docs with < 2 tokens get score NULL
+    (no bigram evidence), kept so the filter stage decides their fate.
+    Returns (id, n_bigrams, score)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_ws(F.lower(F.col(text_col)))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = toks.select(
+        "id", F.lag("tok").over(w).alias("prev"), F.col("tok")
+    ).where(F.col("prev").isNotNull())
+    bg_counts = bigrams.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).alias("__cbg")
+    )
+    ctx_counts = bigrams.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("__cctx")
+    )
+    vocab = toks.agg(F.countDistinct("tok").alias("__v"))
+    scored = (
+        bigrams.join(F.broadcast(bg_counts), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx_counts), "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("__cbg").cast("double"), F.lit(0.0)) + 0.5)
+                / (
+                    F.coalesce(F.col("__cctx").cast("double"), F.lit(0.0))
+                    + 0.5 * F.col("__v").cast("double")
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("score"),
+    )
+    # keep docs with no bigrams (score NULL): visible, not dropped
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "score",
+    )

@@ -92,3 +92,72 @@ def refresh_join_view(
         delta.write.mode("overwrite").parquet(view_path)
     _write_meta(spark, meta_path, new_hw_l, new_hw_r)
     return {"appended": n, "hw_l": new_hw_l, "hw_r": new_hw_r}
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    source: DataFrame,
+    view_path: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+) -> dict:
+    """Incremental GROUPED-AGGREGATE view over an append-only source:
+    the view stores mergeable partials (cnt, sum, min, max) per key;
+    a refresh aggregates ONLY rows past the high-water mark and merges
+    them into the stored partials by union + re-aggregate — classic
+    partial-aggregate IVM (avg and friends derive from the partials at
+    read time; ``rollup.py`` is the time-bucketed sibling).
+
+    Cost per refresh: one scan of the delta + a key-count-sized merge,
+    never a re-scan of history. The high-water mark lives in a _meta
+    parquet (derivable here, but stored anyway so a refresh needs no
+    view read before pruning the source scan)."""
+    import os
+
+    meta_path = os.path.join(view_path, "_meta")
+    data_path = os.path.join(view_path, "data")
+    hw, _ = _read_meta(spark, meta_path)
+
+    delta = source if hw is None else source.where(F.col(id_col) > hw)
+    new_hw_row = source.agg(F.max(id_col).alias("m")).first()
+    new_hw = new_hw_row["m"]
+    delta_partials = delta.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("double")).alias("sum_v"),
+        F.min(F.col(value_col).cast("double")).alias("min_v"),
+        F.max(F.col(value_col).cast("double")).alias("max_v"),
+    )
+    try:
+        old = spark.read.parquet(data_path)
+        merged = (
+            old.unionByName(delta_partials)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+        n_delta = delta_partials.count()
+    except Exception:  # first refresh: no stored partials yet
+        merged = delta_partials
+        n_delta = None
+    # localCheckpoint cuts lineage BEFORE the overwrite touches the
+    # directory the plan still reads from (the store-swap contract
+    # used across the repo's table stores)
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(data_path)
+    if new_hw is not None:
+        _write_meta(spark, meta_path, int(new_hw), 0)
+    return {"high_water": new_hw, "delta_groups": n_delta}
+
+
+def read_agg_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """Read the aggregate view with derived columns (avg from the
+    stored partials)."""
+    import os
+
+    df = spark.read.parquet(os.path.join(view_path, "data"))
+    return df.withColumn("avg_v", F.col("sum_v") / F.col("cnt"))

@@ -2141,6 +2141,37 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α = 0.5) mixture sample: per-lang quotas
+    ∝ sqrt(count) — data-derived weights, low-resource languages
+    upweighted vs proportional sampling."""
+    t = load_tables(spark, sf_dir)
+    return (
+        curation.temperature_mixture(
+            t.documents.select("doc_id", "lang"), "lang", 200, "doc_id"
+        )
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def op_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (context-aware sibling of
+    op_unigram_logprob): mean log P(w|prev) with add-half smoothing;
+    word salads score low even when every word is common."""
+    t = load_tables(spark, sf_dir)
+    out = curation.bigram_logprob_score(t.documents)
+    return (
+        out.select(
+            "id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("id")
+        .limit(200)
+    )
+
+
 def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=12) of the deterministic orders-derived
     graph (mod 300): iterative peel to the unique fixpoint, attested
@@ -2309,6 +2340,8 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_temperature_mix": op_temperature_mix,
+    "op_bigram_quality": op_bigram_quality,
 }
 
 # Driver-budget ordering: cheap hash-attested entries first, the
@@ -2962,6 +2995,32 @@ FROM lp GROUP BY id ORDER BY id LIMIT 200
 """
 
 
+def _sql_bigram_quality() -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH d AS (SELECT doc_id AS id, {toks} AS l FROM documents),
+tok AS (SELECT id, unnest(l) AS tok FROM d),
+v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vv FROM tok),
+z AS (SELECT id, unnest(list_zip(l, l[2:])) AS p FROM d),
+bg AS (SELECT id, p[1] AS prev, p[2] AS tok
+       FROM z WHERE p[2] IS NOT NULL),
+cb AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cbg
+       FROM bg GROUP BY prev, tok),
+cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS cctx
+       FROM bg GROUP BY prev),
+lp AS (SELECT id,
+              ln((CAST(cbg AS DOUBLE) + 0.5)
+                 / (CAST(cctx AS DOUBLE) + 0.5 * CAST(vv AS DOUBLE))) AS lp
+       FROM bg JOIN cb USING (prev, tok) JOIN cc USING (prev), v),
+pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(lp), 4) AS score
+       FROM lp GROUP BY id)
+SELECT i.id, coalesce(pd.n_bigrams, 0) AS n_bigrams, pd.score
+FROM (SELECT DISTINCT id FROM d) i LEFT JOIN pd USING (id)
+ORDER BY id LIMIT 200
+"""
+
+
 _SQL_KEY_SKEW = """
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
 t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
@@ -3318,6 +3377,20 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_temperature_mix": """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY lang),
+q AS (SELECT lang,
+             CAST(floor(200.0 * sqrt(CAST(cnt AS DOUBLE))
+                        / sum(sqrt(CAST(cnt AS DOUBLE))) OVER ())
+                  AS BIGINT) AS quota
+      FROM c),
+r AS (SELECT doc_id, d.lang, quota,
+             row_number() OVER (PARTITION BY d.lang ORDER BY doc_id) AS rn
+      FROM documents d JOIN q ON d.lang = q.lang)
+SELECT doc_id, lang FROM r WHERE rn <= quota ORDER BY lang, doc_id
+""",
+    "op_bigram_quality": _sql_bigram_quality(),
     "op_key_skew": _SQL_KEY_SKEW,
     "op_chunk_documents": _sql_chunk_documents(chunk_chars=200, overlap=50),
     "op_segment_dedup": _sql_segment_dedup(seg_words=3, min_docs=2),

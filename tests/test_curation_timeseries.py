@@ -526,3 +526,67 @@ def test_incremental_join_view_equals_full_join(spark, tmp_path):
 
     # batch 5: no new rows — a no-op refresh appends nothing
     assert check()["appended"] == 0
+
+
+def test_temperature_mixture_upweights_rare_groups(spark):
+    from airflow_spark.operators.curation import temperature_mixture
+
+    # 90 "en" vs 10 "zh": proportional would give zh 10% of the take;
+    # sqrt-temperature gives sqrt(10)/(sqrt(90)+sqrt(10)) = 25%
+    rows = [(i, "en") for i in range(90)] + [(100 + i, "zh") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = temperature_mixture(df, "lang", 40, "doc_id")
+    by = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert by["zh"] == 10  # floor(40 * 0.25) = 10 — the whole group
+    assert by["en"] == 30  # floor(40 * 0.75)
+    # deterministic: smallest doc_ids win within each group
+    zh_ids = [r.doc_id for r in out.where("lang = 'zh'").collect()]
+    assert sorted(zh_ids) == list(range(100, 110))
+
+
+def test_bigram_quality_separates_salad_from_structure(spark):
+    from airflow_spark.operators.curation import bigram_logprob_score
+
+    # corpus dominated by "the cat sat" word order; one doc uses the
+    # same words scrambled — unigram stats identical, bigrams alien
+    rows = [(i, "the cat sat on the mat") for i in range(5)] + [
+        (99, "mat the on sat cat the"),
+        (100, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.id: r for r in bigram_logprob_score(df).collect()}
+    assert out[0].n_bigrams == 5
+    assert out[99].score < out[0].score  # scrambled scores lower
+    assert out[100].n_bigrams == 0 and out[100].score is None
+
+
+def test_incremental_agg_view_matches_full_recompute(spark, tmp_path):
+    from airflow_spark.operators.ivm import read_agg_view, refresh_agg_view
+
+    view = str(tmp_path / "aggview")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "id LONG, k STRING, v DOUBLE",
+    )
+    refresh_agg_view(spark, b1, view, ["k"], "v", "id")
+    got = {r.k: r for r in read_agg_view(spark, view).collect()}
+    assert got["a"].cnt == 2 and got["a"].sum_v == 30.0
+    assert got["a"].avg_v == 15.0
+
+    # append-only delta: only rows past the high-water mark count
+    b2 = b1.unionByName(
+        spark.createDataFrame(
+            [(4, "b", 7.0), (5, "c", 1.0)], "id LONG, k STRING, v DOUBLE"
+        )
+    )
+    res = refresh_agg_view(spark, b2, view, ["k"], "v", "id")
+    assert res["delta_groups"] == 2  # only b and c touched
+    got = {r.k: r for r in read_agg_view(spark, view).collect()}
+    assert got["b"].cnt == 2 and got["b"].sum_v == 12.0
+    assert got["b"].min_v == 5.0 and got["b"].max_v == 7.0
+    assert got["c"].cnt == 1
+
+    # no-op refresh: nothing past the mark, totals unchanged
+    refresh_agg_view(spark, b2, view, ["k"], "v", "id")
+    got2 = {r.k: (r.cnt, r.sum_v) for r in read_agg_view(spark, view).collect()}
+    assert got2 == {k: (r.cnt, r.sum_v) for k, r in got.items()}
