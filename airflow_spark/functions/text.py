@@ -208,3 +208,50 @@ def pii_hit_counts(text: Column | str) -> Column:
             for (pat, _), name in zip(PII_PATTERNS, _PII_NAMES)
         ]
     )
+
+
+#: query parameters that never affect content (tracking/session ids)
+_TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref", "sessionid")
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL form for web-corpus dedup and per-site stats:
+    lower-cased scheme+host, default ports stripped, fragment dropped,
+    tracking query params (utm_*, fbclid, gclid, …) removed, remaining
+    params kept in ORIGINAL order (reordering would merge URLs whose
+    servers are order-sensitive), trailing slash normalized off
+    non-root paths. One codegen pass — parse_url + array filter, no
+    UDF; at corpus scale this runs in the scan projection.
+
+    The canonical key collapses the classic duplicate families
+    (http://Example.com/a?utm_source=x ≡ http://example.com/a) while
+    preserving content-bearing params (?id=7 stays distinct)."""
+    u = F.trim(_col(url))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    # strip ONE trailing slash from non-root paths
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.parse_url(u, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~F.lower(p).startswith("utm_")
+        & ~F.lower(p).startswith("fbclid=")
+        & ~F.lower(p).startswith("gclid=")
+        & ~F.lower(p).startswith("msclkid=")
+        & ~F.lower(p).startswith("ref=")
+        & ~F.lower(p).startswith("sessionid="),
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

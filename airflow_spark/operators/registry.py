@@ -2141,6 +2141,35 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (web-corpus dedup prerequisite):
+    deterministic messy URLs synthesized around doc ids — uppercase
+    scheme/host, tracking params, session ids, fragments, trailing
+    slashes — normalized by the one-pass parse_url expression chain.
+    The oracle derives the expected canonical form independently from
+    the same id arithmetic, so the hash attests the whole
+    normalization pipeline (case, param filtering, slash and fragment
+    handling) value-by-value."""
+    t = load_tables(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTPS://Example"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".COM/path"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=news&id="),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("&sessionid=abc#frag"),
+    )
+    return (
+        t.documents.select(
+            "doc_id", textfn.normalize_url(messy).alias("canon_url")
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 def op_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (α = 0.5) mixture sample: per-lang quotas
     ∝ sqrt(count) — data-derived weights, low-resource languages
@@ -2340,6 +2369,7 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_url_normalize": op_url_normalize,
     "op_temperature_mix": op_temperature_mix,
     "op_bigram_quality": op_bigram_quality,
 }
@@ -3377,6 +3407,13 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_url_normalize": """
+SELECT doc_id,
+       concat('https://example', CAST(doc_id % 3 AS VARCHAR),
+              '.com/path', CAST(doc_id % 5 AS VARCHAR),
+              '?id=', CAST(doc_id % 10 AS VARCHAR)) AS canon_url
+FROM documents ORDER BY doc_id LIMIT 200
+""",
     "op_temperature_mix": """
 WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
            FROM documents GROUP BY lang),

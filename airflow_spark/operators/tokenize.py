@@ -42,13 +42,18 @@ def word_counts_from_parquet(path: str) -> dict[str, int]:
     """Lower-cased whitespace word frequencies of a documents parquet,
     computed OUTSIDE Spark (duckdb) so oracle and engine share one
     deterministic training input."""
+    import os
+
     import duckdb
 
+    target = os.path.join(path, "documents.parquet")
+    if os.path.isdir(target):  # directory-style parquet (Spark writes)
+        target = os.path.join(target, "*.parquet")
     rows = duckdb.sql(
         f"""
         SELECT w, count(*) AS c FROM (
           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
-          FROM read_parquet('{path}/documents.parquet'))
+          FROM read_parquet('{target}'))
         WHERE w <> '' GROUP BY w
         """
     ).fetchall()
@@ -180,3 +185,27 @@ def bpe_token_counts(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def word_counts_from_df(
+    df: DataFrame, text_col: str = "text", max_vocab: int = 100_000
+) -> dict[str, int]:
+    """Distributed word-frequency training input: one explode +
+    grouped count (map-side combine), top-``max_vocab`` collected
+    DETERMINISTICALLY (count desc, then word — a bare limit would keep
+    an arbitrary subset). The collect is bounded by vocabulary, never
+    corpus size — this is the 100 TB training front-end; the parquet
+    variant exists so the DuckDB oracle can derive identical counts."""
+    from ..functions.text import tokens_ws
+
+    rows = (
+        df.select(
+            F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(int(max_vocab))
+        .collect()
+    )
+    return {r["w"]: int(r["c"]) for r in rows}

@@ -39,6 +39,7 @@ def build_training_data_pipeline(
         params={
             "max_dup_word_frac": Param(0.9, type="number"),
             "pack_budget": Param(2000, type="number"),
+            "tokenizer": Param("chars", type="string"),
         },
         **pipeline_kw,
     )
@@ -98,12 +99,32 @@ def build_training_data_pipeline(
     def pack(ctx: Context) -> dict:
         docs: DataFrame = ctx.outputs["_split"]
         budget = int(ctx.param("pack_budget"))
+        tokenizer = str(ctx.param("tokenizer"))
+        if tokenizer == "bpe":
+            # pack on REAL subword token counts: train merges on the
+            # surviving corpus (bounded by vocab), count distributed,
+            # budget means model tokens instead of characters
+            from ..operators import tokenize
+
+            merges = tokenize.train_bpe(
+                tokenize.word_counts_from_df(docs), n_merges=40
+            )
+            counts = tokenize.bpe_token_counts(
+                docs, "doc_id", "text", merges
+            ).select(F.col("id").alias("doc_id"), "n_tokens")
+            docs = docs.join(counts, "doc_id")
+            budget_col = "n_tokens"
+        else:
+            budget_col = "n_chars"
         sharded = docs.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)))
         packed = packing.pack_sequences(
-            sharded, "n_chars", budget, shard_col="shard"
+            sharded, budget_col, budget, shard_col="shard"
         )
         ctx.outputs["_packed"] = packed
-        return {"n_packs": packed.select("pack_id").distinct().count()}
+        return {
+            "n_packs": packed.select("pack_id").distinct().count(),
+            "budget_col": budget_col,
+        }
 
     @p.task(depends_on=["pack"])
     def publish(ctx: Context) -> dict:

@@ -1846,3 +1846,42 @@ class TestBpeTokenize:
             assert len(tokenize.bpe_word_tokens(w, rm)) <= len(
                 tokenize.bpe_word_tokens(w, rf)
             )
+
+
+class TestNormalizeUrl:
+    def _norm(self, spark, urls):
+        from airflow_spark.functions.text import normalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "u STRING")
+        return [r[0] for r in df.select(normalize_url("u")).collect()]
+
+    def test_case_port_fragment_tracking(self, spark):
+        got = self._norm(
+            spark,
+            [
+                "HTTP://Example.COM/A/B?utm_source=x&id=7#frag",
+                "https://example.com/a?fbclid=123&q=ok&sessionid=z",
+                "https://example.com/docs/",
+                "https://example.com",
+            ],
+        )
+        assert got[0] == "http://example.com/A/B?id=7"
+        assert got[1] == "https://example.com/a?q=ok"
+        assert got[2] == "https://example.com/docs"
+        assert got[3] == "https://example.com/"
+
+    def test_param_order_preserved_and_root_slash(self, spark):
+        got = self._norm(
+            spark,
+            ["https://h.io/p?b=2&a=1&utm_medium=m", "https://h.io/?utm_source=s"],
+        )
+        assert got[0] == "https://h.io/p?b=2&a=1"
+        assert got[1] == "https://h.io/"
+
+    def test_duplicate_family_collapses(self, spark):
+        fam = [
+            "https://Example.com/a?utm_source=news",
+            "HTTPS://EXAMPLE.COM/a/",
+            "https://example.com/a#section",
+        ]
+        assert len(set(self._norm(spark, fam))) == 1

@@ -452,3 +452,52 @@ def test_ingest_pipeline_two_batches(spark, tmp_path):
     assert run2.ok
     assert run2.outputs["publish"]["n_published"] == 1
     assert spark.read.parquet(hist).count() == 3
+
+
+def test_training_data_pipeline_bpe_token_budget(spark, tmp_path):
+    """tokenizer='bpe': packs respect a REAL subword-token budget —
+    every pack's summed n_tokens (excluding oversized single docs)
+    stays within it."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.pipelines.training_data import (
+        build_training_data_pipeline,
+    )
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * (1 + i % 3),
+         "en")
+        for i in range(30)
+    ]
+    docs = (
+        spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    bench = spark.createDataFrame([(0, "unrelated bench")], ["doc_id", "text"])
+    out_path = str(tmp_path / "bpe_out")
+    p = build_training_data_pipeline(
+        lambda ctx: docs,
+        lambda ctx: bench,
+        output_path=out_path,
+        mixture={"en": 1.0},
+        total_rows=30,
+    )
+    run = p.test(
+        spark, params={"tokenizer": "bpe", "pack_budget": 120}
+    )
+    assert run.ok, {k: (v.status, v.error) for k, v in run.tasks.items()}
+    assert run.outputs["pack"]["budget_col"] == "n_tokens"
+
+    published = spark.read.parquet(out_path)
+    assert "n_tokens" in published.columns
+    sums = (
+        published.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(sums) > 1  # the budget actually split the corpus
+    for r in sums:
+        assert r.n == 1 or r.s <= 120 + published.agg(
+            F.max("n_tokens")
+        ).first()[0]
