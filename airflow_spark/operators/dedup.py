@@ -627,6 +627,40 @@ def keep_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup survivorship: within each near-dup cluster
+    keep the HIGHEST-``quality_col`` member (ties → smallest id)
+    instead of the arbitrary min-id — the form a curation pipeline
+    actually wants ("of these 5 near-copies, keep the cleanest").
+
+    Same component machinery as :func:`keep_representatives`; the
+    survivor pick is one window over the cluster-joined frame (cluster
+    cardinality per partition, never corpus-wide)."""
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(pairs)  # (id, cluster)
+    members = df.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        # singletons (no pair edge) form their own cluster
+        "cluster",
+        F.coalesce(F.col("cluster"), F.col(id_col)),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (inverted-index self-join)
 # ---------------------------------------------------------------------------

@@ -2141,6 +2141,16 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: hourly bucket means predicted
+    by the value 24 buckets earlier, MAE per event_type — the baseline
+    every forecaster must beat, and a drift alarm when it jumps."""
+    t = load_tables(spark, sf_dir)
+    return timeseries.seasonal_baseline_mae(
+        t.events, "event_type", "ts", "value", bucket="hour", season=24
+    )
+
+
 def op_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (web-corpus dedup prerequisite):
     deterministic messy URLs synthesized around doc ids — uppercase
@@ -2369,6 +2379,7 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_seasonal_baseline": op_seasonal_baseline,
     "op_url_normalize": op_url_normalize,
     "op_temperature_mix": op_temperature_mix,
     "op_bigram_quality": op_bigram_quality,
@@ -3407,6 +3418,19 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_seasonal_baseline": """
+WITH pb AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   avg(value) AS v
+            FROM events GROUP BY event_type, date_trunc('hour', ts)),
+wp AS (SELECT event_type, v,
+              lag(v, 24) OVER (PARTITION BY event_type
+                               ORDER BY bucket) AS pred
+       FROM pb)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+       round(avg(abs(v - pred)), 4) AS mae
+FROM wp WHERE pred IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
     "op_url_normalize": """
 SELECT doc_id,
        concat('https://example', CAST(doc_id % 3 AS VARCHAR),

@@ -628,3 +628,45 @@ def downsample_minmax(
         F.lit("max").alias("kind"),
     )
     return mins.unionByName(maxs)
+
+
+def seasonal_baseline_mae(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+    season: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each bucket's mean
+    value as the value one season earlier (t − ``season`` buckets) and
+    report the mean absolute error per key — the standard sanity
+    baseline every fancier forecaster must beat, and a drift alarm
+    when MAE jumps.
+
+    One bucket aggregate (corpus pass) + a lag window over the tiny
+    per-key bucket frame. Buckets with no seasonal predecessor ROW are
+    excluded (lag semantics: the previous bucket row in sequence, so
+    gaps shift the reference — acceptable for a baseline; gap_fill
+    exists when exact calendar alignment matters).
+    Returns (key, n_buckets, mae)."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    per_bucket = (
+        df.select(F.col(key_col), b.alias("bucket"), F.col(value_col))
+        .groupBy(key_col, "bucket")
+        .agg(F.avg(value_col).alias("__v"))
+    )
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    with_pred = per_bucket.withColumn(
+        "__pred", F.lag("__v", season).over(w)
+    ).where(F.col("__pred").isNotNull())
+    return (
+        with_pred.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.avg(F.abs(F.col("__v") - F.col("__pred"))), 4).alias(
+                "mae"
+            ),
+        )
+        .orderBy(key_col)
+    )

@@ -590,3 +590,26 @@ def test_incremental_agg_view_matches_full_recompute(spark, tmp_path):
     refresh_agg_view(spark, b2, view, ["k"], "v", "id")
     got2 = {r.k: (r.cnt, r.sum_v) for r in read_agg_view(spark, view).collect()}
     assert got2 == {k: (r.cnt, r.sum_v) for k, r in got.items()}
+
+
+def test_seasonal_baseline_exact_repeat_has_zero_mae(spark):
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import seasonal_baseline_mae
+
+    base = dt.datetime(2026, 1, 1)
+    # a 3-bucket season repeated 3 times exactly → MAE 0
+    rows = [
+        ("a", base + dt.timedelta(hours=h), float([5, 7, 9][h % 3]))
+        for h in range(9)
+    ]
+    # plus a drifting series: +1 each season
+    rows += [
+        ("b", base + dt.timedelta(hours=h), float(h // 3))
+        for h in range(9)
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP, value DOUBLE")
+    out = {r.event_type: r for r in
+           seasonal_baseline_mae(df, season=3).collect()}
+    assert out["a"].n_buckets == 6 and out["a"].mae == 0.0
+    assert out["b"].mae == 1.0  # each bucket is exactly +1 vs last season

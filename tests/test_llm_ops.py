@@ -1885,3 +1885,33 @@ class TestNormalizeUrl:
             "https://example.com/a#section",
         ]
         assert len(set(self._norm(spark, fam))) == 1
+
+
+def test_keep_best_representatives_prefers_quality(spark):
+    from airflow_spark.operators.dedup import keep_best_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)],
+        "doc_id LONG, quality DOUBLE",
+    )
+    # cluster {1,2,3}; 9 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a LONG, id_b LONG"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_best_representatives(docs, pairs, "quality").collect()
+    )
+    assert kept == [2, 9]  # highest quality in the cluster + singleton
+
+
+def test_keep_best_ties_break_to_smallest_id(spark):
+    from airflow_spark.operators.dedup import keep_best_representatives
+
+    docs = spark.createDataFrame(
+        [(5, 1.0), (6, 1.0)], "doc_id LONG, quality DOUBLE"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a LONG, id_b LONG")
+    kept = [r.doc_id for r in
+            keep_best_representatives(docs, pairs, "quality").collect()]
+    assert kept == [5]
