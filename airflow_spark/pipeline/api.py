@@ -128,6 +128,18 @@ class ControlPlane:
             if p is None:
                 return 404, {"error": f"unknown pipeline {parts[1]!r}"}
             return self._trigger(p, body or {})
+        if (
+            method == "POST"
+            and len(parts) == 4
+            and parts[0] == "pipelines"
+            and parts[2] == "resume"
+        ):
+            p = self.pipelines.get(parts[1])
+            if p is None:
+                return 404, {"error": f"unknown pipeline {parts[1]!r}"}
+            if self.state_store is None:
+                return 409, {"error": "resume requires a state store"}
+            return self._resume(p, parts[3], body or {})
         if method == "GET" and len(parts) == 2 and parts[0] == "runs":
             with self._lock:
                 rec = self._runs.get(parts[1])
@@ -135,6 +147,43 @@ class ControlPlane:
                 return 404, {"error": f"unknown run {parts[1]!r}"}
             return 200, rec
         return 404, {"error": f"no route {method} {path}"}
+
+    def _resume(self, pipeline, run_id: str, body: dict):
+        """``POST /pipelines/{name}/resume/{run_id}`` — clear-and-rerun
+        of a failed run: succeeded tasks reuse their persisted XCom,
+        the rest re-execute (Pipeline.resume semantics)."""
+        rec = {"run_id": None, "pipeline": pipeline.name, "status": "running",
+               "tasks": {}, "resumed_from": run_id}
+        placeholder = f"{run_id}__resuming"
+        with self._lock:
+            self._runs[placeholder] = rec
+
+        def _go():
+            try:
+                run = pipeline.resume(
+                    self.spark,
+                    self.state_store,
+                    run_id,
+                    params=body.get("params"),
+                    profile=body.get("profile", "dev"),
+                )
+                with self._lock:
+                    rec["run_id"] = run.run_id
+                    rec["status"] = run.status
+                    rec["tasks"] = {
+                        name: tr.status for name, tr in run.tasks.items()
+                    }
+                    self._runs[run.run_id] = rec
+            except Exception as e:  # noqa: BLE001 - surfaced via the API
+                with self._lock:
+                    rec["status"] = "failed"
+                    rec["error"] = str(e)[:500]
+
+        threading.Thread(
+            target=_go, daemon=True, name=placeholder
+        ).start()
+        return 202, {"run_id": placeholder, "status": "running",
+                     "resumed_from": run_id}
 
     def _trigger(self, pipeline, body: dict):
         import datetime as dt

@@ -288,12 +288,17 @@ class Pipeline:
         profile: str = "dev",
         run_id: str | None = None,
         state_store=None,
+        completed_outputs: dict[str, Any] | None = None,
     ) -> PipelineRun:
         """Execute the DAG synchronously (one Spark action per task).
 
         Failure semantics: a failed task (post-retries) marks all
         transitive dependents ``upstream_failed``, other branches keep
         running; the run is ``failed`` and the notifier fires once.
+
+        ``completed_outputs``: tasks to treat as already succeeded
+        (their persisted outputs are injected instead of re-running) —
+        the mechanism behind :meth:`resume`.
         """
         run_ts = run_ts or dt.datetime.now(dt.timezone.utc)
         run_id = run_id or f"{self.name}__{run_ts.strftime('%Y%m%dT%H%M%S')}"
@@ -322,6 +327,11 @@ class Pipeline:
 
         self._topo_order()  # validates the graph (cycles, unknown deps)
         pending = set(self.tasks)
+        for tname, val in (completed_outputs or {}).items():
+            if tname in pending:
+                results[tname] = TaskResult(tname, "success")
+                ctx.outputs[tname] = val
+                pending.discard(tname)
         running: dict = {}
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
@@ -408,6 +418,49 @@ class Pipeline:
         if state_store is not None:
             state_store.record_run(self, run)
         return run
+
+    def resume(
+        self,
+        spark: SparkSession,
+        state_store,
+        run_id: str,
+        **run_kw: Any,
+    ) -> PipelineRun:
+        """Re-run a FAILED run, skipping tasks that already succeeded
+        (Airflow's clear-and-rerun): successful tasks whose outputs
+        were XCom-persisted are injected as completed; successes whose
+        outputs were NOT persistable (DataFrames — heavy data belongs
+        in table sinks) re-run, since a dependent may need the live
+        object. Failed / upstream-failed / skipped tasks re-run.
+
+        The resumed attempt gets ``<run_id>__r<N>`` so the state store
+        keeps every attempt's record."""
+        statuses = state_store.task_statuses(self.name, run_id)
+        if not statuses:
+            raise KeyError(f"no recorded run {run_id!r} for {self.name!r}")
+        _SENTINEL = object()
+        completed: dict[str, Any] = {}
+        for tname, st in statuses.items():
+            if st.get("status") != "success":
+                continue
+            val = state_store.xcom_pull(
+                self.name, tname, run_id=run_id, default=_SENTINEL
+            )
+            if val is not _SENTINEL:
+                completed[tname] = val
+        attempt = 2
+        new_id = f"{run_id}__r{attempt}"
+        prior = {r for r in (state_store.run_ids(self.name) or [])}
+        while new_id in prior:
+            attempt += 1
+            new_id = f"{run_id}__r{attempt}"
+        return self.run(
+            spark,
+            run_id=new_id,
+            state_store=state_store,
+            completed_outputs=completed,
+            **run_kw,
+        )
 
     def _exec_task(self, t: TaskDef, ctx: Context, deadline) -> TaskResult:
         el_t0 = time.monotonic()

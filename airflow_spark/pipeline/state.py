@@ -104,6 +104,38 @@ class RunStateStore:
                 "append"
             ).parquet(self.xcom_path)
 
+    def task_statuses(self, pipeline: str, run_id: str) -> dict:
+        """Per-task status map of one recorded run (parsed from the
+        run record's JSON column); {} when the run is unknown."""
+        rows = (
+            self.runs()
+            .where(
+                (F.col("pipeline") == pipeline)
+                & (F.col("run_id") == run_id)
+            )
+            .orderBy(F.col("started").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return {}
+        return json.loads(rows[0]["task_statuses"] or "{}")
+
+    def run_ids(self, pipeline: str) -> list[str]:
+        """All recorded run ids for a pipeline (collect is bounded by
+        run count — control-plane scale, and vacuumed)."""
+        try:
+            return [
+                r["run_id"]
+                for r in self.runs()
+                .where(F.col("pipeline") == pipeline)
+                .select("run_id")
+                .distinct()
+                .collect()
+            ]
+        except Exception:
+            return []
+
     def xcoms(self) -> DataFrame:
         return self.spark.read.schema(XCOM_SCHEMA).parquet(self.xcom_path)
 

@@ -723,3 +723,137 @@ def test_expand_over_non_iterable_fails_task_not_run(spark):
     assert run.tasks["mapped"].status == "failed"
     assert "non-iterable" in run.tasks["mapped"].error
     assert run.status == "failed"  # recorded, notifier path — no raise
+
+
+def test_resume_skips_succeeded_tasks_and_reuses_xcom(spark, tmp_path):
+    """A failed run resumed via the state store: succeeded tasks with
+    persisted XCom do NOT re-execute (their outputs are injected);
+    the failed task and its dependents run; the resumed attempt gets
+    its own run record."""
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.state import RunStateStore
+
+    store = RunStateStore(spark, str(tmp_path / "state"))
+    calls = {"a": 0, "b": 0, "c": 0}
+    flaky = {"fail": True}
+    p = Pipeline("resumable")
+
+    @p.task()
+    def a(ctx):
+        calls["a"] += 1
+        return {"rows": 7}
+
+    @p.task(depends_on=["a"])
+    def b(ctx):
+        calls["b"] += 1
+        if flaky["fail"]:
+            raise RuntimeError("transient outage")
+        return {"ok": True, "upstream": ctx.xcom("a")}
+
+    @p.task(depends_on=["b"])
+    def c(ctx):
+        calls["c"] += 1
+        return {"done": True}
+
+    run1 = p.run(spark, run_id="r1", state_store=store)
+    assert run1.status == "failed"
+    assert run1.tasks["a"].status == "success"
+    assert run1.tasks["c"].status == "upstream_failed"
+
+    flaky["fail"] = False
+    run2 = p.resume(spark, store, "r1")
+    assert run2.status == "success"
+    assert run2.run_id == "r1__r2"
+    assert calls == {"a": 1, "b": 2, "c": 1}  # a did NOT re-run
+    assert run2.tasks["a"].status == "success"
+    assert run2.outputs["b"]["upstream"] == {"rows": 7}  # injected XCom
+
+    # resuming an unknown run is a loud error, not a silent fresh run
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        p.resume(spark, store, "no-such-run")
+
+
+def test_resume_reruns_success_with_unpersistable_output(spark, tmp_path):
+    """A succeeded task whose output was a DataFrame (not XCom-able)
+    re-runs on resume — a dependent may need the live object."""
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.state import RunStateStore
+
+    store = RunStateStore(spark, str(tmp_path / "state2"))
+    calls = {"frame": 0}
+    flaky = {"fail": True}
+    p = Pipeline("resumable2")
+
+    @p.task()
+    def frame(ctx):
+        calls["frame"] += 1
+        return ctx.spark.range(3)  # DataFrame: not persisted to XCom
+
+    @p.task(depends_on=["frame"])
+    def consume(ctx):
+        if flaky["fail"]:
+            raise RuntimeError("boom")
+        return {"n": ctx.xcom("frame").count()}
+
+    assert p.run(spark, run_id="q1", state_store=store).status == "failed"
+    flaky["fail"] = False
+    run2 = p.resume(spark, store, "q1")
+    assert run2.status == "success"
+    assert calls["frame"] == 2  # re-ran: live object re-created
+    assert run2.outputs["consume"]["n"] == 3
+
+
+def test_control_plane_resume_route(spark, tmp_path):
+    """POST /pipelines/{name}/resume/{run_id}: async clear-and-rerun
+    through the API, polled to completion via /runs."""
+    import time as _time
+
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.api import ControlPlane
+    from airflow_spark.pipeline.state import RunStateStore
+
+    store = RunStateStore(spark, str(tmp_path / "apistate"))
+    flaky = {"fail": True}
+    p = Pipeline("api_resume")
+
+    @p.task()
+    def a(ctx):
+        return {"v": 1}
+
+    @p.task(depends_on=["a"])
+    def b(ctx):
+        if flaky["fail"]:
+            raise RuntimeError("boom")
+        return {"v": 2}
+
+    assert p.run(spark, run_id="ar1", state_store=store).status == "failed"
+    flaky["fail"] = False
+
+    cp = ControlPlane(spark, [p], state_store=store)
+    st, body = cp.dispatch("POST", "/pipelines/api_resume/resume/ar1", {})
+    assert st == 202 and body["resumed_from"] == "ar1"
+    handle = body["run_id"]
+    for _ in range(100):
+        st, rec = cp.dispatch("GET", f"/runs/{handle}")
+        if rec["status"] != "running":
+            break
+        _time.sleep(0.2)
+    assert rec["status"] == "success"
+    assert rec["tasks"]["b"] == "success"
+
+    # unknown run id surfaces as a failed record, not a hang
+    st, body = cp.dispatch("POST", "/pipelines/api_resume/resume/nope", {})
+    assert st == 202
+    for _ in range(100):
+        st, rec = cp.dispatch("GET", f"/runs/{body['run_id']}")
+        if rec["status"] != "running":
+            break
+        _time.sleep(0.2)
+    assert rec["status"] == "failed"
+
+    # no state store → 409
+    cp2 = ControlPlane(spark, [p])
+    st, body = cp2.dispatch("POST", "/pipelines/api_resume/resume/ar1", {})
+    assert st == 409
