@@ -742,6 +742,138 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (national market share): NATION_0 suppliers'
+    share of revenue sold into region MIN(r_name)'s customer market,
+    per order year — two fact joins, two aliased nation dims, a
+    conditional-ratio aggregate over a broadcast-pruned market."""
+    t = load_tables(spark, sf_dir)
+    first_region = t.region.agg(F.min("r_name").alias("r_name"))
+    cust_nation = (
+        t.nation.join(
+            F.broadcast(t.region), t.nation.n_regionkey == t.region.r_regionkey
+        )
+        .join(F.broadcast(first_region), "r_name", "left_semi")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(F.broadcast(cust_nation), t.customer.c_nationkey == F.col("c_nk"))
+        .join(t.supplier, t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(0.0)
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog (top supplier view): per-supplier revenue over
+    one quarter; return the supplier(s) equal to the maximum — the
+    aggregate-view + scalar-max-subquery shape."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(t.supplier, rev.l_suppkey == t.supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): on
+    multi-supplier orders where EXACTLY ONE supplier shipped late
+    (> 60 days after the order date), charge that supplier; top-20 by
+    count. The multi-EXISTS shape folded into one grouped pass over
+    the order's lineitems — no correlated subqueries, no re-scans."""
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_order = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            t.supplier, per_order.late_supp == t.supplier.s_suppkey
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (excess PROMO suppliers): suppliers whose
+    total shipped quantity of PROMO-type parts in 1997 exceeded 100 —
+    the agg-filtered semi-join chain (part dim → lineitem agg →
+    supplier semi join)."""
+    t = load_tables(spark, sf_dir)
+    promo_parts = t.part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        t.lineitem.join(
+            F.broadcast(promo_parts),
+            t.lineitem.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        t.supplier.join(
+            heavy, t.supplier.s_suppkey == heavy.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
 # ---------------------------------------------------------------------------
@@ -1052,6 +1184,67 @@ JOIN (SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
   ON l_partkey = pa.pk
 WHERE l_quantity < 0.5 * avg_qty
 """,
+    "q42": """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = (SELECT min(r_name) FROM region)
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+""",
+    "q43": """
+WITH rev AS (SELECT l_suppkey,
+                    round(sum(l_extendedprice * (1 - l_discount)), 2)
+                      AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1997-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+""",
+    "q44": """
+WITH po AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                  + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late_supp,
+         min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    "q45": """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100)
+ORDER BY s_suppkey
+""",
 }
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
@@ -1063,5 +1256,5 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q26": q26, "q27": q27, "q28": q28, "q29": q29, "q30": q30,
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
-    "q41": q41,
+    "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
 }
