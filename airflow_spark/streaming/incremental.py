@@ -172,3 +172,87 @@ def dedup_ingest(
     if not done:
         q.stop()  # do not leave a writer racing the next run's query
     return done
+
+
+def neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    checkpoint_dir: str,
+    history_dir: str,
+    sig_store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    source_format: str = "parquet",
+    timeout_s: float = 300.0,
+) -> bool:
+    """Streaming NEAR-duplicate ingest (the fuzzy sibling of
+    ``dedup_ingest``): each micro-batch is MinHash-signed, banded
+    against the persistent signature store, and batch docs that
+    near-match history — or a smaller-id batch sibling — are dropped;
+    survivors append to the history corpus. Per-batch cost is the
+    batch's signatures + one banded join against the store (signatures
+    shuffle, text never does), so ingest cost tracks arrival rate at
+    100 TB corpus sizes.
+
+    Signatures of dropped docs stay in the store — they are content
+    proxies of their surviving cluster-mate, so future matches against
+    them produce the same drop decisions at zero extra cost.
+
+    availableNow + checkpoint: each batch is folded exactly once
+    across process restarts."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    def _handle(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        batch = batch.localCheckpoint(eager=True)
+        pairs = _dedup.incremental_neardup(
+            spark,
+            batch,
+            sig_store_dir,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+        ).localCheckpoint(eager=True)
+        batch_ids = batch.select(F.col(id_col).alias("id"))
+        if pairs.take(1):
+            clusters = _dedup.dedup_clusters(pairs)
+            # a batch doc survives iff it IS its cluster's min label
+            # AND that label is not a historical doc (history ids in
+            # the pair graph are exactly the non-batch ids)
+            member = clusters.join(batch_ids, "id", "left_semi")
+            hist_labels = clusters.join(
+                batch_ids, "id", "left_anti"
+            ).select(F.col("cluster").alias("__hc")).distinct()
+            drop = (
+                member.join(
+                    hist_labels,
+                    member.cluster == F.col("__hc"),
+                    "left_semi",
+                )
+                .select("id")
+                .unionByName(
+                    member.where(F.col("id") != F.col("cluster")).select("id")
+                )
+                .distinct()
+                .withColumnRenamed("id", id_col)
+            )
+            survivors = batch.join(drop, id_col, "left_anti")
+        else:
+            survivors = batch
+        survivors.write.mode("append").parquet(history_dir)
+
+    stream = spark.readStream.schema(schema).format(source_format).load(
+        source_dir
+    )
+    q = (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q.awaitTermination(timeout_s)

@@ -792,3 +792,47 @@ def test_rate_limit_monitor_streaming_run(spark, tmp_path):
     }
     assert sum(r.allowed for r in per_user[1]) == 2
     assert all(r.allowed for r in per_user[2])
+
+
+def test_neardup_ingest_across_batches(spark, tmp_path):
+    """Streaming near-dup ingest: within-batch near-copies collapse to
+    the min-id survivor, and a later run's near-copy of HISTORY is
+    dropped while novel content lands."""
+    from airflow_spark.streaming.incremental import neardup_ingest
+
+    src = tmp_path / "nd_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "nd_ckpt")
+    hist = str(tmp_path / "nd_hist")
+    sigs = str(tmp_path / "nd_sigs")
+    schema = "doc_id LONG, text STRING"
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    variant = base.replace("tonight", "today")  # near-dup of base
+    other = ("completely different content about distributed query "
+             "engines shuffling partitioned columnar batches at scale")
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    assert neardup_ingest(
+        spark, str(src), schema, ckpt, hist, sigs, threshold=0.5
+    )
+    kept1 = {r.doc_id for r in spark.read.parquet(hist).collect()}
+    assert kept1 == {1, 3}  # 2 collapsed into 1
+
+    # run 2: near-copy of historical base + genuinely new doc
+    b2 = spark.createDataFrame(
+        [(10, base.replace("quiet", "silent")),
+         (11, "yet another unrelated document describing window "
+              "functions folding running aggregates over event time")],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    assert neardup_ingest(
+        spark, str(src), schema, ckpt, hist, sigs, threshold=0.5
+    )
+    kept2 = {r.doc_id for r in spark.read.parquet(hist).collect()}
+    assert kept2 == {1, 3, 11}  # 10 dropped against history
