@@ -296,3 +296,116 @@ def test_random_dag_statuses_and_order(spark, n_tasks, edge_bits, fail_at, data)
             for i in edges[j]:
                 if i in pos:
                     assert pos[i] < pos[j], (i, j, order)
+
+
+# ---------------------------------------------------------------------------
+# BPE (pure-Python properties; no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    words=st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=8),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(0, 30),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_roundtrip_and_monotonic_compression(words, n_merges):
+    """For ANY corpus and merge budget: tokenization reassembles every
+    word losslessly, token counts never exceed character counts, and
+    more merges never produce MORE tokens for a training word."""
+    from airflow_spark.operators.tokenize import (
+        bpe_word_tokens,
+        train_bpe,
+    )
+
+    merges = train_bpe(words, n_merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    fewer = train_bpe(words, max(0, n_merges - 3))
+    ranks_fewer = {tuple(p): i for i, p in enumerate(fewer)}
+    for w in words:
+        toks = bpe_word_tokens(w, ranks)
+        assert "".join(toks) == w
+        assert 1 <= len(toks) <= len(w)
+        assert len(toks) <= len(bpe_word_tokens(w, ranks_fewer))
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+        min_size=1,
+        max_size=40,
+    ),
+    pad=st.integers(1, 600),
+)
+@settings(max_examples=30, deadline=None)
+def test_interval_merge_invariants(spark, events, pad):
+    """For ANY event set: islands are disjoint and ordered, coverage
+    equals the EXACT interval union length (computed independently in
+    Python), and event counts are conserved per key."""
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import merge_intervals
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(seconds=s)) for k, s in events
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = merge_intervals(df, "user_id", "ts", pad_s=pad).collect()
+
+    # reference union-of-intervals per key
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    base_ep = int(base.timestamp())
+    for k, s in events:
+        by_key[k].append((base_ep + s, base_ep + s + pad))
+    for k, ivs in by_key.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        got = sorted(
+            (r.start_s, r.end_s) for r in out if r.user_id == k
+        )
+        assert got == merged
+        assert sum(r.n_events for r in out if r.user_id == k) == len(ivs)
+
+
+@given(
+    edge_bits=st.integers(0, 2**28 - 1),
+    k=st.integers(2, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_kcore_fixpoint_properties(spark, edge_bits, k):
+    """For ANY graph on 8 nodes: every k-core member has degree ≥ k
+    INSIDE the core, and the k-core is idempotent (peeling the core
+    again changes nothing)."""
+    from airflow_spark.operators.graph import kcore
+
+    pairs = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    edges = [
+        pairs[i] for i in range(len(pairs)) if (edge_bits >> i) & 1
+    ]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    core = kcore(df, k=k).collect()
+    assert all(r.deg >= k for r in core)
+    if core:
+        kept = {r.node for r in core}
+        sub = [(a, b) for a, b in edges if a in kept and b in kept]
+        again = kcore(
+            spark.createDataFrame(sub, "src LONG, dst LONG"), k=k
+        ).collect()
+        assert {(r.node, r.deg) for r in again} == {
+            (r.node, r.deg) for r in core
+        }
