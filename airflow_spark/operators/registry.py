@@ -2141,6 +2141,53 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double-exponential trend forecast per user (two stacked
+    EWMA folds over a trailing frame — the decomposition that keeps
+    Holt-style smoothing a pure codegen window expression)."""
+    t = load_tables(spark, sf_dir)
+    out = timeseries.double_exponential_forecast(
+        t.events.where(F.col("user_id") < 10),
+        "user_id",
+        "ts",
+        "value",
+        alpha=0.5,
+        window_rows=8,
+        horizon=1,
+        order_cols=["event_id"],
+    )
+    return (
+        out.select(
+            "user_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            "s1",
+            "s2",
+            "forecast",
+        )
+        .orderBy("user_id", "ts")
+        .limit(300)
+    )
+
+
+def op_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20 rolling correlation of value vs event time per user
+    (regime-change / decoupling detection); corr is a native window
+    aggregate in both engines."""
+    t = load_tables(spark, sf_dir)
+    epoch = F.floor(F.unix_timestamp("ts")).cast("long").cast("double")
+    out = timeseries.rolling_corr(
+        t.events.where(F.col("user_id") < 10),
+        "user_id",
+        "ts",
+        F.col("value"),
+        epoch,
+        window_rows=20,
+        order_cols=["event_id"],
+    )
+    return out.orderBy("user_id", "ts").limit(300)
+
+
 def op_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest: hourly bucket means predicted
     by the value 24 buckets earlier, MAE per event_type — the baseline
@@ -2379,6 +2426,8 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_holt_forecast": op_holt_forecast,
+    "op_rolling_corr": op_rolling_corr,
     "op_seasonal_baseline": op_seasonal_baseline,
     "op_url_normalize": op_url_normalize,
     "op_temperature_mix": op_temperature_mix,
@@ -3418,6 +3467,41 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_holt_forecast": """
+WITH a AS (SELECT user_id, ts, event_id, value,
+                 list(value) OVER w AS l,
+                 CAST(count(*) OVER w AS BIGINT) AS n
+           FROM events WHERE user_id < 10
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+b AS (SELECT user_id, ts, event_id, value, n,
+             list_reduce(l, (acc, x) -> acc * 0.5 + 0.5 * x) AS s1
+      FROM a),
+c AS (SELECT user_id, ts, value, n, s1,
+             list(s1) OVER w2 AS l2
+      FROM b
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+d AS (SELECT user_id, ts, value, n, s1,
+             list_reduce(l2, (acc, x) -> acc * 0.5 + 0.5 * x) AS s2
+      FROM c)
+SELECT user_id, ts, round(value, 4) AS value,
+       round(s1, 6) AS s1, round(s2, 6) AS s2,
+       CASE WHEN n >= 2
+            THEN round((2.0 * s1 - s2) + 1.0 * (1.0 * (s1 - s2)), 4)
+       END AS forecast
+FROM d ORDER BY user_id, ts LIMIT 300
+""",
+    "op_rolling_corr": """
+SELECT user_id, ts,
+       round(corr(value, CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE))
+             OVER w, 4) + 0.0 AS roll_corr,
+       CAST(count(*) OVER w AS BIGINT) AS n_frame
+FROM events WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts LIMIT 300
+""",
     "op_seasonal_baseline": """
 WITH pb AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
                    avg(value) AS v

@@ -670,3 +670,98 @@ def seasonal_baseline_mae(
         )
         .orderBy(key_col)
     )
+
+
+def double_exponential_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    window_rows: int = 8,
+    horizon: int = 1,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brown's double exponential smoothing: trend-aware one-pass
+    forecast from two stacked EWMA folds — S1 = EWMA(x),
+    S2 = EWMA(S1), level = 2·S1 − S2, trend = α/(1−α)·(S1 − S2),
+    forecast = level + horizon·trend. Unlike Holt's coupled (l, b)
+    recursion this DECOMPOSES into scalar folds, so it stays a pure
+    codegen window expression (and its FP sequence ports to the SQL
+    oracle via the same ``list_reduce`` spelling as ``ewma``).
+
+    Same bounded-frame restart contract as ``ewma``; rows whose frame
+    has a single element carry a NULL forecast (no trend evidence).
+    Prefer binary-exact α (0.5, 0.25) for cross-engine hashing."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+
+    def fold(arr):
+        rest = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+        return F.aggregate(
+            rest,
+            F.element_at(arr, 1),
+            lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+        )
+
+    s1 = fold(F.collect_list(F.col(value_col).cast("double")).over(w))
+    staged = df.withColumn("__s1", s1).withColumn(
+        "__n", F.count(F.lit(1)).over(w)
+    )
+    s2 = fold(F.collect_list("__s1").over(w))
+    level = 2.0 * F.col("__s1") - F.col("__s2")
+    trend = F.lit(alpha / (1.0 - alpha)) * (F.col("__s1") - F.col("__s2"))
+    return (
+        staged.withColumn("__s2", s2)
+        .select(
+            key_col,
+            ts_col,
+            value_col,
+            F.round("__s1", 6).alias("s1"),
+            F.round("__s2", 6).alias("s2"),
+            F.when(
+                F.col("__n") >= 2,
+                F.round(level + F.lit(float(horizon)) * trend, 4),
+            ).alias("forecast"),
+        )
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col,
+    y_col,
+    window_rows: int = 20,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rolling Pearson correlation of two series per key over a
+    trailing ROWS frame (regime-change detection: a correlation that
+    flips sign flags decoupling). One Window node; ``corr`` is a
+    native window aggregate in both engines. Frames with < 2 rows or
+    zero variance yield NULL."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    c = F.corr(x, y).over(w)
+    # zero-variance frames: Spark's corr yields NaN where SQL engines
+    # yield NULL — normalize undefined to NULL (it IS undefined)
+    c = F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+    return df.select(
+        key_col,
+        ts_col,
+        # + 0.0 canonicalizes IEEE negative zero (a corr of -1e-17
+        # rounds to -0.0, which engines render differently)
+        (F.round(c, 4) + F.lit(0.0)).alias("roll_corr"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    )

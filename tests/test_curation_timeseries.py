@@ -613,3 +613,59 @@ def test_seasonal_baseline_exact_repeat_has_zero_mae(spark):
            seasonal_baseline_mae(df, season=3).collect()}
     assert out["a"].n_buckets == 6 and out["a"].mae == 0.0
     assert out["b"].mae == 1.0  # each bucket is exactly +1 vs last season
+
+
+def test_double_exponential_tracks_linear_trend(spark):
+    """On an exactly linear series Brown's method converges toward the
+    true next value; first row has no forecast (no trend evidence)."""
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import (
+        double_exponential_forecast,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), 10.0 + 2.0 * i, i)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, value DOUBLE, event_id INT"
+    )
+    out = double_exponential_forecast(
+        df, "user_id", "ts", "value", alpha=0.5, window_rows=8,
+        order_cols=["event_id"],
+    ).orderBy("ts").collect()
+    assert out[0].forecast is None
+    # late rows: forecast approaches next value (34, 36, ...) within
+    # the bounded-frame bias
+    last = out[-1]
+    true_next = last.value + 2.0
+    assert abs(last.forecast - true_next) < 1.5
+
+
+def test_rolling_corr_sign_flip(spark):
+    import datetime as dt
+
+    from airflow_spark.operators.timeseries import rolling_corr
+
+    base = dt.datetime(2026, 1, 1)
+    # x rises with time then falls: trailing-5 corr flips sign
+    vals = list(range(10)) + list(range(10, 0, -1))
+    rows = [
+        (1, base + dt.timedelta(minutes=i), float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, value DOUBLE, event_id INT"
+    )
+    from pyspark.sql import functions as F
+
+    out = rolling_corr(
+        df, "user_id", "ts", F.col("value"),
+        F.floor(F.unix_timestamp("ts")).cast("double"),
+        window_rows=5, order_cols=["event_id"],
+    ).orderBy("ts").collect()
+    assert out[8].roll_corr == 1.0
+    assert out[-1].roll_corr == -1.0
+    assert out[0].roll_corr is None  # single-row frame
