@@ -156,12 +156,41 @@ def _try_real_decode(data: bytes):
     except Exception:
         return None  # Pillow present but payload undecodable
     try:
-        return _decode_png(data)
+        png = _decode_png(data)  # None when the magic isn't PNG
+        if png is not None:
+            return png
     except Exception:  # noqa: BLE001 - truncated/corrupt chunk bytes
         # a payload with the PNG magic but garbage after it must follow
         # the quarantine/fake contract, not kill the Spark task with a
         # struct/zlib error
+        pass
+    try:
+        return _decode_bmp(data)
+    except Exception:  # noqa: BLE001 - same quarantine contract
         return None
+
+
+def _decode_bmp(data: bytes):
+    """Pure-stdlib uncompressed BMP (BITMAPINFOHEADER, BI_RGB 24/32
+    bpp) decode — the same bottom-up padded-row DIB layout as the AVI
+    frame path, so the pixel walk is shared (``_dib_luma``)."""
+    import struct
+
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    px_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        return None  # ancient BITMAPCOREHEADER: out of scope
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or compression != 0 or h <= 0:
+        return None  # compressed or top-down: stub contract applies
+    luma = _dib_luma(data[px_off:], w, h, bpp)
+    if luma is None:
+        return None
+    return {"width": int(w), "height": int(h), "luma": luma}
 
 
 def _luma_features(luma) -> dict:

@@ -1915,3 +1915,53 @@ def test_keep_best_ties_break_to_smallest_id(spark):
     kept = [r.doc_id for r in
             keep_best_representatives(docs, pairs, "quality").collect()]
     assert kept == [5]
+
+
+def _encode_bmp24(px) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bpp BI_RGB encoder (bottom-up,
+    4-byte padded rows) for decode-path tests."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = px[y, x]
+            row += bytes((int(b), int(g), int(r)))  # BGR
+        row += b"\x00" * (stride - len(row))
+        body += row
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + bytes(body)
+
+
+def test_real_bmp_decode_strict(spark):
+    """A green strict run proves the stdlib BMP path decoded actual
+    pixels (shared DIB walk with the AVI frame decoder)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)  # w=5: padding
+    bmp = _encode_bmp24(px)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("meta", multimodal.MEDIA_META_SCHEMA),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), ("image/bmp", None, None, None, None, None))],
+        schema,
+    )
+    row = multimodal.extract_image_features(df, strict=True).first()
+    assert (row["width"], row["height"]) == (5, 6)
+    expect_luma = float(
+        (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
+    ) / 255.0
+    assert abs(row["mean_luma"] - expect_luma) < 1e-9

@@ -533,3 +533,129 @@ def test_schema_drift_report(spark, tmp_path):
     assert rep[("b2", "score", "added")] == ("double", None, None)
     assert rep[("b2", "flag", "missing")] == (None, "boolean", None)
     assert ("b2", "id", "retyped") not in rep  # b2 already matches
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion
+# ---------------------------------------------------------------------------
+
+
+def _warc_record(wtype, uri, block: bytes, extra: str = "") -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"{extra}"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    )
+    return head.encode() + block + b"\r\n\r\n"
+
+
+def _http_block(body: str, status: int = 200) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: text/html\r\n\r\n{body}"
+    ).encode()
+
+
+class TestWarc:
+    def test_parses_records_and_strips_http_headers(self, spark, tmp_path):
+        from airflow_spark.sources.warc import read_warc
+
+        shard = (
+            _warc_record("warcinfo", "-", b"software: test\r\n")
+            + _warc_record(
+                "response",
+                "https://a.example/page",
+                _http_block("<html>hello A</html>"),
+                extra="Content-Type: application/http; msgtype=response\r\n",
+            )
+            + _warc_record(
+                "response",
+                "https://b.example/miss",
+                _http_block("gone", status=404),
+                extra="Content-Type: application/http; msgtype=response\r\n",
+            )
+        )
+        d = tmp_path / "warcs"
+        d.mkdir()
+        (d / "shard0.warc").write_bytes(shard)
+        out = read_warc(spark, str(d)).orderBy("record_idx").collect()
+        assert [r.warc_type for r in out] == ["warcinfo", "response", "response"]
+        assert out[1].target_uri == "https://a.example/page"
+        assert out[1].http_status == 200
+        assert out[1].body == "<html>hello A</html>"  # headers stripped
+        assert out[2].http_status == 404
+        assert all(r.parse_error is None for r in out)
+
+    def test_gzip_members_and_document_projection(self, spark, tmp_path):
+        import gzip
+
+        from airflow_spark.sources.warc import (
+            read_warc,
+            responses_as_documents,
+        )
+
+        recs = [
+            _warc_record(
+                "response",
+                f"https://site{i}.example/",
+                _http_block(f"body number {i}", status=200 if i != 1 else 500),
+                extra="Content-Type: application/http; msgtype=response\r\n",
+            )
+            for i in range(3)
+        ]
+        # member-per-record gzip, Common Crawl style
+        blob = b"".join(gzip.compress(r) for r in recs)
+        d = tmp_path / "warcs_gz"
+        d.mkdir()
+        (d / "shard0.warc.gz").write_bytes(blob)
+        records = read_warc(spark, str(d))
+        docs = responses_as_documents(records).collect()
+        # the 500 is filtered; ids are stable across reruns
+        assert sorted(r.url for r in docs) == [
+            "https://site0.example/", "https://site2.example/",
+        ]
+        again = responses_as_documents(read_warc(spark, str(d))).collect()
+        assert {r.doc_id for r in docs} == {r.doc_id for r in again}
+
+    def test_malformed_shard_quarantines_not_crashes(self, spark, tmp_path):
+        from airflow_spark.sources.warc import read_warc
+
+        good = _warc_record(
+            "response",
+            "https://ok.example/",
+            _http_block("fine"),
+            extra="Content-Type: application/http; msgtype=response\r\n",
+        )
+        bad = good + b"GARBAGE WITHOUT A HEADER"
+        d = tmp_path / "warcs_bad"
+        d.mkdir()
+        (d / "bad.warc").write_bytes(bad)
+        out = read_warc(spark, str(d)).orderBy("record_idx").collect()
+        assert out[0].parse_error is None and out[0].body == "fine"
+        assert out[1].parse_error is not None  # quarantined, task alive
+
+    def test_body_containing_warc_bytes_is_framed_correctly(
+        self, spark, tmp_path
+    ):
+        from airflow_spark.sources.warc import read_warc
+
+        trap = "WARC/1.0\r\nWARC-Type: response\r\n\r\n fake inner record"
+        shard = _warc_record(
+            "response",
+            "https://trap.example/",
+            _http_block(trap),
+            extra="Content-Type: application/http; msgtype=response\r\n",
+        ) + _warc_record(
+            "response",
+            "https://after.example/",
+            _http_block("after"),
+            extra="Content-Type: application/http; msgtype=response\r\n",
+        )
+        d = tmp_path / "warcs_trap"
+        d.mkdir()
+        (d / "trap.warc").write_bytes(shard)
+        out = read_warc(spark, str(d)).orderBy("record_idx").collect()
+        assert len(out) == 2  # Content-Length framing, not regex
+        assert out[0].body == trap
+        assert out[1].body == "after"
