@@ -2141,6 +2141,21 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-user rollup via bitmap aggregates (the
+    no-error sibling of op_hll_rollup): per-event_type counts AND the
+    all-types rollup both come from ONE bitmap partial table — raw
+    events read once; the oracle recomputes both with plain
+    count(DISTINCT), so the hash attests bitmap merge exactness."""
+    t = load_tables(spark, sf_dir)
+    bm = sketches.bitmap_rollup(t.events, "user_id", ["event_type"])
+    fine = sketches.bitmap_distinct(bm, ["event_type"])
+    overall = sketches.bitmap_distinct(
+        bm.withColumn("event_type", F.lit("__all__")), ["event_type"]
+    )
+    return fine.unionByName(overall).orderBy("event_type")
+
+
 def op_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown double-exponential trend forecast per user (two stacked
     EWMA folds over a trailing frame — the decomposition that keeps
@@ -2426,6 +2441,7 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_bitmap_distinct": op_bitmap_distinct,
     "op_holt_forecast": op_holt_forecast,
     "op_rolling_corr": op_rolling_corr,
     "op_seasonal_baseline": op_seasonal_baseline,
@@ -3467,6 +3483,15 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_bitmap_distinct": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+ORDER BY event_type
+""",
     "op_holt_forecast": """
 WITH a AS (SELECT user_id, ts, event_id, value,
                  list(value) OVER w AS l,

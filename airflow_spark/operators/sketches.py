@@ -190,3 +190,47 @@ def kmv_intersection_estimate(
         / n_u.cast("double")
     )
     return F.round(rho * est_u, 4)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct rollups (EXACT + mergeable)
+# ---------------------------------------------------------------------------
+
+
+def bitmap_rollup(
+    df: DataFrame,
+    id_col: str,
+    by: list[str],
+    bitmap_col: str = "bm",
+) -> DataFrame:
+    """Per-(group, bucket) bitmaps over an integer id column — the
+    EXACT, mergeable distinct-count partial (the bitmap sibling of
+    ``hll_rollup``: no error bound, cost = one bit per live id packed
+    into per-bucket bitmap blobs). One pass; the shuffle carries
+    bitmaps, never ids. Persist at the finest grouping; every coarser
+    distinct count re-aggregates from this table alone."""
+    return df.groupBy(
+        *by, F.bitmap_bucket_number(F.col(id_col)).alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col(id_col))
+        ).alias(bitmap_col)
+    )
+
+
+def bitmap_distinct(
+    bitmaps: DataFrame,
+    by: list[str],
+    bitmap_col: str = "bm",
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """EXACT distinct counts at any grouping ≤ the bitmap table's:
+    per-bucket bitmaps OR-merge (associative/idempotent, so double
+    counting is structurally impossible), then popcounts sum — raw
+    data is never re-read."""
+    merged = bitmaps.groupBy(*by, "bucket").agg(
+        F.bitmap_or_agg(bitmap_col).alias("__m")
+    )
+    return merged.groupBy(*by).agg(
+        F.sum(F.bitmap_count("__m")).alias(out_col)
+    )

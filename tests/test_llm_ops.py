@@ -1965,3 +1965,28 @@ def test_real_bmp_decode_strict(spark):
         (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]).mean()
     ) / 255.0
     assert abs(row["mean_luma"] - expect_luma) < 1e-9
+
+
+def test_bitmap_rollup_merge_equals_direct(spark):
+    """Bitmap partials re-aggregate EXACTLY: distinct counts at a
+    coarser grouping from the partial table equal direct counts, and
+    overlapping groups never double count (OR is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from airflow_spark.operators.sketches import (
+        bitmap_distinct,
+        bitmap_rollup,
+    )
+
+    rows = [(g, u) for g in ("a", "b") for u in range(50)] + [
+        ("c", u) for u in range(25, 75)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, uid LONG")
+    bm = bitmap_rollup(df, "uid", ["g"])
+    fine = {r.g: r.n_distinct for r in bitmap_distinct(bm, ["g"]).collect()}
+    assert fine == {"a": 50, "b": 50, "c": 50}
+    # coarser rollup from partials: union of a∪b∪c = 75 distinct users
+    overall = bitmap_distinct(
+        bm.withColumn("g", F.lit("all")), ["g"]
+    ).collect()[0]
+    assert overall.n_distinct == 75
