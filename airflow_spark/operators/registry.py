@@ -2141,6 +2141,33 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-function breadth: sequence() ranges exploded to rows
+    and stack() wide→long pivoting — the row-producing expressions
+    (complement of the agg/window families)."""
+    t = load_tables(spark, sf_dir)
+    seqs = t.nation.select(
+        "n_nationkey",
+        F.lit("seq").alias("kind"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_nationkey") % 4)
+        ).alias("__v"),
+    ).select(
+        "n_nationkey", "kind", F.col("__v").cast("long").alias("val")
+    )
+    stacked = t.nation.select(
+        "n_nationkey",
+        F.expr(
+            "stack(2, 'key', CAST(n_nationkey AS BIGINT), "
+            "'region', CAST(n_regionkey AS BIGINT))"
+        ).alias("kind", "val"),
+    )
+    return (
+        seqs.unionByName(stacked)
+        .orderBy("n_nationkey", "kind", "val")
+    )
+
+
 def op_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT mergeable distinct-user rollup via bitmap aggregates (the
     no-error sibling of op_hll_rollup): per-event_type counts AND the
@@ -2441,6 +2468,7 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_generator_funcs": op_generator_funcs,
     "op_bitmap_distinct": op_bitmap_distinct,
     "op_holt_forecast": op_holt_forecast,
     "op_rolling_corr": op_rolling_corr,
@@ -3483,6 +3511,17 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_generator_funcs": """
+SELECT n_nationkey, kind, val FROM (
+  SELECT n_nationkey, 'seq' AS kind,
+         CAST(unnest(generate_series(0, n_nationkey % 4)) AS BIGINT) AS val
+  FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'key', CAST(n_nationkey AS BIGINT) FROM nation
+  UNION ALL
+  SELECT n_nationkey, 'region', CAST(n_regionkey AS BIGINT) FROM nation) u
+ORDER BY n_nationkey, kind, val
+""",
     "op_bitmap_distinct": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
