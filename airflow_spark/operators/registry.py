@@ -2483,6 +2483,7 @@ OPERATOR_QUERIES = {
 # graph, PQ, search scoring) LAST, so a driver time cut-off costs the
 # fewest correctness rows (round 1 lost the tail of this dict to one).
 _EXPENSIVE_TAIL = [
+    "op_bpe_tokenize",
     "op_bm25_search",
     "op_dedup_ngram_jaccard",
     "op_link_predict",
