@@ -210,18 +210,25 @@ def pii_hit_counts(text: Column | str) -> Column:
     )
 
 
-#: query parameters that never affect content (tracking/session ids)
-_TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref", "sessionid")
+#: query-parameter prefixes that never affect content (tracking /
+#: session ids); ``normalize_url`` builds its filter from THIS tuple —
+#: keys without '=' match as prefixes (utm_*), keys with '=' match the
+#: exact parameter name
+_TRACKING_PARAMS = (
+    "utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "sessionid="
+)
 
 
 def normalize_url(url: Column | str) -> Column:
     """Canonical URL form for web-corpus dedup and per-site stats:
-    lower-cased scheme+host, default ports stripped, fragment dropped,
-    tracking query params (utm_*, fbclid, gclid, …) removed, remaining
-    params kept in ORIGINAL order (reordering would merge URLs whose
-    servers are order-sensitive), trailing slash normalized off
-    non-root paths. One codegen pass — parse_url + array filter, no
-    UDF; at corpus scale this runs in the scan projection.
+    lower-cased scheme+host, DEFAULT ports stripped (:80 for http,
+    :443 for https — a non-default port is a different origin and is
+    kept), fragment dropped, tracking query params
+    (``_TRACKING_PARAMS``) removed, remaining params kept in ORIGINAL
+    order (reordering would merge URLs whose servers are
+    order-sensitive), trailing slash normalized off non-root paths.
+    One codegen pass — parse_url + array filter, no UDF; at corpus
+    scale this runs in the scan projection.
 
     The canonical key collapses the classic duplicate families
     (http://Example.com/a?utm_source=x ≡ http://example.com/a) while
@@ -229,6 +236,16 @@ def normalize_url(url: Column | str) -> Column:
     u = F.trim(_col(url))
     host = F.lower(F.parse_url(u, F.lit("HOST")))
     proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    # parse_url HOST drops the port; recover it from AUTHORITY and keep
+    # non-default ports (a :8080 origin is NOT the :80 origin)
+    authority = F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit(""))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(proto == "http", F.lit("80")).when(
+        proto == "https", F.lit("443")
+    ).otherwise(F.lit(""))
+    port_part = F.when(
+        (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
     # strip ONE trailing slash from non-root paths
     path = F.when(
@@ -237,21 +254,20 @@ def normalize_url(url: Column | str) -> Column:
     ).otherwise(path)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.parse_url(u, F.lit("QUERY"))
-    kept = F.filter(
-        F.split(F.coalesce(query, F.lit("")), "&"),
-        lambda p: (p != "")
-        & ~F.lower(p).startswith("utm_")
-        & ~F.lower(p).startswith("fbclid=")
-        & ~F.lower(p).startswith("gclid=")
-        & ~F.lower(p).startswith("msclkid=")
-        & ~F.lower(p).startswith("ref=")
-        & ~F.lower(p).startswith("sessionid="),
-    )
+
+    def _keep(p):
+        cond = p != ""
+        for t in _TRACKING_PARAMS:
+            cond = cond & ~F.lower(p).startswith(t)
+        return cond
+
+    kept = F.filter(F.split(F.coalesce(query, F.lit("")), "&"), _keep)
     qs = F.array_join(kept, "&")
     return F.concat(
         proto,
         F.lit("://"),
         host,
+        port_part,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )

@@ -670,8 +670,12 @@ def bigram_logprob_score(
         F.count(F.lit(1)).alias("__cctx")
     )
     vocab = toks.agg(F.countDistinct("tok").alias("__v"))
+    # bg_counts is DISTINCT-BIGRAM-sized (content-scaled, far beyond
+    # vocabulary) — never broadcast it; the shuffle join reuses the
+    # (prev, tok) exchange its groupBy already created. ctx_counts and
+    # vocab ARE vocabulary-bounded, so those stay broadcast.
     scored = (
-        bigrams.join(F.broadcast(bg_counts), ["prev", "tok"], "left")
+        bigrams.join(bg_counts, ["prev", "tok"], "left")
         .join(F.broadcast(ctx_counts), "prev", "left")
         .crossJoin(F.broadcast(vocab))
         .select(

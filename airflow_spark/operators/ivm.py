@@ -128,8 +128,17 @@ def refresh_agg_view(
         F.min(F.col(value_col).cast("double")).alias("min_v"),
         F.max(F.col(value_col).cast("double")).alias("max_v"),
     )
+    # ONLY a missing view means "first refresh" — any other failure
+    # (transient IO, schema mismatch, a failing action) must propagate:
+    # falling back to delta-only partials here would silently OVERWRITE
+    # the view's accumulated history with one batch's data
+    from pyspark.errors import AnalysisException
+
     try:
         old = spark.read.parquet(data_path)
+    except AnalysisException:
+        old = None
+    if old is not None:
         merged = (
             old.unionByName(delta_partials)
             .groupBy(*key_cols)
@@ -141,7 +150,7 @@ def refresh_agg_view(
             )
         )
         n_delta = delta_partials.count()
-    except Exception:  # first refresh: no stored partials yet
+    else:
         merged = delta_partials
         n_delta = None
     # localCheckpoint cuts lineage BEFORE the overwrite touches the

@@ -4716,7 +4716,10 @@ def _sql_bpe_tokenize(n_merges: int = 40) -> str:
         tuple(p): i for i, p in enumerate(tk.train_bpe(wc, n_merges))
     }
     entries = ",\n  ".join(
-        f"('{w}', {len(tk.bpe_word_tokens(w, ranks))})" for w in sorted(wc)
+        "('{}', {})".format(
+            w.replace("'", "''"), len(tk.bpe_word_tokens(w, ranks))
+        )
+        for w in sorted(wc)
     )
     return f"""
 WITH lut(w, n_toks) AS (VALUES {entries}),

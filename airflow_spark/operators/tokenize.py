@@ -163,7 +163,10 @@ def bpe_token_counts(
         for pdf in batches:
             ids, nw, nt, ok = [], [], [], []
             for i, txt in zip(pdf[id_name], pdf[text_name]):
-                words = [w for w in _WS.split(str(txt).lower()) if w]
+                # NULL text arrives as None (or NaN via pandas) — that
+                # is zero words, not the literal string 'none'/'nan'
+                text = txt if isinstance(txt, str) else ""
+                words = [w for w in _WS.split(text.lower()) if w]
                 n_tok = 0
                 rt = True
                 for w in words:

@@ -61,6 +61,9 @@ class ControlPlane:
         self.auth_token = auth_token or os.environ.get("SPARK_GRAFT_API_TOKEN")
         self._runs: dict[str, dict] = {}
         self._lock = threading.Lock()
+        #: serializes Pipeline.resume calls (new-run-id derivation from
+        #: the state store is read-then-act; see _resume)
+        self._resume_lock = threading.Lock()
 
     def _authorized(self, headers: dict | None) -> bool:
         if not self.auth_token:
@@ -152,21 +155,30 @@ class ControlPlane:
         """``POST /pipelines/{name}/resume/{run_id}`` — clear-and-rerun
         of a failed run: succeeded tasks reuse their persisted XCom,
         the rest re-execute (Pipeline.resume semantics)."""
+        import uuid
+
         rec = {"run_id": None, "pipeline": pipeline.name, "status": "running",
                "tasks": {}, "resumed_from": run_id}
-        placeholder = f"{run_id}__resuming"
+        # unique per REQUEST: a deterministic placeholder would let two
+        # concurrent resumes of the same run clobber each other's record
+        placeholder = f"{run_id}__resuming__{uuid.uuid4().hex[:8]}"
         with self._lock:
             self._runs[placeholder] = rec
 
         def _go():
             try:
-                run = pipeline.resume(
-                    self.spark,
-                    self.state_store,
-                    run_id,
-                    params=body.get("params"),
-                    profile=body.get("profile", "dev"),
-                )
+                # serialize resume attempts: Pipeline.resume derives the
+                # new run id from the state store, so two concurrent
+                # resumes of one run would both pick '<id>__r2' and
+                # execute twice
+                with self._resume_lock:
+                    run = pipeline.resume(
+                        self.spark,
+                        self.state_store,
+                        run_id,
+                        params=body.get("params"),
+                        profile=body.get("profile", "dev"),
+                    )
                 with self._lock:
                     rec["run_id"] = run.run_id
                     rec["status"] = run.status

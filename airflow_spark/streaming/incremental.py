@@ -244,6 +244,19 @@ def neardup_ingest(
             survivors = batch.join(drop, id_col, "left_anti")
         else:
             survivors = batch
+        # replay safety: foreachBatch is at-least-once — a crash between
+        # this append and the checkpoint commit replays the batch, so
+        # re-filter against ids already IN history (same self-healing
+        # contract as dedup_ingest) before appending
+        from pyspark.errors import AnalysisException
+
+        try:
+            seen = spark.read.parquet(history_dir).select(id_col)
+        except AnalysisException:
+            seen = None
+        if seen is not None:
+            survivors = survivors.join(seen, id_col, "left_anti")
+            survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("append").parquet(history_dir)
 
     stream = spark.readStream.schema(schema).format(source_format).load(

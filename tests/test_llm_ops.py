@@ -1990,3 +1990,18 @@ def test_bitmap_rollup_merge_equals_direct(spark):
         bm.withColumn("g", F.lit("all")), ["g"]
     ).collect()[0]
     assert overall.n_distinct == 75
+
+
+def test_normalize_url_ports(spark):
+    from airflow_spark.functions.text import normalize_url
+
+    df = spark.createDataFrame(
+        [("http://h.io:8080/x",), ("http://h.io:80/x",),
+         ("https://h.io:443/x",), ("https://h.io:9443/x?utm_source=s",)],
+        "u STRING",
+    )
+    got = [r[0] for r in df.select(normalize_url("u")).collect()]
+    assert got[0] == "http://h.io:8080/x"   # non-default port kept
+    assert got[1] == "http://h.io/x"        # default stripped
+    assert got[2] == "https://h.io/x"
+    assert got[3] == "https://h.io:9443/x"
