@@ -2141,6 +2141,51 @@ def op_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors flagged by max
+    cosine against the held-out benchmark slice (vec_id % 97 == 0) —
+    catches paraphrased leaks the n-gram pass (op_decontaminate)
+    structurally misses. Bench broadcasts; corpus read once."""
+    t = load_tables(spark, sf_dir)
+    bench = t.embeddings.where(F.col("vec_id") % 97 == 0)
+    corpus = t.embeddings.where(F.col("vec_id") % 97 != 0)
+    return (
+        similarity.semantic_decontaminate(corpus, bench, threshold=0.9)
+        .orderBy("id")
+        .limit(300)
+    )
+
+
+def op_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (BPE tokens per word — the
+    multilingual-fairness metric: high-fertility languages pay more
+    compute per word). Reuses the trained merges; counts aggregate
+    from the same distributed application as op_bpe_tokenize."""
+    from . import tokenize
+
+    t = load_tables(spark, sf_dir)
+    merges = tokenize.train_bpe(
+        tokenize.word_counts_from_parquet(sf_dir), n_merges=40
+    )
+    counts = tokenize.bpe_token_counts(t.documents, "doc_id", "text", merges)
+    return (
+        counts.join(
+            t.documents.select(F.col("doc_id").alias("id"), "lang"), "id"
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                4,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 def op_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator-function breadth: sequence() ranges exploded to rows
     and stack() wide→long pivoting — the row-producing expressions
@@ -2468,6 +2513,8 @@ OPERATOR_QUERIES = {
     "op_abc_class": op_abc_class,
     "op_bpe_tokenize": op_bpe_tokenize,
     "op_kcore": op_kcore,
+    "op_semantic_decontaminate": op_semantic_decontaminate,
+    "op_token_fertility": op_token_fertility,
     "op_generator_funcs": op_generator_funcs,
     "op_bitmap_distinct": op_bitmap_distinct,
     "op_holt_forecast": op_holt_forecast,
@@ -3512,6 +3559,25 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,
     "op_unigram_logprob": _sql_unigram_logprob(),
+    "op_semantic_decontaminate": """
+WITH bench AS (SELECT vec_id AS bid, embedding
+               FROM embeddings WHERE vec_id % 97 = 0),
+corpus AS (SELECT vec_id AS id, embedding
+           FROM embeddings WHERE vec_id % 97 <> 0),
+sc AS (SELECT c.id, b.bid,
+              round(CASE WHEN
+                {NA} > 0 AND {NB} > 0
+                THEN {D} / ({NA} * {NB}) ELSE 0.0 END, 6) AS s
+       FROM corpus c, bench b),
+r AS (SELECT id, bid, s,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY s DESC, bid) AS rn
+      FROM sc)
+SELECT id, s AS max_cos,
+       CASE WHEN s >= 0.9 THEN bid END AS matched_id,
+       s >= 0.9 AS contaminated
+FROM r WHERE rn = 1 ORDER BY id LIMIT 300
+""".replace("{D}", "list_sum(list_transform(list_zip(c.embedding, b.embedding), z -> CAST(z[1] * z[2] AS DOUBLE)))").replace("{NA}", _NORM_F32.format(col="c.embedding")).replace("{NB}", _NORM_F32.format(col="b.embedding")),
     "op_generator_funcs": """
 SELECT n_nationkey, kind, val FROM (
   SELECT n_nationkey, 'seq' AS kind,
@@ -4698,6 +4764,40 @@ FROM {prev} GROUP BY a ORDER BY node
 OPERATOR_ORACLE_SQL["op_kcore"] = _sql_kcore(k=12, rounds=10)
 
 
+def _sql_token_fertility(n_merges: int = 40) -> str:
+    """Fertility oracle: same reference tokenization literal table as
+    the BPE oracle, aggregated per language."""
+    import os
+
+    from . import tokenize as tk
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    wc = tk.word_counts_from_parquet(sf)
+    ranks = {
+        tuple(p): i for i, p in enumerate(tk.train_bpe(wc, n_merges))
+    }
+    entries = ",\n  ".join(
+        "('{}', {})".format(
+            w.replace("'", "''"), len(tk.bpe_word_tokens(w, ranks))
+        )
+        for w in sorted(wc)
+    )
+    return f"""
+WITH lut(w, n_toks) AS (VALUES {entries}),
+words AS (SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents),
+nz AS (SELECT doc_id, lang, w FROM words WHERE w <> '')
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(lut.n_toks) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lut.n_toks) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS fertility
+FROM nz JOIN lut ON nz.w = lut.w
+GROUP BY lang ORDER BY lang
+"""
+
+
 def _sql_bpe_tokenize(n_merges: int = 40) -> str:
     """BPE oracle: merges retrained from the parquet word counts by
     the same engine-independent pure-Python trainer, then every vocab
@@ -4748,5 +4848,8 @@ try:
         m=8, ksub=16, k=10
     )
     OPERATOR_ORACLE_SQL["op_bpe_tokenize"] = _sql_bpe_tokenize(n_merges=40)
+    OPERATOR_ORACLE_SQL["op_token_fertility"] = _sql_token_fertility(
+        n_merges=40
+    )
 except (OSError, ImportError):
     pass

@@ -623,3 +623,48 @@ def label_outliers(
         .orderBy(F.col("dist").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of ``curation.decontaminate`` (n-gram overlap misses paraphrased
+    leaks; cosine similarity doesn't). Every corpus vector is scored
+    by its MAX cosine against the benchmark set; rows at or above
+    ``threshold`` are flagged with the matching benchmark id.
+
+    Scale shape: benchmarks are dimension-table-sized by nature, so
+    the bench side broadcasts and the corpus is read ONCE; the partial
+    max per corpus row happens map-side (struct-max aggregation), no
+    corpus-sized shuffle. Ties on rounded score break to the smallest
+    benchmark id. Returns (id, max_cos, matched_id, contaminated)."""
+    b = F.broadcast(
+        bench.select(
+            F.col(id_col).alias("__bid"), F.col(vec_col).alias("__bv")
+        )
+    )
+    scored = corpus.crossJoin(b).select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__bv")), 6).alias(
+            "__s"
+        ),
+        F.col("__bid"),
+    )
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("__s"), (-F.col("__bid")).alias("__nb"))).alias(
+            "__m"
+        )
+    )
+    return best.select(
+        "id",
+        F.col("__m.__s").alias("max_cos"),
+        F.when(
+            F.col("__m.__s") >= F.lit(float(threshold)), -F.col("__m.__nb")
+        ).alias("matched_id"),
+        (F.col("__m.__s") >= F.lit(float(threshold))).alias("contaminated"),
+    )

@@ -2005,3 +2005,30 @@ def test_normalize_url_ports(spark):
     assert got[1] == "http://h.io/x"        # default stripped
     assert got[2] == "https://h.io/x"
     assert got[3] == "https://h.io:9443/x"
+
+
+def test_semantic_decontaminate_flags_planted_clone(spark):
+    """A corpus vector that is a (scaled) clone of a benchmark vector
+    is flagged with that benchmark's id; orthogonal vectors are not."""
+    from airflow_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0]),   # scaled clone of bench 100
+            (2, [0.0, 0.0, 5.0]),   # orthogonal to both
+            (3, [0.7, 0.7, 0.0]),   # 45 deg: cos ~0.707 < 0.9
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r.id: r
+        for r in semantic_decontaminate(corpus, bench, 0.9).collect()
+    }
+    assert out[1].contaminated and out[1].matched_id == 100
+    assert out[1].max_cos == 1.0
+    assert not out[2].contaminated and out[2].matched_id is None
+    assert not out[3].contaminated

@@ -40,6 +40,9 @@ def test_operator_matches_oracle(spark, sf_smoke, name):
             m=8, ksub=16, k=10
         ),
         "op_bpe_tokenize": lambda: registry._sql_bpe_tokenize(n_merges=40),
+        "op_token_fertility": lambda: registry._sql_token_fertility(
+            n_merges=40
+        ),
     }
     if name in data_derived:
         # data-derived oracle: centroid literals must be retrained on
