@@ -2531,6 +2531,7 @@ OPERATOR_QUERIES = {
 # fewest correctness rows (round 1 lost the tail of this dict to one).
 _EXPENSIVE_TAIL = [
     "op_bpe_tokenize",
+    "op_token_fertility",
     "op_bm25_search",
     "op_dedup_ngram_jaccard",
     "op_link_predict",

@@ -143,6 +143,24 @@ class ControlPlane:
             if self.state_store is None:
                 return 409, {"error": "resume requires a state store"}
             return self._resume(p, parts[3], body or {})
+        if method == "GET" and parts == ["stats"]:
+            if self.state_store is None:
+                return 409, {"error": "stats require a state store"}
+            rows = self.state_store.run_stats().collect()
+            return 200, {
+                "pipelines": [
+                    {
+                        "pipeline": r["pipeline"],
+                        "n_runs": r["n_runs"],
+                        "n_success": r["n_success"],
+                        "success_rate": r["success_rate"],
+                        "mean_elapsed_s": r["mean_elapsed_s"],
+                        "p95_elapsed_s": r["p95_elapsed_s"],
+                        "last_started": str(r["last_started"]),
+                    }
+                    for r in rows
+                ]
+            }
         if method == "GET" and len(parts) == 2 and parts[0] == "runs":
             with self._lock:
                 rec = self._runs.get(parts[1])

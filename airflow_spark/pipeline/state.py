@@ -218,3 +218,63 @@ class RunStateStore:
                     if os.path.isfile(full):
                         os.remove(full)
         return len(rows)
+
+
+    # -- run analytics (the Airflow UI "DAG runs" panel as queries over
+    # the engine's own store; SLA misses mirror Airflow's sla_miss
+    # table, derived instead of event-driven)
+
+    def run_stats(self) -> DataFrame:
+        """Per-pipeline run statistics: totals, success rate, duration
+        mean/p95, last run time — one grouped aggregate over the run
+        records (control-plane-sized)."""
+        return (
+            self.runs()
+            .groupBy("pipeline")
+            .agg(
+                F.count(F.lit(1)).alias("n_runs"),
+                F.sum(
+                    F.when(F.col("status") == "success", 1).otherwise(0)
+                ).alias("n_success"),
+                F.round(
+                    F.avg(
+                        F.when(F.col("status") == "success", 1.0).otherwise(
+                            0.0
+                        )
+                    ),
+                    4,
+                ).alias("success_rate"),
+                F.round(F.avg("elapsed_s"), 3).alias("mean_elapsed_s"),
+                F.round(
+                    F.percentile("elapsed_s", F.lit(0.95)), 3
+                ).alias("p95_elapsed_s"),
+                F.max("started").alias("last_started"),
+            )
+            .orderBy("pipeline")
+        )
+
+    def sla_misses(
+        self, pipeline: str, max_duration_s: float
+    ) -> DataFrame:
+        """Runs that blew their duration SLA (Airflow's sla_miss
+        analog, derived from the run records): returns (run_id,
+        status, started, elapsed_s, overrun_s) for every run of
+        ``pipeline`` slower than ``max_duration_s`` — failed runs
+        count too (a failure after the SLA window is still a miss)."""
+        return (
+            self.runs()
+            .where(
+                (F.col("pipeline") == pipeline)
+                & (F.col("elapsed_s") > float(max_duration_s))
+            )
+            .select(
+                "run_id",
+                "status",
+                "started",
+                "elapsed_s",
+                F.round(
+                    F.col("elapsed_s") - F.lit(float(max_duration_s)), 3
+                ).alias("overrun_s"),
+            )
+            .orderBy("started")
+        )

@@ -857,3 +857,59 @@ def test_control_plane_resume_route(spark, tmp_path):
     cp2 = ControlPlane(spark, [p])
     st, body = cp2.dispatch("POST", "/pipelines/api_resume/resume/ar1", {})
     assert st == 409
+
+
+def test_run_stats_and_sla_misses(spark, tmp_path):
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.state import RunStateStore
+
+    store = RunStateStore(spark, str(tmp_path / "obs_state"))
+    flaky = {"fail": True}
+    p = Pipeline("observed")
+
+    @p.task()
+    def work(ctx):
+        import time as _t
+
+        _t.sleep(0.05)
+        if flaky["fail"]:
+            raise RuntimeError("nope")
+        return {"ok": True}
+
+    p.run(spark, run_id="o1", state_store=store)
+    flaky["fail"] = False
+    p.run(spark, run_id="o2", state_store=store)
+    p.run(spark, run_id="o3", state_store=store)
+
+    stats = {r.pipeline: r for r in store.run_stats().collect()}
+    s = stats["observed"]
+    assert s.n_runs == 3 and s.n_success == 2
+    assert abs(s.success_rate - 0.6667) < 1e-4
+    assert s.p95_elapsed_s >= s.mean_elapsed_s * 0.5
+
+    # every run slept ≥50ms → all miss a 1ms SLA; none miss a 100s SLA
+    misses = store.sla_misses("observed", 0.001).collect()
+    assert {r.run_id for r in misses} == {"o1", "o2", "o3"}
+    assert all(r.overrun_s > 0 for r in misses)
+    assert store.sla_misses("observed", 100.0).count() == 0
+
+
+def test_control_plane_stats_route(spark, tmp_path):
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.api import ControlPlane
+    from airflow_spark.pipeline.state import RunStateStore
+
+    store = RunStateStore(spark, str(tmp_path / "cps"))
+    p = Pipeline("statsy")
+
+    @p.task()
+    def a(ctx):
+        return {"ok": 1}
+
+    p.run(spark, run_id="s1", state_store=store)
+    cp = ControlPlane(spark, [p], state_store=store)
+    st, body = cp.dispatch("GET", "/stats")
+    assert st == 200
+    assert body["pipelines"][0]["pipeline"] == "statsy"
+    assert body["pipelines"][0]["n_runs"] == 1
+    assert ControlPlane(spark, [p]).dispatch("GET", "/stats")[0] == 409
