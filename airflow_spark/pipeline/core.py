@@ -102,6 +102,14 @@ class TaskDef:
     #: should NOT burn retries — reference retries exist for transient
     #: HTTP faults (dags/DNS_Requests.py:13-17).
     retry_on: tuple[type, ...] | None = None
+    #: named concurrency pool (Airflow pools analog): at most
+    #: ``Pipeline(pools={name: N})`` tasks of a pool run at once —
+    #: the "2 connections to that fragile API" limiter. None = only
+    #: the global max_parallel_tasks cap applies.
+    pool: str | None = None
+    #: scheduling priority when more tasks are ready than slots
+    #: (Airflow priority_weight): higher submits first; ties by name.
+    priority: int = 0
 
 
 @dataclass
@@ -186,6 +194,7 @@ class Pipeline:
         tags: list[str] | None = None,
         description: str = "",
         max_parallel_tasks: int = 4,
+        pools: dict[str, int] | None = None,
     ):
         self.name = name
         self.schedule = schedule
@@ -200,6 +209,9 @@ class Pipeline:
         #: independent tasks run concurrently (LocalExecutor analog —
         #: Spark job submission is thread-safe; each task is a job)
         self.max_parallel_tasks = max(1, max_parallel_tasks)
+        #: named concurrency pools (Airflow pools analog): pool name →
+        #: max tasks of that pool in flight at once
+        self.pools = {k: max(1, int(v)) for k, v in (pools or {}).items()}
         self.tasks: dict[str, TaskDef] = {}
 
     # -- declaration ------------------------------------------------------
@@ -216,10 +228,15 @@ class Pipeline:
         when: Callable[[Context], bool] | None = None,
         task_timeout_s: float | None = None,
         retry_on: tuple[type, ...] | None = None,
+        pool: str | None = None,
+        priority: int = 0,
     ):
         """Register a task. ``fn(ctx)`` (or ``fn(ctx, element)`` when
         ``expand_over`` names an upstream task whose output is a list).
-        ``when`` is the conditional-pruning guard (P11)."""
+        ``when`` is the conditional-pruning guard (P11). ``pool``
+        names a shared concurrency slot set (declare sizes via
+        ``Pipeline(pools={...})``); ``priority`` orders submission
+        when ready tasks exceed free slots (higher first)."""
 
         def deco(f: Callable[..., Any]) -> Callable[..., Any]:
             tname = name or f.__name__
@@ -240,6 +257,8 @@ class Pipeline:
                 when=when,
                 task_timeout_s=task_timeout_s,
                 retry_on=retry_on,
+                pool=pool,
+                priority=priority,
             )
             return f
 
@@ -341,10 +360,24 @@ class Pipeline:
         # sequential form.
         with ThreadPoolExecutor(max_workers=self.max_parallel_tasks) as pool:
             while pending or running:
-                for tname in sorted(pending):
+                # higher priority submits first; ties by name (Airflow
+                # priority_weight semantics under a full executor)
+                ready_order = sorted(
+                    pending,
+                    key=lambda n: (-self.tasks[n].priority, n),
+                )
+                pool_in_flight: dict[str, int] = {}
+                for rt in running.values():
+                    pn = self.tasks[rt].pool
+                    if pn is not None:
+                        pool_in_flight[pn] = pool_in_flight.get(pn, 0) + 1
+                for tname in ready_order:
                     t = self.tasks[tname]
                     if not all(d in results for d in t.depends_on):
                         continue
+                    if t.pool is not None and t.pool in self.pools:
+                        if pool_in_flight.get(t.pool, 0) >= self.pools[t.pool]:
+                            continue  # pool saturated: stays pending
                     bad_dep = next(
                         (
                             d
@@ -384,6 +417,10 @@ class Pipeline:
                         pending.discard(tname)
                         continue
                     running[pool.submit(self._exec_task, t, ctx, deadline)] = tname
+                    if t.pool is not None:
+                        pool_in_flight[t.pool] = (
+                            pool_in_flight.get(t.pool, 0) + 1
+                        )
                     pending.discard(tname)
                 if running:
                     done, _ = wait(

@@ -913,3 +913,53 @@ def test_control_plane_stats_route(spark, tmp_path):
     assert body["pipelines"][0]["pipeline"] == "statsy"
     assert body["pipelines"][0]["n_runs"] == 1
     assert ControlPlane(spark, [p]).dispatch("GET", "/stats")[0] == 409
+
+
+def test_pool_limits_concurrency(spark):
+    """Tasks sharing a pool never exceed the pool size in flight, even
+    with free global slots; unpooled tasks are unaffected."""
+    import threading
+    import time as _time
+
+    from airflow_spark.pipeline import Pipeline
+
+    peak = {"now": 0, "max": 0}
+    lock = threading.Lock()
+    p = Pipeline("pooled", max_parallel_tasks=8, pools={"api": 2})
+
+    def body(ctx):
+        with lock:
+            peak["now"] += 1
+            peak["max"] = max(peak["max"], peak["now"])
+        _time.sleep(0.2)
+        with lock:
+            peak["now"] -= 1
+        return {}
+
+    for i in range(6):
+        p.task(name=f"t{i}", pool="api")(body)
+    run = p.run(spark)
+    assert run.ok
+    assert peak["max"] <= 2  # the pool cap held with 8 global slots
+
+
+def test_priority_orders_submission_under_full_executor(spark):
+    """With one executor slot, higher-priority ready tasks run first."""
+    from airflow_spark.pipeline import Pipeline
+
+    order = []
+    p = Pipeline("prio", max_parallel_tasks=1)
+
+    def make(name):
+        def body(ctx):
+            order.append(name)
+            return {}
+
+        return body
+
+    p.task(name="low", priority=1)(make("low"))
+    p.task(name="high", priority=10)(make("high"))
+    p.task(name="mid", priority=5)(make("mid"))
+    run = p.run(spark)
+    assert run.ok
+    assert order == ["high", "mid", "low"]
