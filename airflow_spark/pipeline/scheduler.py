@@ -104,6 +104,9 @@ class _Entry:
     pipeline: object
     run_kwargs: dict = field(default_factory=dict)
     last_fire: dt.datetime | None = None
+    #: dataset-driven trigger (Airflow Datasets analog): when set, the
+    #: pipeline also fires on dataset change, independent of the cron
+    dataset: object | None = None
 
 
 class Scheduler:
@@ -113,10 +116,19 @@ class Scheduler:
         self.spark = spark
         self.entries: dict[str, _Entry] = {}
 
-    def register(self, pipeline, **run_kwargs) -> None:
-        if pipeline.schedule is None:
-            raise ValueError(f"pipeline {pipeline.name} has no schedule")
-        self.entries[pipeline.name] = _Entry(pipeline, run_kwargs)
+    def register(self, pipeline, dataset=None, **run_kwargs) -> None:
+        """``dataset`` (a ``sensors.DatasetTrigger``) makes the
+        pipeline data-driven: it fires when the watched path's
+        fingerprint changes — with no cron, that is its ONLY trigger;
+        with one, both fire it (cron for freshness, dataset for
+        upstream pushes)."""
+        if pipeline.schedule is None and dataset is None:
+            raise ValueError(
+                f"pipeline {pipeline.name} has no schedule and no dataset"
+            )
+        self.entries[pipeline.name] = _Entry(
+            pipeline, run_kwargs, dataset=dataset
+        )
 
     def run_pending(self, now: dt.datetime | None = None) -> list:
         """Fire every pipeline whose latest due interval since its last
@@ -126,8 +138,13 @@ class Scheduler:
         runs = []
         for entry in self.entries.values():
             p = entry.pipeline
-            since = entry.last_fire or (now - dt.timedelta(days=1))
-            fire = latest_fire_in(p.schedule, since, now)
+            fire = None
+            if p.schedule is not None:
+                since = entry.last_fire or (now - dt.timedelta(days=1))
+                fire = latest_fire_in(p.schedule, since, now)
+            if fire is None and entry.dataset is not None:
+                if entry.dataset.should_fire():
+                    fire = now  # data-driven: run AT the poll instant
             if fire is None:
                 continue
             entry.last_fire = fire

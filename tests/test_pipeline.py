@@ -963,3 +963,88 @@ def test_priority_orders_submission_under_full_executor(spark):
     run = p.run(spark)
     assert run.ok
     assert order == ["high", "mid", "low"]
+
+
+def test_poke_until_and_sensors(spark, tmp_path):
+    from airflow_spark.pipeline.sensors import (
+        SensorTimeout,
+        high_water_sensor,
+        path_sensor,
+        poke_until,
+    )
+
+    # deterministic clock: no real sleeping
+    t = {"now": 0.0}
+    slept = []
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        slept.append(s)
+        t["now"] += s
+
+    state = {"tries": 0}
+
+    def flaky():
+        state["tries"] += 1
+        return state["tries"] >= 3
+
+    assert poke_until(flaky, poke_interval_s=5, timeout_s=60,
+                      clock=clock, sleep=sleep)
+    assert state["tries"] == 3 and slept == [5, 5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(SensorTimeout):
+        poke_until(lambda: False, poke_interval_s=5, timeout_s=12,
+                   clock=clock, sleep=sleep)
+
+    # path sensor: false until data lands, then true
+    pth = str(tmp_path / "sensed")
+    cond = path_sensor(spark, pth)
+    assert not cond()
+    spark.range(3).write.parquet(pth)
+    assert cond()
+    hw = high_water_sensor(spark, pth, "id", 2)
+    assert hw()
+    assert not high_water_sensor(spark, pth, "id", 99)()
+
+
+def test_dataset_trigger_fires_on_change_only(spark, tmp_path):
+    import datetime as dt
+
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.sensors import DatasetTrigger
+    from airflow_spark.pipeline.scheduler import Scheduler
+
+    ds_path = tmp_path / "ds"
+    trig = DatasetTrigger(str(ds_path))
+    assert not trig.should_fire()  # absent: no fire
+
+    calls = []
+    p = Pipeline("data_driven")  # NO cron — dataset is the only trigger
+
+    @p.task()
+    def consume(ctx):
+        calls.append(ctx.run_ts)
+        return {}
+
+    sched = Scheduler(spark)
+    sched.register(p, dataset=trig)
+    now = dt.datetime(2026, 3, 1, tzinfo=dt.timezone.utc)
+
+    sched.run_pending(now)
+    assert calls == []  # still no data
+
+    ds_path.mkdir()
+    (ds_path / "part-0.parquet").write_bytes(b"x" * 10)
+    sched.run_pending(now)
+    assert len(calls) == 1  # first sight fires
+
+    sched.run_pending(now)
+    assert len(calls) == 1  # unchanged: no refire
+
+    (ds_path / "part-1.parquet").write_bytes(b"y" * 20)
+    sched.run_pending(now)
+    assert len(calls) == 2  # new file → new fingerprint → fire
