@@ -4768,21 +4768,7 @@ OPERATOR_ORACLE_SQL["op_kcore"] = _sql_kcore(k=12, rounds=10)
 def _sql_token_fertility(n_merges: int = 40) -> str:
     """Fertility oracle: same reference tokenization literal table as
     the BPE oracle, aggregated per language."""
-    import os
-
-    from . import tokenize as tk
-
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    wc = tk.word_counts_from_parquet(sf)
-    ranks = {
-        tuple(p): i for i, p in enumerate(tk.train_bpe(wc, n_merges))
-    }
-    entries = ",\n  ".join(
-        "('{}', {})".format(
-            w.replace("'", "''"), len(tk.bpe_word_tokens(w, ranks))
-        )
-        for w in sorted(wc)
-    )
+    entries = _bpe_lut_entries(n_merges)
     return f"""
 WITH lut(w, n_toks) AS (VALUES {entries}),
 words AS (SELECT doc_id, lang,
@@ -4799,6 +4785,35 @@ GROUP BY lang ORDER BY lang
 """
 
 
+#: cache for the BPE oracle's reference tokenization: (sf, n_merges) →
+#: VALUES entries; training + the parquet scan run ONCE per config even
+#: though two oracle builders (token counts + fertility) consume it
+_BPE_LUT_CACHE: dict = {}
+
+
+def _bpe_lut_entries(n_merges: int) -> str:
+    import os
+
+    from . import tokenize as tk
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    key = (sf, n_merges)
+    got = _BPE_LUT_CACHE.get(key)
+    if got is None:
+        wc = tk.word_counts_from_parquet(sf)
+        ranks = {
+            tuple(p): i for i, p in enumerate(tk.train_bpe(wc, n_merges))
+        }
+        got = ",\n  ".join(
+            "('{}', {})".format(
+                w.replace("'", "''"), len(tk.bpe_word_tokens(w, ranks))
+            )
+            for w in sorted(wc)
+        )
+        _BPE_LUT_CACHE[key] = got
+    return got
+
+
 def _sql_bpe_tokenize(n_merges: int = 40) -> str:
     """BPE oracle: merges retrained from the parquet word counts by
     the same engine-independent pure-Python trainer, then every vocab
@@ -4807,21 +4822,7 @@ def _sql_bpe_tokenize(n_merges: int = 40) -> str:
     split + join + sum. A hash match attests the distributed
     mapInPandas application reproduces the reference tokenization on
     every word of every document."""
-    import os
-
-    from . import tokenize as tk
-
-    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    wc = tk.word_counts_from_parquet(sf)
-    ranks = {
-        tuple(p): i for i, p in enumerate(tk.train_bpe(wc, n_merges))
-    }
-    entries = ",\n  ".join(
-        "('{}', {})".format(
-            w.replace("'", "''"), len(tk.bpe_word_tokens(w, ranks))
-        )
-        for w in sorted(wc)
-    )
+    entries = _bpe_lut_entries(n_merges)
     return f"""
 WITH lut(w, n_toks) AS (VALUES {entries}),
 words AS (SELECT doc_id,

@@ -660,11 +660,18 @@ def semantic_decontaminate(
             "__m"
         )
     )
-    return best.select(
+    # left-join back to the corpus ids: an EMPTY benchmark set means
+    # "nothing is contaminated", not "drop every corpus row" (a bare
+    # crossJoin against zero bench rows would silently return nothing
+    # and a keep-the-clean-rows caller would discard the whole corpus)
+    all_ids = corpus.select(F.col(id_col).alias("id"))
+    return all_ids.join(best, "id", "left").select(
         "id",
-        F.col("__m.__s").alias("max_cos"),
+        F.coalesce(F.col("__m.__s"), F.lit(0.0)).alias("max_cos"),
         F.when(
             F.col("__m.__s") >= F.lit(float(threshold)), -F.col("__m.__nb")
         ).alias("matched_id"),
-        (F.col("__m.__s") >= F.lit(float(threshold))).alias("contaminated"),
+        F.coalesce(
+            F.col("__m.__s") >= F.lit(float(threshold)), F.lit(False)
+        ).alias("contaminated"),
     )

@@ -16,8 +16,13 @@ Routes:
 - ``POST /pipelines/{name}/trigger`` — body ``{"params": {...},
   "profile": "dev"}`` → starts the run on a daemon thread, returns
   202 + run_id immediately (the Airflow REST dagRuns shape).
+- ``POST /pipelines/{name}/resume/{run_id}`` — clear-and-rerun of a
+  failed run (succeeded tasks reuse persisted XCom); 202 + a
+  placeholder run_id to poll.
 - ``GET /runs/{run_id}`` — status of a triggered run (running /
   success / failed + per-task states once finished).
+- ``GET /stats`` — per-pipeline run analytics from the state store
+  (success rate, duration mean/p95, last run).
 
 Design note: the dispatch core (``ControlPlane.dispatch``) takes
 (method, path, body) and returns (status, payload) with no socket

@@ -345,6 +345,14 @@ class Pipeline:
         first_error: str | None = None
 
         self._topo_order()  # validates the graph (cycles, unknown deps)
+        for t in self.tasks.values():
+            if t.pool is not None and t.pool not in self.pools:
+                raise ValueError(
+                    f"task {t.name!r} names pool {t.pool!r} but the "
+                    f"pipeline declares pools {sorted(self.pools)} — an "
+                    "undeclared pool would run UNCAPPED (declare it via "
+                    "Pipeline(pools={...}))"
+                )
         pending = set(self.tasks)
         for tname, val in (completed_outputs or {}).items():
             if tname in pending:
@@ -415,6 +423,12 @@ class Pipeline:
                         results[tname] = TaskResult(tname, "skipped")
                         ctx.outputs[tname] = None
                         pending.discard(tname)
+                        continue
+                    if len(running) >= self.max_parallel_tasks:
+                        # never queue beyond free workers: FIFO queuing
+                        # inside the executor would defeat the priority
+                        # sort for tasks that become ready later — a
+                        # freed slot must re-consult the sorted list
                         continue
                     running[pool.submit(self._exec_task, t, ctx, deadline)] = tname
                     if t.pool is not None:

@@ -112,13 +112,29 @@ class DatasetTrigger:
             return None
         entries = []
         if os.path.isfile(self.path):
-            st = os.stat(self.path)
+            try:
+                st = os.stat(self.path)
+            except FileNotFoundError:
+                return None
             entries.append(("", st.st_size, st.st_mtime_ns))
         else:
-            for root, _dirs, files in os.walk(self.path):
+            for root, dirs, files in os.walk(self.path):
+                # skip writer metadata/temp paths (_temporary, _SUCCESS,
+                # .crc …): an in-progress Spark write must not change
+                # the fingerprint and fire downstream on partial data —
+                # the same '_*'-is-hidden convention the parquet
+                # readers use
+                dirs[:] = [
+                    d for d in dirs if not d.startswith(("_", "."))
+                ]
                 for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue
                     full = os.path.join(root, f)
-                    st = os.stat(full)
+                    try:
+                        st = os.stat(full)
+                    except FileNotFoundError:
+                        continue  # racing writer/cleaner: skip, don't die
                     entries.append(
                         (
                             os.path.relpath(full, self.path),
@@ -126,6 +142,8 @@ class DatasetTrigger:
                             st.st_mtime_ns,
                         )
                     )
+        if not entries:
+            return None  # nothing durable yet: not a fireable dataset
         h = hashlib.sha256(repr(sorted(entries)).encode()).hexdigest()
         return h
 

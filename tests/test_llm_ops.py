@@ -2032,3 +2032,18 @@ def test_semantic_decontaminate_flags_planted_clone(spark):
     assert out[1].max_cos == 1.0
     assert not out[2].contaminated and out[2].matched_id is None
     assert not out[3].contaminated
+
+
+def test_semantic_decontaminate_empty_bench_keeps_corpus(spark):
+    """An empty benchmark means nothing is contaminated — the corpus
+    must come back intact, not vanish through the cross join."""
+    from airflow_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    bench = corpus.where("vec_id < 0")  # empty
+    out = semantic_decontaminate(corpus, bench, 0.9).collect()
+    assert {r.id for r in out} == {1, 2}
+    assert all(not r.contaminated and r.max_cos == 0.0 for r in out)

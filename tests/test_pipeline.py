@@ -1048,3 +1048,66 @@ def test_dataset_trigger_fires_on_change_only(spark, tmp_path):
     (ds_path / "part-1.parquet").write_bytes(b"y" * 20)
     sched.run_pending(now)
     assert len(calls) == 2  # new file → new fingerprint → fire
+
+
+def test_priority_holds_for_later_ready_tasks(spark):
+    """A high-priority task that becomes ready LATER still preempts
+    queued low-priority work (tasks are never queued beyond free
+    workers, so each freed slot re-consults the priority order)."""
+    from airflow_spark.pipeline import Pipeline
+
+    order = []
+    p = Pipeline("prio2", max_parallel_tasks=1)
+
+    def make(name):
+        def body(ctx):
+            order.append(name)
+            return {}
+
+        return body
+
+    p.task(name="root")(make("root"))
+    for i in range(3):
+        p.task(name=f"low{i}", priority=0)(make(f"low{i}"))
+    p.task(name="critical", priority=100, depends_on=["root"])(
+        make("critical")
+    )
+    run = p.run(spark)
+    assert run.ok
+    # critical runs right after root completes, before remaining lows
+    assert order.index("critical") == order.index("root") + 1
+
+
+def test_unknown_pool_raises(spark):
+    from airflow_spark.pipeline import Pipeline
+
+    p = Pipeline("typo", pools={"api": 2})
+
+    @p.task(pool="apis")  # typo: undeclared pool
+    def t(ctx):
+        return {}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="undeclared pool|names pool"):
+        p.run(spark)
+
+
+def test_dataset_trigger_ignores_metadata_and_races(tmp_path):
+    from airflow_spark.pipeline.sensors import DatasetTrigger
+
+    ds = tmp_path / "ds2"
+    ds.mkdir()
+    (ds / "part-0.parquet").write_bytes(b"data")
+    trig = DatasetTrigger(str(ds))
+    assert trig.should_fire()
+    # metadata/temp churn must NOT refire (in-progress Spark write)
+    (ds / "_SUCCESS").write_bytes(b"")
+    (ds / ".part-1.crc").write_bytes(b"c")
+    tmpdir = ds / "_temporary"
+    tmpdir.mkdir()
+    (tmpdir / "chunk").write_bytes(b"partial")
+    assert not trig.should_fire()
+    # real data change still fires
+    (ds / "part-1.parquet").write_bytes(b"more")
+    assert trig.should_fire()
