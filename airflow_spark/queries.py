@@ -819,15 +819,23 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order's lineitems — no correlated subqueries, no re-scans."""
     t = load_tables(spark, sf_dir)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    per_order = (
+    # two stacked groupBys instead of two COUNT(DISTINCT) aggregates:
+    # multiple distinct aggs expand the input (one replica per agg)
+    # before the shuffle — the (order, supplier) pre-aggregation gets
+    # the same answer with ONE pass and no Expand, ~2x faster here
+    per_supp = (
         t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("__late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
-                "n_late_supp"
-            ),
-            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("__late").alias("n_late_supp"),
+            F.min(
+                F.when(F.col("__late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
         )
         .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
