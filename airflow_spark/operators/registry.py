@@ -2186,6 +2186,32 @@ def op_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties-kept top-k (dense_rank ≤ 3): the three highest rounded
+    order totals per priority, KEEPING every order that shares a
+    winning value — the WITH TIES semantics row_number-based top-k
+    (q15) silently breaks."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    price = F.round((F.col("o_totalprice") / 1000).cast("double"), 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        price.desc()
+    )
+    return (
+        t.orders.withColumn("__band", price)
+        .withColumn("__r", F.dense_rank().over(w))
+        .where(F.col("__r") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("__band").alias("price_band"),
+            F.col("__r").cast("long").alias("rnk"),
+            "o_orderkey",
+        )
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    )
+
+
 def op_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator-function breadth: sequence() ranges exploded to rows
     and stack() wide→long pivoting — the row-producing expressions
@@ -2515,6 +2541,7 @@ OPERATOR_QUERIES = {
     "op_kcore": op_kcore,
     "op_semantic_decontaminate": op_semantic_decontaminate,
     "op_token_fertility": op_token_fertility,
+    "op_topk_with_ties": op_topk_with_ties,
     "op_generator_funcs": op_generator_funcs,
     "op_bitmap_distinct": op_bitmap_distinct,
     "op_holt_forecast": op_holt_forecast,
@@ -3579,6 +3606,19 @@ SELECT id, s AS max_cos,
        s >= 0.9 AS contaminated
 FROM r WHERE rn = 1 ORDER BY id LIMIT 300
 """.replace("{D}", "list_sum(list_transform(list_zip(c.embedding, b.embedding), z -> CAST(z[1] * z[2] AS DOUBLE)))").replace("{NA}", _NORM_F32.format(col="c.embedding")).replace("{NB}", _NORM_F32.format(col="b.embedding")),
+    "op_topk_with_ties": """
+WITH b AS (SELECT o_orderpriority, o_orderkey,
+                  round(CAST(o_totalprice / 1000 AS DOUBLE), 0) AS price_band
+           FROM orders),
+r AS (SELECT o_orderpriority, o_orderkey, price_band,
+             CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY price_band DESC)
+                  AS BIGINT) AS rnk
+      FROM b)
+SELECT o_orderpriority, price_band, rnk, o_orderkey
+FROM r WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk, o_orderkey
+""",
     "op_generator_funcs": """
 SELECT n_nationkey, kind, val FROM (
   SELECT n_nationkey, 'seq' AS kind,
