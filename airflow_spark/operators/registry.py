@@ -2186,6 +2186,105 @@ def op_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomalies: z-scores against the (event_type
+    × hour-of-day) profile instead of the global mean — a 3 a.m. burst
+    is judged against 3 a.m. behavior, so daily rhythm stops producing
+    false positives (the flaw in plain op_zscore_anomalies that this
+    op exists to fix). Profile stats broadcast back; one corpus pass."""
+    t = load_tables(spark, sf_dir)
+    hod = F.hour("ts").alias("hod")
+    staged = t.events.select(
+        "event_id", "event_type", hod, F.col("value")
+    )
+    prof = staged.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sd"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
+    return (
+        staged.join(F.broadcast(prof), ["event_type", "hod"])
+        .where(F.col("__sd") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hod").cast("long").alias("hod"),
+            F.round(z, 4).alias("z"),
+        )
+        .where(F.abs(F.round(z, 4)) >= 3.0)
+        .orderBy("event_id")
+        .limit(300)
+    )
+
+
+def op_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts per FK
+    relationship via anti-join (one fact pass each; dims broadcast).
+    A thinned customer dim (every 50th key dropped) plants real
+    orphans so the non-zero path is exercised on this corpus."""
+    t = load_tables(spark, sf_dir)
+    thin_cust = t.customer.where(F.col("c_custkey") % 50 != 0)
+    checks = [
+        ("orders->customer(thinned)", t.orders, "o_custkey", thin_cust, "c_custkey"),
+        ("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("lineitem->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+    ]
+    out = None
+    for label, fact, fk, dim, pk in checks:
+        part = fact.join(
+            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+        ).agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("relationship")
+
+
+def op_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles: per user, first 'view' to first
+    LATER 'purchase'; exact p50/p90 latency + conversion counts in one
+    report row — the funnel-depth readout op_funnel's step times feed."""
+    t = load_tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "__first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__first_buy"),
+    )
+    lat = per_user.select(
+        "user_id",
+        (
+            F.unix_timestamp("__first_buy") - F.unix_timestamp("__first_view")
+        ).alias("__lat_s"),
+        F.col("__first_view").isNotNull().alias("__viewed"),
+        (
+            F.col("__first_view").isNotNull()
+            & F.col("__first_buy").isNotNull()
+            & (F.col("__first_buy") > F.col("__first_view"))
+        ).alias("__converted"),
+    )
+    return lat.agg(
+        F.sum(F.col("__viewed").cast("int")).alias("n_viewed"),
+        F.sum(F.col("__converted").cast("int")).alias("n_converted"),
+        F.round(
+            F.percentile(
+                F.when(F.col("__converted"), F.col("__lat_s")), F.lit(0.5)
+            ),
+            2,
+        ).alias("p50_latency_s"),
+        F.round(
+            F.percentile(
+                F.when(F.col("__converted"), F.col("__lat_s")), F.lit(0.9)
+            ),
+            2,
+        ).alias("p90_latency_s"),
+    )
+
+
 def op_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ties-kept top-k (dense_rank ≤ 3): the three highest rounded
     order totals per priority, KEEPING every order that shares a
@@ -2541,6 +2640,9 @@ OPERATOR_QUERIES = {
     "op_kcore": op_kcore,
     "op_semantic_decontaminate": op_semantic_decontaminate,
     "op_token_fertility": op_token_fertility,
+    "op_seasonal_zscore": op_seasonal_zscore,
+    "op_ref_integrity": op_ref_integrity,
+    "op_funnel_latency": op_funnel_latency,
     "op_topk_with_ties": op_topk_with_ties,
     "op_generator_funcs": op_generator_funcs,
     "op_bitmap_distinct": op_bitmap_distinct,
@@ -3606,6 +3708,60 @@ SELECT id, s AS max_cos,
        s >= 0.9 AS contaminated
 FROM r WHERE rn = 1 ORDER BY id LIMIT 300
 """.replace("{D}", "list_sum(list_transform(list_zip(c.embedding, b.embedding), z -> CAST(z[1] * z[2] AS DOUBLE)))").replace("{NA}", _NORM_F32.format(col="c.embedding")).replace("{NB}", _NORM_F32.format(col="b.embedding")),
+    "op_seasonal_zscore": """
+WITH st AS (SELECT event_id, event_type, hour(ts) AS hod, value
+            FROM events),
+prof AS (SELECT event_type, hod, avg(value) AS mu,
+                stddev_pop(value) AS sd
+         FROM st GROUP BY event_type, hod)
+SELECT event_id, st.event_type, CAST(st.hod AS BIGINT) AS hod,
+       round((value - mu) / sd, 4) AS z
+FROM st JOIN prof ON st.event_type = prof.event_type
+                 AND st.hod = prof.hod
+WHERE sd > 0 AND abs(round((value - mu) / sd, 4)) >= 3.0
+ORDER BY event_id LIMIT 300
+""",
+    "op_ref_integrity": """
+SELECT relationship, n_orphans FROM (
+  SELECT 'orders->customer(thinned)' AS relationship,
+         CAST(count(*) AS BIGINT) AS n_orphans
+  FROM orders WHERE o_custkey NOT IN
+    (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0)
+  UNION ALL
+  SELECT 'lineitem->orders', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'lineitem->part', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT) FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) u
+ORDER BY relationship
+""",
+    "op_funnel_latency": """
+WITH pu AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                     AS first_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                     AS first_buy
+            FROM events GROUP BY user_id),
+lat AS (SELECT user_id,
+               CAST(floor(epoch(first_buy)) AS BIGINT)
+                 - CAST(floor(epoch(first_view)) AS BIGINT) AS lat_s,
+               first_view IS NOT NULL AS viewed,
+               (first_view IS NOT NULL AND first_buy IS NOT NULL
+                AND first_buy > first_view) AS converted
+        FROM pu)
+SELECT CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       round(quantile_cont(CASE WHEN converted THEN lat_s END, 0.5), 2)
+         AS p50_latency_s,
+       round(quantile_cont(CASE WHEN converted THEN lat_s END, 0.9), 2)
+         AS p90_latency_s
+FROM lat
+""",
     "op_topk_with_ties": """
 WITH b AS (SELECT o_orderpriority, o_orderkey,
                   round(CAST(o_totalprice / 1000 AS DOUBLE), 0) AS price_band
