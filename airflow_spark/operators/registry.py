@@ -2186,6 +2186,33 @@ def op_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from customer-nodes {0, 2, 4} over the
+    bipartite customer↔supplier order graph: proximity-to-sources
+    ranking (related-entity retrieval), teleport mass returning to the
+    source set."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = graph.personalized_pagerank(sym, [0, 2, 4], iters=3)
+    return (
+        out.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+        .limit(200)
+    )
+
+
 def op_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonality-adjusted anomalies: z-scores against the (event_type
     × hour-of-day) profile instead of the global mean — a 3 a.m. burst
@@ -2640,6 +2667,7 @@ OPERATOR_QUERIES = {
     "op_kcore": op_kcore,
     "op_semantic_decontaminate": op_semantic_decontaminate,
     "op_token_fertility": op_token_fertility,
+    "op_personalized_pagerank": op_personalized_pagerank,
     "op_seasonal_zscore": op_seasonal_zscore,
     "op_ref_integrity": op_ref_integrity,
     "op_funnel_latency": op_funnel_latency,
@@ -3436,6 +3464,36 @@ ORDER BY id LIMIT 200
 """
 
 
+def _sql_ppr(iters: int = 3, d: float = 0.85,
+             sources: tuple = (0, 2, 4)) -> str:
+    """Unrolled personalized-PageRank twin (same scaffold as
+    _sql_pagerank; teleport returns to the source set)."""
+    srcs = ", ".join(str(int(x)) for x in sources)
+    tel = f"CASE WHEN node IN ({srcs}) THEN 1.0/{len(sources)} ELSE 0.0 END"
+    sql = f"""
+WITH pairs AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, {tel} AS rank FROM nodes),
+"""
+    for i in range(iters):
+        sql += f"""c{i} AS (SELECT e.dst AS node, sum(r.rank/od.deg) AS c
+  FROM edges e JOIN r{i} r ON e.src = r.node
+  JOIN outdeg od ON od.src = e.src GROUP BY e.dst),
+r{i + 1} AS (SELECT nodes.node,
+  (1-{d!r})*({tel.replace('node', 'nodes.node')})
+   + {d!r}*coalesce(c.c, 0.0) AS rank
+  FROM nodes LEFT JOIN c{i} c ON nodes.node = c.node),
+"""
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node LIMIT 200
+"""
+    return sql
+
+
 def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     """Unrolled power-iteration twin of graph.pagerank (recursive CTEs
     cannot aggregate in the recursive term, so each round is its own
@@ -3617,6 +3675,7 @@ SELECT doc_id, text, valid_from, valid_to, is_current
 FROM m ORDER BY doc_id, valid_from, is_current
 """,
     "op_pagerank": _sql_pagerank(iters=3),
+    "op_personalized_pagerank": _sql_ppr(iters=3),
     "op_connected_components": """
 WITH g AS (SELECT text, CAST(min(doc_id) AS BIGINT) AS component,
                   count(*) AS n

@@ -218,3 +218,30 @@ def test_kcore_ignores_self_loops_and_duplicates(spark):
     out = {r.node: r.deg for r in kcore(edges, k=1).collect()}
     assert out == {0: 1, 1: 1}
     assert kcore(edges, k=2).count() == 0
+
+
+def test_personalized_pagerank_concentrates_near_sources(spark):
+    from airflow_spark.operators.graph import personalized_pagerank
+
+    # path graph 0-1-2-3-4-5, symmetric; source = {0}
+    path = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        path + [(b, a) for a, b in path], "src LONG, dst LONG"
+    )
+    out = {r.node: r.rank for r in
+           personalized_pagerank(edges, [0], iters=8).collect()}
+    # rank decays monotonically with distance from the source
+    assert out[0] > out[1] > out[2] > out[3]
+    # unreachable component gets zero
+    edges2 = spark.createDataFrame(
+        [(0, 1), (1, 0), (7, 8), (8, 7)], "src LONG, dst LONG"
+    )
+    out2 = {r.node: r.rank for r in
+            personalized_pagerank(edges2, [0], iters=6).collect()}
+    assert out2[7] == 0.0 and out2[8] == 0.0
+    assert out2[0] > 0 and out2[1] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, [], iters=2)
