@@ -2701,6 +2701,7 @@ _EXPENSIVE_TAIL = [
     "op_dedup_simhash",
     "op_bfs_distances",
     "op_pagerank",
+    "op_personalized_pagerank",
     "op_dedup_minhash",
 ]
 OPERATOR_QUERIES = {
