@@ -234,3 +234,45 @@ def two_proportion_ztest(
         # z statistic is undefined, so NULL is the honest answer
         F.round((p0 - p1) / F.nullif(se, F.lit(0.0)), 4).alias("z"),
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini concentration coefficient per group via the rank formula
+    ``G = (2*Σ(i·x_i) - (n+1)·Σx) / (n·Σx)`` over values sorted
+    ascending (ties broken by ``id_col`` — the coefficient itself is
+    tie-invariant because equal x contribute symmetrically).
+
+    One shuffle (the per-group rank window), then a partial-agg
+    groupBy — rank windows partition by group, so no global sort and
+    no single-partition straggler at scale. ``value_col`` must be a
+    non-negative integer column (pass cents, not dollars): the
+    weighted sum stays in exact integer arithmetic until the final
+    division, so the result is reproducible across engines.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(group_col, value_col, id_col).withColumn(
+        "__i", F.row_number().over(w)
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("__total"),
+        F.sum(F.col("__i") * F.col(value_col)).alias("__iw"),
+    )
+    n = F.col("n").cast("double")
+    total = F.col("__total").cast("double")
+    gini = (2.0 * F.col("__iw").cast("double") - (n + 1.0) * total) / (
+        n * total
+    )
+    return agg.select(
+        group_col,
+        "n",
+        F.col("__total").alias("total"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -149,3 +149,120 @@ def abc_classification(
         .otherwise("C")
         .alias("abc_class"),
     ).orderBy(F.col("total_w").desc(), key_col)
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    Per customer: recency = days from their latest order to the
+    corpus-wide latest order date (data-anchored — no wall clock),
+    frequency = order count, monetary = lifetime spend in exact
+    integer cents. Each dimension is scored 1..n_tiles with ``ntile``
+    (1 = best), ties broken by customer key for a total order, and the
+    concatenated code (e.g. '111' = champions) is aggregated to one
+    row per segment.
+
+    Scale notes: the per-customer aggregate is a partial-agg shuffle
+    on the customer key; the ntile windows are GLOBAL (single ordered
+    partition) — fine for customer-grain data (orders-of-magnitude
+    smaller than fact tables), but for a billion-key population swap
+    the scoring step for quantile boundaries from
+    ``curation.quantile_bins`` (approx_percentile + broadcast join,
+    no global sort).
+    """
+    from pyspark.sql import Window
+
+    per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.max(date_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.col(amount_col) * 100).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    anchor = per_cust.agg(F.max("__last").alias("__anchor"))
+    scored = per_cust.join(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff(F.col("__anchor"), F.col("__last"))
+    )
+    nt = int(n_tiles)
+    scored = (
+        scored.withColumn(
+            "r_score",
+            F.ntile(nt).over(
+                Window.orderBy(F.col("recency_days").asc(), "custkey")
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(nt).over(
+                Window.orderBy(F.col("frequency").desc(), "custkey")
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(nt).over(
+                Window.orderBy(F.col("monetary_cents").desc(), "custkey")
+            ),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("total_cents"),
+            F.round(
+                F.avg(F.col("monetary_cents").cast("double")) / 100.0, 2
+            ).alias("avg_spend"),
+        )
+    )
+
+
+def pareto_front(
+    df: DataFrame,
+    group_col: str,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """Per-group Pareto frontier: keep rows not dominated by any other
+    row in the group, maximizing ``max_col`` while minimizing
+    ``min_col`` (dominated = another row is >= on the max objective,
+    <= on the min objective, and strictly better on at least one).
+
+    Window-only skyline — NO self-join, NO all-pairs: dense-rank the
+    max objective, then one running ``min(min_col)`` over strictly
+    better ranks (integer-rank RANGE frame excludes ties exactly);
+    equal-``max_col`` dominance is a second per-(group, rank) window.
+    Two window passes over one partitioning = one shuffle.
+    """
+    from pyspark.sql import Window
+
+    pr = F.dense_rank().over(
+        Window.partitionBy(group_col).orderBy(F.col(max_col).desc())
+    )
+    ranked = df.withColumn("__pr", pr)
+    best_higher = F.min(min_col).over(
+        Window.partitionBy(group_col)
+        .orderBy("__pr")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    best_tied = F.min(min_col).over(
+        Window.partitionBy(group_col, "__pr")
+    )
+    return (
+        ranked.withColumn("__bh", best_higher)
+        .withColumn("__bt", best_tied)
+        .where(
+            (F.col("__bh").isNull() | (F.col(min_col) < F.col("__bh")))
+            & (F.col(min_col) == F.col("__bt"))
+        )
+        .drop("__pr", "__bh", "__bt")
+    )

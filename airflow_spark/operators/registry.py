@@ -2533,11 +2533,90 @@ def op_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer lifetime revenue within each
+    market segment (inequality audit — how concentrated is spend in a
+    few whales). Revenue is exact integer cents, so the rank-formula
+    weighted sum is engine-exact until the final division.
+    Reference analog: none (net-new analytics surface)."""
+    t = load_tables(spark, sf_dir)
+    rev = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    per_cust = rev.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        rev.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        inference.gini_by_group(
+            per_cust, "c_mktsegment", "rev_cents", "c_custkey"
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+            "gini",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def op_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation of the customer
+    base from the orders fact, quartile-scored with deterministic
+    tie-breaks and rolled up to one row per segment code."""
+    t = load_tables(spark, sf_dir)
+    return profile.rfm_segments(t.orders).orderBy("segment")
+
+
+def op_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts: maximize retail price,
+    minimize size — the window-only skyline (dense-rank + running min
+    over strictly-better ranks), no self-join, no all-pairs."""
+    t = load_tables(spark, sf_dir)
+    return (
+        profile.pareto_front(t.part, "p_brand", "p_retailprice", "p_size")
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            "p_size",
+        )
+        .orderBy("p_brand", F.col("p_retailprice").desc(), "p_partkey")
+        .limit(400)
+    )
+
+
+def op_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy over a-z
+    (corpus-quality signal: ~0 = degenerate repetition). Pure
+    length/replace projection — no explode, no shuffle, whole-stage
+    codegen end to end."""
+    t = load_tables(spark, sf_dir)
+    n_letters, ent = text.char_entropy_col("text")
+    return (
+        t.documents.select(
+            "doc_id",
+            n_letters.alias("n_letters"),
+            F.round(ent, 4).alias("entropy_bits"),
+        )
+        .where(F.col("n_letters") > 0)
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
 # (round 1 lost the tail of this list to a time cut-off).
 OPERATOR_QUERIES = {
+    "op_gini": op_gini,
+    "op_rfm": op_rfm,
+    "op_pareto_front": op_pareto_front,
+    "op_char_entropy": op_char_entropy,
     "op_asof_join": op_asof_join,
     "op_interval_join": op_interval_join,
     "op_running_total": op_running_total,
@@ -5019,6 +5098,103 @@ FROM {prev} GROUP BY a ORDER BY node
 
 
 OPERATOR_ORACLE_SQL["op_kcore"] = _sql_kcore(k=12, rounds=10)
+
+
+OPERATOR_ORACLE_SQL["op_gini"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c.c_mktsegment, c.c_custkey, r.rev_cents
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+rk AS (
+  SELECT c_mktsegment, rev_cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_cents ASC, c_custkey ASC) AS i
+  FROM j)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+       round((2.0 * CAST(sum(i * rev_cents) AS DOUBLE)
+              - (count(*) + 1.0) * CAST(sum(rev_cents) AS DOUBLE))
+             / (count(*) * CAST(sum(rev_cents) AS DOUBLE)), 6) AS gini
+FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+OPERATOR_ORACLE_SQL["op_rfm"] = """
+WITH pc AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+a AS (SELECT max(last_d) AS anchor FROM pc),
+s AS (SELECT pc.*, date_diff('day', last_d, anchor) AS recency_days
+      FROM pc, a),
+t AS (
+  SELECT custkey, monetary_cents,
+         ntile(4) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+  FROM s)
+SELECT concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS total_cents,
+       round(avg(CAST(monetary_cents AS DOUBLE)) / 100.0, 2) AS avg_spend
+FROM t GROUP BY 1 ORDER BY segment
+"""
+
+
+OPERATOR_ORACLE_SQL["op_pareto_front"] = """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_retailprice, p_size,
+         dense_rank() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC) AS pr
+  FROM part),
+w AS (
+  SELECT r.*,
+         min(p_size) OVER (PARTITION BY p_brand ORDER BY pr
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS bh,
+         min(p_size) OVER (PARTITION BY p_brand, pr) AS bt
+  FROM r)
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, p_size
+FROM w WHERE (bh IS NULL OR p_size < bh) AND p_size = bt
+ORDER BY p_brand, p_retailprice DESC, p_partkey LIMIT 400
+"""
+
+
+def _sql_char_entropy(alphabet: str = "abcdefghijklmnopqrstuvwxyz") -> str:
+    """Entropy oracle: the same fixed-alphabet length/replace counts
+    and a..z term order as the Spark projection, so the double
+    arithmetic is bit-reproducible across engines."""
+    counts = ", ".join(
+        f"CAST(length(t) - length(replace(t, '{ch}', '')) AS BIGINT)"
+        f" AS c_{ch}"
+        for ch in alphabet
+    )
+    total = " + ".join(f"c_{ch}" for ch in alphabet)
+    terms = " + ".join(
+        f"CASE WHEN c_{ch} > 0 THEN -(CAST(c_{ch} AS DOUBLE) / nl)"
+        f" * log2(CAST(c_{ch} AS DOUBLE) / nl) ELSE 0.0 END"
+        for ch in alphabet
+    )
+    return f"""
+WITH low AS (SELECT doc_id, lower(text) AS t FROM documents),
+c AS (SELECT doc_id, {counts} FROM low),
+n AS (SELECT *, CAST({total} AS DOUBLE) AS nl FROM c)
+SELECT doc_id, CAST(nl AS BIGINT) AS n_letters,
+       round({terms}, 4) AS entropy_bits
+FROM n WHERE nl > 0 ORDER BY doc_id LIMIT 200
+"""
+
+
+OPERATOR_ORACLE_SQL["op_char_entropy"] = _sql_char_entropy()
 
 
 def _sql_token_fertility(n_merges: int = 40) -> str:

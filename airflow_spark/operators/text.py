@@ -204,3 +204,37 @@ def hashed_tf(
         return F.size(F.filter(toks, lambda t: bucket(t) == F.lit(i)))
 
     return F.array(*[bucket_counter(i).cast("long") for i in range(dim)])
+
+
+def char_entropy_col(
+    text: Column | str,
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz",
+) -> tuple[Column, Column]:
+    """(n_letters, Shannon entropy in bits) of the character
+    distribution over a fixed alphabet in the lowercased text — a
+    classic corpus-quality signal (near-0 = degenerate repetition;
+    English prose sits around 4.1 bits).
+
+    Pure projection over ``length``/``replace`` — counts come from the
+    length-difference trick, so there is NO explode, NO shuffle, and
+    the whole thing runs inside whole-stage codegen during the corpus
+    scan. Expressible verbatim in any SQL engine (the DuckDB oracle
+    reproduces it exactly).
+    """
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    counts = [
+        F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+        for ch in alphabet
+    ]
+    n = counts[0]
+    for cnt in counts[1:]:
+        n = n + cnt
+    n = n.cast("double")
+    terms = []
+    for cnt in counts:
+        p = cnt.cast("double") / n
+        terms.append(F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    ent = terms[0]
+    for t in terms[1:]:
+        ent = ent + t
+    return n.cast("bigint"), ent

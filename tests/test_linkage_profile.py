@@ -178,3 +178,93 @@ def test_profile_requires_cols(spark):
     df = spark.createDataFrame([Row(a=1)])
     with pytest.raises(ValueError):
         profile.profile_columns(df, [])
+
+
+# ---------------------------------------------------------------------------
+# gini_by_group / rfm_segments / pareto_front / char_entropy_col
+# ---------------------------------------------------------------------------
+
+
+def test_gini_equal_values_is_zero(spark):
+    from airflow_spark.operators.inference import gini_by_group
+
+    df = spark.createDataFrame(
+        [("g", 100, i) for i in range(8)], "grp string, v long, id long"
+    )
+    row = gini_by_group(df, "grp", "v", "id").collect()[0]
+    assert row["gini"] == 0.0
+    assert row["n"] == 8 and row["total"] == 800
+
+
+def test_gini_single_holder_matches_closed_form(spark):
+    from airflow_spark.operators.inference import gini_by_group
+
+    # one member owns everything: G = (n-1)/n exactly
+    n = 5
+    rows = [("g", 0, i) for i in range(n - 1)] + [("g", 1000, n - 1)]
+    df = spark.createDataFrame(rows, "grp string, v long, id long")
+    row = gini_by_group(df, "grp", "v", "id").collect()[0]
+    assert row["gini"] == round((n - 1) / n, 6)
+
+
+def test_pareto_front_keeps_exactly_nondominated(spark):
+    from airflow_spark.operators.profile import pareto_front
+
+    # (price, size): frontier = (10,1), (8,0); (10,3) dominated by
+    # equal-price (10,1); (9,2) dominated by (10,1); duplicate optimal
+    # vectors (8,0)x2 are mutually non-dominating -> both kept
+    rows = [
+        ("b", 1, 10.0, 1),
+        ("b", 2, 10.0, 3),
+        ("b", 3, 9.0, 2),
+        ("b", 4, 8.0, 0),
+        ("b", 5, 8.0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "p_brand string, p_partkey long, p_retailprice double, p_size long"
+    )
+    got = sorted(
+        r["p_partkey"]
+        for r in pareto_front(df, "p_brand", "p_retailprice", "p_size").collect()
+    )
+    assert got == [1, 4, 5]
+
+
+def test_rfm_best_customer_lands_in_111(spark):
+    from airflow_spark.operators.profile import rfm_segments
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+    rows = []
+    # customer 0: most recent, most frequent, biggest spend
+    for i in range(8):
+        rows.append((0, d + dt.timedelta(days=20 + i), 1000.0))
+    # customers 1..7: one stale small order each, staggered
+    for c in range(1, 8):
+        rows.append((c, d + dt.timedelta(days=c), 10.0 * c))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    seg = {r["segment"]: r for r in rfm_segments(df).collect()}
+    assert "111" in seg and seg["111"]["n_customers"] == 1
+    assert seg["111"]["total_cents"] == 8 * 100000
+    assert sum(r["n_customers"] for r in seg.values()) == 8
+
+
+def test_char_entropy_degenerate_and_uniform(spark):
+    from airflow_spark.operators.text import char_entropy_col
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "AbAb!! 77"), (3, "....")],
+        "doc_id long, text string",
+    )
+    n, ent = char_entropy_col("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", n.alias("n"), F.round(ent, 6).alias("e")
+        ).collect()
+    }
+    assert out[1]["n"] == 4 and out[1]["e"] == 0.0   # one symbol: 0 bits
+    assert out[2]["n"] == 4 and out[2]["e"] == 1.0   # 2 equiprobable: 1 bit
+    assert out[3]["n"] == 0                           # no letters at all
