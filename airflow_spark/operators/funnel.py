@@ -243,3 +243,52 @@ def association_rules(
         .orderBy(F.col("lift").desc(), "x", "y")
         .limit(k)
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    buy_type: str = "purchase",
+) -> DataFrame:
+    """Per-user (first_view, first_buy, lat_s, viewed, converted):
+    first ``view_type`` event to the first ``buy_type`` event STRICTLY
+    AFTER it. The user's globally-first purchase may predate their
+    first view (repeat buyers) — that must not disqualify them, so the
+    view anchor rides a per-user window before the purchase reduction.
+    One shuffle (the window and the groupBy share the user partitioning).
+    """
+    from pyspark.sql import Window
+
+    fv = F.min(
+        F.when(F.col(type_col) == view_type, F.col(ts_col))
+    ).over(Window.partitionBy(user_col))
+    per_user = (
+        events.withColumn("__fv", fv)
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.min("__fv").alias("first_view"),
+            F.min(
+                F.when(
+                    (F.col(type_col) == buy_type)
+                    & (F.col(ts_col) > F.col("__fv")),
+                    F.col(ts_col),
+                )
+            ).alias("first_buy"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "first_view",
+        "first_buy",
+        (
+            F.unix_timestamp("first_buy") - F.unix_timestamp("first_view")
+        ).alias("lat_s"),
+        F.col("first_view").isNotNull().alias("viewed"),
+        (
+            F.col("first_view").isNotNull()
+            & F.col("first_buy").isNotNull()
+        ).alias("converted"),
+    )

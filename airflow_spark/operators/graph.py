@@ -435,6 +435,10 @@ def personalized_pagerank(
     Nodes unreachable from the sources legitimately converge to 0."""
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
+    # dedupe BEFORE sizing the teleport weight: isin() dedups
+    # implicitly, so [5, 5] would otherwise give node 5 mass 1/2 and
+    # silently lose the rest
+    srcs = sorted({int(x) for x in sources})
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -447,10 +451,18 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
+    # a source absent from the graph would likewise leak teleport mass
+    # (all-zero ranks with no signal) — fail loudly instead; one small
+    # count over the already-persisted node set
+    n_found = nodes.where(F.col("node").isin(srcs)).count()
+    if n_found != len(srcs):
+        raise ValueError(
+            f"{len(srcs) - n_found} source id(s) absent from the edge list"
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    in_sources = F.col("node").isin([int(x) for x in sources])
+    in_sources = F.col("node").isin(srcs)
     teleport = F.when(
-        in_sources, F.lit(1.0 / len(sources))
+        in_sources, F.lit(1.0 / len(srcs))
     ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", teleport.alias("rank"))
     for _ in range(iters):

@@ -251,8 +251,11 @@ def gini_by_group(
     groupBy — rank windows partition by group, so no global sort and
     no single-partition straggler at scale. ``value_col`` must be a
     non-negative integer column (pass cents, not dollars): the
-    weighted sum stays in exact integer arithmetic until the final
-    division, so the result is reproducible across engines.
+    weighted sum accumulates in decimal(38,0) — exact, and immune to
+    the int64 overflow Σ(i·x) ≈ n²/2·mean(x) hits for million-member
+    groups — so the result is reproducible across engines. An
+    all-zero group yields NULL (concentration of nothing is
+    undefined), not a divide error.
     """
     w = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(id_col).asc()
@@ -263,10 +266,13 @@ def gini_by_group(
     agg = ranked.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(value_col).alias("__total"),
-        F.sum(F.col("__i") * F.col(value_col)).alias("__iw"),
+        F.sum(
+            F.col("__i").cast("decimal(19,0)")
+            * F.col(value_col).cast("decimal(19,0)")
+        ).alias("__iw"),
     )
     n = F.col("n").cast("double")
-    total = F.col("__total").cast("double")
+    total = F.nullif(F.col("__total").cast("double"), F.lit(0.0))
     gini = (2.0 * F.col("__iw").cast("double") - (n + 1.0) * total) / (
         n * total
     )

@@ -178,6 +178,13 @@ def rfm_segments(
     """
     from pyspark.sql import Window
 
+    nt = int(n_tiles)
+    if not 2 <= nt <= 9:
+        # single-digit scores keep the concatenated code collision-free
+        # ((1,11,1) and (11,1,1) would both render '1111') and make the
+        # lexicographic segment sort the numeric one
+        raise ValueError(f"n_tiles must be in 2..9, got {n_tiles}")
+
     per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
         F.max(date_col).alias("__last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -189,7 +196,6 @@ def rfm_segments(
     scored = per_cust.join(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff(F.col("__anchor"), F.col("__last"))
     )
-    nt = int(n_tiles)
     scored = (
         scored.withColumn(
             "r_score",
@@ -219,9 +225,15 @@ def rfm_segments(
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("monetary_cents").alias("total_cents"),
-            F.round(
-                F.avg(F.col("monetary_cents").cast("double")) / 100.0, 2
-            ).alias("avg_spend"),
+        )
+        # half-up average in EXACT integer arithmetic: floor((2t+n)/2n)
+        # — a double avg rounds half-cent boundaries differently across
+        # engines (HALF_UP on the decimal string vs on the raw binary)
+        .withColumn(
+            "avg_cents",
+            F.expr(
+                "(2 * total_cents + n_customers) div (2 * n_customers)"
+            ),
         )
     )
 

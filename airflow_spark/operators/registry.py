@@ -2246,21 +2246,29 @@ def op_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def op_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit: orphan counts per FK
-    relationship via anti-join (one fact pass each; dims broadcast).
-    A thinned customer dim (every 50th key dropped) plants real
-    orphans so the non-zero path is exercised on this corpus."""
+    relationship via anti-join — one fact pass each; TRUE dims are
+    broadcast, but the fact-to-fact check (lineitem->orders) must NOT
+    be force-broadcast (orders is billions of rows at scale; a hard
+    hint would collect it on the driver), so it shuffles. A thinned
+    customer dim (every 50th key dropped) plants real orphans so the
+    non-zero path is exercised on this corpus."""
     t = load_tables(spark, sf_dir)
     thin_cust = t.customer.where(F.col("c_custkey") % 50 != 0)
     checks = [
-        ("orders->customer(thinned)", t.orders, "o_custkey", thin_cust, "c_custkey"),
-        ("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
-        ("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
-        ("lineitem->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+        ("orders->customer(thinned)", t.orders, "o_custkey",
+         thin_cust, "c_custkey", True),
+        ("lineitem->orders", t.lineitem, "l_orderkey",
+         t.orders, "o_orderkey", False),
+        ("lineitem->part", t.lineitem, "l_partkey",
+         t.part, "p_partkey", True),
+        ("lineitem->supplier", t.lineitem, "l_suppkey",
+         t.supplier, "s_suppkey", True),
     ]
     out = None
-    for label, fact, fk, dim, pk in checks:
+    for label, fact, fk, dim, pk, is_dim in checks:
+        keys = dim.select(F.col(pk).alias(fk))
         part = fact.join(
-            F.broadcast(dim.select(F.col(pk).alias(fk))), fk, "left_anti"
+            F.broadcast(keys) if is_dim else keys, fk, "left_anti"
         ).agg(
             F.lit(label).alias("relationship"),
             F.count(F.lit(1)).alias("n_orphans"),
@@ -2274,25 +2282,11 @@ def op_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATER 'purchase'; exact p50/p90 latency + conversion counts in one
     report row — the funnel-depth readout op_funnel's step times feed."""
     t = load_tables(spark, sf_dir)
-    per_user = t.events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "__first_view"
-        ),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("__first_buy"),
-    )
-    lat = per_user.select(
+    lat = funnel.conversion_latency(t.events).select(
         "user_id",
-        (
-            F.unix_timestamp("__first_buy") - F.unix_timestamp("__first_view")
-        ).alias("__lat_s"),
-        F.col("__first_view").isNotNull().alias("__viewed"),
-        (
-            F.col("__first_view").isNotNull()
-            & F.col("__first_buy").isNotNull()
-            & (F.col("__first_buy") > F.col("__first_view"))
-        ).alias("__converted"),
+        F.col("lat_s").alias("__lat_s"),
+        F.col("viewed").alias("__viewed"),
+        F.col("converted").alias("__converted"),
     )
     return lat.agg(
         F.sum(F.col("__viewed").cast("int")).alias("n_viewed"),
@@ -2536,8 +2530,11 @@ def op_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of customer lifetime revenue within each
     market segment (inequality audit — how concentrated is spend in a
-    few whales). Revenue is exact integer cents, so the rank-formula
-    weighted sum is engine-exact until the final division.
+    few whales). Customers with NO orders count as zero-revenue
+    members (a left join from the customer dim — dropping them would
+    understate exactly the concentration being audited). Revenue is
+    exact integer cents, so the rank-formula weighted sum is
+    engine-exact until the final division.
     Reference analog: none (net-new analytics surface)."""
     t = load_tables(spark, sf_dir)
     rev = t.orders.groupBy("o_custkey").agg(
@@ -2545,9 +2542,14 @@ def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents"
         )
     )
-    per_cust = rev.join(
-        t.customer.select("c_custkey", "c_mktsegment"),
-        rev.o_custkey == F.col("c_custkey"),
+    per_cust = (
+        t.customer.select("c_custkey", "c_mktsegment")
+        .join(rev, F.col("c_custkey") == rev.o_custkey, "left")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.coalesce("rev_cents", F.lit(0)).alias("rev_cents"),
+        )
     )
     return (
         inference.gini_by_group(
@@ -3878,18 +3880,22 @@ SELECT relationship, n_orphans FROM (
 ORDER BY relationship
 """,
     "op_funnel_latency": """
-WITH pu AS (SELECT user_id,
+WITH fv AS (SELECT user_id,
                    min(CASE WHEN event_type = 'view' THEN ts END)
-                     AS first_view,
-                   min(CASE WHEN event_type = 'purchase' THEN ts END)
-                     AS first_buy
+                     AS first_view
             FROM events GROUP BY user_id),
+pu AS (SELECT e.user_id, fv.first_view,
+              min(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts > fv.first_view THEN e.ts END)
+                AS first_buy
+       FROM events e JOIN fv ON e.user_id = fv.user_id
+       GROUP BY e.user_id, fv.first_view),
 lat AS (SELECT user_id,
                CAST(floor(epoch(first_buy)) AS BIGINT)
                  - CAST(floor(epoch(first_view)) AS BIGINT) AS lat_s,
                first_view IS NOT NULL AS viewed,
-               (first_view IS NOT NULL AND first_buy IS NOT NULL
-                AND first_buy > first_view) AS converted
+               (first_view IS NOT NULL AND first_buy IS NOT NULL)
+                 AS converted
         FROM pu)
 SELECT CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT)
          AS n_viewed,
@@ -5107,8 +5113,9 @@ WITH rev AS (
            AS rev_cents
   FROM orders GROUP BY o_custkey),
 j AS (
-  SELECT c.c_mktsegment, c.c_custkey, r.rev_cents
-  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+  SELECT c.c_mktsegment, c.c_custkey,
+         coalesce(r.rev_cents, 0) AS rev_cents
+  FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey),
 rk AS (
   SELECT c_mktsegment, rev_cents,
          row_number() OVER (PARTITION BY c_mktsegment
@@ -5118,8 +5125,10 @@ SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(rev_cents) AS BIGINT) AS total_cents,
        round((2.0 * CAST(sum(i * rev_cents) AS DOUBLE)
-              - (count(*) + 1.0) * CAST(sum(rev_cents) AS DOUBLE))
-             / (count(*) * CAST(sum(rev_cents) AS DOUBLE)), 6) AS gini
+              - (count(*) + 1.0)
+                * nullif(CAST(sum(rev_cents) AS DOUBLE), 0))
+             / (count(*)
+                * nullif(CAST(sum(rev_cents) AS DOUBLE), 0)), 6) AS gini
 FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
@@ -5141,12 +5150,16 @@ t AS (
          ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
          ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
   FROM s)
-SELECT concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
-              CAST(m_score AS VARCHAR)) AS segment,
-       CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(monetary_cents) AS BIGINT) AS total_cents,
-       round(avg(CAST(monetary_cents AS DOUBLE)) / 100.0, 2) AS avg_spend
-FROM t GROUP BY 1 ORDER BY segment
+SELECT segment, n_customers, total_cents,
+       CAST((2 * total_cents + n_customers)
+            // (2 * n_customers) AS BIGINT) AS avg_cents
+FROM (
+  SELECT concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+                CAST(m_score AS VARCHAR)) AS segment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+  FROM t GROUP BY 1) g
+ORDER BY segment
 """
 
 

@@ -145,3 +145,29 @@ def test_cohort_retention_rejects_unsupported_bucket(spark):
                                ["user_id", "ts"])
     with _pytest.raises(ValueError, match="day.*week"):
         cohort_retention(df, bucket="month")
+
+
+def test_conversion_latency_repeat_buyer_still_converts(spark):
+    import datetime as dt
+    from airflow_spark.operators.funnel import conversion_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(d):
+        return t0 + dt.timedelta(days=d)
+
+    rows = [
+        # user 1: purchase BEFORE first view, then one after -> converts
+        (1, ts(2), "purchase"), (1, ts(5), "view"), (1, ts(10), "purchase"),
+        # user 2: only a pre-view purchase -> viewed but not converted
+        (2, ts(1), "purchase"), (2, ts(5), "view"),
+        # user 3: never viewed -> not viewed, not converted
+        (3, ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["user_id"]: r for r in conversion_latency(df).collect()}
+    assert out[1]["converted"] and out[1]["lat_s"] == 5 * 86400
+    assert out[2]["viewed"] and not out[2]["converted"]
+    assert not out[3]["viewed"] and not out[3]["converted"]

@@ -245,3 +245,20 @@ def test_personalized_pagerank_concentrates_near_sources(spark):
 
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, [], iters=2)
+
+
+def test_personalized_pagerank_dedupes_sources_and_rejects_missing(spark):
+    from airflow_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    # duplicate sources must weigh like the deduped set, not split mass
+    a = {r["node"]: r["rank"]
+         for r in personalized_pagerank(edges, [0, 0], iters=4).collect()}
+    b = {r["node"]: r["rank"]
+         for r in personalized_pagerank(edges, [0], iters=4).collect()}
+    assert a == b
+    # a source absent from the graph is an error, not all-zero ranks
+    with pytest.raises(ValueError, match="absent"):
+        personalized_pagerank(edges, [999], iters=2)

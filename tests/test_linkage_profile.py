@@ -268,3 +268,31 @@ def test_char_entropy_degenerate_and_uniform(spark):
     assert out[1]["n"] == 4 and out[1]["e"] == 0.0   # one symbol: 0 bits
     assert out[2]["n"] == 4 and out[2]["e"] == 1.0   # 2 equiprobable: 1 bit
     assert out[3]["n"] == 0                           # no letters at all
+
+
+def test_rfm_rejects_multi_digit_tiles(spark):
+    from airflow_spark.operators.profile import rfm_segments
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 10.0)],
+        "o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    with pytest.raises(ValueError, match="2..9"):
+        rfm_segments(df, n_tiles=11)
+
+
+def test_gini_counts_zero_value_members(spark):
+    from airflow_spark.operators.inference import gini_by_group
+
+    # two equal holders alone: G=0; adding two zero-revenue members
+    # raises concentration to exactly 0.5
+    rows = [("g", 500, 1), ("g", 500, 2), ("g", 0, 3), ("g", 0, 4)]
+    df = spark.createDataFrame(rows, "grp string, v long, id long")
+    row = gini_by_group(df, "grp", "v", "id").collect()[0]
+    assert row["gini"] == 0.5
+    # an all-zero group is NULL (undefined), not a divide error
+    z = spark.createDataFrame(
+        [("z", 0, 1), ("z", 0, 2)], "grp string, v long, id long"
+    )
+    assert gini_by_group(z, "grp", "v", "id").collect()[0]["gini"] is None
