@@ -2527,6 +2527,77 @@ def op_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins) of lineitem extended price with
+    data-derived bounds: the min/max ride a broadcast 1-row aggregate
+    (two scans total — bounds, then one binning pass with map-side
+    partial agg; no sort, no sampling)."""
+    t = load_tables(spark, sf_dir)
+    n_bins = 20
+    bounds = t.lineitem.agg(
+        F.min("l_extendedprice").alias("__lo"),
+        F.max("l_extendedprice").alias("__hi"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = t.lineitem.select("l_extendedprice").join(
+        F.broadcast(bounds)
+    ).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("__lo")) / w),
+            F.lit(n_bins - 1),
+        ).alias("bin_idx"),
+        "__lo",
+        "__hi",
+    )
+    # recompute edges from the bin index so they are pure arithmetic of
+    # the broadcast bounds (identical in the oracle)
+    wd = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    return (
+        binned.groupBy("bin_idx", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin_idx",
+            F.round(F.col("__lo") + F.col("bin_idx") * wd, 4).alias("lo"),
+            F.round(
+                F.col("__lo") + (F.col("bin_idx") + 1) * wd, 4
+            ).alias("hi"),
+            "cnt",
+        )
+        .orderBy("bin_idx")
+    )
+
+
+def op_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next | prev) from lag pairs (deterministic (ts,
+    event_id) ordering), normalized by a window sum over the tiny
+    pair-count frame — the behavioral-model readout op_top_paths'
+    raw paths feed."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t.events.withColumn("__prev", F.lag("event_type").over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
 def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of customer lifetime revenue within each
     market segment (inequality audit — how concentrated is spend in a
@@ -2619,6 +2690,8 @@ OPERATOR_QUERIES = {
     "op_rfm": op_rfm,
     "op_pareto_front": op_pareto_front,
     "op_char_entropy": op_char_entropy,
+    "op_histogram": op_histogram,
+    "op_transition_probs": op_transition_probs,
     "op_asof_join": op_asof_join,
     "op_interval_join": op_interval_join,
     "op_running_total": op_running_total,
@@ -5208,6 +5281,42 @@ FROM n WHERE nl > 0 ORDER BY doc_id LIMIT 200
 
 
 OPERATOR_ORACLE_SQL["op_char_entropy"] = _sql_char_entropy()
+
+
+OPERATOR_ORACLE_SQL["op_histogram"] = """
+WITH b AS (SELECT min(l_extendedprice) AS blo, max(l_extendedprice) AS bhi
+           FROM lineitem),
+binned AS (
+  SELECT least(CAST(floor((l_extendedprice - b.blo)
+                          / ((b.bhi - b.blo) / 20.0)) AS BIGINT),
+               19) AS bin_idx,
+         b.blo, b.bhi
+  FROM lineitem, b)
+SELECT bin_idx,
+       round(blo + bin_idx * ((bhi - blo) / 20.0), 4) AS lo,
+       round(blo + (bin_idx + 1) * ((bhi - blo) / 20.0), 4) AS hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM binned GROUP BY bin_idx, blo, bhi ORDER BY bin_idx
+"""
+
+
+OPERATOR_ORACLE_SQL["op_transition_probs"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p
+FROM pairs ORDER BY prev_type, next_type
+"""
 
 
 def _sql_token_fertility(n_merges: int = 40) -> str:

@@ -296,3 +296,28 @@ def test_gini_counts_zero_value_members(spark):
         [("z", 0, 1), ("z", 0, 2)], "grp string, v long, id long"
     )
     assert gini_by_group(z, "grp", "v", "id").collect()[0]["gini"] is None
+
+
+def test_histogram_conserves_rows_and_bounds(spark, sf_smoke):
+    from airflow_spark.operators.registry import op_histogram
+    from airflow_spark.catalog import load_tables
+
+    out = op_histogram(spark, sf_smoke).collect()
+    li = load_tables(spark, sf_smoke).lineitem
+    assert sum(r["cnt"] for r in out) == li.count()
+    assert all(0 <= r["bin_idx"] <= 19 for r in out)
+    lo = li.agg(F.min("l_extendedprice")).collect()[0][0]
+    first = min(out, key=lambda r: r["bin_idx"])
+    assert first["bin_idx"] == 0 and abs(first["lo"] - round(lo, 4)) < 1e-9
+
+
+def test_transition_probs_rows_normalize(spark, sf_smoke):
+    from airflow_spark.operators.registry import op_transition_probs
+
+    out = op_transition_probs(spark, sf_smoke).collect()
+    by_prev = {}
+    for r in out:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rows in by_prev.items():
+        assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-4, prev
+        assert all(r["n"] > 0 for r in rows)
