@@ -2598,6 +2598,52 @@ def op_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prev_type", "next_type")
 
 
+def op_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: D = max |ECDF_a - ECDF_b| of
+    event values between user-parity variants (op_ab_test's
+    distribution-level sibling — detects shape drift a mean test
+    misses). Values quantized to 0.1 so the cumulative window runs
+    over the SMALL distinct-value frame, not a global row sort; counts
+    stay exact integers until the two ECDF divisions."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    # floor quantization, not round(…, 1): floor on a double is exact
+    # in every engine, while half-case decimal rounding splits them
+    labeled = t.events.select(
+        (F.floor(F.col("value") * 10) / 10.0).alias("v"),
+        (F.col("user_id") % 2 == 0).alias("__is_a"),
+    )
+    per_v = labeled.groupBy("v").agg(
+        F.sum(F.when(F.col("__is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("__is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    return (
+        cum.select("v", "n_a", "n_b", gap.alias("__gap"))
+        .orderBy(F.col("__gap").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.round("__gap", 6).alias("d_stat"),
+            F.col("v").alias("at_value"),
+        )
+    )
+
+
 def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini concentration of customer lifetime revenue within each
     market segment (inequality audit — how concentrated is spend in a
@@ -2692,6 +2738,7 @@ OPERATOR_QUERIES = {
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
+    "op_ks_test": op_ks_test,
     "op_asof_join": op_asof_join,
     "op_interval_join": op_interval_join,
     "op_running_total": op_running_total,
@@ -5297,6 +5344,38 @@ SELECT bin_idx,
        round(blo + (bin_idx + 1) * ((bhi - blo) / 20.0), 4) AS hi,
        CAST(count(*) AS BIGINT) AS cnt
 FROM binned GROUP BY bin_idx, blo, bhi ORDER BY bin_idx
+"""
+
+
+OPERATOR_ORACLE_SQL["op_ks_test"] = """
+WITH labeled AS (
+  SELECT floor(value * 10) / 10.0 AS v,
+         (user_id % 2 = 0) AS is_a
+  FROM events),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM labeled GROUP BY v),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_b,
+         sum(ca) OVER () AS n_a,
+         sum(cb) OVER () AS n_b
+  FROM per_v),
+gap AS (
+  SELECT v, n_a, n_b,
+         abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS g
+  FROM cum)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(g, 6) AS d_stat, v AS at_value
+FROM gap ORDER BY g DESC, v ASC LIMIT 1
 """
 
 

@@ -321,3 +321,13 @@ def test_transition_probs_rows_normalize(spark, sf_smoke):
     for prev, rows in by_prev.items():
         assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-4, prev
         assert all(r["n"] > 0 for r in rows)
+
+
+def test_ks_test_stat_bounds_and_counts(spark, sf_smoke):
+    from airflow_spark.operators.registry import op_ks_test
+    from airflow_spark.catalog import load_tables
+
+    row = op_ks_test(spark, sf_smoke).collect()[0]
+    ev = load_tables(spark, sf_smoke).events
+    assert row["n_a"] + row["n_b"] == ev.count()
+    assert 0.0 <= row["d_stat"] <= 1.0
