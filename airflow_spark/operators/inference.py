@@ -282,3 +282,34 @@ def gini_by_group(
         F.col("__total").alias("total"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def theil_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per group — the additively decomposable
+    complement to ``gini_by_group`` (subgroup Theils + a between-group
+    term reconstruct the total; Gini can't do that).
+
+    ONE aggregate pass, no rank window at all: the identity
+    ``T = (1/n)Σ(x/μ)ln(x/μ) = Σ(x·ln x)/Σx − ln(Σx/n)`` reduces the
+    index to three mergeable partials (n, Σx, Σx·ln x) — map-side
+    combine, one shuffle of 3 doubles per group. Zero/negative values
+    are excluded (x·ln x has no finite contribution at 0; the standard
+    Theil convention).
+    """
+    x = F.col(value_col).cast("double")
+    pos = df.where(x > 0).select(
+        group_col, x.alias("__x"), (x * F.log(x)).alias("__xlx")
+    )
+    agg = pos.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum("__xlx").alias("__l"),
+    )
+    theil = F.col("__l") / F.col("__s") - F.log(
+        F.col("__s") / F.col("n").cast("double")
+    )
+    return agg.select(group_col, "n", F.round(theil, 6).alias("theil"))

@@ -2682,6 +2682,27 @@ def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer lifetime revenue per market segment —
+    op_gini's additively decomposable sibling, and a fraction of its
+    cost: ONE aggregate pass (3 mergeable partials), no rank window."""
+    t = load_tables(spark, sf_dir)
+    rev = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    per_cust = rev.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        rev.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        inference.theil_by_group(per_cust, "c_mktsegment", "rev_cents")
+        .select("c_mktsegment", F.col("n").alias("n_customers"), "theil")
+        .orderBy("c_mktsegment")
+    )
+
+
 def op_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) segmentation of the customer
     base from the orders fact, quartile-scored with deterministic
@@ -2739,6 +2760,7 @@ OPERATOR_QUERIES = {
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
     "op_ks_test": op_ks_test,
+    "op_theil": op_theil,
     "op_asof_join": op_asof_join,
     "op_interval_join": op_interval_join,
     "op_running_total": op_running_total,
@@ -5250,6 +5272,23 @@ SELECT c_mktsegment,
              / (count(*)
                 * nullif(CAST(sum(rev_cents) AS DOUBLE), 0)), 6) AS gini
 FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+OPERATOR_ORACLE_SQL["op_theil"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c.c_mktsegment, CAST(r.rev_cents AS DOUBLE) AS x
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+  WHERE r.rev_cents > 0)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(x * ln(x)) / sum(x) - ln(sum(x) / count(*)), 6) AS theil
+FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 

@@ -331,3 +331,21 @@ def test_ks_test_stat_bounds_and_counts(spark, sf_smoke):
     ev = load_tables(spark, sf_smoke).events
     assert row["n_a"] + row["n_b"] == ev.count()
     assert 0.0 <= row["d_stat"] <= 1.0
+
+
+def test_theil_zero_for_equal_and_positive_for_skewed(spark):
+    import math
+    from airflow_spark.operators.inference import theil_by_group
+
+    eq = spark.createDataFrame(
+        [("g", 100)] * 6, "grp string, v long"
+    )
+    assert theil_by_group(eq, "grp", "v").collect()[0]["theil"] == 0.0
+    # one member holds 10x the rest: closed form over shares
+    rows = [("g", 10)] * 4 + [("g", 100)]
+    sk = spark.createDataFrame(rows, "grp string, v long")
+    got = theil_by_group(sk, "grp", "v").collect()[0]["theil"]
+    xs = [10.0] * 4 + [100.0]
+    mu = sum(xs) / len(xs)
+    want = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    assert abs(got - round(want, 6)) < 1e-6
