@@ -214,12 +214,20 @@ def pii_hit_counts(text: Column | str) -> Column:
 #: session ids); ``normalize_url`` builds its filter from THIS tuple —
 #: keys without '=' match as prefixes (utm_*), keys with '=' match the
 #: exact parameter name
+#: NOTE: ``ref=`` is deliberately NOT in the default set — it is
+#: frequently content-bearing (e.g. ``?ref=<branch>`` on code-hosting
+#: URLs), and stripping it merges distinct resources before dedup.
+#: Callers with referral-tracking-heavy corpora pass it explicitly via
+#: ``tracking_params``.
 _TRACKING_PARAMS = (
-    "utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "sessionid="
+    "utm_", "fbclid=", "gclid=", "msclkid=", "sessionid="
 )
 
 
-def normalize_url(url: Column | str) -> Column:
+def normalize_url(
+    url: Column | str,
+    tracking_params: tuple[str, ...] = _TRACKING_PARAMS,
+) -> Column:
     """Canonical URL form for web-corpus dedup and per-site stats:
     lower-cased scheme+host, DEFAULT ports stripped (:80 for http,
     :443 for https — a non-default port is a different origin and is

@@ -4008,17 +4008,21 @@ ORDER BY event_id LIMIT 300
 SELECT relationship, n_orphans FROM (
   SELECT 'orders->customer(thinned)' AS relationship,
          CAST(count(*) AS BIGINT) AS n_orphans
-  FROM orders WHERE o_custkey NOT IN
-    (SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0)
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c
+     WHERE c.c_custkey % 50 <> 0 AND c.c_custkey = o.o_custkey)
   UNION ALL
-  SELECT 'lineitem->orders', CAST(count(*) AS BIGINT) FROM lineitem
-  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  SELECT 'lineitem->orders', CAST(count(*) AS BIGINT) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
   UNION ALL
-  SELECT 'lineitem->part', CAST(count(*) AS BIGINT) FROM lineitem
-  WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+  SELECT 'lineitem->part', CAST(count(*) AS BIGINT) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part p
+                    WHERE p.p_partkey = l.l_partkey)
   UNION ALL
-  SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT) FROM lineitem
-  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) u
+  SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_suppkey = l.l_suppkey)) u
 ORDER BY relationship
 """,
     "op_funnel_latency": """
@@ -5190,11 +5194,12 @@ SELECT n0, s0, n1, s1,
        round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1,
        round((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
               - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-             / sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             / nullif(
+               sqrt((CAST(s0 + s1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
                     * (1.0 - CAST(s0 + s1 AS DOUBLE)
                              / CAST(n0 + n1 AS DOUBLE))
                     * (1.0 / CAST(n0 AS DOUBLE)
-                       + 1.0 / CAST(n1 AS DOUBLE))), 4) AS z
+                       + 1.0 / CAST(n1 AS DOUBLE))), 0.0), 4) AS z
 FROM agg
 """,
     "op_abc_class": """
@@ -5527,3 +5532,6 @@ try:
     )
 except (OSError, ImportError):
     pass
+except Exception as _exc:  # duckdb.Error on partially-present testdata
+    if type(_exc).__module__.split(".")[0] != "duckdb":
+        raise

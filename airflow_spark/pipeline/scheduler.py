@@ -139,12 +139,19 @@ class Scheduler:
         for entry in self.entries.values():
             p = entry.pipeline
             fire = None
+            ds_fp = None
             if p.schedule is not None:
                 since = entry.last_fire or (now - dt.timedelta(days=1))
                 fire = latest_fire_in(p.schedule, since, now)
-            if fire is None and entry.dataset is not None:
-                if entry.dataset.should_fire():
-                    fire = now  # data-driven: run AT the poll instant
+            if entry.dataset is not None:
+                # peek (don't consume): a dataset-triggered run that
+                # fails to start must re-fire next poll, and a cron
+                # fire must also absorb the pending data change (the
+                # cron run processes the same current data — without
+                # this the stale fingerprint double-fires next poll)
+                ds_fp = entry.dataset.peek()
+            if fire is None and ds_fp is not None:
+                fire = now  # data-driven: run AT the poll instant
             if fire is None:
                 continue
             entry.last_fire = fire
@@ -153,9 +160,14 @@ class Scheduler:
                 runs.append(p.run(self.spark, run_ts=fire, **entry.run_kwargs))
             except Exception:  # noqa: BLE001
                 # one raising pipeline must not starve the others in
-                # this poll or kill run_loop; the interval stays
-                # consumed (at-most-once, catchup=False semantics)
+                # this poll or kill run_loop; the cron interval stays
+                # consumed (at-most-once, catchup=False semantics) but
+                # the dataset fingerprint is NOT committed, so a
+                # data-driven fire is retried next poll
                 logger.exception("pipeline %s raised during run", p.name)
+            else:
+                if ds_fp is not None:
+                    entry.dataset.commit(ds_fp)
         return runs
 
     def run_loop(self, poll_s: float = 30.0, max_polls: int | None = None) -> None:

@@ -147,12 +147,27 @@ class DatasetTrigger:
         h = hashlib.sha256(repr(sorted(entries)).encode()).hexdigest()
         return h
 
-    def should_fire(self) -> bool:
-        """True when the dataset exists and its fingerprint changed
-        since the last ``should_fire`` that returned True (first sight
-        of an existing dataset fires)."""
+    def peek(self) -> str | None:
+        """The current fingerprint if it differs from the last
+        committed one, else None. Does NOT consume the change — callers
+        commit() only once the triggered run has actually been
+        recorded, so a run that fails to start is retried next poll."""
         fp = self.fingerprint()
         if fp is None or fp == self._last:
-            return False
+            return None
+        return fp
+
+    def commit(self, fp: str) -> None:
+        """Mark ``fp`` as processed (the triggered run was recorded)."""
         self._last = fp
+
+    def should_fire(self) -> bool:
+        """True when the dataset exists and its fingerprint changed
+        since the last commit (first sight of an existing dataset
+        fires). Peek-and-commit in one step — the scheduler uses the
+        two-phase ``peek``/``commit`` form so a failed run re-fires."""
+        fp = self.peek()
+        if fp is None:
+            return False
+        self.commit(fp)
         return True

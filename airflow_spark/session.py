@@ -85,6 +85,9 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stage-progress bars off stdout/stderr: the bench contract
+        # is ONE parseable JSON line on stdout (builder-time-only conf)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in _SESSION_CONFS.items():
         builder = builder.config(k, v)

@@ -6,6 +6,15 @@ Prints ONE JSON line:
   {"metric": "wall_sec_total", "value": N, "unit": "sec",
    "queries": {"q01": sec, ...}, "sf": 0.1}
 
+The driver that records BENCH_r{N}.json keeps only the LAST 2000 bytes
+of stdout and parses the final line, so the printed line is a compact
+summary guaranteed to fit that window: full-registry total + the
+headline q01..q45 timings + pipeline timings. The complete per-query
+breakdown (all registry ops, full precision) is written to
+BENCH_FULL.json next to this script and referenced from the line's
+"detail" field; a copy is committed per round as BENCH_FULL_r{N}.json
+for cross-round regression comparison.
+
 Each query is timed as build-plan + execute-to-count (a real action that
 materializes the full result without driver-side collect overhead for
 wide rows). A warmup query first pays JVM/codegen startup so per-query
@@ -77,7 +86,35 @@ def main() -> None:
     comparable = _comparable_totals(timings, sf)
     if comparable is not None:
         out["vs_prior_round"] = comparable
-    print(json.dumps(out))
+
+    # Full-precision artifact with every registry op (committed per round
+    # as BENCH_FULL_r{N}.json for the regression comparisons above).
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_FULL.json"), "w") as f:
+        json.dump(out, f)
+
+    # The recorded-artifact stdout window is 2000 bytes; emit a compact
+    # line that always fits: headline queries only, ops rolled up.
+    headline = {n: round(t, 2) for n, t in timings.items()
+                if n.startswith("q")}
+    line = dict(out)
+    line["queries"] = headline
+    line["ops_sec"] = round(sum(t for n, t in timings.items()
+                                if not n.startswith("q")), 2)
+    line["n_queries"] = len(timings)
+    line["detail"] = "BENCH_FULL.json"
+    if "regressions" in line and line["regressions"]:
+        line["regressions"] = {
+            k: v for k, v in sorted(
+                line["regressions"].items(), key=lambda kv: -kv[1]
+            )[:5]
+        }
+    text = json.dumps(line, separators=(",", ":"))
+    if len(text) > 1950:  # belt-and-braces: never exceed the window
+        line.pop("queries", None)
+        text = json.dumps(line, separators=(",", ":"))
+    sys.stdout.flush()
+    print(text, flush=True)
 
 
 def _prior_recording(sf: float | None) -> dict | None:
@@ -85,21 +122,26 @@ def _prior_recording(sf: float | None) -> dict | None:
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
+    # Prefer the committed full-precision artifacts (BENCH_FULL_r*.json);
+    # fall back to driver recordings (whose "parsed" may be null — the
+    # driver's 2000-byte stdout window truncated round 2's line).
     recs = sorted(
-        glob.glob(os.path.join(root, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        glob.glob(os.path.join(root, "BENCH_FULL_r*.json"))
+        + glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: (int(re.search(r"_r(\d+)", p).group(1)),
+                       "FULL" in p),
     )
     for path in reversed(recs):
         try:
             with open(path) as f:
                 rec = json.load(f)
-            parsed = rec.get("parsed", rec)
-            prior = parsed.get("queries", {})
+            parsed = rec.get("parsed") or rec
+            prior = parsed.get("queries") or {}
             if rec.get("sf", parsed.get("sf")) != sf or not prior:
                 continue
-            return {"round": re.search(r"BENCH_r(\d+)", path).group(1),
+            return {"round": re.search(r"_r(\d+)", path).group(1),
                     "queries": prior}
-        except (OSError, ValueError):
+        except (OSError, ValueError, AttributeError):
             continue
     return None
 

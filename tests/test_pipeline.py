@@ -1050,6 +1050,67 @@ def test_dataset_trigger_fires_on_change_only(spark, tmp_path):
     assert len(calls) == 2  # new file → new fingerprint → fire
 
 
+def test_dataset_trigger_retries_failed_run_and_cron_absorbs(spark, tmp_path):
+    """Two-phase fingerprint commit: (a) a dataset-triggered run whose
+    start RAISES is retried next poll (fingerprint not consumed);
+    (b) a cron fire absorbs a pending dataset change so the next poll
+    does not redundantly re-fire for data the cron run already saw."""
+    import datetime as dt
+
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.scheduler import Scheduler
+    from airflow_spark.pipeline.sensors import DatasetTrigger
+
+    ds_path = tmp_path / "ds3"
+    ds_path.mkdir()
+    (ds_path / "part-0.parquet").write_bytes(b"x")
+
+    # (a) run() raising → fingerprint stays pending → retried
+    calls = []
+    p = Pipeline("flaky_consumer")
+
+    @p.task()
+    def consume(ctx):
+        calls.append(1)
+        return {}
+
+    trig = DatasetTrigger(str(ds_path))
+    sched = Scheduler(spark)
+    sched.register(p, dataset=trig)
+    now = dt.datetime(2026, 3, 1, tzinfo=dt.timezone.utc)
+
+    real_run = p.run
+    p.run = lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom"))
+    sched.run_pending(now)
+    assert calls == []  # raised before any task ran
+    p.run = real_run
+    sched.run_pending(now + dt.timedelta(minutes=1))
+    assert len(calls) == 1  # retried: change was not consumed by failure
+    sched.run_pending(now + dt.timedelta(minutes=2))
+    assert len(calls) == 1  # consumed after the successful run
+
+    # (b) cron + dataset: a cron fire consumes the pending change
+    calls2 = []
+    p2 = Pipeline("cron_and_data", schedule="0 * * * *")
+
+    @p2.task()
+    def consume2(ctx):
+        calls2.append(ctx.run_ts)
+        return {}
+
+    trig2 = DatasetTrigger(str(ds_path))  # fresh: change pending
+    sched2 = Scheduler(spark)
+    sched2.register(p2, dataset=trig2)
+    t0 = dt.datetime(2026, 3, 1, 5, 0, 30, tzinfo=dt.timezone.utc)
+    sched2.run_pending(t0)  # cron 05:00 fires AND absorbs the change
+    assert len(calls2) == 1
+    sched2.run_pending(t0 + dt.timedelta(minutes=1))
+    assert len(calls2) == 1  # no redundant dataset-driven second run
+    (ds_path / "part-1.parquet").write_bytes(b"y")
+    sched2.run_pending(t0 + dt.timedelta(minutes=2))
+    assert len(calls2) == 2  # genuinely new data still fires mid-hour
+
+
 def test_priority_holds_for_later_ready_tasks(spark):
     """A high-priority task that becomes ready LATER still preempts
     queued low-priority work (tasks are never queued beyond free
