@@ -102,6 +102,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 128,
     shingle_k: int = 5,
+    mode: str = "char",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — one row per doc.
 
@@ -110,10 +111,17 @@ def minhash_signatures(
     k×8 bytes per doc per partition, never the shingles themselves).
     A projection-only variant (k nested transforms over the shingle
     array) re-evaluates the shingle expression per hash — measured
-    ~30× slower — so the explode+agg form is deliberate."""
+    ~30× slower — so the explode+agg form is deliberate.
+
+    ``mode='word'`` shingles on word k-grams instead of char k-grams so
+    the signatures estimate the SAME Jaccard space as the exact word-
+    shingle pair operators (their over-budget LSH fallback)."""
+    from ..functions.text import word_shingles
+
+    mk = char_shingles if mode == "char" else word_shingles
     shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(char_shingles(F.col(text_col), k=shingle_k))).alias(
+        F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias(
             "sh"
         ),
     )
@@ -240,10 +248,13 @@ def verify_pairs_exact_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     mode: str = "char",
+    include_containment: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for the given candidate pairs — the verification
     leg of candidate-generation dedup (MinHash banding proposes, this
-    disposes).
+    disposes). ``include_containment`` adds the asymmetric
+    ``containment = common / min(|A|, |B|)`` column (same inputs, one
+    extra projection).
 
     Scale shape: the shingle explode is *restricted to candidate ids*
     via a semi-join before it happens, so the exact computation touches
@@ -277,18 +288,20 @@ def verify_pairs_exact_jaccard(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
+    cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        (
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    ]
+    if include_containment:
+        cols.insert(
+            2,
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
         )
-    )
+    return common.join(sa, "id_a").join(sb, "id_b").select(*cols)
 
 
 def dedup_minhash_verified(
@@ -300,6 +313,7 @@ def dedup_minhash_verified(
     num_bands: int = 32,
     shingle_k: int = 5,
     est_margin: float = 0.2,
+    mode: str = "char",
 ) -> DataFrame:
     """Near-duplicate pairs with *exact* Jaccard ≥ threshold, candidates
     from MinHash-LSH banding. The production three-phase shape:
@@ -315,7 +329,9 @@ def dedup_minhash_verified(
        survivors, so the expensive join is bounded by true-pair count,
        not candidate count.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, mode=mode
+    ).persist()
     cand = minhash_candidate_pairs(sigs, num_bands)
     # survivors are ~true-pair-count sized and feed verification three
     # times (both sides of the id restriction + the pair join): persist
@@ -326,7 +342,7 @@ def dedup_minhash_verified(
         .persist()
     )
     return verify_pairs_exact_jaccard(
-        survivors, df, text_col, id_col, shingle_k, mode="char"
+        survivors, df, text_col, id_col, shingle_k, mode=mode
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -666,6 +682,48 @@ def keep_best_representatives(
 # ---------------------------------------------------------------------------
 
 
+class CandidateBudgetExceeded(RuntimeError):
+    """An exact pair operator refused to launch its inverted-index
+    self-join because it would materialize more candidate pairs than
+    its ``candidate_budget``. On duplication-dense corpora (clique-
+    shaped duplicates) Σ C(df, 2) grows quadratically in the clique
+    size — the thing that kills a 100 TB run. Use the LSH family
+    (:func:`dedup_minhash_verified`, which caps pathological buckets)
+    or pass ``on_over_budget='lsh'`` to downgrade automatically."""
+
+
+def _candidate_pair_count(keyed: DataFrame, key: str, df_cap: int | None) -> int:
+    """Σ C(n, 2) over the per-``key`` group sizes of ``keyed`` — the
+    EXACT number of (pre-dedup) pair rows the inverted-index self-join
+    on ``key`` will emit. One map-side-combined aggregate over an
+    already-persisted frame: control-plane cheap next to the join it
+    guards, and runs BEFORE any quadratic task is launched."""
+    counts = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    if df_cap is not None:
+        counts = counts.where(F.col("n") <= df_cap)
+    row = counts.select(
+        F.sum(F.col("n").cast("bigint") * (F.col("n") - 1) / 2).alias("c")
+    ).first()
+    return int(row["c"] or 0)
+
+
+def _over_budget(
+    op_name: str, n_candidates: int, budget: int, on_over_budget: str
+) -> None:
+    """Raise (the default) unless the caller opted into the LSH
+    downgrade; callers handle the 'lsh' branch themselves."""
+    if on_over_budget != "lsh":
+        raise CandidateBudgetExceeded(
+            f"{op_name}: inverted-index self-join would materialize "
+            f"{n_candidates:,} candidate pairs (> candidate_budget="
+            f"{budget:,}). The corpus is duplication-dense; use "
+            f"dedup_minhash_verified (banded LSH with bucket caps, "
+            f"exact-verified) or pass on_over_budget='lsh' to "
+            f"downgrade automatically, or raise candidate_budget "
+            f"if the cluster can absorb the shuffle."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -674,6 +732,8 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     df_cap: int = 1000,
     mode: str = "char",
+    candidate_budget: int | None = 50_000_000,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for every pair sharing at
     least one (non-stop) shingle.
@@ -688,6 +748,17 @@ def ngram_jaccard_pairs(
     boilerplate) → hash-join the inverted index with itself on shingle
     → count common shingles per pair → join per-doc set sizes →
     ``jaccard = common / (|A| + |B| - common)``.
+
+    The df-cap bounds the per-shingle worst case but NOT clique blow-up
+    (N exact copies share every shingle → C(N, 2) pairs per shingle,
+    all under the cap). ``candidate_budget`` guards that: the exact
+    Σ C(df, 2) candidate count is aggregated FIRST (cheap — one
+    map-side-combined pass over the persisted index), and above the
+    budget the operator raises :class:`CandidateBudgetExceeded`
+    (``on_over_budget='raise'``) or downgrades to the banded-LSH
+    exact-verified path (``'lsh'`` — same scores, recall bounded by
+    banding + bucket caps, the designed 100 TB posture).
+    ``candidate_budget=None`` disables the guard (trusted inputs).
     """
     from ..functions.text import word_shingles
 
@@ -698,6 +769,17 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
     ).persist()
+    if candidate_budget is not None:
+        n_cand = _candidate_pair_count(shingled, "sh", df_cap)
+        if n_cand > candidate_budget:
+            shingled.unpersist()
+            _over_budget(
+                "ngram_jaccard_pairs", n_cand, candidate_budget, on_over_budget
+            )
+            return dedup_minhash_verified(
+                df, text_col, id_col, threshold,
+                shingle_k=shingle_k, mode=mode,
+            )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
     filtered = shingled.join(
@@ -735,6 +817,8 @@ def ngram_jaccard_pairs_prefix(
     threshold: float = 0.5,
     shingle_k: int = 5,
     mode: str = "char",
+    candidate_budget: int | None = 50_000_000,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING (the public
     PPJoin/AllPairs family) — same output as
@@ -753,6 +837,12 @@ def ngram_jaccard_pairs_prefix(
     shingle-hash arrays (bounded by doc length) and computes the exact
     intersection JVM-side (``array_intersect``) — one extra narrow
     join, no Python.
+
+    Prefix filtering shrinks boilerplate skew but not CLIQUE blow-up
+    (N exact copies keep identical prefixes), so the same
+    ``candidate_budget`` guard as :func:`ngram_jaccard_pairs` applies:
+    candidates counted over the (persisted) prefix index before the
+    self-join; over budget → raise or LSH downgrade.
     """
     from ..functions.text import word_shingles
 
@@ -777,6 +867,20 @@ def ngram_jaccard_pairs_prefix(
     )
     prefix_len = F.ceil((1.0 - threshold) * F.col("n_sh")).cast("int") + 1
     prefix = ranked.where(F.col("rn") <= prefix_len).select("id", "h", "n_sh")
+    if candidate_budget is not None:
+        prefix = prefix.persist()  # feeds the guard count + both join sides
+        n_cand = _candidate_pair_count(prefix, "h", None)
+        if n_cand > candidate_budget:
+            prefix.unpersist()
+            shingled.unpersist()
+            _over_budget(
+                "ngram_jaccard_pairs_prefix", n_cand, candidate_budget,
+                on_over_budget,
+            )
+            return dedup_minhash_verified(
+                df, text_col, id_col, threshold,
+                shingle_k=shingle_k, mode=mode,
+            )
     # size filter inside the bucket join: t·|A| ≤ |B| ≤ |A|/t
     cand = (
         prefix.select(F.col("id").alias("id_a"), "h", F.col("n_sh").alias("n_a"))
@@ -827,6 +931,8 @@ def ngram_containment_pairs(
     threshold: float = 0.6,
     shingle_n: int = 3,
     df_cap: int = 1000,
+    candidate_budget: int | None = 50_000_000,
+    on_over_budget: str = "raise",
 ) -> DataFrame:
     """Asymmetric near-dup: containment = |A ∩ B| / min(|A|, |B|) over
     word n-gram sets. Catches SUBSET duplication — a short doc quoted
@@ -839,7 +945,14 @@ def ngram_containment_pairs(
     distinct shingles, document-frequency cap against stop-shingle
     bucket blowup, self-join on shingle, one pair-count hash-agg) —
     the only change is the denominator, so the 100 TB posture is
-    identical: shuffles carry shingles and ids, never document text.
+    identical: shuffles carry shingles and ids, never document text —
+    including the ``candidate_budget`` clique-blow-up guard. The
+    ``'lsh'`` downgrade uses symmetric MinHash banding for candidates,
+    which under-recalls the ASYMMETRIC subset case (a short doc inside
+    a much longer one has high containment but low Jaccard, so its
+    bands rarely collide) — on over-budget corpora the blow-up is
+    clique-shaped near-identical copies, which banding does catch; the
+    raise default stays right when embedded-copy recall matters.
     """
     from ..functions.text import word_shingles
 
@@ -849,6 +962,22 @@ def ngram_containment_pairs(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
     ).persist()
+    if candidate_budget is not None:
+        n_cand = _candidate_pair_count(shingled, "sh", df_cap)
+        if n_cand > candidate_budget:
+            shingled.unpersist()
+            _over_budget(
+                "ngram_containment_pairs", n_cand, candidate_budget,
+                on_over_budget,
+            )
+            sigs = minhash_signatures(
+                df, text_col, id_col, shingle_k=shingle_n, mode="word"
+            ).persist()
+            cand = minhash_candidate_pairs(sigs)
+            return verify_pairs_exact_jaccard(
+                cand, df, text_col, id_col, shingle_n, mode="word",
+                include_containment=True,
+            ).where(F.col("containment") >= threshold)
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
     filtered = shingled.join(

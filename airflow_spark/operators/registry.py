@@ -1082,7 +1082,10 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective even on small-vocabulary corpora)."""
     t = load_tables(spark, sf_dir)
     return (
-        dedup.ngram_jaccard_pairs(t.documents, threshold=0.8, mode="word", shingle_k=3)
+        dedup.ngram_jaccard_pairs(
+            t.documents, threshold=0.8, mode="word", shingle_k=3,
+            on_over_budget="lsh",
+        )
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -1096,7 +1099,8 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         dedup.ngram_jaccard_pairs_prefix(
-            t.documents, threshold=0.8, mode="word", shingle_k=3
+            t.documents, threshold=0.8, mode="word", shingle_k=3,
+            on_over_budget="lsh",
         )
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
@@ -1109,7 +1113,9 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard threshold misses."""
     t = load_tables(spark, sf_dir)
     return (
-        dedup.ngram_containment_pairs(t.documents, threshold=0.6, shingle_n=3)
+        dedup.ngram_containment_pairs(
+            t.documents, threshold=0.6, shingle_n=3, on_over_budget="lsh"
+        )
         .select(
             "id_a",
             "id_b",

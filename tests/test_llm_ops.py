@@ -117,6 +117,88 @@ def test_ngram_jaccard_prefix_exact_values(docs):
     assert (0, 2) in rows and 0.5 <= rows[(0, 2)] < 1.0
 
 
+def _clique_corpus(spark, n_cliques=12, clique=10):
+    """Planted duplication-dense corpus: ``n_cliques`` distinct base
+    texts, each copied ``clique`` times — every copy pairs with every
+    other copy, the Σ C(df,2) blow-up shape."""
+    rows = []
+    for c in range(n_cliques):
+        base = (
+            f"clique {c} body alpha{c} bravo{c} charlie{c} delta{c} "
+            f"echo{c} foxtrot{c} golf{c} hotel{c} india{c} juliet{c}"
+        )
+        for i in range(clique):
+            rows.append((c * 100 + i, base))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_candidate_budget_guard_trips_on_cliques(spark):
+    """A planted 10-clique corpus must trip the candidate-budget guard
+    BEFORE the quadratic self-join launches (default: raise with a
+    pointer to the LSH family)."""
+    df = _clique_corpus(spark)
+    with pytest.raises(dedup.CandidateBudgetExceeded, match="lsh|LSH"):
+        dedup.ngram_jaccard_pairs(
+            df, threshold=0.8, mode="word", shingle_k=3, candidate_budget=100
+        ).collect()
+    with pytest.raises(dedup.CandidateBudgetExceeded):
+        dedup.ngram_jaccard_pairs_prefix(
+            df, threshold=0.8, mode="word", shingle_k=3, candidate_budget=100
+        ).collect()
+    with pytest.raises(dedup.CandidateBudgetExceeded):
+        dedup.ngram_containment_pairs(
+            df, threshold=0.6, shingle_n=3, candidate_budget=100
+        ).collect()
+
+
+def test_candidate_budget_lsh_downgrade_finds_clique_pairs(spark):
+    """on_over_budget='lsh' downgrades to the banded exact-verified
+    path: bounded work, and the clique members (jaccard 1.0 clones —
+    the pairs that CAUSED the blow-up) are still found with exact
+    scores."""
+    df = _clique_corpus(spark, n_cliques=3, clique=4)
+    for fn, kw, score in (
+        (dedup.ngram_jaccard_pairs,
+         dict(threshold=0.8, mode="word", shingle_k=3), "jaccard"),
+        (dedup.ngram_jaccard_pairs_prefix,
+         dict(threshold=0.8, mode="word", shingle_k=3), "jaccard"),
+        (dedup.ngram_containment_pairs,
+         dict(threshold=0.6, shingle_n=3), "containment"),
+    ):
+        rows = {
+            (r["id_a"], r["id_b"]): r[score]
+            for r in fn(
+                df, candidate_budget=10, on_over_budget="lsh", **kw
+            ).collect()
+        }
+        # every within-clique pair present with an exact score of 1.0
+        for c in range(3):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    assert rows.get((c * 100 + i, c * 100 + j)) == 1.0, (
+                        fn.__name__, c, i, j, len(rows))
+        # no cross-clique pair
+        assert all(a // 100 == b // 100 for a, b in rows)
+
+
+def test_candidate_budget_under_budget_is_exact_path(docs):
+    """Under budget nothing changes: same exact pairs as the unguarded
+    run (guard is count-only)."""
+    guarded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, shingle_k=5, candidate_budget=10**9
+        ).collect()
+    }
+    unguarded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, shingle_k=5, candidate_budget=None
+        ).collect()
+    }
+    assert guarded == unguarded and len(guarded) > 0
+
+
 def test_containment_catches_embedded_doc_jaccard_misses(spark):
     short = "the quick brown fox jumps over the lazy dog tonight"
     long = (
