@@ -232,6 +232,46 @@ def pq_encode(
     return df.withColumn(codes_col, index.codes_col(vec_col))
 
 
+def pq_save_codes(
+    df: DataFrame,
+    index: PQIndex,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Production index build: encode the corpus ONCE and persist the
+    (id, codes) table as parquet with a codebooks sidecar — retrieval
+    then reads 32×-compressed codes and never touches raw vectors (or
+    pays re-train/re-encode) again. The codebooks are m×ksub×dsub
+    doubles (~KB): a JSON sidecar, written atomically LAST so its
+    presence marks a complete index."""
+    import json
+    import os
+
+    pq_encode(df, index, vec_col).select(id_col, "codes").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes.parquet"))
+    tmp = os.path.join(path, ".codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"id_col": id_col, "codebooks": index.codebooks.tolist()}, f
+        )
+    os.replace(tmp, os.path.join(path, "codebooks.json"))
+
+
+def pq_load_codes(spark, path: str) -> tuple[PQIndex, DataFrame]:
+    """Load a :func:`pq_save_codes` index: (PQIndex, codes DataFrame).
+    The codes frame feeds :func:`pq_adc_topk` directly (its ``codes``
+    column short-circuits encoding)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    return PQIndex(np.asarray(meta["codebooks"], dtype=float)), codes
+
+
 def pq_adc_topk(
     df: DataFrame,
     query_vec: list[float],

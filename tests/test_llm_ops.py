@@ -1422,6 +1422,33 @@ def test_pq_adc_tracks_true_distance(spark):
         assert 0.0 <= approx <= 2.0 * true + 1e-9, (vid, approx, true)
 
 
+def test_pq_persisted_codes_serve_identical_topk(spark, tmp_path):
+    """The persist-once index path (save codes parquet + codebooks
+    sidecar, reload, ADC over codes) returns exactly the re-encode
+    path's top-k — and never touches the raw vector column."""
+    from airflow_spark.operators import pq as pqmod
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = df.where(F.col("vec_id") != 0)
+    index = pqmod.PQIndex.train(corpus, m=8, ksub=16, seed=42, id_col="vec_id")
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    root = str(tmp_path / "pq_index")
+    pqmod.pq_save_codes(corpus, index, root)
+    index2, codes = pqmod.pq_load_codes(spark, root)
+    assert set(codes.columns) == {"vec_id", "codes"}  # vectors dropped
+
+    direct = [
+        (r["id"], round(r["adc_dist"], 9))
+        for r in pqmod.pq_adc_topk(corpus, qv, k=10, index=index).collect()
+    ]
+    served = [
+        (r["id"], round(r["adc_dist"], 9))
+        for r in pqmod.pq_adc_topk(codes, qv, k=10, index=index2).collect()
+    ]
+    assert served == direct and len(served) == 10
+
+
 def test_pq_topk_plan_is_projection_and_take_ordered(spark):
     from airflow_spark.operators import pq as pqmod
 
