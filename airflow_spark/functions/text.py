@@ -184,9 +184,8 @@ def char_entropy(text: Column | str, max_chars: int = 2000) -> Column:
         p = n / length
         return F.when(n > 0, -p * F.log(p)).otherwise(F.lit(0.0))
 
-    return F.when(length > 0, F.aggregate(chars, F.lit(0.0), lambda acc, c: acc + term(c))).otherwise(
-        F.lit(0.0)
-    )
+    total = F.aggregate(chars, F.lit(0.0), lambda acc, c: acc + term(c))
+    return F.when(length > 0, total).otherwise(F.lit(0.0))
 
 
 #: struct-field names for PII_PATTERNS, in order

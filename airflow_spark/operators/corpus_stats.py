@@ -96,8 +96,6 @@ def vocab_coverage(
     """Per-document OOV statistics against the corpus top-``vocab_size``
     vocabulary (count desc, token asc tie-break — deterministic).
     Output: id, n_tokens, n_oov, oov_rate."""
-    from pyspark.sql import Window
-
     toks = docs.select(
         F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
     )

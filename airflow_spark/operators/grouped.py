@@ -15,7 +15,6 @@ Python worker costs ~10-100× on the hot path.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window

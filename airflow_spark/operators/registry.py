@@ -4029,7 +4029,13 @@ SELECT id, s AS max_cos,
        CASE WHEN s >= 0.9 THEN bid END AS matched_id,
        s >= 0.9 AS contaminated
 FROM r WHERE rn = 1 ORDER BY id LIMIT 300
-""".replace("{D}", "list_sum(list_transform(list_zip(c.embedding, b.embedding), z -> CAST(z[1] * z[2] AS DOUBLE)))").replace("{NA}", _NORM_F32.format(col="c.embedding")).replace("{NB}", _NORM_F32.format(col="b.embedding")),
+""".replace(
+        "{D}",
+        "list_sum(list_transform(list_zip(c.embedding, b.embedding),"
+        " z -> CAST(z[1] * z[2] AS DOUBLE)))",
+    ).replace(
+        "{NA}", _NORM_F32.format(col="c.embedding")
+    ).replace("{NB}", _NORM_F32.format(col="b.embedding")),
     "op_seasonal_zscore": """
 WITH st AS (SELECT event_id, event_type, hour(ts) AS hod, value
             FROM events),
@@ -4236,16 +4242,29 @@ WITH cols(col_name) AS (VALUES ('o_custkey'), ('o_orderdate'),
 SELECT c.col_name,
        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
        CASE c.col_name
-         WHEN 'o_orderkey'    THEN (SELECT CAST(count(*) - count(o_orderkey) AS BIGINT) FROM orders)
-         WHEN 'o_custkey'     THEN (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders)
-         WHEN 'o_orderstatus' THEN (SELECT CAST(count(*) - count(o_orderstatus) AS BIGINT) FROM orders)
-         WHEN 'o_orderdate'   THEN (SELECT CAST(count(*) - count(o_orderdate) AS BIGINT) FROM orders)
+         WHEN 'o_orderkey' THEN
+           (SELECT CAST(count(*) - count(o_orderkey) AS BIGINT)
+            FROM orders)
+         WHEN 'o_custkey' THEN
+           (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders)
+         WHEN 'o_orderstatus' THEN
+           (SELECT CAST(count(*) - count(o_orderstatus) AS BIGINT)
+            FROM orders)
+         WHEN 'o_orderdate' THEN
+           (SELECT CAST(count(*) - count(o_orderdate) AS BIGINT)
+            FROM orders)
        END AS n_nulls,
        CASE c.col_name
-         WHEN 'o_orderkey'    THEN (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
-         WHEN 'o_custkey'     THEN (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
-         WHEN 'o_orderstatus' THEN (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders)
-         WHEN 'o_orderdate'   THEN (SELECT CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders)
+         WHEN 'o_orderkey' THEN
+           (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+         WHEN 'o_custkey' THEN
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders)
+         WHEN 'o_orderstatus' THEN
+           (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+            FROM orders)
+         WHEN 'o_orderdate' THEN
+           (SELECT CAST(count(DISTINCT o_orderdate) AS BIGINT)
+            FROM orders)
        END AS n_distinct,
        CASE c.col_name
          WHEN 'o_orderkey'    THEN (SELECT CAST(min(o_orderkey) AS VARCHAR) FROM orders)
@@ -4448,8 +4467,10 @@ WITH t AS (SELECT
   CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
   CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
   CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS p4,
-  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v4
+  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                THEN 0 ELSE 1 END) AS BIGINT) AS v4
   FROM orders)
 SELECT 'key_not_null' AS rule, p1 AS n_pass, v1 AS n_violations FROM t
 UNION ALL SELECT 'status_known', p2, v2 FROM t
@@ -4587,8 +4608,12 @@ WITH s AS (
               || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
   FROM documents)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(t, '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,4}\\b')) AS BIGINT) AS n_card,
+       CAST(len(regexp_extract_all(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(
+         t, '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{1,4}\\b'))
+         AS BIGINT) AS n_card,
        CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
        CAST(len(regexp_extract_all(t, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS BIGINT) AS n_phone,
        CAST(len(regexp_extract_all(t, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip

@@ -40,6 +40,63 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .health import health as _health
 
+#: Role lattice (reference parity: the webserver's AUTH_ROLES_MAPPING
+#: maps IdP groups onto Admin/Op/Viewer;
+#: /root/reference/config/webserver_config.py:22-63,93-118). Higher
+#: rank implies every lower-rank permission.
+ROLE_RANK = {"Viewer": 0, "Op": 1, "Admin": 2}
+
+
+class StaticTokenRoles:
+    """Bearer-token → (user, role) provider: the engine-native analog
+    of the reference's OAuth role mapping — identities and an
+    Admin/Op/Viewer split instead of one shared secret. Tokens come
+    from config/secret storage; the control plane only sees the
+    mapping.
+
+    ``tokens`` maps token → role, or token → (user, role) when the
+    audit trail needs a username."""
+
+    def __init__(self, tokens: dict):
+        self._tokens = {}
+        for tok, v in tokens.items():
+            user, role = v if isinstance(v, (tuple, list)) else (None, v)
+            if role not in ROLE_RANK:
+                raise ValueError(
+                    f"unknown role {role!r} (valid: {sorted(ROLE_RANK)})"
+                )
+            self._tokens[tok] = {"user": user or f"token:{tok[:4]}…",
+                                 "role": role}
+
+    def authenticate(self, headers: dict | None) -> dict | None:
+        got = (headers or {}).get("Authorization", "")
+        if not got.startswith("Bearer "):
+            return None
+        return self._tokens.get(got[len("Bearer "):])
+
+
+class GroupRoleMapper:
+    """The login-time group→role sync of the reference's
+    AUTH_ROLES_MAPPING (webserver_config.py:93-118): given the groups
+    an identity provider asserts for a user, resolve the HIGHEST
+    mapped role (a user in both a viewer and an admin group is an
+    admin). Deliberately transport-agnostic — whatever validates the
+    OIDC token upstream hands the group list here."""
+
+    def __init__(self, roles_mapping: dict[str, str]):
+        for groups_role in roles_mapping.values():
+            if groups_role not in ROLE_RANK:
+                raise ValueError(f"unknown role {groups_role!r}")
+        self.roles_mapping = roles_mapping
+
+    def role_for(self, groups: list[str]) -> str | None:
+        roles = [
+            self.roles_mapping[g] for g in groups if g in self.roles_mapping
+        ]
+        if not roles:
+            return None
+        return max(roles, key=lambda r: ROLE_RANK[r])
+
 
 class ControlPlane:
     def __init__(
@@ -49,32 +106,44 @@ class ControlPlane:
         state_store=None,
         scheduler=None,
         auth_token: str | None = None,
+        role_provider=None,
     ):
-        """``auth_token`` (or env ``SPARK_GRAFT_API_TOKEN``) enables
-        bearer auth: every request must carry
-        ``Authorization: Bearer <token>`` — the engine-native stand-in
-        for the reference's OAuth webserver config
-        (/root/reference/config/webserver_config.py). ``GET /health``
-        stays open (probes run unauthenticated, matching
-        /root/reference/config/healthcheck.sh)."""
+        """Authentication is pluggable (reference parity:
+        /root/reference/config/webserver_config.py supports multiple
+        AUTH_* providers with role mapping):
+
+        - ``role_provider`` — an object with
+          ``authenticate(headers) -> {"user": ..., "role": ...} | None``
+          (e.g. :class:`StaticTokenRoles`). Read endpoints need
+          ``Viewer``; mutations (trigger/resume) need ``Admin``.
+        - ``auth_token`` (or env ``SPARK_GRAFT_API_TOKEN``) — the
+          single-shared-secret stand-in, kept as one provider: the
+          token maps to ``Admin``.
+        - neither — open (local dev).
+
+        ``GET /health`` always stays open (probes run unauthenticated,
+        matching /root/reference/config/healthcheck.sh)."""
         import os
 
         self.spark = spark
         self.pipelines = {p.name: p for p in (pipelines or [])}
         self.state_store = state_store
         self.scheduler = scheduler
-        self.auth_token = auth_token or os.environ.get("SPARK_GRAFT_API_TOKEN")
+        auth_token = auth_token or os.environ.get("SPARK_GRAFT_API_TOKEN")
+        if role_provider is None and auth_token:
+            role_provider = StaticTokenRoles({auth_token: ("shared", "Admin")})
+        self.role_provider = role_provider
         self._runs: dict[str, dict] = {}
         self._lock = threading.Lock()
         #: serializes Pipeline.resume calls (new-run-id derivation from
         #: the state store is read-then-act; see _resume)
         self._resume_lock = threading.Lock()
 
-    def _authorized(self, headers: dict | None) -> bool:
-        if not self.auth_token:
-            return True
-        got = (headers or {}).get("Authorization", "")
-        return got == f"Bearer {self.auth_token}"
+    def _identity(self, headers: dict | None) -> dict | None:
+        """None = anonymous-but-open (no provider) handled by caller."""
+        if self.role_provider is None:
+            return {"user": "anonymous", "role": "Admin"}
+        return self.role_provider.authenticate(headers)
 
     # -- pure dispatch core ------------------------------------------------
 
@@ -98,8 +167,18 @@ class ControlPlane:
             return 200, _health(
                 self.spark, scheduler=self.scheduler, state_store=self.state_store
             )
-        if not self._authorized(headers):
+        ident = self._identity(headers)
+        if ident is None:
             return 401, {"error": "missing or invalid bearer token"}
+        # RBAC: reads need Viewer, mutations need Admin (the reference's
+        # Admin/Op/Viewer split from AUTH_ROLES_MAPPING)
+        need = "Admin" if method != "GET" else "Viewer"
+        if ROLE_RANK[ident["role"]] < ROLE_RANK[need]:
+            return 403, {
+                "error": f"role {ident['role']!r} may not {method} {path} "
+                         f"(requires {need})",
+                "user": ident["user"],
+            }
         if method == "GET" and parts == ["pipelines"]:
             return 200, {
                 "pipelines": [

@@ -80,7 +80,8 @@ def test_sample_mixture_quotas(spark):
     out = curation.sample_mixture(
         df, "lang", {"en": 0.7, "de": 0.3}, total_rows=40, order_by="doc_id"
     )
-    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    agg = out.groupBy("lang").agg(F.count("*").alias("n"))
+    counts = {r["lang"]: r["n"] for r in agg.collect()}
     assert counts == {"en": 28, "de": 12}
     # deterministic: smallest ids win
     assert out.agg(F.max("doc_id")).first()[0] < 100

@@ -26,8 +26,6 @@ def test_pagerank_star_graph(spark):
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):
-    import numpy as np
-
     pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 1), (1, 0)]  # symmetric triangle-ish
     got = {
         r["node"]: r["rank"]

@@ -1713,7 +1713,8 @@ def _rgb_avi(frames_rgb, us_per_frame=1000_000, bpp=24):
         rows[:, : w * 3] = bgr.reshape(h, w * 3)
         movi += chunk(b"00db", rows.tobytes())
     body = (
-        lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        lst(b"hdrl", chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
         + lst(b"movi", movi)
     )
     return b"RIFF" + __import__("struct").pack("<I", 4 + len(body)) + b"AVI " + body

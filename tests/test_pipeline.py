@@ -599,6 +599,71 @@ def test_control_plane_bearer_auth(spark):
     assert st == 200 and body["pipelines"]
 
 
+def test_control_plane_role_based_auth(spark):
+    """Admin/Op/Viewer split (reference webserver AUTH_ROLES_MAPPING
+    analog): Viewer reads but cannot mutate (403, not 401); Op is
+    read-only too (mutations are Admin-only); Admin triggers; unknown
+    token is 401; health stays open."""
+    from airflow_spark.pipeline.api import ControlPlane, StaticTokenRoles
+
+    cp = ControlPlane(
+        spark,
+        [_mini_pipeline()],
+        role_provider=StaticTokenRoles(
+            {
+                "v-tok": ("casey", "Viewer"),
+                "o-tok": ("op-bot", "Op"),
+                "a-tok": ("root", "Admin"),
+            }
+        ),
+    )
+    viewer = {"Authorization": "Bearer v-tok"}
+    op = {"Authorization": "Bearer o-tok"}
+    admin = {"Authorization": "Bearer a-tok"}
+
+    assert cp.dispatch("GET", "/health")[0] == 200  # probes stay open
+    assert cp.dispatch("GET", "/pipelines")[0] == 401  # anonymous
+    assert cp.dispatch(
+        "GET", "/pipelines", None, {"Authorization": "Bearer nope"}
+    )[0] == 401
+
+    st, body = cp.dispatch("GET", "/pipelines", None, viewer)
+    assert st == 200 and body["pipelines"]
+    st, body = cp.dispatch("POST", "/pipelines/api_demo/trigger", {}, viewer)
+    assert st == 403 and body["user"] == "casey"
+    assert cp.dispatch(
+        "POST", "/pipelines/api_demo/trigger", {}, op
+    )[0] == 403
+    st, body = cp.dispatch("POST", "/pipelines/api_demo/trigger", {}, admin)
+    assert st == 202 and body["run_id"]
+    # wait for the daemon-thread run so the session isn't torn down
+    # mid-flight by a later test
+    import time as _time
+
+    for _ in range(100):
+        if cp.dispatch("GET", f"/runs/{body['run_id']}", None, viewer)[1][
+            "status"
+        ] != "running":
+            break
+        _time.sleep(0.1)
+
+
+def test_group_role_mapper_highest_wins():
+    from airflow_spark.pipeline.api import GroupRoleMapper
+
+    m = GroupRoleMapper(
+        {"platform-admins": "Admin", "eng": "Op", "everyone": "Viewer"}
+    )
+    assert m.role_for(["everyone"]) == "Viewer"
+    assert m.role_for(["everyone", "platform-admins"]) == "Admin"
+    assert m.role_for(["eng", "everyone"]) == "Op"
+    assert m.role_for(["strangers"]) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown role"):
+        GroupRoleMapper({"g": "Root"})
+
+
 def test_evaluate_rules_one_pass_report(spark):
     from pyspark.sql import functions as F
 

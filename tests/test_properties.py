@@ -46,7 +46,8 @@ def test_step_schedule_interval(step, start):
     # consecutive fires within an hour are exactly `step` apart (modulo
     # the top-of-hour reset)
     delta = (f2 - f1).total_seconds() / 60
-    assert delta == step or (f2.minute == 0 and delta == 60 - (60 // step) * step + step) or f2.minute < f1.minute
+    wrapped = f2.minute == 0 and delta == 60 - (60 // step) * step + step
+    assert delta == step or wrapped or f2.minute < f1.minute
 
 
 @given(st.lists(st.text(
@@ -59,7 +60,10 @@ def test_delimited_list_roundtrip(items):
 
 @given(
     st.lists(
-        st.tuples(st.integers(-10**6, 10**6), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        st.tuples(
+            st.integers(-10**6, 10**6),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
         min_size=1,
         max_size=20,
     )
