@@ -110,6 +110,14 @@ class TaskDef:
     #: scheduling priority when more tasks are ready than slots
     #: (Airflow priority_weight): higher submits first; ties by name.
     priority: int = 0
+    #: deferrable sensor (triggerer analog — the reference runs a
+    #: dedicated triggerer service, compose.yml:109-127, so waits
+    #: don't occupy worker slots): ``fn(ctx)`` BUILDS a zero-arg
+    #: condition; the scheduler loop pokes it off the worker pool
+    #: until truthy or ``sensor_timeout_s`` elapses.
+    sensor: bool = False
+    poke_interval_s: float = 30.0
+    sensor_timeout_s: float = 600.0
 
 
 @dataclass
@@ -264,6 +272,68 @@ class Pipeline:
 
         return deco(fn) if fn is not None else deco
 
+    def sensor(
+        self,
+        fn: Callable[..., Any] | None = None,
+        *,
+        name: str | None = None,
+        depends_on: list[str] | None = None,
+        poke_interval_s: float = 30.0,
+        timeout_s: float = 600.0,
+        deferrable: bool = True,
+        when: Callable[[Context], bool] | None = None,
+        priority: int = 0,
+    ):
+        """Register a sensor: ``fn(ctx)`` is called once to BUILD a
+        zero-arg condition (e.g. ``sensors.path_sensor(...)``); the
+        engine then pokes it every ``poke_interval_s`` until truthy
+        (the value becomes the task's output) or ``timeout_s`` burns
+        (task fails with ``SensorTimeout``).
+
+        ``deferrable=True`` (default) is the triggerer analog
+        (reference compose.yml:109-127 runs a dedicated triggerer
+        service): the wait parks in the scheduler loop and occupies NO
+        worker slot or pool token, so a thousand waiting sensors don't
+        starve real tasks. Conditions must therefore be control-plane
+        cheap (listings, footer reads — what the built-ins do).
+        ``deferrable=False`` pokes inside a worker slot (the classic
+        blocking sensor), right when the condition itself is heavy.
+        """
+
+        def deco(f: Callable[..., Any]) -> Callable[..., Any]:
+            tname = name or f.__name__
+            if not deferrable:
+                from . import sensors as _sensors
+
+                def blocking(ctx, _f=f):
+                    return _sensors.poke_until(
+                        _f(ctx),
+                        poke_interval_s=poke_interval_s,
+                        timeout_s=timeout_s,
+                    )
+
+                blocking.__name__ = f.__name__
+                self.task(
+                    blocking, name=tname, depends_on=depends_on,
+                    when=when, priority=priority,
+                )
+                return f
+            if tname in self.tasks:
+                raise ValueError(f"duplicate task name {tname!r}")
+            self.tasks[tname] = TaskDef(
+                name=tname,
+                fn=f,
+                depends_on=list(depends_on or []),
+                when=when,
+                priority=priority,
+                sensor=True,
+                poke_interval_s=poke_interval_s,
+                sensor_timeout_s=timeout_s,
+            )
+            return f
+
+        return deco(fn) if fn is not None else deco
+
     # -- execution --------------------------------------------------------
 
     def _topo_order(self) -> list[str]:
@@ -366,8 +436,11 @@ class Pipeline:
         # max_parallel_tasks (each task = one Spark job; submission is
         # thread-safe). Dependency/failure semantics identical to the
         # sequential form.
+        #: deferred sensors parked off the worker pool (triggerer
+        #: analog): name -> {check, deadline, next, t0, pokes}
+        deferred: dict[str, dict] = {}
         with ThreadPoolExecutor(max_workers=self.max_parallel_tasks) as pool:
-            while pending or running:
+            while pending or running or deferred:
                 # higher priority submits first; ties by name (Airflow
                 # priority_weight semantics under a full executor)
                 ready_order = sorted(
@@ -424,6 +497,31 @@ class Pipeline:
                         ctx.outputs[tname] = None
                         pending.discard(tname)
                         continue
+                    if t.sensor:
+                        # deferrable sensor: build the condition once
+                        # and park it — consumes NO worker slot or pool
+                        # token while waiting (triggerer semantics)
+                        try:
+                            check = t.fn(ctx)
+                        except Exception as e:  # noqa: BLE001
+                            results[tname] = TaskResult(
+                                tname, "failed",
+                                error=f"sensor build failed: {e}"[:500],
+                            )
+                            failed_any = True
+                            first_error = first_error or results[tname].error
+                            pending.discard(tname)
+                            continue
+                        now = time.monotonic()
+                        deferred[tname] = {
+                            "check": check,
+                            "deadline": now + t.sensor_timeout_s,
+                            "next": now,  # first poke immediately
+                            "t0": now,
+                            "pokes": 0,
+                        }
+                        pending.discard(tname)
+                        continue
                     if len(running) >= self.max_parallel_tasks:
                         # never queue beyond free workers: FIFO queuing
                         # inside the executor would defeat the priority
@@ -436,9 +534,71 @@ class Pipeline:
                             pool_in_flight.get(t.pool, 0) + 1
                         )
                     pending.discard(tname)
+                # poke due deferred sensors inline: the conditions are
+                # control-plane cheap by contract, so one loop thread
+                # multiplexes any number of waits (the triggerer model)
+                now = time.monotonic()
+                for tname in list(deferred):
+                    d = deferred[tname]
+                    t = self.tasks[tname]
+                    if deadline is not None and now >= deadline:
+                        results[tname] = TaskResult(
+                            tname, "failed", attempts=d["pokes"],
+                            error="pipeline timeout budget exhausted",
+                        )
+                        failed_any = True
+                        first_error = first_error or results[tname].error
+                        del deferred[tname]
+                        continue
+                    if now < d["next"]:
+                        continue
+                    d["pokes"] += 1
+                    try:
+                        got = d["check"]()
+                    except Exception as e:  # noqa: BLE001
+                        results[tname] = TaskResult(
+                            tname, "failed", attempts=d["pokes"],
+                            error=f"sensor poke raised: {e}"[:500],
+                            elapsed=round(now - d["t0"], 3),
+                        )
+                        failed_any = True
+                        first_error = first_error or results[tname].error
+                        del deferred[tname]
+                        continue
+                    if got:
+                        results[tname] = TaskResult(
+                            tname, "success", attempts=d["pokes"],
+                            elapsed=round(now - d["t0"], 3),
+                        )
+                        ctx.outputs[tname] = got
+                        del deferred[tname]
+                    elif now >= d["deadline"]:
+                        results[tname] = TaskResult(
+                            tname, "failed", attempts=d["pokes"],
+                            error=(
+                                f"SensorTimeout: condition not met within "
+                                f"{t.sensor_timeout_s}s"
+                            ),
+                            elapsed=round(now - d["t0"], 3),
+                        )
+                        failed_any = True
+                        first_error = first_error or results[tname].error
+                        del deferred[tname]
+                    else:
+                        d["next"] = now + t.poke_interval_s
                 if running:
+                    timeout = 1.0
+                    if deferred:
+                        timeout = max(
+                            0.02,
+                            min(
+                                [1.0]
+                                + [d["next"] - now for d in deferred.values()]
+                            ),
+                        )
                     done, _ = wait(
-                        set(running), return_when=FIRST_COMPLETED, timeout=1.0
+                        set(running), return_when=FIRST_COMPLETED,
+                        timeout=timeout,
                     )
                     for fut in done:
                         tname = running.pop(fut)
@@ -447,6 +607,11 @@ class Pipeline:
                         if res.status == "failed":
                             failed_any = True
                             first_error = first_error or res.error
+                elif deferred:
+                    # nothing running: sleep until the earliest next
+                    # poke (bounded so new ready tasks aren't starved)
+                    nxt = min(d["next"] for d in deferred.values())
+                    time.sleep(max(0.0, min(nxt - time.monotonic(), 0.5)))
 
         status = "failed" if failed_any else "success"
         run = PipelineRun(

@@ -1115,6 +1115,91 @@ def test_dataset_trigger_fires_on_change_only(spark, tmp_path):
     assert len(calls) == 2  # new file → new fingerprint → fire
 
 
+def test_deferrable_sensors_do_not_occupy_worker_slots(spark):
+    """Triggerer semantics: with max_parallel_tasks=1, THREE deferrable
+    sensors wait concurrently while regular tasks keep flowing through
+    the single worker slot; each sensor fires once its condition turns
+    true and its output is the condition's truthy value."""
+    from airflow_spark.pipeline import Pipeline
+
+    flags = {}
+    p = Pipeline("deferred_sensors", max_parallel_tasks=1)
+
+    for i in range(3):
+        def build(ctx, _i=i):
+            return lambda: flags.get(_i)
+
+        p.sensor(build, name=f"wait{i}", poke_interval_s=0.02, timeout_s=10)
+
+    order = []
+
+    @p.task()
+    def work_a(ctx):
+        order.append("a")
+        return "a-done"
+
+    @p.task(depends_on=["work_a"])
+    def work_b(ctx):
+        order.append("b")
+        # tasks ran to completion while all three sensors still waited;
+        # now satisfy them
+        for i in range(3):
+            flags[i] = f"ready-{i}"
+        return "b-done"
+
+    @p.task(depends_on=["wait0", "wait1", "wait2"])
+    def after_sensors(ctx):
+        order.append("after")
+        return [ctx.outputs[f"wait{i}"] for i in range(3)]
+
+    run = p.run(spark)
+    assert run.ok, run.tasks
+    assert order == ["a", "b", "after"]
+    assert run.outputs["after_sensors"] == ["ready-0", "ready-1", "ready-2"]
+    assert all(run.tasks[f"wait{i}"].attempts >= 1 for i in range(3))
+
+
+def test_deferrable_sensor_timeout_fails_task_not_pipeline_hang(spark):
+    from airflow_spark.pipeline import Pipeline
+
+    p = Pipeline("sensor_timeout")
+    p.sensor(
+        lambda ctx: (lambda: False),
+        name="never",
+        poke_interval_s=0.02,
+        timeout_s=0.1,
+    )
+
+    @p.task(depends_on=["never"])
+    def downstream(ctx):
+        return {}
+
+    run = p.run(spark)
+    assert not run.ok
+    assert run.tasks["never"].status == "failed"
+    assert "SensorTimeout" in run.tasks["never"].error
+    assert run.tasks["downstream"].status == "upstream_failed"
+
+
+def test_blocking_sensor_mode_still_works(spark, tmp_path):
+    """deferrable=False keeps the classic in-worker poke_until path."""
+    from airflow_spark.pipeline import Pipeline
+    from airflow_spark.pipeline.sensors import path_sensor
+
+    pth = str(tmp_path / "landed")
+    spark.range(3).write.parquet(pth)
+    p = Pipeline("blocking_sensor")
+    p.sensor(
+        lambda ctx: path_sensor(ctx.spark, pth),
+        name="wait_path",
+        poke_interval_s=0.02,
+        timeout_s=5,
+        deferrable=False,
+    )
+    run = p.run(spark)
+    assert run.ok and run.outputs["wait_path"] is True
+
+
 def test_dataset_trigger_retries_failed_run_and_cron_absorbs(spark, tmp_path):
     """Two-phase fingerprint commit: (a) a dataset-triggered run whose
     start RAISES is retried next poll (fingerprint not consumed);
