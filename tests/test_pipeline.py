@@ -648,6 +648,40 @@ def test_control_plane_role_based_auth(spark):
         _time.sleep(0.1)
 
 
+def test_serve_entrypoint_wiring(spark, tmp_path, monkeypatch):
+    """The container entrypoint's exact wiring (serve.build): pipeline
+    factory loaded from module:callable, cron entries registered with
+    the scheduler, RBAC provider from SPARK_GRAFT_API_ROLES, state
+    store only when configured."""
+    (tmp_path / "user_pipes.py").write_text(
+        "from airflow_spark.pipeline import Pipeline\n"
+        "def build_all(spark):\n"
+        "    cronned = Pipeline('cronned', schedule='0 * * * *')\n"
+        "    cronned.task(lambda ctx: {}, name='t')\n"
+        "    adhoc = Pipeline('adhoc')\n"
+        "    adhoc.task(lambda ctx: {}, name='t')\n"
+        "    return [cronned, (adhoc, {})]\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_API_ROLES", "ro=Viewer,rw=Admin")
+    monkeypatch.delenv("SPARK_GRAFT_STATE_DIR", raising=False)
+    from airflow_spark.serve import build
+
+    _, plane, sched, state = build(spark, pipelines_spec="user_pipes:build_all")
+    assert state is None
+    assert list(sched.entries) == ["cronned"]  # adhoc: API-trigger only
+    assert plane.dispatch("GET", "/pipelines")[0] == 401
+    st, body = plane.dispatch(
+        "GET", "/pipelines", None, {"Authorization": "Bearer ro"}
+    )
+    assert st == 200 and {p["name"] for p in body["pipelines"]} == {
+        "cronned", "adhoc",
+    }
+    assert plane.dispatch(
+        "POST", "/pipelines/adhoc/trigger", {}, {"Authorization": "Bearer ro"}
+    )[0] == 403
+
+
 def test_group_role_mapper_highest_wins():
     from airflow_spark.pipeline.api import GroupRoleMapper
 
