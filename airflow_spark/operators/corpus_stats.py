@@ -170,3 +170,48 @@ def heavy_hitters(
             else F.lit(False),
         )
     return out.orderBy(F.col("cnt").desc(), F.col(col))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document novelty contribution: the share of a doc's word
+    n-gram shingles that appear in NO earlier document (earlier =
+    smaller ``id_col`` — ingestion order). A redundancy-curation
+    signal: novelty ≈ 0 marks documents that add nothing the corpus
+    hasn't seen, without running any pair-wise dedup.
+
+    Shape: explode distinct shingles → one hash-agg for each
+    shingle's first-seen doc id (min, map-side combined) → join back
+    → per-doc ratio. Linear in corpus shingles, shuffles carry
+    (shingle, id) — never text. Deterministic given ids, so the
+    oracle reproduces it exactly.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    first_seen = shingled.groupBy("sh").agg(F.min("id").alias("first_id"))
+    return (
+        shingled.join(first_seen, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -700,3 +700,25 @@ def bigram_logprob_score(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "score",
     )
+
+
+def kfold_splits(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic, leakage-safe k-fold assignment: every row of a
+    group (source / dedup cluster / author) lands in the same fold via
+    the portable md5 group hash — stable across runs, engines, and
+    corpus growth (adding rows never moves an existing group), so CV
+    folds and their caches survive incremental ingestion. Projection
+    only: no shuffle, no RNG state."""
+    from ..functions.hashing import md5_uniform
+
+    if k < 2:
+        raise ValueError(f"kfold_splits needs k >= 2, got {k}")
+    return df.withColumn(
+        out_col, md5_uniform(F.col(group_col), salt, modulus=k).cast("int")
+    )

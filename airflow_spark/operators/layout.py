@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,54 @@ def write_zordered(
     shaped.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    id_col: str = "file_id",
+    n_shards: int | None = None,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Small-file compaction planning: group files into rewrite bins of
+    ~``target_bytes`` each (the public Delta/Iceberg `OPTIMIZE`
+    bin-packing step, planned as a DataFrame — no driver-side loop
+    over a million file names).
+
+    Shape: order files largest-first (classic first-fit-decreasing
+    ordering — big files seed bins, small ones fill them), running
+    cumulative size, bin = floor(cum_before / target). Like
+    ``pack_sequences`` this is the in-order approximation (a bin can
+    overflow by at most one file) — exact bin packing is NP-hard and
+    pointless when the rewrite job tolerates ±1 file of skew.
+
+    **Scale note**: the global form sorts in ONE partition. Past ~1M
+    files pass ``n_shards``: each shard plans independently (portable
+    md5 hash of the id, so oracles reproduce the plan bit-for-bit)
+    and bin ids compose as shard*1e9+local — same contract as sharded
+    sequence packing. Files already >= the target are their own bins
+    either way.
+    """
+    from ..functions.hashing import md5_uniform
+
+    size = F.col(size_col).cast("long")
+    order = [F.col(size_col).desc(), F.col(id_col).asc()]
+    if n_shards is None:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        cum_before = F.sum(size).over(w) - size
+        return files.withColumn(
+            out_col, F.floor(cum_before / target_bytes).cast("long")
+        )
+    shard = md5_uniform(F.col(id_col), "compact", modulus=n_shards)
+    sharded = files.withColumn("__shard", shard)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum(size).over(w) - size
+    local = F.floor(cum_before / target_bytes).cast("long")
+    return sharded.withColumn(
+        out_col, F.col("__shard").cast("long") * F.lit(1_000_000_000) + local
+    ).drop("__shard")

@@ -414,6 +414,64 @@ def op_split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic 5-fold CV assignment: every doc of a
+    source lands in the same fold via the portable md5 group hash
+    (projection-only — folds are stable under corpus growth)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        curation.kfold_splits(t.documents, "source", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+        .orderBy("fold")
+    )
+
+
+def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE bin-packing step)
+    over a synthetic file listing (doc_id, n_chars as bytes):
+    largest-first running-cumsum binning to ~10 kB targets within 8
+    portable-hash shards (each shard plans in parallel — no global
+    single-partition sort), reported per bin. DataFrame-planned — no
+    driver loop over file names."""
+    from . import layout
+
+    t = load_tables(spark, sf_dir)
+    files = t.documents.select(
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    plan = layout.compaction_plan(
+        files, "size_bytes", target_bytes=10_000, id_col="file_id",
+        n_shards=8,
+    )
+    return (
+        plan.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("bin_bytes"),
+            F.min("file_id").alias("first_file"),
+        )
+        .orderBy("bin_id")
+        .limit(300)
+    )
+
+
+def op_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of word 3-gram shingles unseen in
+    any earlier (smaller-id) document — the redundancy-contribution
+    curation signal, one inverted-index aggregate, no pair joins."""
+    t = load_tables(spark, sf_dir)
+    return (
+        corpus_stats.ngram_novelty(t.documents, shingle_n=3)
+        .orderBy("id")
+        .limit(300)
+    )
+
+
 def op_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-20 documents for a 3-term query."""
     t = load_tables(spark, sf_dir)
@@ -2881,6 +2939,9 @@ OPERATOR_QUERIES = {
     "op_decontaminate": op_decontaminate,
     "op_sample_mixture": op_sample_mixture,
     "op_split_by_group": op_split_by_group,
+    "op_kfold_splits": op_kfold_splits,
+    "op_compaction_plan": op_compaction_plan,
+    "op_ngram_novelty": op_ngram_novelty,
     "op_keyword_search": op_keyword_search,
     "op_rolling_stats": op_rolling_stats,
     "op_zscore_anomalies": op_zscore_anomalies,
@@ -4007,6 +4068,59 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_decontaminate": _sql_decontaminate(),
     "op_sample_mixture": _sql_sample_mixture(total_rows=200),
     "op_split_by_group": _sql_split_by_group(),
+    "op_kfold_splits": """
+WITH a AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5('fold:' || source), 1, 8)) AS BIGINT)
+           % 5 AS fold
+  FROM documents)
+SELECT CAST(fold AS INT) AS fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_groups
+FROM a GROUP BY fold ORDER BY fold
+""",
+    "op_compaction_plan": """
+WITH f AS (SELECT doc_id AS file_id, n_chars AS size_bytes,
+                  CAST(concat('0x',
+                       substr(md5('compact:' || doc_id), 1, 8)) AS BIGINT)
+                    % 8 AS shard
+           FROM documents),
+c AS (SELECT file_id, size_bytes, shard,
+             sum(size_bytes) OVER (
+               PARTITION BY shard
+               ORDER BY size_bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - size_bytes AS cum_before
+      FROM f),
+b AS (SELECT file_id, size_bytes,
+             shard * 1000000000
+               + CAST(floor(cum_before / 10000.0) AS BIGINT) AS bin_id
+      FROM c)
+SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+       min(file_id) AS first_file
+FROM b GROUP BY bin_id ORDER BY bin_id LIMIT 300
+""",
+    "op_ngram_novelty": """
+WITH tok AS (SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '') AS toks
+             FROM documents),
+t AS (SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+               AS shs
+      FROM tok),
+sh AS (SELECT id, unnest(shs) AS sh FROM t),
+fs AS (SELECT sh, min(id) AS first_id FROM sh GROUP BY sh)
+SELECT sh.id AS id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN fs.first_id = sh.id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN fs.first_id = sh.id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN fs ON sh.sh = fs.sh
+GROUP BY sh.id ORDER BY id LIMIT 300
+""",
     "op_keyword_search": _sql_keyword_search(k=20),
     "op_rolling_stats": _SQL_ROLLING,
     "op_zscore_anomalies": _SQL_ZSCORE,

@@ -882,6 +882,141 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (min-cost supplier): the testdata has no
+    partsupp table, so the supply cost is DERIVED — min observed unit
+    price per (part, supplier) from lineitem — and the classic
+    correlated min-subquery is decorrelated into a per-part window
+    rank (rn=1 by cost, tie → smallest supplier). Region-restricted
+    supplier side via two broadcast dim hops."""
+    t = load_tables(spark, sf_dir)
+    eu_supp = (
+        t.supplier.join(
+            F.broadcast(t.nation),
+            t.supplier.s_nationkey == t.nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    small_parts = t.part.where(F.col("p_size") < 10).select(
+        "p_partkey", "p_name"
+    )
+    cost = (
+        t.lineitem.join(
+            F.broadcast(small_parts),
+            t.lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(eu_supp, t.lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.round("unit_cost", 2).alias("unit_cost"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product-line profit by nation and year):
+    name-LIKE part filter → lineitem ⋈ orders ⋈ supplier ⋈ nation,
+    profit = Σ price·(1−discount) grouped by (nation, order year).
+    Dims broadcast; the only big⋈big join is lineitem⋈orders on the
+    shuffle key both sides already aggregate on."""
+    t = load_tables(spark, sf_dir)
+    widget_parts = t.part.where(F.col("p_name").contains("widget")).select(
+        "p_partkey"
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(widget_parts),
+            t.lineitem.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .join(
+            F.broadcast(t.supplier),
+            t.lineitem.l_suppkey == t.supplier.s_suppkey,
+        )
+        .join(
+            F.broadcast(t.nation),
+            t.supplier.s_nationkey == t.nation.n_nationkey,
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock): per-part lineitem value vs
+    a GLOBAL total threshold — the scalar subquery becomes a broadcast
+    1-row cross join, so the big side is scanned once per aggregate,
+    never collected."""
+    t = load_tables(spark, sf_dir)
+    per_part = t.lineitem.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("value")
+    )
+    total = per_part.agg(
+        F.sum("value").alias("grand_total")
+    )  # 1 row -> broadcast
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value") > F.col("grand_total") * 0.001)
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+        .limit(100)
+    )
+
+
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (customer order-count distribution): LEFT
+    join so zero-order customers keep count 0 (count of a null-keyed
+    column, not count(*)), then the distribution of counts — two
+    stacked aggregations, no windows."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders,
+            t.customer.c_custkey == t.orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
 # ---------------------------------------------------------------------------
@@ -1253,6 +1388,59 @@ WHERE s_suppkey IN (
   HAVING sum(l_quantity) > 100)
 ORDER BY s_suppkey
 """,
+    "q46": """
+WITH eu AS (
+  SELECT s_suppkey, s_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+cost AS (
+  SELECT p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 10
+  JOIN eu ON l.l_suppkey = eu.s_suppkey
+  GROUP BY p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name),
+r AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
+  FROM cost)
+SELECT p_partkey, p_name, s_suppkey, s_name,
+       round(unit_cost, 2) AS unit_cost
+FROM r WHERE rn = 1 ORDER BY p_partkey LIMIT 100
+""",
+    "q47": """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE l.l_partkey IN
+  (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    "q48": """
+WITH pp AS (SELECT l_partkey, sum(l_extendedprice) AS value
+            FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, round(value, 2) AS value
+FROM pp
+WHERE value > (SELECT sum(value) FROM pp) * 0.001
+ORDER BY round(value, 2) DESC, l_partkey LIMIT 100
+""",
+    "q49": """
+WITH pc AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
 }
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
@@ -1265,4 +1453,5 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
+    "q46": q46, "q47": q47, "q48": q48, "q49": q49,
 }

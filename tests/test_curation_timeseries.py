@@ -670,3 +670,92 @@ def test_rolling_corr_sign_flip(spark):
     assert out[8].roll_corr == 1.0
     assert out[-1].roll_corr == -1.0
     assert out[0].roll_corr is None  # single-row frame
+
+
+def test_kfold_splits_leakage_safe_and_stable(spark):
+    rows = [(i, f"src{i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = curation.kfold_splits(df, "source", k=5).collect()
+    by_source = {}
+    for r in got:
+        assert 0 <= r["fold"] < 5
+        by_source.setdefault(r["source"], set()).add(r["fold"])
+    # leakage-safe: one fold per source
+    assert all(len(folds) == 1 for folds in by_source.values())
+    # stable under growth: adding rows never moves an existing group
+    grown = spark.createDataFrame(
+        rows + [(100 + i, f"new{i}") for i in range(20)],
+        ["doc_id", "source"],
+    )
+    regrown = {
+        r["source"]: r["fold"]
+        for r in curation.kfold_splits(grown, "source", k=5).collect()
+    }
+    for src, folds in by_source.items():
+        assert regrown[src] == next(iter(folds))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k >= 2"):
+        curation.kfold_splits(df, "source", k=1)
+
+
+def test_compaction_plan_bins_near_target(spark):
+    from airflow_spark.operators.layout import compaction_plan
+
+    rows = [(i, 100 + 37 * (i % 13)) for i in range(200)]
+    files = spark.createDataFrame(rows, ["file_id", "size_bytes"])
+    target = 1500
+    plan = compaction_plan(files, "size_bytes", target, id_col="file_id")
+    bins = (
+        plan.groupBy("bin_id")
+        .agg(F.sum("size_bytes").alias("b"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert plan.count() == 200  # every file assigned exactly once
+    sizes = {r["file_id"]: r["size_bytes"] for r in rows_as_dict(rows)}
+    # every bin except possibly the last is within target + one max file
+    max_size = max(s for _, s in rows)
+    for r in bins:
+        assert r["b"] <= target + max_size
+    # deterministic: replanning yields identical assignment
+    again = {
+        r["file_id"]: r["bin_id"]
+        for r in compaction_plan(
+            files, "size_bytes", target, id_col="file_id"
+        ).collect()
+    }
+    first = {r["file_id"]: r["bin_id"] for r in plan.collect()}
+    assert first == again
+    # sharded form: same invariants, no global window
+    sharded = compaction_plan(
+        files, "size_bytes", target, id_col="file_id", n_shards=4
+    )
+    assert sharded.count() == 200
+    sbins = sharded.groupBy("bin_id").agg(
+        F.sum("size_bytes").alias("b")
+    ).collect()
+    assert all(r["b"] <= target + max_size for r in sbins)
+    plan_str = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan_str
+
+
+def rows_as_dict(rows):
+    return [{"file_id": a, "size_bytes": b} for a, b in rows]
+
+
+def test_ngram_novelty_dup_scores_zero(spark):
+    from airflow_spark.operators.corpus_stats import ngram_novelty
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    rows = [
+        (0, base),                      # first: everything novel
+        (1, base),                      # exact dup: nothing novel
+        (2, base + " with a brand new unique closing flourish sentence"),
+        (3, "completely different text about spark query planning now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in ngram_novelty(df, shingle_n=3).collect()}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0 and got[1]["n_novel"] == 0
+    assert 0.0 < got[2]["novelty"] < 1.0
+    assert got[3]["novelty"] == 1.0
