@@ -1130,11 +1130,18 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) over documents, portable
     md5-derived 60-bit signatures so the oracle can recompute the exact
-    same bits; 4×15-bit banding recall is exactly 1.0 by pigeonhole."""
+    same bits; 4×15-bit banding recall is exactly 1.0 by pigeonhole —
+    PROVIDED no bucket is dropped by the hot-bucket cap. The largest
+    bucket at sf0.1 is 269 docs (a 256 cap silently cost 14 true pairs
+    there), so the attested op runs with max_bucket=1024: recall stays
+    complete at every tested scale while the cap still bounds the
+    worst-case bucket join at ~0.5M pairs."""
     sigs = dedup.simhash_signatures(
         load_tables(spark, sf_dir).documents, hash_fn="md5"
     )
-    return dedup.simhash_neardup_pairs(sigs, num_bits=60).orderBy("id_a", "id_b")
+    return dedup.simhash_neardup_pairs(
+        sigs, num_bits=60, max_bucket=1024
+    ).orderBy("id_a", "id_b")
 
 
 def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,10 +1274,13 @@ def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-nation HLL customer
     sketches UNIONED up to region level (the re-aggregation COUNT
     DISTINCT doesn't allow) — raw data read once, the merge touches
-    only ~KB sketches. Hash-attestable at driver scale because
-    Datasketches HLL is exact in its sparse regime (per-region
-    distincts ≪ 1024 at lgk=12 for sf ≤ 0.01); the approximate regime
-    is tolerance-tested in tests/test_relational_ops.py."""
+    only ~KB sketches. Attestation follows the approx-sketch derived-
+    check pattern: the EXACT per-region distinct hash-attests, and the
+    sketch estimate attests through an accuracy-bound boolean (HLL
+    lgk=12 leaves its sparse-exact regime at sf0.1's ~3k distincts/
+    region — measured max rel err 1.63%, within the 1σ≈1.6% bound —
+    so a raw-estimate hash is exact only for sf ≤ 0.01; the bound
+    column keeps the attestation meaningful at every scale)."""
     t = load_tables(spark, sf_dir)
     cust = t.customer.join(
         F.broadcast(t.nation),
@@ -1280,12 +1290,23 @@ def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, "c_custkey", ["n_nationkey", "n_regionkey"]
     )
     per_region = sketches.hll_merge_rollup(per_nation, ["n_regionkey"])
+    exact = cust.groupBy("n_regionkey").agg(
+        F.countDistinct("c_custkey").alias("n_customers")
+    )
     return (
-        per_region.join(
+        per_region.join(exact, "n_regionkey")
+        .join(
             F.broadcast(t.region),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .select("r_name", F.col("distinct_est").alias("n_customers"))
+        .select(
+            "r_name",
+            "n_customers",
+            (
+                F.abs(F.col("distinct_est") - F.col("n_customers"))
+                <= F.col("n_customers") * 0.025
+            ).alias("hll_within_2_5pct"),
+        )
         .orderBy("r_name")
     )
 
@@ -5194,11 +5215,12 @@ ORDER BY score DESC, ne.a, ne.b LIMIT 100
     "op_distribution_drift": _sql_distribution_drift(
         lo=0.0, hi=500.0, nbins=10
     ),
-    # HLL is exact in its sparse regime (distincts < ~k/4 = 1024 at
-    # lgk=12); driver-scale per-region cardinalities sit far below it,
-    # so the estimate equals the true distinct count bit-for-bit.
+    # approx-sketch derived-check pattern: the exact distinct hash-
+    # attests; the HLL estimate attests via the accuracy-bound boolean
+    # (TRUE literal here — Spark computes the real |est−exact| test).
     "op_hll_rollup": """
-SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers
+SELECT r_name, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       TRUE AS hll_within_2_5pct
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -109,6 +109,9 @@ def _ops():
         "op_char_entropy",
         "op_seasonal_zscore",
         "op_funnel_latency",
+        "op_ngram_novelty",
+        "op_compaction_plan",
+        "op_kfold_splits",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 
