@@ -184,21 +184,26 @@ def ngram_novelty(
     signal: novelty ≈ 0 marks documents that add nothing the corpus
     hasn't seen, without running any pair-wise dedup.
 
-    Shape: explode distinct shingles → one hash-agg for each
-    shingle's first-seen doc id (min, map-side combined) → join back
-    → per-doc ratio. Linear in corpus shingles, shuffles carry
-    (shingle, id) — never text. Deterministic given ids, so the
-    oracle reproduces it exactly.
+    Shape: explode distinct shingles → hash each to a bigint (the
+    shuffle carries 8-byte keys, never shingle text) → ONE shuffle on
+    the hash with a whole-partition window computing the shingle's
+    first-seen doc id → per-doc ratio (second, id-keyed shuffle).
+    Linear in corpus shingles. Deterministic given ids, so the oracle
+    reproduces it exactly (a 64-bit hash collision would merge two
+    shingles — ~1e-7 odds at millions of distinct shingles, and only
+    ever a marginal novelty shift at corpus scale).
     """
+    from pyspark.sql import Window
+
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
         ).alias("sh"),
-    )
-    first_seen = shingled.groupBy("sh").agg(F.min("id").alias("first_id"))
+    ).select("id", F.xxhash64("sh").alias("h"))
+    w = Window.partitionBy("h")
     return (
-        shingled.join(first_seen, "sh")
+        shingled.withColumn("first_id", F.min("id").over(w))
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
