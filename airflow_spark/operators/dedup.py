@@ -494,6 +494,12 @@ def simhash_neardup_pairs(
     return pairs.distinct()
 
 
+#: MinHash signature definition version, persisted with every store
+#: row. v2 = shingle string hashed once, the k salts mix the 8-byte
+#: value (5x cheaper, same estimator); v1 stores are incompatible.
+SIGNATURE_VERSION = 2
+
+
 def incremental_neardup(
     spark,
     new_docs: DataFrame,
@@ -516,9 +522,11 @@ def incremental_neardup(
     """
     from ..sources.tables import upsert_parquet
 
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_k
-    ).persist()
+    new_sigs = (
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_k)
+        .withColumn("sig_v", F.lit(SIGNATURE_VERSION))
+        .persist()
+    )
     # existence via the reader (driver-local os.path is always False on
     # remote stores, which would silently skip the history side)
     from pyspark.errors import AnalysisException
@@ -531,6 +539,21 @@ def incremental_neardup(
         have_store = False
     if have_store:
         history = spark.read.parquet(sig_store_path)
+        # signature definitions are versioned: comparing v1 (per-salt
+        # string hashing) against v2 (hash-once + salt-mix) signatures
+        # yields ~zero agreement and silently under-drops duplicates,
+        # so an incompatible store must fail loudly, not degrade
+        if "sig_v" not in history.columns or (
+            history.where(
+                F.col("sig_v") != SIGNATURE_VERSION
+            ).take(1)
+        ):
+            raise ValueError(
+                f"signature store at {sig_store_path} was built by an "
+                f"older minhash signature version (current: "
+                f"v{SIGNATURE_VERSION}); rebuild it from the corpus "
+                "(delete the store and re-ingest history)"
+            )
         # a re-delivered batch's ids already sit in the store: keep the
         # new copy only, or the union holds each id twice and every
         # band bucket emits (X, X) self-pairs with jaccard 1.0
