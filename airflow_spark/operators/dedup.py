@@ -123,9 +123,10 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         # hash the shingle STRING once; the k salted hashes then mix
         # the 8-byte value (xxhash64 over (int, long)) instead of
-        # re-hashing variable-length text k times — measured ~2x
-        # cheaper on char-5 shingles with k=128, same independence
-        # structure (each salt reseeds the avalanche)
+        # re-hashing variable-length text k times. Measured on sf0.1
+        # char-5/k=128: signature stage 9.3s -> 4.3s cold (simpler
+        # codegen), ~equal warm — same independence structure (each
+        # salt reseeds the avalanche)
         F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias(
             "sh"
         ),
