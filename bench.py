@@ -98,8 +98,18 @@ def main() -> None:
     with open(os.path.join(root, "BENCH_FULL.json"), "w") as f:
         json.dump(out, f)
 
-    # The recorded-artifact stdout window is 2000 bytes; emit a compact
-    # line that always fits: headline queries only, ops rolled up.
+    text = compact_line(out)
+    sys.stdout.flush()
+    print(text, flush=True)
+
+
+def compact_line(out: dict, max_bytes: int = 1950) -> str:
+    """The recorded-artifact stdout window is 2000 bytes; build a
+    compact one-line JSON that always fits: headline qNN queries only,
+    op timings rolled up, worst-5 regressions. Unit-tested against the
+    size bound (tests/test_bench_contract.py) — the round's primary
+    perf record depends on it."""
+    timings = out["queries"]
     headline = {n: round(t, 2) for n, t in timings.items()
                 if n.startswith("q")}
     line = dict(out)
@@ -115,11 +125,10 @@ def main() -> None:
             )[:5]
         }
     text = json.dumps(line, separators=(",", ":"))
-    if len(text) > 1950:  # belt-and-braces: never exceed the window
+    if len(text) > max_bytes:  # belt-and-braces: never exceed the window
         line.pop("queries", None)
         text = json.dumps(line, separators=(",", ":"))
-    sys.stdout.flush()
-    print(text, flush=True)
+    return text
 
 
 def _prior_recording(sf: float | None) -> dict | None:

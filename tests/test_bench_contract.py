@@ -1,0 +1,66 @@
+"""The bench stdout contract: the driver that records BENCH_r{N}.json
+keeps only the LAST 2000 BYTES of stdout and parses the final line, so
+the emitted line must always fit — round 2's record was lost to a
+6 KB line. No Spark needed: these exercise the pure line-builder."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _fake_out(n_ops: int, n_q: int = 49) -> dict:
+    timings = {f"op_{'x' * 20}_{i}": 0.1234 for i in range(n_ops)}
+    timings.update({f"q{i:02d}": 0.5678 for i in range(1, n_q + 1)})
+    return {
+        "metric": "wall_sec_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "pipelines": {f"Pipe-{i}": 1.23 for i in range(6)},
+        "sf": 0.1,
+        "regressions": {f"op_{'x' * 20}_{i}": 1.5 + i for i in range(20)},
+        "vs_prior_round": {
+            "prior_round": 2, "n_shared_queries": 195,
+            "prior_total_shared": 100.0, "current_total_shared": 80.0,
+            "ratio": 0.8, "n_new_queries": 7,
+        },
+    }
+
+
+def test_compact_line_fits_window_at_current_and_10x_registry():
+    for n_ops in (153, 500, 1500):
+        text = bench.compact_line(_fake_out(n_ops))
+        assert len(text) <= 1950, (n_ops, len(text))
+        parsed = json.loads(text)
+        assert parsed["metric"] == "wall_sec_total"
+        assert parsed["value"] > 0
+        assert parsed["n_queries"] == n_ops + 49
+        assert len(parsed.get("regressions", {})) <= 5
+
+
+def test_compact_line_drops_headline_before_overflowing():
+    out = _fake_out(10, n_q=400)  # absurd headline count
+    text = bench.compact_line(out)
+    assert len(text) <= 1950
+    parsed = json.loads(text)
+    assert "value" in parsed and parsed["detail"] == "BENCH_FULL.json"
+
+
+def test_committed_round_snapshot_matches_full_schema():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_FULL_r03.json",
+    )
+    if not os.path.exists(path):
+        return
+    full = json.load(open(path))
+    assert full["metric"] == "wall_sec_total"
+    assert len(full["queries"]) >= 195
+    line = bench.compact_line(full)
+    assert len(line) <= 1950 and json.loads(line)["value"] == full["value"]
