@@ -34,7 +34,7 @@ section alongside operators/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_ws, word_shingles
@@ -220,3 +220,42 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 500,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus frequency distribution: OLS of
+    ln(freq) on ln(rank) over the ``top_k`` most frequent tokens →
+    one row (n_types, n_tokens, alpha = −slope, r2). Natural English
+    sits near alpha ≈ 1; a corpus drifting far off (template spam,
+    boilerplate floods, synthetic filler) shows up immediately, so
+    this is a cheap whole-corpus health gauge.
+
+    Shape: token hash-agg (map-side combined) → top-k by frequency
+    (TakeOrdered — no global sort of the vocabulary) → rank + regr_*
+    aggregates over the k-row frame. The corpus-sized work is the one
+    token count; everything after runs on k rows.
+    """
+    counts = (
+        df.select(F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(top_k)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"),
+    )
+    fit = ranked.agg(
+        F.round(-F.regr_slope(F.col("lf"), F.col("lr")), 4).alias("alpha"),
+        F.round(F.regr_r2(F.col("lf"), F.col("lr")), 4).alias("r2"),
+    )
+    return totals.join(fit)  # 1 row × 1 row

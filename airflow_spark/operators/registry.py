@@ -472,6 +472,14 @@ def op_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus frequency distribution
+    (alpha ≈ 1 for natural text; template floods drift it) — OLS on
+    the log-log top-500 rank/frequency curve, corpus touched once."""
+    t = load_tables(spark, sf_dir)
+    return corpus_stats.zipf_fit(t.documents, top_k=500)
+
+
 def op_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-20 documents for a 3-term query."""
     t = load_tables(spark, sf_dir)
@@ -2963,6 +2971,7 @@ OPERATOR_QUERIES = {
     "op_kfold_splits": op_kfold_splits,
     "op_compaction_plan": op_compaction_plan,
     "op_ngram_novelty": op_ngram_novelty,
+    "op_zipf_fit": op_zipf_fit,
     "op_keyword_search": op_keyword_search,
     "op_rolling_stats": op_rolling_stats,
     "op_zscore_anomalies": op_zscore_anomalies,
@@ -4089,6 +4098,25 @@ FROM a GROUP BY bucket ORDER BY bucket
     "op_decontaminate": _sql_decontaminate(),
     "op_sample_mixture": _sql_sample_mixture(total_rows=200),
     "op_split_by_group": _sql_split_by_group(),
+    "op_zipf_fit": """
+WITH tok AS (SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               x -> x <> '')) AS tok
+             FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(freq) AS BIGINT) AS n_tokens FROM c),
+top AS (SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        FROM c ORDER BY freq DESC, tok LIMIT 500),
+f AS (SELECT
+        round(-regr_slope(ln(CAST(freq AS DOUBLE)),
+                          ln(CAST(rank AS DOUBLE))), 4) AS alpha,
+        round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                      ln(CAST(rank AS DOUBLE))), 4) AS r2
+      FROM top)
+SELECT n_types, n_tokens, alpha, r2 FROM tot, f
+""",
     "op_kfold_splits": """
 WITH a AS (
   SELECT source,

@@ -1017,6 +1017,52 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (order-priority checking): orders placed in 1997
+    with at least one LATE lineitem (shipped > 30 days after the order
+    date), counted per priority — the grouped-EXISTS shape as one semi
+    join on the orderkey both sides already hash on."""
+    t = load_tables(spark, sf_dir)
+    orders_97 = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    late = orders_97.join(
+        t.lineitem,
+        (t.lineitem.l_orderkey == orders_97.o_orderkey)
+        & (
+            t.lineitem.l_shipdate
+            > orders_97.o_orderdate + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog (forecast revenue change): one tight scan —
+    every predicate reaches the parquet reader as a pushed filter, the
+    aggregate is a single map-side-combined sum, no joins, no shuffle
+    beyond the 1-row final combine."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (single text valid in Spark SQL AND DuckDB; SURVEY.md §2.12)
 # ---------------------------------------------------------------------------
@@ -1441,6 +1487,25 @@ SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
 FROM pc GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """,
+    "q50": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "q51": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 25
+""",
 }
 
 RELATIONAL_QUERIES: dict[str, QueryFn] = {
@@ -1453,5 +1518,6 @@ RELATIONAL_QUERIES: dict[str, QueryFn] = {
     "q31": q31, "q32": q32, "q33": q33, "q34": q34, "q35": q35,
     "q36": q36, "q37": q37, "q38": q38, "q39": q39, "q40": q40,
     "q41": q41, "q42": q42, "q43": q43, "q44": q44, "q45": q45,
-    "q46": q46, "q47": q47, "q48": q48, "q49": q49,
+    "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
+    "q51": q51,
 }
