@@ -472,6 +472,41 @@ def op_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-loader layout for packed sequences: each doc's START
+    OFFSET inside its pack (within-pack cumulative token sum) — the
+    piece a dataloader needs to build boundary-aware attention masks
+    without re-scanning text. Same sharded packing as
+    op_sequence_pack; the offset window partitions by pack (bounded
+    partitions, no global sort)."""
+    from . import packing
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "n_chars").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    packed = packing.pack_sequences(docs, "n_chars", 2000, shard_col="shard")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("pack_id")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        packed.select(
+            "doc_id",
+            "pack_id",
+            (F.sum("n_chars").over(w) - F.col("n_chars"))
+            .cast("long")
+            .alias("start_pos"),
+            F.col("n_chars").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
 def op_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf power-law fit over the corpus frequency distribution
     (alpha ≈ 1 for natural text; template floods drift it) — OLS on
@@ -2972,6 +3007,7 @@ OPERATOR_QUERIES = {
     "op_compaction_plan": op_compaction_plan,
     "op_ngram_novelty": op_ngram_novelty,
     "op_zipf_fit": op_zipf_fit,
+    "op_pack_offsets": op_pack_offsets,
     "op_keyword_search": op_keyword_search,
     "op_rolling_stats": op_rolling_stats,
     "op_zscore_anomalies": op_zscore_anomalies,
@@ -4537,6 +4573,22 @@ FROM (SELECT doc_id, n_chars,
                            - n_chars) / 2000) AS BIGINT) AS pack_id
       FROM documents) t
 GROUP BY pack_id ORDER BY pack_id LIMIT 200
+""",
+    "op_pack_offsets": """
+SELECT doc_id, pack_id,
+       CAST(sum(n_chars) OVER (PARTITION BY pack_id ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+            - n_chars AS BIGINT) AS start_pos,
+       n_chars AS n_tokens
+FROM (SELECT doc_id, n_chars,
+             (doc_id % 4) * 1000000000
+             + cast(floor((sum(n_chars) OVER (PARTITION BY doc_id % 4
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_chars) / 2000) AS BIGINT) AS pack_id
+      FROM documents) t
+ORDER BY doc_id LIMIT 300
 """,
     "op_stratified_take": """
 SELECT doc_id, lang
