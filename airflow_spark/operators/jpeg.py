@@ -409,14 +409,20 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def encode_baseline_jpeg(
-    pixels: "np.ndarray", quality: int = 85, subsampling: str = "444"
+    pixels: "np.ndarray",
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Grayscale (H×W) or RGB (H×W×3, encoded as YCbCr) uint8 array →
     baseline JPEG bytes. ``subsampling``: '444' (one block per
     component per MCU) or '420' (2×2 luma blocks + box-averaged
     chroma — the dominant web shape, exercising interleaved-MCU
-    decode). Deterministic; tables are flat-length canonical Huffman
-    codes (legal custom tables)."""
+    decode). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every N MCUs (resetting DC predictors), the resync shape
+    real encoders use for error resilience — it exercises the
+    decoder's restart path. Deterministic; tables are flat-length
+    canonical Huffman codes (legal custom tables)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         planes = [px.astype(np.float64)]
@@ -478,6 +484,8 @@ def encode_baseline_jpeg(
         out += b"\xff\xc4" + struct.pack(
             ">HB", 19 + len(vals), tc << 4
         ) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for i in range(nc):
         out += struct.pack("BB", i + 1, 0x00)
@@ -530,8 +538,18 @@ def encode_baseline_jpeg(
             length, code = ac_enc[0x00]
             bw_.write(code, length)
 
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # close the entropy segment on a byte boundary, emit
+                # RSTn (n cycles 0..7), reset DC predictors
+                out += bw_.flush()
+                bw_ = _BitWriter()
+                rst = 0xD0 + ((mcu_n // restart_interval - 1) % 8)
+                out += bytes((0xFF, rst))
+                pred = [0] * nc
+            mcu_n += 1
             for ci in range(nc):
                 hi, vi = samp[ci]
                 for by in range(vi):

@@ -851,6 +851,20 @@ def test_jpeg_roundtrip_tracks_source_luma():
     idx = prog.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
     assert decode_baseline_jpeg(bytes(prog)) is None
+    # restart markers (DRI + RSTn, DC predictors reset) decode to the
+    # exact same pixels as the unrestarted stream
+    plain = decode_baseline_jpeg(encode_baseline_jpeg(gray, quality=92))
+    for ri in (1, 3):
+        with_rst = decode_baseline_jpeg(
+            encode_baseline_jpeg(gray, quality=92, restart_interval=ri)
+        )
+        assert np.array_equal(with_rst["luma"], plain["luma"]), ri
+    o420 = decode_baseline_jpeg(
+        encode_baseline_jpeg(
+            rgb, quality=90, subsampling="420", restart_interval=3
+        )
+    )
+    assert float(np.abs(o420["luma"] - yref).mean()) < 3.0
 
 
 def test_minhash_verified_exact_jaccard(docs):
