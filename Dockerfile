@@ -9,9 +9,12 @@ RUN pip install --no-cache-dir --prefix=/install -r requirements.txt
 
 FROM python:3.11-slim
 
-# Spark driver needs a JVM; headless JRE keeps the image small.
+# Spark driver needs a JVM; headless JRE keeps the image small. The
+# package's install dir is arch-suffixed (…-amd64 / …-arm64), so pin a
+# stable symlink for JAVA_HOME instead of hardcoding one architecture.
 RUN apt-get update -y \
     && apt-get install --no-install-recommends -y openjdk-17-jre-headless \
+    && ln -s /usr/lib/jvm/java-17-openjdk-* /usr/lib/jvm/engine-java \
     && rm -rf /var/lib/apt/lists/*
 
 COPY --from=build /install /usr/local
@@ -19,7 +22,7 @@ COPY airflow_spark /opt/engine/airflow_spark
 COPY scripts/healthcheck.sh /opt/engine/healthcheck.sh
 COPY scripts/lint.sh scripts/lint_fallback.py /opt/engine/scripts/
 
-ENV JAVA_HOME=/usr/lib/jvm/java-17-openjdk-amd64 \
+ENV JAVA_HOME=/usr/lib/jvm/engine-java \
     PYTHONPATH=/opt/engine \
     SPARK_GRAFT_API_HOST=0.0.0.0 \
     SPARK_GRAFT_API_PORT=8080 \

@@ -546,8 +546,9 @@ def incremental_neardup(
         # so an incompatible store must fail loudly, not degrade
         if "sig_v" not in history.columns or (
             history.where(
-                F.col("sig_v") != SIGNATURE_VERSION
-            ).take(1)
+                F.col("sig_v").isNull()
+                | (F.col("sig_v") != SIGNATURE_VERSION)
+            ).take(1)  # isNull: mixed-schema stores read v1 rows as NULL
         ):
             raise ValueError(
                 f"signature store at {sig_store_path} was built by an "

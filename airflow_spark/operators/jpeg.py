@@ -75,6 +75,11 @@ def _dct_matrix() -> np.ndarray:
 
 _DCT = _dct_matrix()
 
+#: decode refuses images above this pixel count (quarantine contract —
+#: crafted SOF headers must not drive allocation; 25 MP covers any
+#: plausible web-corpus photo)
+MAX_PIXELS = 25_000_000
+
 
 # ---------------------------------------------------------------------------
 # Huffman machinery (canonical codes from (bits, values) — T.81 C.2)
@@ -220,7 +225,14 @@ def _decode_jpeg_inner(data: bytes) -> dict | None:
                 qt[tq] = nat.reshape(8, 8)
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (baseline/ext sequential)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if prec != 8 or h == 0 or w == 0:
+                return None
+            # quarantine crafted headers BEFORE any allocation: a
+            # 65500x65500 SOF in a 300-byte payload would otherwise
+            # allocate ~34 GB of coefficient blocks (and moderate fake
+            # dims would spin the Huffman loop for minutes) — an
+            # untrusted web corpus contains such payloads
+            if h * w > MAX_PIXELS:
                 return None
             comps = []
             for i in range(nc):
@@ -423,6 +435,8 @@ def encode_baseline_jpeg(
     real encoders use for error resilience — it exercises the
     decoder's restart path. Deterministic; tables are flat-length
     canonical Huffman codes (legal custom tables)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
     px = np.asarray(pixels)
     if px.ndim == 2:
         planes = [px.astype(np.float64)]

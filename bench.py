@@ -125,8 +125,21 @@ def compact_line(out: dict, max_bytes: int = 1950) -> str:
             )[:5]
         }
     text = json.dumps(line, separators=(",", ":"))
-    if len(text) > max_bytes:  # belt-and-braces: never exceed the window
+    # belt-and-braces: never exceed the window — shed detail in order
+    # (headline queries, then pipelines rolled up, then everything but
+    # the headline metric) and RE-CHECK after each shed
+    if len(text) > max_bytes:
         line.pop("queries", None)
+        text = json.dumps(line, separators=(",", ":"))
+    if len(text) > max_bytes and "pipelines" in line:
+        line["pipelines_sec"] = round(
+            sum(v for v in line.pop("pipelines").values() if v > 0), 2
+        )
+        text = json.dumps(line, separators=(",", ":"))
+    if len(text) > max_bytes:
+        line = {k: line[k] for k in
+                ("metric", "value", "unit", "sf", "n_queries", "detail")
+                if k in line}
         text = json.dumps(line, separators=(",", ":"))
     return text
 
