@@ -264,7 +264,7 @@ def normalize_url(
 
     def _keep(p):
         cond = p != ""
-        for t in _TRACKING_PARAMS:
+        for t in tracking_params:
             cond = cond & ~F.lower(p).startswith(t)
         return cond
 

@@ -320,6 +320,7 @@ def dedup_minhash_verified(
     shingle_k: int = 5,
     est_margin: float = 0.2,
     mode: str = "char",
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs with *exact* Jaccard ≥ threshold, candidates
     from MinHash-LSH banding. The production three-phase shape:
@@ -338,7 +339,7 @@ def dedup_minhash_verified(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, mode=mode
     ).persist()
-    cand = minhash_candidate_pairs(sigs, num_bands)
+    cand = minhash_candidate_pairs(sigs, num_bands, max_bucket=max_bucket)
     # survivors are ~true-pair-count sized and feed verification three
     # times (both sides of the id restriction + the pair join): persist
     survivors = (
@@ -543,13 +544,26 @@ def incremental_neardup(
         # signature definitions are versioned: comparing v1 (per-salt
         # string hashing) against v2 (hash-once + salt-mix) signatures
         # yields ~zero agreement and silently under-drops duplicates,
-        # so an incompatible store must fail loudly, not degrade
-        if "sig_v" not in history.columns or (
-            history.where(
-                F.col("sig_v").isNull()
-                | (F.col("sig_v") != SIGNATURE_VERSION)
-            ).take(1)  # isNull: mixed-schema stores read v1 rows as NULL
-        ):
+        # so an incompatible store must fail loudly, not degrade.
+        # The O(1) check is a sidecar written at store creation (the
+        # pq_save_codes pattern); only a sidecar-less legacy/remote
+        # store pays the one-off column scan (isNull: mixed-schema
+        # stores read v1 rows as NULL).
+        ver = _read_sig_version(sig_store_path)
+        incompatible = (
+            ver != SIGNATURE_VERSION
+            if ver is not None
+            else (
+                "sig_v" not in history.columns
+                or bool(
+                    history.where(
+                        F.col("sig_v").isNull()
+                        | (F.col("sig_v") != SIGNATURE_VERSION)
+                    ).take(1)
+                )
+            )
+        )
+        if incompatible:
             raise ValueError(
                 f"signature store at {sig_store_path} was built by an "
                 f"older minhash signature version (current: "
@@ -581,8 +595,37 @@ def incremental_neardup(
     # swaps the directory out from under the lazy plan)
     out = out.localCheckpoint(eager=True)
     upsert_parquet(spark, sig_store_path, new_sigs, "id")
+    _write_sig_version(sig_store_path)
     new_sigs.unpersist()
     return out
+
+
+def _read_sig_version(store_path: str) -> int | None:
+    """Version sidecar (underscore-prefixed: invisible to parquet
+    readers). None = absent/unreadable (legacy or non-local store)."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(store_path, "_sig_version.json")) as f:
+            return int(_json.load(f)["version"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_sig_version(store_path: str) -> None:
+    """Best-effort atomic sidecar write (a remote object store skips
+    it and falls back to the column check)."""
+    import json as _json
+    import os as _os
+
+    try:
+        tmp = _os.path.join(store_path, "._sig_version.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump({"version": SIGNATURE_VERSION}, f)
+        _os.replace(tmp, _os.path.join(store_path, "_sig_version.json"))
+    except OSError:
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -786,8 +829,10 @@ def ngram_jaccard_pairs(
     map-side-combined pass over the persisted index), and above the
     budget the operator raises :class:`CandidateBudgetExceeded`
     (``on_over_budget='raise'``) or downgrades to the banded-LSH
-    exact-verified path (``'lsh'`` — same scores, recall bounded by
-    banding + bucket caps, the designed 100 TB posture).
+    exact-verified path (``'lsh'`` — same scores; recall bounded by
+    banding + a 1024-member bucket cap, so duplicate cliques up to
+    1024 copies are fully recovered and larger ones should be
+    collapsed by exact dedup first — the designed 100 TB posture).
     ``candidate_budget=None`` disables the guard (trusted inputs).
     """
     from ..functions.text import word_shingles
@@ -806,9 +851,13 @@ def ngram_jaccard_pairs(
             _over_budget(
                 "ngram_jaccard_pairs", n_cand, candidate_budget, on_over_budget
             )
+            # identical copies share every band, so a duplicate clique
+            # lands in ONE bucket per band — the cap must exceed the
+            # clique sizes worth recovering (1024 -> <=0.5M pairs per
+            # bucket); collapse mega-cliques with exact dedup first
             return dedup_minhash_verified(
                 df, text_col, id_col, threshold,
-                shingle_k=shingle_k, mode=mode,
+                shingle_k=shingle_k, mode=mode, max_bucket=1024,
             )
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_df = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("sh_df"))
@@ -909,7 +958,7 @@ def ngram_jaccard_pairs_prefix(
             )
             return dedup_minhash_verified(
                 df, text_col, id_col, threshold,
-                shingle_k=shingle_k, mode=mode,
+                shingle_k=shingle_k, mode=mode, max_bucket=1024,
             )
     # size filter inside the bucket join: t·|A| ≤ |B| ≤ |A|/t
     cand = (
@@ -981,8 +1030,11 @@ def ngram_containment_pairs(
     which under-recalls the ASYMMETRIC subset case (a short doc inside
     a much longer one has high containment but low Jaccard, so its
     bands rarely collide) — on over-budget corpora the blow-up is
-    clique-shaped near-identical copies, which banding does catch; the
-    raise default stays right when embedded-copy recall matters.
+    clique-shaped near-identical copies, which banding catches for
+    cliques up to its bucket cap (1024 members here; collapse larger
+    identical-copy cliques with exact dedup first — their pair lists
+    are output-infeasible regardless of algorithm); the raise default
+    stays right when embedded-copy recall matters.
     """
     from ..functions.text import word_shingles
 
@@ -1003,7 +1055,7 @@ def ngram_containment_pairs(
             sigs = minhash_signatures(
                 df, text_col, id_col, shingle_k=shingle_n, mode="word"
             ).persist()
-            cand = minhash_candidate_pairs(sigs)
+            cand = minhash_candidate_pairs(sigs, max_bucket=1024)
             return verify_pairs_exact_jaccard(
                 cand, df, text_col, id_col, shingle_n, mode="word",
                 include_containment=True,

@@ -237,9 +237,12 @@ def _decode_jpeg_inner(data: bytes) -> dict | None:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0xF
+                # T.81 bounds sampling factors to 1..4; 0 in a corrupt
+                # header would divide-by-zero downstream
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    return None
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -451,6 +454,12 @@ def encode_baseline_jpeg(
     h, w = planes[0].shape
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
+    if subsampling == "420" and len(planes) != 3:
+        raise ValueError(
+            "subsampling='420' requires RGB input (grayscale has no "
+            "chroma to subsample — silently encoding 4:4:4 would skip "
+            "the interleaved-MCU path the caller asked to exercise)"
+        )
     if subsampling == "420" and len(planes) == 3:
         samp = [(2, 2), (1, 1), (1, 1)]
         for i in (1, 2):

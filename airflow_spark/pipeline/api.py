@@ -173,7 +173,16 @@ class ControlPlane:
         # RBAC: reads need Viewer, mutations need Admin (the reference's
         # Admin/Op/Viewer split from AUTH_ROLES_MAPPING)
         need = "Admin" if method != "GET" else "Viewer"
-        if ROLE_RANK[ident["role"]] < ROLE_RANK[need]:
+        rank = ROLE_RANK.get(ident.get("role"))
+        if rank is None:
+            # a pluggable provider returned an unmapped role (e.g.
+            # GroupRoleMapper.role_for -> None): authenticated but
+            # holding no grant — an authz denial, never a 500
+            return 403, {
+                "error": f"no recognized role for user "
+                         f"{ident.get('user')!r}",
+            }
+        if rank < ROLE_RANK[need]:
             return 403, {
                 "error": f"role {ident['role']!r} may not {method} {path} "
                          f"(requires {need})",

@@ -94,6 +94,22 @@ def main(argv: list[str] | None = None) -> int:
     spark, plane, scheduler, _state = build()
     host = os.environ.get("SPARK_GRAFT_API_HOST", "127.0.0.1")
     port = int(os.environ.get("SPARK_GRAFT_API_PORT", "8080"))
+    if (
+        plane.role_provider is None
+        and host not in ("127.0.0.1", "localhost", "::1")
+        and os.environ.get("SPARK_GRAFT_ALLOW_ANON") not in ("1", "true")
+    ):
+        # fail secure: an unauthenticated plane treats every request as
+        # Admin — binding that to a non-loopback interface (the
+        # container default is 0.0.0.0) would expose trigger/resume to
+        # the network. The reference deployment requires login.
+        logger.error(
+            "refusing to bind %s without auth: set SPARK_GRAFT_API_ROLES "
+            "(token=Role,...) or SPARK_GRAFT_API_TOKEN, or explicitly "
+            "opt into an open plane with SPARK_GRAFT_ALLOW_ANON=1",
+            host,
+        )
+        return 2
     server = plane.serve(host=host, port=port)
     logger.info("control plane on %s:%s", *server.server_address[:2])
     if "--once" in argv:

@@ -181,6 +181,32 @@ def test_candidate_budget_lsh_downgrade_finds_clique_pairs(spark):
         assert all(a // 100 == b // 100 for a, b in rows)
 
 
+def test_lsh_downgrade_recovers_cliques_beyond_default_bucket_cap(spark):
+    """A duplicate clique LARGER than minhash banding's default
+    64-member bucket cap must still surface from the budget downgrade
+    (the downgrade raises the cap to 1024): identical docs share every
+    band, so a dropped bucket would silently erase ALL the clique's
+    pairs — the exact case that tripped the budget."""
+    base = (
+        "shared duplicated body alpha bravo charlie delta echo foxtrot "
+        "golf hotel india juliet kilo lima mike november oscar papa"
+    )
+    rows = [(i, base) for i in range(80)]  # one 80-clique > 64
+    rows += [(1000 + i, f"unique filler document number {i} "
+              f"about topic{i} alpha{i} beta{i} gamma{i}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.8, mode="word", shingle_k=3,
+            candidate_budget=10, on_over_budget="lsh",
+        ).collect()
+    }
+    expect = {(a, b) for a in range(80) for b in range(a + 1, 80)}
+    assert pairs >= expect, f"missing {len(expect - pairs)} clique pairs"
+
+
 def test_candidate_budget_under_budget_is_exact_path(docs):
     """Under budget nothing changes: same exact pairs as the unguarded
     run (guard is count-only)."""
@@ -2184,6 +2210,24 @@ def test_bitmap_rollup_merge_equals_direct(spark):
         bm.withColumn("g", F.lit("all")), ["g"]
     ).collect()[0]
     assert overall.n_distinct == 75
+
+
+def test_normalize_url_tracking_params_override(spark):
+    """The tracking_params argument must actually take effect: opting
+    ref= back in strips it; an empty set strips nothing."""
+    from airflow_spark.functions.text import _TRACKING_PARAMS, normalize_url
+
+    df = spark.createDataFrame(
+        [("https://example.com/a?ref=main&utm_source=x&id=7",)], ["u"]
+    )
+    default = df.select(normalize_url("u")).first()[0]
+    assert default == "https://example.com/a?ref=main&id=7"  # ref= kept
+    with_ref = df.select(
+        normalize_url("u", tracking_params=(*_TRACKING_PARAMS, "ref="))
+    ).first()[0]
+    assert with_ref == "https://example.com/a?id=7"
+    keep_all = df.select(normalize_url("u", tracking_params=())).first()[0]
+    assert keep_all == "https://example.com/a?ref=main&utm_source=x&id=7"
 
 
 def test_normalize_url_ports(spark):

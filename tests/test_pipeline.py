@@ -682,6 +682,39 @@ def test_serve_entrypoint_wiring(spark, tmp_path, monkeypatch):
     )[0] == 403
 
 
+def test_unmapped_role_is_403_not_500(spark):
+    """A pluggable provider returning a role outside the lattice (e.g.
+    GroupRoleMapper.role_for -> None for unmapped groups) must be an
+    authz denial, never a KeyError/500."""
+    from airflow_spark.pipeline.api import ControlPlane
+
+    class NoneRoleProvider:
+        def authenticate(self, headers):
+            return {"user": "stray", "role": None}
+
+    cp = ControlPlane(spark, [_mini_pipeline()],
+                      role_provider=NoneRoleProvider())
+    st, body = cp.dispatch("GET", "/pipelines", None, {})
+    assert st == 403 and "stray" in body["error"]
+
+
+def test_serve_refuses_anonymous_nonloopback_bind(spark, monkeypatch):
+    """Fail-secure packaging: the entrypoint must not expose an
+    unauthenticated (implicit-Admin) plane on a non-loopback interface
+    (the container default is 0.0.0.0)."""
+    from airflow_spark import serve
+
+    for var in ("SPARK_GRAFT_API_ROLES", "SPARK_GRAFT_API_TOKEN",
+                "SPARK_GRAFT_ALLOW_ANON", "SPARK_GRAFT_PIPELINES",
+                "SPARK_GRAFT_STATE_DIR"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_API_HOST", "0.0.0.0")
+    assert serve.main([]) == 2
+    monkeypatch.setenv("SPARK_GRAFT_API_ROLES", "tok=Admin")
+    monkeypatch.setenv("SPARK_GRAFT_API_PORT", "0")
+    assert serve.main(["--once"]) == 0  # authed: binds and exits clean
+
+
 def test_group_role_mapper_highest_wins():
     from airflow_spark.pipeline.api import GroupRoleMapper
 
