@@ -3076,6 +3076,7 @@ OPERATOR_QUERIES = {
 # graph, PQ, search scoring) LAST, so a driver time cut-off costs the
 # fewest correctness rows (round 1 lost the tail of this dict to one).
 _EXPENSIVE_TAIL = [
+    "op_ngram_novelty",
     "op_bpe_tokenize",
     "op_token_fertility",
     "op_bm25_search",
