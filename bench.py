@@ -202,8 +202,12 @@ def _flag_regressions(
 ) -> dict[str, float] | None:
     """Compare per-query wall times against the most recent recorded
     round (BENCH_r*.json at the repo root) and flag any query > 1.5x
-    its prior time (ignoring sub-0.5 s noise). None when no comparable
-    recording exists."""
+    its prior time. Two noise floors: the current time must exceed
+    0.5 s AND the absolute delta must exceed 1.0 s — single-query
+    cold-start jitter at sf0.1 (parquet footer reads, codegen compile,
+    page cache) is routinely +/-0.5 s depending on bench run order, so
+    a ratio alone flags measurement context, not plan changes. None
+    when no comparable recording exists."""
     rec = _prior_recording(sf)
     if rec is None:
         return None
@@ -212,6 +216,7 @@ def _flag_regressions(
         name: round(t / prior[name], 2)
         for name, t in timings.items()
         if name in prior and prior[name] > 0 and t > 0.5
+        and (t - prior[name]) > 1.0
         and t / prior[name] > 1.5
     }
 

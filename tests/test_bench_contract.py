@@ -52,6 +52,19 @@ def test_compact_line_drops_headline_before_overflowing():
     assert "value" in parsed and parsed["detail"] == "BENCH_FULL.json"
 
 
+def test_flag_regressions_requires_absolute_and_relative_growth(monkeypatch):
+    prior = {"round": "3", "queries": {
+        "op_jitter": 0.31,   # +0.55 s — cold-cache jitter, not a plan change
+        "op_real": 2.0,      # 2x AND +2 s — a real regression
+        "op_small": 0.1,     # big ratio but stays under the 0.5 s floor
+    }}
+    monkeypatch.setattr(bench, "_prior_recording", lambda sf: prior)
+    flags = bench._flag_regressions(
+        {"op_jitter": 0.86, "op_real": 4.0, "op_small": 0.4}, 0.1
+    )
+    assert flags == {"op_real": 2.0}
+
+
 def test_committed_round_snapshot_matches_full_schema():
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
