@@ -27,10 +27,18 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    edges_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (make edges
     symmetric for undirected graphs — that also removes dangling-node
     mass loss, since every node then has out-degree ≥ 1).
+
+    ``edges_distinct=True`` skips the defensive dedup shuffle when the
+    caller guarantees no duplicate edges; ``symmetric=True`` derives
+    the node set from sources alone (every node of a symmetric graph
+    is a source) — together they remove two |E|-sized shuffles from
+    the setup on graphs built from an already-distinct pair list.
 
     Returns (node, rank) after ``iters`` rounds from a uniform start.
     Simplified update (no dangling redistribution):
@@ -42,38 +50,41 @@ def pagerank(
     # explicit repartition every round re-shuffles all |E| edges. With
     # it, the only per-round exchange is the |V|-sized contribution
     # aggregate (ranks arrive already hash-partitioned on the key via
-    # attribute lineage from the previous round's groupBy).
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
-    ranks = nodes.crossJoin(n).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    # attribute lineage from the previous round's groupBy). The
+    # out-degree join is loop-invariant too: fold deg into the edge
+    # frame ONCE so each round is a single join + one aggregate.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.repartition("src")
+    if symmetric:
+        nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(outdeg, "src").persist()
+    # |V| is one bounded scalar action over the persisted node set —
+    # riding it as a literal keeps a 1-row broadcast join out of every
+    # round's plan (planning cost dominates small-graph rounds)
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
         )
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(n)
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("__n")
+                    F.lit((1.0 - damping) / n)
                     + damping * F.coalesce(F.col("__c"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -424,6 +435,8 @@ def personalized_pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    edges_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass returns to the SOURCE SET
     instead of spreading uniformly, so ranks measure proximity to the
@@ -439,18 +452,19 @@ def personalized_pagerank(
     # implicitly, so [5, 5] would otherwise give node 5 mass 1/2 and
     # silently lose the rest
     srcs = sorted({int(x) for x in sources})
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.repartition("src")
+    if symmetric:
+        nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
     # a source absent from the graph would likewise leak teleport mass
     # (all-zero ranks with no signal) — fail loudly instead; one small
     # count over the already-persisted node set
@@ -459,7 +473,10 @@ def personalized_pagerank(
         raise ValueError(
             f"{len(srcs) - n_found} source id(s) absent from the edge list"
         )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    # fold the loop-invariant out-degree into the edge frame once —
+    # same round shape as ``pagerank``
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(outdeg, "src").persist()
     in_sources = F.col("node").isin(srcs)
     teleport = F.when(
         in_sources, F.lit(1.0 / len(srcs))
@@ -467,8 +484,7 @@ def personalized_pagerank(
     ranks = nodes.select("node", teleport.alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
         )

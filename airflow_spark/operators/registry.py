@@ -1633,8 +1633,10 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # distinct+symmetric hold by construction: pairs is distinct and
+    # the reversed union is disjoint (even->odd vs odd->even node ids)
     return (
-        graph.pagerank(edges, iters=3)
+        graph.pagerank(edges, iters=3, edges_distinct=True, symmetric=True)
         .select("node", F.round("rank", 6).alias("rank"))
         .orderBy("node")
         .limit(200)
@@ -2366,7 +2368,11 @@ def op_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    out = graph.personalized_pagerank(sym, [0, 2, 4], iters=3)
+    # same bipartite even/odd construction as op_pagerank: the union
+    # is disjoint-distinct and symmetric by design
+    out = graph.personalized_pagerank(
+        sym, [0, 2, 4], iters=3, edges_distinct=True, symmetric=True
+    )
     return (
         out.select("node", F.round("rank", 6).alias("rank"))
         .orderBy("node")
