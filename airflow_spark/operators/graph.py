@@ -502,3 +502,69 @@ def personalized_pagerank(
             .persist()
         )
     return ranks
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected degree-distribution histogram: ``(deg, n_nodes)``
+    rows, one per distinct degree — the first diagnostic run on any
+    new graph (power-law tail ⇒ hub-salting / cap decisions for the
+    join-based ops above; see ``op_key_skew`` for the relational
+    twin).
+
+    Shape: canonical-pair distinct (``least/greatest``) collapses
+    parallel and reverse edges, one symmetric union derives neighbor
+    lists, then two hash aggregates (node→deg, deg→n_nodes) — both
+    map-side combinable, no windows, no joins. At 100 TB the edge
+    distinct is the only real shuffle; everything after it works on
+    the much smaller node set."""
+    lo, hi = F.col(src), F.col(dst)
+    canon = (
+        edges.where(lo != hi)
+        .select(
+            F.least(lo, hi).alias("a"), F.greatest(lo, hi).alias("b")
+        )
+        .distinct()
+    )
+    sym = canon.select(F.col("a").alias("node")).unionByName(
+        canon.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of distinct non-loop
+    edges (a→b) whose reverse (b→a) also exists — a one-row summary
+    (bot/broadcast graphs sit near 0, social graphs 0.3-0.7).
+
+    The reverse-existence test is a self semi-join on the distinct
+    edge set (equi keys, shuffle-partitioned both sides the same way);
+    the two counts are map-side-combined 1-row aggregates crossed at
+    the end — nothing here materializes on the driver."""
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    n_all = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_rec = e.join(rev, ["s", "d"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    return n_all.crossJoin(n_rec).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )

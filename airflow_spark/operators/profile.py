@@ -278,3 +278,47 @@ def pareto_front(
         )
         .drop("__pr", "__bh", "__bt")
     )
+
+
+def group_entropy(
+    df: DataFrame, key_col: str, cat_col: str
+) -> DataFrame:
+    """Shannon entropy (bits) of each key's categorical distribution —
+    the behavioral-diversity profile (0 = every event identical;
+    log2(k) = uniform over k categories). Also emits the normalized
+    form (entropy / log2(n_types)) so keys with different category
+    counts compare on one [0,1] scale.
+
+    Shape: (key, cat) hash count → per-key total via a window-free
+    second aggregate (sum carried alongside the entropy terms) — two
+    map-side-combinable aggregates, no join back, no window. Per-key
+    work is O(categories), so 100 TB of events reduces to the tiny
+    (key × category) grid before anything expensive happens."""
+    counts = df.groupBy(key_col, cat_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # entropy = log2(n) - sum(c*log2(c))/n  — an algebraic form whose
+    # terms are all map-side partial sums (no per-row p = c/n column,
+    # which would need n joined back before the final aggregate)
+    c = F.col("__c").cast("double")
+    per_key = counts.groupBy(key_col).agg(
+        F.sum("__c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(c * F.log2(c)).alias("__clog"),
+    )
+    n = F.col("n_events").cast("double")
+    # abs(): a single-category key cancels to ±1e-16, and the SIGN of
+    # that noise is reduction-order-dependent — abs keeps both this
+    # engine and any sequential re-implementation on "0.0", never
+    # "-0.0" (entropy is mathematically ≥ 0)
+    ent = F.abs(F.log2(n) - F.col("__clog") / n)
+    norm = F.when(
+        F.col("n_types") > 1, ent / F.log2(F.col("n_types").cast("double"))
+    ).otherwise(F.lit(0.0))
+    return per_key.select(
+        key_col,
+        "n_events",
+        "n_types",
+        F.round(ent, 6).alias("entropy_bits"),
+        F.round(norm, 6).alias("entropy_norm"),
+    )

@@ -2915,6 +2915,79 @@ def op_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: word / sentence-run /
+    vowel-group-syllable counts are three regexp_count projections
+    over the scan — zero shuffles, whole-stage codegen (see
+    ``text.with_readability``)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        text.with_readability(t.documents.select("doc_id", "text"))
+        .drop("text")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+def op_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax fraction per document (lexical
+    diversity — the template-spam signal): explode → (doc, token)
+    count → per-doc re-agg, both map-side combinable."""
+    t = load_tables(spark, sf_dir)
+    return (
+        text.type_token_stats(t.documents)
+        .orderBy("id")
+        .limit(300)
+    )
+
+
+def op_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event_type's value series at lags 1-3
+    (white-noise vs seasonality triage): one Window shuffle makes all
+    lag columns, one grouped pass computes every corr."""
+    t = load_tables(spark, sf_dir)
+    return timeseries.autocorrelation(
+        t.events, "event_type", "ts", "value", "event_id", max_lag=3
+    ).orderBy("event_type")
+
+
+def op_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over event types (behavioral
+    diversity): two map-side-combinable aggregates via the
+    ``log2(n) − Σ c·log2(c)/n`` identity — no join-back, no window."""
+    t = load_tables(spark, sf_dir)
+    return (
+        profile.group_entropy(t.events, "user_id", "event_type")
+        .orderBy("user_id")
+        .limit(300)
+    )
+
+
+def op_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution histogram of the orders-derived graph
+    (edges (o_custkey%300, o_orderkey%300), the ``op_kcore`` graph) —
+    the hub/power-law diagnostic that decides salting strategy for
+    the join-based graph ops."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    return graph.degree_stats(edges)
+
+
+def op_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the (o_custkey%40 → o_orderkey%40)
+    graph: one-row summary via a self semi-join on the distinct edge
+    set."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 40).alias("dst"),
+    )
+    return graph.reciprocity(edges)
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
@@ -2923,6 +2996,12 @@ OPERATOR_QUERIES = {
     "op_gini": op_gini,
     "op_rfm": op_rfm,
     "op_pareto_front": op_pareto_front,
+    "op_readability": op_readability,
+    "op_ttr": op_ttr,
+    "op_acf": op_acf,
+    "op_group_entropy": op_group_entropy,
+    "op_degree_stats": op_degree_stats,
+    "op_reciprocity": op_reciprocity,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -5822,3 +5901,108 @@ except (OSError, ImportError):
 except Exception as _exc:  # duckdb.Error on partially-present testdata
     if type(_exc).__module__.split(".")[0] != "duckdb":
         raise
+
+
+OPERATOR_ORACLE_SQL["op_readability"] = """
+WITH m AS (SELECT doc_id,
+  greatest(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')), 1) AS w,
+  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+  greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+ FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+             - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+         AS flesch_ease
+FROM m ORDER BY doc_id LIMIT 300
+"""
+
+
+def _sql_ttr() -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH tok AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM documents),
+c AS (SELECT id, tok, count(*) AS c FROM tok GROUP BY id, tok)
+SELECT id,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(sum(c) AS DOUBLE), 4) AS hapax_frac
+FROM c GROUP BY id ORDER BY id LIMIT 300
+"""
+
+
+OPERATOR_ORACLE_SQL["op_ttr"] = _sql_ttr()
+
+
+# |corr| < 1e-6 snaps to 0.0 on BOTH sides: a statistically-zero ACF is
+# FP noise whose sign depends on summation order (see
+# timeseries.autocorrelation)
+OPERATOR_ORACLE_SQL["op_acf"] = """
+WITH s AS (SELECT event_type, value,
+        lag(value, 1) OVER w AS l1,
+        lag(value, 2) OVER w AS l2,
+        lag(value, 3) OVER w AS l3
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CASE WHEN abs(corr(value, l1)) < 1e-6 THEN 0.0
+       ELSE round(corr(value, l1), 6) END AS acf_1,
+  CASE WHEN abs(corr(value, l2)) < 1e-6 THEN 0.0
+       ELSE round(corr(value, l2), 6) END AS acf_2,
+  CASE WHEN abs(corr(value, l3)) < 1e-6 THEN 0.0
+       ELSE round(corr(value, l3), 6) END AS acf_3
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+OPERATOR_ORACLE_SQL["op_group_entropy"] = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY user_id, event_type),
+k AS (SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+      FROM c GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+  round(abs(log2(CAST(n_events AS DOUBLE))
+            - clog / CAST(n_events AS DOUBLE)), 6) AS entropy_bits,
+  CASE WHEN n_types > 1
+       THEN round(abs(log2(CAST(n_events AS DOUBLE))
+                      - clog / CAST(n_events AS DOUBLE))
+                  / log2(CAST(n_types AS DOUBLE)), 6)
+       ELSE 0.0 END AS entropy_norm
+FROM k ORDER BY user_id LIMIT 300
+"""
+
+
+OPERATOR_ORACLE_SQL["op_degree_stats"] = """
+WITH canon AS (SELECT DISTINCT
+        least(o_custkey % 300, o_orderkey % 300) AS a,
+        greatest(o_custkey % 300, o_orderkey % 300) AS b
+    FROM orders WHERE o_custkey % 300 <> o_orderkey % 300),
+sym AS (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon),
+deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY deg ORDER BY deg
+"""
+
+
+OPERATOR_ORACLE_SQL["op_reciprocity"] = """
+WITH e AS (SELECT DISTINCT o_custkey % 40 AS s, o_orderkey % 40 AS d
+           FROM orders WHERE o_custkey % 40 <> o_orderkey % 40),
+r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+      FROM e WHERE EXISTS (SELECT 1 FROM e x
+                           WHERE x.s = e.d AND x.d = e.s)),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_edges, n_reciprocal,
+       round(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+         AS reciprocity
+FROM t, r
+"""

@@ -238,3 +238,75 @@ def char_entropy_col(
     for t in terms[1:]:
         ent = ent + t
     return n.cast("bigint"), ent
+
+
+# ---------------------------------------------------------------------------
+# Readability & lexical-diversity signals
+# ---------------------------------------------------------------------------
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease score (206.835 − 1.015·words/sentences −
+    84.6·syllables/words) with a vowel-group syllable estimate — the
+    classic grade-level proxy used alongside the Gopher-style rules in
+    ``with_quality_score`` for corpus filtering.
+
+    All three counts are single ``regexp_count`` projections over the
+    scan (sentence = ``[.!?]+`` run, syllable = ``[aeiouy]+`` run —
+    vowel groups never span token boundaries, so no explode is
+    needed): zero shuffles, whole-stage codegen, one corpus pass at
+    any scale."""
+    c = F.col(text_col)
+    n_words = F.greatest(token_count_ws(c), F.lit(1))
+    n_sentences = F.greatest(
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015)
+            * (n_words.cast("double") / n_sentences.cast("double"))
+        - F.lit(84.6)
+            * (n_syllables.cast("double") / n_words.cast("double"))
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("n_sentences", n_sentences.cast("bigint"))
+        .withColumn("n_syllables", n_syllables.cast("bigint"))
+        .withColumn("flesch_ease", F.round(fre, 4))
+    )
+
+
+def type_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Lexical diversity per document: token count, vocabulary size
+    (types), type-token ratio, and hapax-legomenon fraction (share of
+    tokens occurring exactly once in the doc). Near-0 TTR flags
+    keyword-stuffed / template spam; natural prose sits well above.
+
+    Shape: one explode → (doc, token) hash count → per-doc re-agg —
+    both aggregates map-side combine, keys are (doc, token) so hot
+    vocabulary never concentrates on one reducer. No windows, no
+    joins."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    per_tok = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = F.sum("c").cast("bigint")
+    n_types = F.count(F.lit(1)).cast("bigint")
+    n_hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    return per_tok.groupBy("id").agg(
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_hapax.alias("n_hapax"),
+        F.round(
+            n_types.cast("double") / n_tokens.cast("double"), 4
+        ).alias("ttr"),
+        F.round(
+            n_hapax.cast("double") / n_tokens.cast("double"), 4
+        ).alias("hapax_frac"),
+    )

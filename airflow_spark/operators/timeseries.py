@@ -765,3 +765,56 @@ def rolling_corr(
         (F.round(c, 4) + F.lit(0.0)).alias("roll_corr"),
         F.count(F.lit(1)).over(w).alias("n_frame"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Sample autocorrelation of each key's value series at lags
+    1..``max_lag`` — Pearson corr between the series and its lagged
+    self (the pair-wise ACF estimator). Near-zero everywhere ⇒ white
+    noise; slow decay ⇒ trend/seasonality worth a seasonal baseline
+    (see ``seasonal_baseline``).
+
+    Shape: ONE window shuffle on ``key_col`` produces all lag columns
+    (single Window node), then one grouped aggregate computes every
+    ``corr`` in the same pass. Ordering is made deterministic with
+    ``order_tiebreak`` so equal timestamps can't reorder between runs
+    or engines."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    v = F.col(value_col)
+    lagged = df.select(
+        key_col,
+        value_col,
+        *[F.lag(v, k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        # corr spelled as covar/(σ·σ) under try_divide: a zero-variance
+        # series yields NULL (the ANSI "undefined" DuckDB's corr also
+        # returns) instead of the DIVIDE_BY_ZERO that built-in corr()
+        # raises in ANSI mode. Pearson r uses COMPLETE pairs only, so
+        # both inputs are masked to rows where the pair exists (a bare
+        # stddev_samp(v) would also see the k lag-less head rows);
+        # covar_samp/stddev_samp pair up so the (n-1) factors cancel.
+        both = v.isNotNull() & lk.isNotNull()
+        vp, lp = F.when(both, v), F.when(both, lk)
+        c = F.try_divide(
+            F.covar_samp(vp, lp), F.stddev_samp(vp) * F.stddev_samp(lp)
+        )
+        # |corr| < 1e-6 snaps to exactly 0.0: a true-zero ACF estimate
+        # is pure FP summation noise whose SIGN depends on reduction
+        # order, so distributed vs sequential engines would disagree
+        # on "-0.0" vs "0.0"
+        aggs.append(
+            F.when(F.abs(c) < 1e-6, F.lit(0.0))
+            .otherwise(F.round(c, 6))
+            .alias(f"acf_{k}")
+        )
+    return lagged.groupBy(key_col).agg(*aggs)

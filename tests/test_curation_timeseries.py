@@ -759,3 +759,30 @@ def test_ngram_novelty_dup_scores_zero(spark):
     assert got[1]["novelty"] == 0.0 and got[1]["n_novel"] == 0
     assert 0.0 < got[2]["novelty"] < 1.0
     assert got[3]["novelty"] == 1.0
+
+
+def test_autocorrelation_alternating_series(spark):
+    # strictly alternating values -> lag-1 ACF = -1, lag-2 ACF = +1
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), "a", float(1 if i % 2 else -1))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    r = timeseries.autocorrelation(
+        df, "event_type", "ts", "value", "event_id", max_lag=2
+    ).collect()[0]
+    assert r["n"] == 40
+    assert abs(r["acf_1"] + 1.0) < 1e-6
+    assert abs(r["acf_2"] - 1.0) < 1e-6
+
+
+def test_autocorrelation_constant_series_is_null(spark):
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), "a", 5.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    r = timeseries.autocorrelation(
+        df, "event_type", "ts", "value", "event_id", max_lag=1
+    ).collect()[0]
+    # zero variance -> corr undefined -> NULL (not 0, not NaN)
+    assert r["acf_1"] is None

@@ -260,3 +260,30 @@ def test_personalized_pagerank_dedupes_sources_and_rejects_missing(spark):
     # a source absent from the graph is an error, not all-zero ranks
     with pytest.raises(ValueError, match="absent"):
         personalized_pagerank(edges, [999], iters=2)
+
+
+def test_degree_stats_histogram_collapses_duplicates(spark):
+    # path 0-1-2-3 given with reverse + parallel edges and a self-loop:
+    # degrees are 1,2,2,1 -> histogram {1: 2 nodes, 2: 2 nodes}
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (2, 3), (2, 2)]
+    hist = {
+        r["deg"]: r["n_nodes"]
+        for r in graph.degree_stats(_edges(spark, pairs)).collect()
+    }
+    assert hist == {1: 2, 2: 2}
+
+
+def test_reciprocity_half_mutual(spark):
+    # 0->1 mutual, 0->2 one-way: 4 distinct non-loop edges... actually
+    # edges {0->1, 1->0, 0->2} -> 2 of 3 have a reverse
+    pairs = [(0, 1), (1, 0), (0, 2), (0, 2), (1, 1)]
+    row = graph.reciprocity(_edges(spark, pairs)).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_reciprocal"] == 2
+    assert row["reciprocity"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_reciprocity_no_mutual_edges(spark):
+    row = graph.reciprocity(_edges(spark, [(0, 1), (1, 2)])).collect()[0]
+    assert row["n_reciprocal"] == 0
+    assert row["reciprocity"] == 0.0

@@ -349,3 +349,23 @@ def test_theil_zero_for_equal_and_positive_for_skewed(spark):
     mu = sum(xs) / len(xs)
     want = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
     assert abs(got - round(want, 6)) < 1e-6
+
+
+def test_group_entropy_uniform_and_degenerate(spark):
+    rows = (
+        [(1, c) for c in ["a", "b", "c", "d"]]   # uniform over 4 -> 2 bits
+        + [(2, "a")] * 5                           # single category -> 0
+        + [(3, "a"), (3, "a"), (3, "b")]           # skewed 2-type
+    )
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    got = {
+        r["user_id"]: r
+        for r in profile.group_entropy(df, "user_id", "event_type").collect()
+    }
+    assert got[1]["entropy_bits"] == pytest.approx(2.0, abs=1e-6)
+    assert got[1]["entropy_norm"] == pytest.approx(1.0, abs=1e-6)
+    assert got[2]["entropy_bits"] == 0.0 and got[2]["entropy_norm"] == 0.0
+    import math as _m
+    h = -(2 / 3) * _m.log2(2 / 3) - (1 / 3) * _m.log2(1 / 3)
+    assert got[3]["entropy_bits"] == pytest.approx(h, abs=1e-5)
+    assert got[3]["n_events"] == 3 and got[3]["n_types"] == 2

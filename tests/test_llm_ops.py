@@ -2322,3 +2322,53 @@ def test_semantic_decontaminate_empty_bench_keeps_corpus(spark):
     out = semantic_decontaminate(corpus, bench, 0.9).collect()
     assert {r.id for r in out} == {1, 2}
     assert all(not r.contaminated and r.max_cos == 0.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# readability & lexical diversity
+# ---------------------------------------------------------------------------
+
+
+def test_readability_counts_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),          # simple prose
+            (2, "Extraordinarily sophisticated terminology necessitates "
+                "comprehension capabilities."),          # dense words
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.with_readability(df).collect()}
+    assert rows[1]["n_words"] == 6
+    assert rows[1]["n_sentences"] == 2
+    # "the cat sat the dog ran" -> one vowel group per word
+    assert rows[1]["n_syllables"] == 6
+    # polysyllabic jargon must read as much harder
+    assert rows[1]["flesch_ease"] > rows[2]["flesch_ease"]
+
+
+def test_readability_empty_text_guards(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = text.with_readability(df).collect()[0]
+    # all denominators floored at 1 -> finite score, no NaN/div0
+    assert r["n_words"] == 1 and r["n_sentences"] == 1
+    assert r["flesch_ease"] is not None
+
+
+def test_type_token_stats_hapax_and_ttr(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "x y z")], ["doc_id", "text"]
+    )
+    rows = {r["id"]: r for r in text.type_token_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_types"] == 3
+    assert rows[1]["n_hapax"] == 1  # only "c"
+    assert rows[1]["ttr"] == 0.5
+    assert rows[1]["hapax_frac"] == round(1 / 6, 4)
+    # all-distinct doc: ttr = hapax_frac = 1
+    assert rows[2]["ttr"] == 1.0 and rows[2]["hapax_frac"] == 1.0
+
+
+def test_type_token_stats_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "The the THE")], ["doc_id", "text"])
+    r = text.type_token_stats(df).collect()[0]
+    assert r["n_types"] == 1 and r["n_hapax"] == 0
