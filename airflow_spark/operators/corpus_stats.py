@@ -184,41 +184,48 @@ def ngram_novelty(
     signal: novelty ≈ 0 marks documents that add nothing the corpus
     hasn't seen, without running any pair-wise dedup.
 
-    Shape: explode distinct shingles → hash each to a bigint (the
-    shuffle carries 8-byte keys, never shingle text) → ONE shuffle on
-    the hash with a whole-partition window computing the shingle's
-    first-seen doc id → per-doc ratio (second, id-keyed shuffle).
-    Linear in corpus shingles. Deterministic given ids, so the oracle
-    reproduces it exactly (a 64-bit hash collision would merge two
-    shingles — ~1e-7 odds at millions of distinct shingles, and only
-    ever a marginal novelty shift at corpus scale).
+    Shape: ``n_shingles`` is a pure per-doc projection (no shuffle at
+    all — distinct-shingle count straight off the scan). The novelty
+    side explodes distinct shingles, hashes each to a bigint (the
+    shuffle carries 8-byte keys, never shingle text), and reduces to
+    first-seen doc via ``groupBy(h).min(id)`` — a MAP-SIDE-COMBINING
+    aggregate, so the one hash shuffle moves (h, partial-min) pairs,
+    not every (doc, shingle) row, and no WindowExec sort ever runs.
+    Winner counts re-key by doc (tiny frame) and left-join the
+    projection. Linear in corpus shingles. Deterministic given ids,
+    so the oracle reproduces it exactly (a 64-bit hash collision
+    would merge two shingles — ~1e-7 odds at millions of distinct
+    shingles, and only ever a marginal novelty shift at corpus
+    scale).
     """
-    from pyspark.sql import Window
-
-    shingled = df.select(
+    per_doc = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
+        F.size(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
-    ).select("id", F.xxhash64("sh").alias("h"))
-    w = Window.partitionBy("h")
-    return (
-        shingled.withColumn("first_id", F.min("id").over(w))
+        ).cast("bigint").alias("n_shingles"),
+    ).where(F.col("n_shingles") > 0)  # shingle-less docs were never rows
+    first_seen = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).alias("sh"),
+        )
+        .select("id", F.xxhash64("sh").alias("h"))
+        .groupBy("h")
+        .agg(F.min("id").alias("id"))
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-        .select(
-            "id",
-            "n_shingles",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
-                "novelty"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return per_doc.join(first_seen, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            / F.col("n_shingles"),
+            6,
+        ).alias("novelty"),
     )
 
 

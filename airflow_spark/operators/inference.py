@@ -313,3 +313,86 @@ def theil_by_group(
         F.col("__s") / F.col("n").cast("double")
     )
     return agg.select(group_col, "n", F.round(theil, 6).alias("theil"))
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney form, average-rank tie handling)
+    for a numeric score against a 0/1 label — the quality-classifier
+    acceptance metric before a filter model gates a corpus.
+
+    Scale shape: the classic per-row global rank would be a full sort
+    of N rows; instead scores collapse to the DISTINCT-value frame
+    first (one hash agg with per-score pos/neg counts), and the single
+    cumulative window runs over that much smaller frame — the same
+    design as the KS statistic. AUC = Σ_s pos_s·(cumneg_<s +
+    neg_s/2) / (P·N). Returns one row: n_pos, n_neg, auc."""
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        df.select(F.col(score_col).alias("s"), lab.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("pos_s"),
+            F.sum(1 - F.col("y")).alias("neg_s"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    swept = per_score.select(
+        "pos_s",
+        "neg_s",
+        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cumneg"),
+    )
+    return swept.agg(
+        F.sum("pos_s").cast("bigint").alias("n_pos"),
+        F.sum("neg_s").cast("bigint").alias("n_neg"),
+        F.round(
+            F.try_divide(
+                F.sum(
+                    F.col("pos_s")
+                    * (F.col("cumneg") + F.col("neg_s") / 2.0)
+                ),
+                F.sum("pos_s").cast("double")
+                * F.sum("neg_s").cast("double"),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Reliability diagram data: equal-population score bins (ntile)
+    with mean predicted score vs observed positive rate per bin — how
+    a filter model's confidence maps to reality before its threshold
+    is chosen.
+
+    The global ntile is a single sort-window over (score, tiebreak) —
+    deterministic under score ties. For billion-row populations swap
+    the ntile for ``curation.quantile_bins`` (percentile boundaries
+    broadcast back); at report scale the direct form is one shuffle."""
+    order = [F.col(score_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.orderBy(*order)
+    binned = df.select(
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

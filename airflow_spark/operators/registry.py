@@ -2988,6 +2988,44 @@ def op_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.reciprocity(edges)
 
 
+def op_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the first embedding coordinate as a scorer
+    for (label % 2) — Mann-Whitney over the DISTINCT-score frame (no
+    global per-row rank; see ``inference.roc_auc``)."""
+    t = load_tables(spark, sf_dir)
+    scored = t.embeddings.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") % 2).alias("y"),
+    )
+    return inference.roc_auc(scored, "score", "y")
+
+
+def op_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile reliability table for the same scorer: mean predicted
+    score vs observed positive rate per equal-population bin
+    (deterministic ntile tiebreak on vec_id)."""
+    t = load_tables(spark, sf_dir)
+    scored = t.embeddings.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") % 2).alias("y"),
+        "vec_id",
+    )
+    return inference.calibration_table(
+        scored, "score", "y", n_bins=10, tiebreak_col="vec_id"
+    )
+
+
+def op_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the orders-derived %300 graph (the
+    ``op_kcore``/``op_degree_stats`` graph): do hubs attach to hubs?"""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 300).alias("src"),
+        (F.col("o_orderkey") % 300).alias("dst"),
+    )
+    return graph.assortativity(edges)
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
@@ -3002,6 +3040,9 @@ OPERATOR_QUERIES = {
     "op_group_entropy": op_group_entropy,
     "op_degree_stats": op_degree_stats,
     "op_reciprocity": op_reciprocity,
+    "op_auc": op_auc,
+    "op_calibration": op_calibration,
+    "op_assortativity": op_assortativity,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6005,4 +6046,53 @@ SELECT n_edges, n_reciprocal,
        round(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
          AS reciprocity
 FROM t, r
+"""
+
+
+OPERATOR_ORACLE_SQL["op_auc"] = """
+WITH sc AS (SELECT CAST(embedding[1] AS DOUBLE) AS s, label % 2 AS y
+            FROM embeddings),
+g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_s,
+             CAST(sum(1 - y) AS BIGINT) AS neg_s
+      FROM sc GROUP BY s),
+c AS (SELECT pos_s, neg_s,
+             coalesce(sum(neg_s) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM g)
+SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+       CAST(sum(neg_s) AS BIGINT) AS n_neg,
+       round(sum(pos_s * (cumneg + neg_s / 2.0))
+             / (CAST(sum(pos_s) AS DOUBLE) * CAST(sum(neg_s) AS DOUBLE)),
+             6) AS auc
+FROM c
+"""
+
+
+OPERATOR_ORACLE_SQL["op_calibration"] = """
+WITH sc AS (SELECT CAST(embedding[1] AS DOUBLE) AS s, label % 2 AS y,
+                   vec_id
+            FROM embeddings),
+b AS (SELECT s, y, ntile(10) OVER (ORDER BY s, vec_id) AS bin FROM sc)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+OPERATOR_ORACLE_SQL["op_assortativity"] = """
+WITH canon AS (SELECT DISTINCT
+        least(o_custkey % 300, o_orderkey % 300) AS a,
+        greatest(o_custkey % 300, o_orderkey % 300) AS b
+    FROM orders WHERE o_custkey % 300 <> o_orderkey % 300),
+sym AS (SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon),
+deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+p AS (SELECT CAST(dx.deg AS DOUBLE) AS dx, CAST(dy.deg AS DOUBLE) AS dy
+      FROM sym JOIN deg dx ON sym.a = dx.node
+               JOIN deg dy ON sym.b = dy.node)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       CASE WHEN abs(corr(dx, dy)) < 1e-6 THEN 0.0
+            ELSE round(corr(dx, dy), 6) END AS assortativity
+FROM p
 """

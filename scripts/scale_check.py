@@ -112,6 +112,10 @@ def _ops():
         "op_ngram_novelty",
         "op_compaction_plan",
         "op_kfold_splits",
+        "op_readability",
+        "op_ttr",
+        "op_acf",
+        "op_group_entropy",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 

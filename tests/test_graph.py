@@ -287,3 +287,18 @@ def test_reciprocity_no_mutual_edges(spark):
     row = graph.reciprocity(_edges(spark, [(0, 1), (1, 2)])).collect()[0]
     assert row["n_reciprocal"] == 0
     assert row["reciprocity"] == 0.0
+
+
+def test_assortativity_star_is_negative(spark):
+    # star: hub degree 4, leaves degree 1 -> strongly disassortative
+    pairs = [(0, i) for i in range(1, 5)]
+    row = graph.assortativity(_edges(spark, pairs)).collect()[0]
+    assert row["n_edges"] == 4
+    assert row["assortativity"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    # 4-cycle: every degree 2 -> zero variance -> undefined (NULL)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    row = graph.assortativity(_edges(spark, pairs)).collect()[0]
+    assert row["assortativity"] is None

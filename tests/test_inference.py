@@ -280,3 +280,49 @@ def test_downsample_single_point_bucket_emits_both_kinds(spark):
     out = timeseries.downsample_minmax(df, "k", "ts", "v", n_buckets=4).collect()
     assert sorted(r.kind for r in out) == ["max", "min"]
     assert all(r.value == 5.0 for r in out)
+
+
+def test_roc_auc_perfect_and_random(spark):
+    # perfectly separated scores -> AUC 1.0
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    r = inference.roc_auc(df, "score", "y").collect()[0]
+    assert r["n_pos"] == 5 and r["n_neg"] == 5
+    assert r["auc"] == 1.0
+    # inverted labels -> AUC 0.0
+    df2 = spark.createDataFrame([(s, 1 - y) for s, y in rows], ["score", "y"])
+    assert inference.roc_auc(df2, "score", "y").collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_ties_average_rank(spark):
+    # all scores identical -> every ordering is a coin flip -> AUC 0.5
+    rows = [(1.0, 1)] * 3 + [(1.0, 0)] * 7
+    df = spark.createDataFrame(rows, ["score", "y"])
+    assert inference.roc_auc(df, "score", "y").collect()[0]["auc"] == 0.5
+
+
+def test_roc_auc_matches_pairwise_definition(spark):
+    # AUC = P(score_pos > score_neg) + 0.5 P(equal), checked by brute force
+    rows = [
+        (0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1), (0.8, 0), (0.7, 1),
+    ]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    got = inference.roc_auc(df, "score", "y").collect()[0]["auc"]
+    assert got == pytest.approx(brute, abs=1e-6)
+
+
+def test_calibration_table_bins_and_rates(spark):
+    # 20 rows, scores 0..19, positives exactly the top half
+    rows = [(float(i), 1 if i >= 10 else 0, i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["score", "y", "rid"])
+    out = inference.calibration_table(
+        df, "score", "y", n_bins=4, tiebreak_col="rid"
+    ).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n"] == 5 for r in out)
+    assert [r["pos_rate"] for r in out] == [0.0, 0.0, 1.0, 1.0]
