@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_ws, word_shingles
+from .width import ensure_wide
 
 
 def bigram_lift(
@@ -50,6 +51,7 @@ def bigram_lift(
     (monotone in PMI). Bigram counts keep multiplicity (one explode,
     map-side combine); unigram counts and N are broadcast. Determinism:
     exact integer counts, one double division, ties by bigram text."""
+    docs = ensure_wide(docs)  # 1-file scans would tokenize on one core
     toks = docs.select(tokens_ws(F.lower(F.col(text_col))).alias("toks"))
     uni = (
         toks.select(F.explode("toks").alias("tok"))
@@ -96,7 +98,7 @@ def vocab_coverage(
     """Per-document OOV statistics against the corpus top-``vocab_size``
     vocabulary (count desc, token asc tie-break — deterministic).
     Output: id, n_tokens, n_oov, oov_rate."""
-    toks = docs.select(
+    toks = ensure_wide(docs, id_col).select(
         F.col(id_col), F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok")
     )
     # top-V via orderBy+limit, NOT a no-partition row_number window: the
@@ -198,6 +200,7 @@ def ngram_novelty(
     shingles, and only ever a marginal novelty shift at corpus
     scale).
     """
+    df = ensure_wide(df, id_col)  # shingling must not run one-core
     per_doc = df.select(
         F.col(id_col).alias("id"),
         F.size(
@@ -247,7 +250,8 @@ def zipf_fit(
     token count; everything after runs on k rows.
     """
     counts = (
-        df.select(F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"))
+        ensure_wide(df)
+        .select(F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count_ws, tokens_ws, word_shingles
+from .width import ensure_wide
 
 
 def repetition_signals(
@@ -35,7 +36,7 @@ def repetition_signals(
     shuffles (id, 8-byte hash)-sized rows, then one windowed max per
     doc. Documents with < 2 tokens get 0.0 for both."""
     toks = tokens_ws(F.lower(F.col(text_col)))
-    base = df.select(
+    base = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -87,7 +88,7 @@ def decontaminate(
             ).alias("sh"),
         )
     )
-    corpus_sh = corpus.select(
+    corpus_sh = ensure_wide(corpus, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
@@ -235,7 +236,7 @@ def unigram_logprob_score(
     the model is dimension-table-sized, so Catalyst broadcasts it.
     Unseen-token smoothing: count 0.5 (add-half), portable arithmetic.
     """
-    toks = df.select(
+    toks = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
     )
@@ -306,7 +307,7 @@ def tfidf_keyword_search(
     broken by id. The scan shape a 100 TB ad-hoc corpus probe needs:
     no inverted index required, one pass."""
     terms = [t.lower() for t in query_terms]
-    toks = df.select(
+    toks = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
     ).where(F.col("tok").isin(terms))
@@ -351,7 +352,7 @@ def bm25_keyword_search(
     """
     terms = [t.lower() for t in query_terms]
     lowered = F.lower(F.col(text_col))
-    toks = df.select(
+    toks = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         token_count_ws(lowered).alias("dl"),
         F.explode(tokens_ws(lowered)).alias("tok"),
@@ -457,7 +458,7 @@ def duplicated_passages(
     the distinct-per-doc step has capped.
 
     Output: (gram, n_docs, first_doc) ordered by n_docs desc, gram."""
-    grams = df.select(
+    grams = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(word_shingles(F.col(text_col), shingle_n))
@@ -466,7 +467,10 @@ def duplicated_passages(
     return (
         grams.groupBy("gram")
         .agg(
-            F.countDistinct("id").alias("n_docs"),
+            # (id, gram) rows are already distinct by construction
+            # (array_distinct per doc), so plain count == distinct
+            # count — without the Expand + two-phase distinct agg
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("first_doc"),
         )
         .where(F.col("n_docs") >= min_docs)
@@ -520,7 +524,7 @@ def remove_duplicated_segments(
             ).alias("seg"),
         ),
     )).otherwise(F.array().cast("array<struct<pos:bigint,seg:string>>"))
-    base = df.select(F.col(id_col).alias("id"), n_segs.alias("n_segs"),
+    base = ensure_wide(df, id_col).select(F.col(id_col).alias("id"), n_segs.alias("n_segs"),
                      segs.alias("segs"))
     exploded = base.select("id", F.explode("segs").alias("s")).select(
         "id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg")
@@ -653,7 +657,7 @@ def bigram_logprob_score(
     aggregates broadcast back. Docs with < 2 tokens get score NULL
     (no bigram evidence), kept so the filter stage decides their fate.
     Returns (id, n_bigrams, score)."""
-    toks = df.select(
+    toks = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens_ws(F.lower(F.col(text_col)))).alias(
             "pos", "tok"

@@ -31,22 +31,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import char_shingles, tokens_ws
+from .width import ensure_wide
 
-def _ensure_parallelism(df: DataFrame, id_col: str | None = None) -> DataFrame:
-    """Small inputs arrive as 1-2 partitions (one parquet file); per-doc
-    heavy operators (shingling, k-way hashing) would then run on one
-    core. Repartition up to the cluster's default parallelism — a
-    trivial shuffle at small scale, a no-op at 100 TB where the scan is
-    already wide."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # Lineage-safe width probe: count source files from the analyzed
-    # plan (no .rdd conversion, no job). Plenty of files -> the scan is
-    # already wide; a derived frame (no leaf files) has already passed
-    # a shuffle at spark.sql.shuffle.partitions width — leave both be.
-    n_files = len(df.inputFiles())
-    if n_files == 0 or n_files >= max(2, target // 2):
-        return df
-    return df.repartition(target, id_col) if id_col else df.repartition(target)
+# canonical implementation lives in operators/width.py (shared by the
+# curation / corpus-stats / text modules); the old private name is kept
+# for existing call sites
+_ensure_parallelism = ensure_wide
 
 
 # ---------------------------------------------------------------------------

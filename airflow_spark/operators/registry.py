@@ -2900,11 +2900,15 @@ def op_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy over a-z
     (corpus-quality signal: ~0 = degenerate repetition). Pure
     length/replace projection — no explode, no shuffle, whole-stage
-    codegen end to end."""
+    codegen end to end (width-guarded: 52 string scans per row is the
+    kind of per-row weight a 1-file scan would run on one core)."""
+    from .width import ensure_wide
+
     t = load_tables(spark, sf_dir)
     n_letters, ent = text.char_entropy_col("text")
     return (
-        t.documents.select(
+        ensure_wide(t.documents, "doc_id")
+        .select(
             "doc_id",
             n_letters.alias("n_letters"),
             F.round(ent, 4).alias("entropy_bits"),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .width import ensure_wide
 from ..functions.text import (
     char_shingles,
     digit_ratio,
@@ -291,7 +292,7 @@ def type_token_stats(
     both aggregates map-side combine, keys are (doc, token) so hot
     vocabulary never concentrates on one reducer. No windows, no
     joins."""
-    tok = df.select(
+    tok = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
     )

@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 from pyspark.sql import types as T
 
+from .width import ensure_wide
+
 _WS = re.compile(r"\s+")
 
 
@@ -187,7 +189,10 @@ def bpe_token_counts(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    # 1-file scans would run the whole Arrow pipeline on one core
+    return ensure_wide(df.select(id_col, text_col), id_col).mapInPandas(
+        run, schema
+    )
 
 
 def word_counts_from_df(
