@@ -2992,6 +2992,16 @@ def op_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.reciprocity(edges)
 
 
+def op_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly view and purchase
+    rates at lags -3..+3 h (does one metric foreshadow the other?):
+    dense hour spine, one ordered window over it, one corr pass."""
+    t = load_tables(spark, sf_dir)
+    return timeseries.hourly_cross_correlation(
+        t.events, "ts", "event_type", "view", "purchase", max_lag=3
+    )
+
+
 def op_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the first embedding coordinate as a scorer
     for (label % 2) — Mann-Whitney over the DISTINCT-score frame (no
@@ -3047,6 +3057,7 @@ OPERATOR_QUERIES = {
     "op_auc": op_auc,
     "op_calibration": op_calibration,
     "op_assortativity": op_assortativity,
+    "op_xcorr": op_xcorr,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6099,4 +6110,42 @@ SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
        CASE WHEN abs(corr(dx, dy)) < 1e-6 THEN 0.0
             ELSE round(corr(dx, dy), 6) END AS assortativity
 FROM p
+"""
+
+
+OPERATOR_ORACLE_SQL["op_xcorr"] = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1 FROM events),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM b),
+ca AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS a FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+cb AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS b FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+j AS (SELECT spine.hour,
+             CAST(coalesce(a, 0) AS DOUBLE) AS a,
+             CAST(coalesce(b, 0) AS DOUBLE) AS b
+      FROM spine LEFT JOIN ca USING (hour) LEFT JOIN cb USING (hour)),
+s AS (SELECT a,
+        lag(b, 3) OVER w AS bm3, lag(b, 2) OVER w AS bm2,
+        lag(b, 1) OVER w AS bm1, b AS b0,
+        lead(b, 1) OVER w AS bp1, lead(b, 2) OVER w AS bp2,
+        lead(b, 3) OVER w AS bp3
+      FROM j WINDOW w AS (ORDER BY hour))
+SELECT CAST(count(*) AS BIGINT) AS n_hours,
+  CASE WHEN abs(corr(a, bm3)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, bm3), 6) END AS xc_m3,
+  CASE WHEN abs(corr(a, bm2)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, bm2), 6) END AS xc_m2,
+  CASE WHEN abs(corr(a, bm1)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, bm1), 6) END AS xc_m1,
+  CASE WHEN abs(corr(a, b0)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, b0), 6) END AS xc_0,
+  CASE WHEN abs(corr(a, bp1)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, bp1), 6) END AS xc_p1,
+  CASE WHEN abs(corr(a, bp2)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, bp2), 6) END AS xc_p2,
+  CASE WHEN abs(corr(a, bp3)) < 1e-6 THEN 0.0
+       ELSE round(corr(a, bp3), 6) END AS xc_p3
+FROM s
 """

@@ -818,3 +818,75 @@ def autocorrelation(
             .alias(f"acf_{k}")
         )
     return lagged.groupBy(key_col).agg(*aggs)
+
+
+def hourly_cross_correlation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    type_a: str = "view",
+    type_b: str = "purchase",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two event streams' hourly
+    rates: one row with corr(a_t, b_{t+k}) for k in [-max_lag,
+    +max_lag]. A peak at k > 0 means series A LEADS series B by k
+    hours (views foreshadow purchases); at k < 0, A lags.
+
+    Missing hours count as 0 — the hour spine is generated from the
+    observed [min, max] range (``sequence`` + explode), NOT taken from
+    the hours that happen to have events, so quiet hours can't
+    silently splice distant timestamps into adjacent lag pairs.
+    The single ordered window runs over the spine frame (hours between
+    min and max — bounded by calendar time, never by event count), the
+    same small-frame trade as ``op_ks_test``. corr is covar/(σ·σ)
+    under try_divide (degenerate series → NULL), near-zero snapped to
+    0.0 — see ``autocorrelation``."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    bounds = df.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    cnt = lambda t: (  # noqa: E731
+        df.where(F.col(type_col) == t)
+        .groupBy(hour.alias("hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    joined = (
+        spine.join(cnt(type_a).withColumnRenamed("c", "a"), "hour", "left")
+        .join(cnt(type_b).withColumnRenamed("c", "b"), "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("a"), F.lit(0)).cast("double").alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).cast("double").alias("b"),
+        )
+    )
+    w = Window.orderBy("hour")
+    shifted = joined.select(
+        "a",
+        *[
+            (
+                F.lead("b", k).over(w) if k >= 0 else F.lag("b", -k).over(w)
+            ).alias(f"b_{k + max_lag}")
+            for k in range(-max_lag, max_lag + 1)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_hours")]
+    for k in range(-max_lag, max_lag + 1):
+        bk = F.col(f"b_{k + max_lag}")
+        both = F.col("a").isNotNull() & bk.isNotNull()
+        ap, bp = F.when(both, F.col("a")), F.when(both, bk)
+        c = F.try_divide(
+            F.covar_samp(ap, bp), F.stddev_samp(ap) * F.stddev_samp(bp)
+        )
+        name = f"xc_{'m' if k < 0 else 'p'}{abs(k)}" if k != 0 else "xc_0"
+        aggs.append(
+            F.when(F.abs(c) < 1e-6, F.lit(0.0))
+            .otherwise(F.round(c, 6))
+            .alias(name)
+        )
+    return shifted.agg(*aggs)

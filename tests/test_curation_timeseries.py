@@ -786,3 +786,22 @@ def test_autocorrelation_constant_series_is_null(spark):
     ).collect()[0]
     # zero variance -> corr undefined -> NULL (not 0, not NaN)
     assert r["acf_1"] is None
+
+
+def test_hourly_cross_correlation_detects_known_lead(spark):
+    # b-events mirror a-events exactly one hour later -> xc_p1 == 1.0
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    counts = [3, 7, 2, 9, 5, 1, 8, 4, 6, 2, 7, 3]
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=5), "a")); eid += 1
+            rows.append((eid, base + dt.timedelta(hours=h + 1, minutes=5), "b")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    r = timeseries.hourly_cross_correlation(
+        df, "ts", "event_type", "a", "b", max_lag=2
+    ).collect()[0]
+    assert r["xc_p1"] == 1.0
+    # and the aligned correlation is NOT perfect (series are shifted)
+    assert r["xc_0"] is None or r["xc_0"] < 1.0
