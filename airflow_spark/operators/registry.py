@@ -1855,10 +1855,14 @@ def op_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicted-language distribution over documents."""
+    """Predicted-language distribution over documents (width-guarded:
+    the per-row stopword-profile expression is heavy enough that a
+    1-file scan would run it on one core)."""
+    from .width import ensure_wide
+
     t = load_tables(spark, sf_dir)
     return (
-        text.with_lang_id(t.documents)
+        text.with_lang_id(ensure_wide(t.documents, "doc_id"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang_pred")

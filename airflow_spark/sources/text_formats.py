@@ -123,3 +123,29 @@ def read_text_docs(
         F.col("value").alias("text"),
         src.alias("source"),
     )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str,
+) -> DataFrame:
+    """XML ingest via Spark 4's NATIVE xml data source (the merged
+    spark-xml): one DataFrame row per ``row_tag`` element, with the
+    same required-schema + PERMISSIVE corrupt-record quarantine
+    contract as :func:`read_csv` / :func:`read_jsonl` — schema is
+    never inferred (an inference pass both costs a read and lets a
+    malformed feed silently reshape downstream plans).
+
+    Note XML is NOT line-splittable: files are the parallelism unit
+    (like multiline JSON), so feeds should arrive as many files, not
+    one giant document."""
+    return (
+        spark.read.format("xml")
+        .schema(_with_corrupt(schema))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )

@@ -659,3 +659,31 @@ class TestWarc:
         assert len(out) == 2  # Content-Length framing, not regex
         assert out[0].body == trap
         assert out[1].body == "after"
+
+
+def test_read_xml_parses_rows_and_quarantines(spark, tmp_path):
+    from pyspark.sql import types as T
+    from airflow_spark.sources.text_formats import (
+        read_xml,
+        split_corrupt,
+    )
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<docs>"
+        "<doc><id>1</id><text>hello world</text></doc>"
+        "<doc><id>2</id><text>second</text></doc>"
+        "<doc><id>not-a-number</id><text>bad row</text></doc>"
+        "</docs>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = read_xml(spark, str(p), schema, row_tag="doc")
+    clean, corrupt = split_corrupt(df)
+    got = {r["id"]: r["text"] for r in clean.collect()}
+    assert got == {1: "hello world", 2: "second"}
+    assert corrupt.count() == 1
