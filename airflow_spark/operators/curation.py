@@ -726,3 +726,71 @@ def kfold_splits(
     return df.withColumn(
         out_col, md5_uniform(F.col(group_col), salt, modulus=k).cast("int")
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 3,
+) -> DataFrame:
+    """Characteristic vocabulary per corpus slice (c-TF-IDF, the
+    BERTopic-style class-based variant): for each group, the top-``k``
+    tokens by within-group frequency weighted against how many OTHER
+    groups use the token — "what does this source talk about that the
+    others don't". The profiling pass run on every new corpus slice
+    before mixing decisions.
+
+    score = (ctf / group_tokens) · ln(1 + n_groups / df_groups), with
+    df_groups = groups containing the token. Ranking uses the ROUNDED
+    score with a token tiebreak so the top-k set is reproducible
+    across engines (1-ulp libm differences can't reorder ties).
+
+    Shape: one explode → (group, token) hash count (map-side combine)
+    → token group-frequency and per-group totals derived from that
+    same small frame → window top-k per group. The corpus is read
+    once; everything after the first aggregate is vocabulary-sized."""
+    gt = (
+        ensure_wide(df, id_col)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens_ws(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+        .where(F.col("ctf") >= min_count)
+    )
+    totals = gt.groupBy("grp").agg(F.sum("ctf").alias("gtot"))
+    dfg = gt.groupBy("tok").agg(F.count(F.lit(1)).alias("df_groups"))
+    n_groups = gt.select("grp").distinct().agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    scored = (
+        gt.join(F.broadcast(totals), "grp")
+        .join(F.broadcast(dfg), "tok")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp",
+            "tok",
+            "ctf",
+            F.round(
+                (F.col("ctf") / F.col("gtot"))
+                * F.log(
+                    1.0 + F.col("n_groups") / F.col("df_groups")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "rank", "tok", "ctf", "score"
+        )
+    )

@@ -3006,6 +3006,17 @@ def op_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source slice (c-TF-IDF): top-5
+    tokens per source by within-group frequency weighted against
+    cross-group spread — the corpus-slice profile read before mixing
+    decisions."""
+    t = load_tables(spark, sf_dir)
+    return curation.distinctive_terms(
+        t.documents, "source", "text", "doc_id", k=5, min_count=3
+    ).orderBy("source", "rank")
+
+
 def op_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the first embedding coordinate as a scorer
     for (label % 2) — Mann-Whitney over the DISTINCT-score frame (no
@@ -3062,6 +3073,7 @@ OPERATOR_QUERIES = {
     "op_calibration": op_calibration,
     "op_assortativity": op_assortativity,
     "op_xcorr": op_xcorr,
+    "op_distinctive_terms": op_distinctive_terms,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6153,3 +6165,31 @@ SELECT CAST(count(*) AS BIGINT) AS n_hours,
        ELSE round(corr(a, bp3), 6) END AS xc_p3
 FROM s
 """
+
+
+def _sql_distinctive_terms(k: int = 5, min_count: int = 3) -> str:
+    toks = _SQL_TOKS_OF.format(t="text")
+    return f"""
+WITH gt AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS ctf
+            FROM (SELECT source AS grp, unnest({toks}) AS tok
+                  FROM documents)
+            GROUP BY grp, tok HAVING count(*) >= {min_count}),
+tot AS (SELECT grp, CAST(sum(ctf) AS BIGINT) AS gtot FROM gt GROUP BY grp),
+dfg AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_groups
+        FROM gt GROUP BY tok),
+ng AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS n_groups FROM gt),
+s AS (SELECT grp, tok, ctf,
+             round((CAST(ctf AS DOUBLE) / CAST(gtot AS DOUBLE))
+                   * ln(1.0 + CAST(n_groups AS DOUBLE)
+                              / CAST(df_groups AS DOUBLE)), 6) AS score
+      FROM gt JOIN tot USING (grp) JOIN dfg USING (tok), ng),
+r AS (SELECT grp, tok, ctf, score,
+             CAST(row_number() OVER (PARTITION BY grp
+                  ORDER BY score DESC, tok) AS INT) AS rank
+      FROM s)
+SELECT grp AS source, rank, tok, ctf, score
+FROM r WHERE rank <= {k} ORDER BY source, rank
+"""
+
+
+OPERATOR_ORACLE_SQL["op_distinctive_terms"] = _sql_distinctive_terms()

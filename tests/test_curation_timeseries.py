@@ -805,3 +805,19 @@ def test_hourly_cross_correlation_detects_known_lead(spark):
     assert r["xc_p1"] == 1.0
     # and the aligned correlation is NOT perfect (series are shifted)
     assert r["xc_0"] is None or r["xc_0"] < 1.0
+
+
+def test_distinctive_terms_finds_planted_vocab(spark):
+    # both groups share filler; only group A says "quantum", only B "farming"
+    filler = "the data and the value of the data"
+    rows = (
+        [(i, f"{filler} quantum quantum quantum", "A") for i in range(4)]
+        + [(i + 10, f"{filler} farming farming farming", "B") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curation.distinctive_terms(
+        df, "source", "text", "doc_id", k=1, min_count=2
+    ).collect()
+    top = {r["source"]: r["tok"] for r in out}
+    assert top == {"A": "quantum", "B": "farming"}
+    assert all(r["rank"] == 1 for r in out)
