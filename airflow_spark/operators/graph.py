@@ -617,3 +617,46 @@ def assortativity(
         .otherwise(F.round(r, 6))
         .alias("assortativity"),
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles(v) /
+    C(deg(v), 2) — what fraction of a node's neighbor pairs are
+    themselves connected (≈1 inside cliques/communities, ≈0 on trees
+    and star spam). Composes :func:`triangle_count` with the degree
+    table; nodes of degree < 2 get coefficient 0.
+
+    Shape: the triangle enumeration dominates (see triangle_count);
+    the degree join adds one |V|-sized frame. Output: (node, deg,
+    n_triangles, coeff) for every node of the graph."""
+    lo, hi = F.col(src), F.col(dst)
+    canon = (
+        edges.where(lo != hi)
+        .select(F.least(lo, hi).alias("a"), F.greatest(lo, hi).alias("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(canon, "a", "b")
+    pairs = (F.col("deg") * (F.col("deg") - 1) / 2.0).cast("double")
+    coeff = F.when(
+        F.col("deg") >= 2,
+        F.round(F.coalesce(F.col("n_triangles"), F.lit(0)) / pairs, 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            coeff.alias("coeff"),
+        )
+    )

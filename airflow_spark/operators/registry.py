@@ -3017,6 +3017,36 @@ def op_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rank")
 
 
+def op_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the op_triangle_count graph
+    (%40): triangles per node / C(deg, 2) — cliqueness per node."""
+    t = load_tables(spark, sf_dir)
+    edges = t.orders.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 40).alias("dst"),
+    )
+    return graph.clustering_coefficient(edges).orderBy("node")
+
+
+def op_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance share of each event_type's hourly rate explained by
+    its hour-of-day profile (ANOVA decomposition) — the triage that
+    decides plain vs seasonal anomaly baselines."""
+    t = load_tables(spark, sf_dir)
+    return timeseries.seasonality_strength(t.events, "event_type", "ts")
+
+
+def op_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of per-user inter-event gaps
+    (B = (σ−μ)/(σ+μ): −1 periodic, 0 Poisson, →1 bursty) — bot-vs-
+    human cadence profiling."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.burstiness(t.events, "user_id", "ts", "event_id")
+        .limit(300)
+    )
+
+
 def op_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the first embedding coordinate as a scorer
     for (label % 2) — Mann-Whitney over the DISTINCT-score frame (no
@@ -3074,6 +3104,9 @@ OPERATOR_QUERIES = {
     "op_assortativity": op_assortativity,
     "op_xcorr": op_xcorr,
     "op_distinctive_terms": op_distinctive_terms,
+    "op_clustering_coeff": op_clustering_coeff,
+    "op_seasonality_strength": op_seasonality_strength,
+    "op_burstiness": op_burstiness,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6193,3 +6226,65 @@ FROM r WHERE rank <= {k} ORDER BY source, rank
 
 
 OPERATOR_ORACLE_SQL["op_distinctive_terms"] = _sql_distinctive_terms()
+
+
+OPERATOR_ORACLE_SQL["op_clustering_coeff"] = """
+WITH e AS (SELECT DISTINCT least(o_custkey % 40, o_orderkey % 40) AS lo,
+                           greatest(o_custkey % 40, o_orderkey % 40) AS hi
+           FROM orders WHERE o_custkey % 40 <> o_orderkey % 40),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY node),
+t AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab
+      JOIN e bc ON ab.hi = bc.lo
+      JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+n AS (SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t),
+tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM n GROUP BY node)
+SELECT deg.node, deg.deg,
+       CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(coalesce(tri.n_triangles, 0)
+                       / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1) / 2.0), 6)
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tri USING (node) ORDER BY node
+"""
+
+
+OPERATOR_ORACLE_SQL["op_seasonality_strength"] = """
+WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+r AS (SELECT event_type, c,
+             c - avg(c) OVER (PARTITION BY event_type,
+                              extract(hour FROM h)) AS r
+      FROM hourly)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CASE WHEN abs(1.0 - var_pop(r) / nullif(var_pop(c), 0.0)) < 1e-6
+            THEN 0.0
+            ELSE round(1.0 - var_pop(r) / nullif(var_pop(c), 0.0), 6)
+       END AS seasonality
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+OPERATOR_ORACLE_SQL["op_burstiness"] = """
+WITH g AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS DOUBLE)
+                  - lag(CAST(floor(epoch(ts)) AS DOUBLE))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+           FROM events),
+nz AS (SELECT user_id, g FROM g WHERE g IS NOT NULL),
+a AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             round(avg(g), 4) AS mean_gap_s,
+             (stddev_samp(g) - avg(g))
+               / nullif(stddev_samp(g) + avg(g), 0.0) AS b
+      FROM nz GROUP BY user_id HAVING count(*) >= 2)
+SELECT user_id, n_gaps, mean_gap_s,
+       CASE WHEN abs(b) < 1e-6 THEN 0.0 ELSE round(b, 6) END AS burstiness
+FROM a ORDER BY user_id LIMIT 300
+"""

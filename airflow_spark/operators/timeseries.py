@@ -890,3 +890,86 @@ def hourly_cross_correlation(
             .alias(name)
         )
     return shifted.agg(*aggs)
+
+
+def seasonality_strength(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Share of each key's hourly-rate variance explained by its
+    hour-of-day profile (the ANOVA decomposition): strength =
+    1 − var(residual)/var(total) over hourly counts, residual = count
+    minus that (key, hour-of-day)'s mean. ≈0 ⇒ no daily rhythm (plain
+    z-scores fine); →1 ⇒ strongly periodic (use seasonal baselines or
+    the false-positive rate explodes).
+
+    Shape: one (key, hour) count agg, one (key, hour-of-day) mean via
+    a window over the hourly frame (already shuffled on the key), one
+    final variance agg — all map-side-combinable, frames bounded by
+    calendar hours × keys. var_pop of exact group means guarantees
+    strength ∈ [0, 1]; a constant series (zero variance) → NULL."""
+    hourly = df.groupBy(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    w = Window.partitionBy(key_col, F.hour("h"))
+    resid = hourly.select(
+        key_col,
+        "c",
+        (F.col("c") - F.avg("c").over(w)).alias("r"),
+    )
+    strength = F.lit(1.0) - F.try_divide(F.var_pop("r"), F.var_pop("c"))
+    # |x| < 1e-6 → exactly 0.0: a no-seasonality series is 0 up to FP
+    # cancellation whose sign is reduction-order noise (see
+    # ``autocorrelation``)
+    snapped = F.when(F.abs(strength) < 1e-6, F.lit(0.0)).otherwise(
+        F.round(strength, 6)
+    )
+    return (
+        resid.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            snapped.alias("seasonality"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Goh-Barabási burstiness of each key's inter-event gaps:
+    B = (σ−μ)/(σ+μ) over the gap distribution — −1 = perfectly
+    periodic, 0 = Poisson, →1 = heavy bursts (bot vs human cadence,
+    scraper detection). Keys with fewer than ``min_gaps`` gaps are
+    dropped (σ needs ≥ 2 samples).
+
+    One window shuffle on the key produces the lag column; one grouped
+    aggregate computes μ/σ/B. All-zero gaps → σ+μ = 0 → NULL via
+    try_divide."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    ts = F.unix_timestamp(F.col(ts_col))
+    gap = (ts - F.lag(ts).over(w)).cast("double")
+    gaps = df.select(F.col(key_col), gap.alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    mu, sd = F.avg("g"), F.stddev_samp("g")
+    b = F.try_divide(sd - mu, sd + mu)
+    # near-zero snap: a Poisson-like cadence sits at B ≈ 0 where the
+    # sign is FP noise — see ``autocorrelation``
+    b = F.when(F.abs(b) < 1e-6, F.lit(0.0)).otherwise(F.round(b, 6))
+    return (
+        gaps.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(mu, 4).alias("mean_gap_s"),
+            b.alias("burstiness"),
+        )
+        .where(F.col("n_gaps") >= min_gaps)
+        .orderBy(key_col)
+    )

@@ -821,3 +821,40 @@ def test_distinctive_terms_finds_planted_vocab(spark):
     top = {r["source"]: r["tok"] for r in out}
     assert top == {"A": "quantum", "B": "farming"}
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_seasonality_strength_periodic_vs_flat(spark):
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 4, 1)
+    for day in range(4):
+        for hod in range(24):
+            # "seasonal": count depends only on hour-of-day
+            for _ in range(1 + (3 if hod == 12 else 0)):
+                rows.append((eid, base + dt.timedelta(days=day, hours=hod), "seasonal")); eid += 1
+            # "flat": same count every hour
+            rows.append((eid, base + dt.timedelta(days=day, hours=hod), "flat")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {r["event_type"]: r for r in
+           timeseries.seasonality_strength(df, "event_type", "ts").collect()}
+    # hour-of-day profile explains ALL variance of the seasonal series
+    assert got["seasonal"]["seasonality"] == 1.0
+    # constant series: zero total variance -> undefined (NULL)
+    assert got["flat"]["seasonality"] is None
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    rows = []
+    base = dt.datetime(2024, 5, 1)
+    # user 1: perfectly periodic (gap always 60s) -> B = -1
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(seconds=60 * i), 1))
+    # user 2: bursty - 9 events in the same minute, then an hour gap
+    for i in range(9):
+        rows.append((100 + i, base + dt.timedelta(seconds=i), 2))
+    rows.append((200, base + dt.timedelta(hours=1), 2))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {r["user_id"]: r for r in
+           timeseries.burstiness(df, "user_id", "ts", "event_id").collect()}
+    assert got[1]["burstiness"] == -1.0
+    assert got[2]["burstiness"] > 0.4  # strongly bursty (B=0 is Poisson)

@@ -302,3 +302,18 @@ def test_assortativity_regular_graph_is_null(spark):
     pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
     row = graph.assortativity(_edges(spark, pairs)).collect()[0]
     assert row["assortativity"] is None
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    # triangle 0-1-2 with pendant 3 on node 0
+    pairs = [(0, 1), (1, 2), (0, 2), (0, 3)]
+    got = {
+        r["node"]: r for r in
+        graph.clustering_coefficient(_edges(spark, pairs)).collect()
+    }
+    # nodes 1,2: deg 2, 1 triangle -> coeff 1.0
+    assert got[1]["coeff"] == 1.0 and got[2]["coeff"] == 1.0
+    # node 0: deg 3, 1 triangle of 3 possible pairs -> 1/3
+    assert got[0]["coeff"] == round(1 / 3, 6)
+    # pendant: deg 1 -> 0.0 by convention, still present
+    assert got[3]["coeff"] == 0.0 and got[3]["n_triangles"] == 0
