@@ -3047,6 +3047,34 @@ def op_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries vs exact per-user counts, FULLY
+    hash-attested: the sketch uses the portable md5 hash family, so
+    the oracle rebuilds the identical depth×width counter grid in SQL
+    and the never-undercount guarantee rides along as a column."""
+    t = load_tables(spark, sf_dir)
+    sk = sketches.countmin_counts(t.events, "user_id", depth=4, width=256)
+    truec = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    est = sketches.countmin_estimate(
+        sk, truec.select("user_id"), "user_id", depth=4, width=256
+    )
+    return (
+        truec.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("true_count")).alias(
+                "est_ge_true"
+            ),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )
+
+
 def op_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC of the first embedding coordinate as a scorer
     for (label % 2) — Mann-Whitney over the DISTINCT-score frame (no
@@ -3107,6 +3135,7 @@ OPERATOR_QUERIES = {
     "op_clustering_coeff": op_clustering_coeff,
     "op_seasonality_strength": op_seasonality_strength,
     "op_burstiness": op_burstiness,
+    "op_countmin": op_countmin,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6287,4 +6316,30 @@ a AS (SELECT user_id,
 SELECT user_id, n_gaps, mean_gap_s,
        CASE WHEN abs(b) < 1e-6 THEN 0.0 ELSE round(b, 6) END AS burstiness
 FROM a ORDER BY user_id LIMIT 300
+"""
+
+
+OPERATOR_ORACLE_SQL["op_countmin"] = """
+WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+kb AS (SELECT CAST(user_id AS VARCHAR) AS k, row,
+              CAST(concat('0x', substr(md5('cm:' || CAST(row AS VARCHAR)
+                   || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 256 AS bucket
+       FROM events, rows_),
+sk AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM kb GROUP BY row, bucket),
+truec AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+          FROM events GROUP BY user_id),
+pb AS (SELECT t.user_id, r.row,
+              CAST(concat('0x', substr(md5('cm:' || CAST(r.row AS VARCHAR)
+                   || '|' || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 256 AS bucket
+       FROM truec t, rows_ r),
+est AS (SELECT user_id,
+               CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cm_estimate
+        FROM pb LEFT JOIN sk USING (row, bucket) GROUP BY user_id)
+SELECT t.user_id, t.true_count, e.cm_estimate,
+       e.cm_estimate >= t.true_count AS est_ge_true
+FROM truec t JOIN est e USING (user_id)
+ORDER BY t.user_id LIMIT 200
 """

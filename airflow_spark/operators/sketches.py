@@ -234,3 +234,79 @@ def bitmap_distinct(
     return merged.groupBy(*by).agg(
         F.sum(F.bitmap_count("__m")).alias(out_col)
     )
+
+
+def countmin_counts(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch counters for a key column: ``depth`` rows of
+    ``width`` buckets, each key hashed into one bucket per row with an
+    independent salted hash. Returns (row, bucket, c) — the ENTIRE
+    sketch is depth·width counters regardless of cardinality, and
+    counters from different partitions/batches MERGE BY ADDITION,
+    which is why this is the streaming/pre-agg answer to heavy-hitter
+    counting at 100 TB (fixed-size state where an exact count table
+    grows with the key space).
+
+    Hashes are the repo's portable md5 family, so an oracle can
+    rebuild the sketch bit-identically in SQL."""
+    from ..functions.hashing import md5_uniform
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", rows
+    )
+    bucket = md5_uniform(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("k")),
+        salt,
+        modulus=width,
+    )
+    return (
+        keyed.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys``: estimate =
+    min over rows of the key's bucket counter (the classic Count-Min
+    upper bound — never under-counts, over-counts by collision mass
+    ≤ e·N/width with high probability). One broadcast join of the
+    fixed-size sketch; no scan of the original data."""
+    from ..functions.hashing import md5_uniform
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    probes = keys.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("__k")
+    ).select(key_col, "__k", rows)
+    bucket = md5_uniform(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("__k")),
+        salt,
+        modulus=width,
+    )
+    return (
+        probes.select(key_col, "row", bucket.alias("bucket"))
+        .join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_estimate")
+        )
+    )

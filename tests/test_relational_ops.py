@@ -429,3 +429,33 @@ def test_asof_join_nearest_matches_pandas_merge_asof(spark):
     for lid in range(40):
         w = want.loc[lid]
         assert (got[lid] is None and pd.isna(w)) or got[lid] == w, lid
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    from airflow_spark.operators import sketches
+
+    rows = [(i, f"k{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["i", "key"])
+    sk = sketches.countmin_counts(df, "key", depth=4, width=16)
+    keys = df.select("key").distinct()
+    est = {
+        r["key"]: r["cm_estimate"]
+        for r in sketches.countmin_estimate(
+            sk, keys, "key", depth=4, width=16
+        ).collect()
+    }
+    true = {r["key"]: r["c"] for r in
+            df.groupBy("key").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for k, t in true.items():
+        assert est[k] >= t  # Count-Min never undercounts
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    a = sketches.countmin_counts(df.where("i < 500"), "key", 4, 16)
+    b = sketches.countmin_counts(df.where("i >= 500"), "key", 4, 16)
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = {(r["row"], r["bucket"]): r["c"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    assert got == whole
