@@ -3047,6 +3047,23 @@ def op_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best mean-shift changepoint per event_type over the hourly
+    rate (binary segmentation's scoring split) — argmax on the
+    rounded two-sample statistic with an hour tiebreak."""
+    t = load_tables(spark, sf_dir)
+    return timeseries.mean_shift_changepoint(t.events, "event_type", "ts")
+
+
+def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 vectors farthest from the corpus centroid (lowest cosine) —
+    the embedding-space junk screen before semantic dedup."""
+    t = load_tables(spark, sf_dir)
+    return similarity.embedding_outliers(
+        t.embeddings, "embedding", "vec_id", k=20
+    )
+
+
 def op_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point queries vs exact per-user counts, FULLY
     hash-attested: the sketch uses the portable md5 hash family, so
@@ -3136,6 +3153,8 @@ OPERATOR_QUERIES = {
     "op_seasonality_strength": op_seasonality_strength,
     "op_burstiness": op_burstiness,
     "op_countmin": op_countmin,
+    "op_changepoint": op_changepoint,
+    "op_embedding_outliers": op_embedding_outliers,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6342,4 +6361,51 @@ SELECT t.user_id, t.true_count, e.cm_estimate,
        e.cm_estimate >= t.true_count AS est_ge_true
 FROM truec t JOIN est e USING (user_id)
 ORDER BY t.user_id LIMIT 200
+"""
+
+
+OPERATOR_ORACLE_SQL["op_changepoint"] = """
+WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+cum AS (SELECT event_type, h,
+               sum(c) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h) AS i,
+               sum(c) OVER (PARTITION BY event_type) AS tot,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly),
+scored AS (SELECT event_type, h,
+                  CAST(n AS BIGINT) AS n_hours,
+                  round(cum / i, 4) AS mean_left,
+                  round((tot - cum) / (n - i), 4) AS mean_right,
+                  round(abs(cum / i - (tot - cum) / (n - i))
+                        * sqrt(CAST(i AS DOUBLE) * (n - i) / n), 6)
+                    AS score
+           FROM cum WHERE i < n),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                     ORDER BY score DESC, h) AS rn
+           FROM scored)
+SELECT event_type, h AS split_hour, n_hours, mean_left, mean_right, score
+FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+OPERATOR_ORACLE_SQL["op_embedding_outliers"] = """
+WITH dims AS (SELECT vec_id AS id,
+                     unnest(range(1, len(embedding) + 1)) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+cen AS (SELECT pos, avg(v) AS c FROM dims GROUP BY pos),
+cn AS (SELECT sqrt(sum(c * c)) AS cn FROM cen),
+scored AS (SELECT id,
+                  round(sum(v * c)
+                        / nullif(sqrt(sum(v * v)) * cn, 0.0), 6)
+                    AS centroid_cos
+           FROM dims JOIN cen USING (pos), cn
+           GROUP BY id, cn)
+SELECT id, centroid_cos FROM scored
+ORDER BY centroid_cos ASC, id LIMIT 20
 """

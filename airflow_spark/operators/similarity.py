@@ -675,3 +675,45 @@ def semantic_decontaminate(
             F.col("__m.__s") >= F.lit(float(threshold)), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+) -> DataFrame:
+    """The ``k`` vectors FARTHEST (lowest cosine) from the corpus
+    centroid — the embedding-space outlier screen run before semantic
+    dedup / clustering (mis-embedded, wrong-modality, or junk docs
+    live in this tail).
+
+    Shape: posexplode → per-dimension mean (a |dims|-row frame,
+    broadcast back) → per-id dot/norm aggregate → TakeOrdered k.
+    The corpus is read once; nothing driver-side. The final ordering
+    uses the ROUNDED score with an id tiebreak so sub-ulp FP noise
+    can't swap rows across the k boundary between engines."""
+    dims = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select("id", "pos", F.col("v").cast("double").alias("v"))
+    centroid = dims.groupBy("pos").agg(F.avg("v").alias("c"))
+    cnorm = centroid.agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    scored = (
+        dims.join(F.broadcast(centroid), "pos")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("vn"),
+        )
+        .crossJoin(F.broadcast(cnorm))
+        .select(
+            "id",
+            F.round(
+                F.try_divide(F.col("dot"), F.col("vn") * F.col("cn")), 6
+            ).alias("centroid_cos"),
+        )
+    )
+    return scored.orderBy(F.col("centroid_cos").asc(), F.col("id")).limit(k)

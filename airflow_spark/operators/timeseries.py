@@ -973,3 +973,74 @@ def burstiness(
         .where(F.col("n_gaps") >= min_gaps)
         .orderBy(key_col)
     )
+
+
+def mean_shift_changepoint(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Best single mean-shift changepoint per key over the hourly
+    rate: the split maximizing |mean_left − mean_right| ·
+    √(n_l·n_r/n) (the two-sample t-statistic numerator — binary
+    segmentation's scoring function). Returns the split hour, both
+    segment means, and the score; rerun on segments to find further
+    breaks (classic binary segmentation).
+
+    Shape: one (key, hour) count, then cumulative windows over each
+    key's calendar-bounded hourly frame, then an argmax row per key —
+    two window passes, no self-joins. The argmax orders by the
+    ROUNDED score with the hour as tiebreak, so sub-ulp FP noise
+    can't flip the reported changepoint between engines."""
+    hourly = df.groupBy(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(key_col)
+    scored = hourly.select(
+        key_col,
+        "h",
+        F.sum("c").over(wcum).alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy("h"))
+        .alias("i"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).where(F.col("i") < F.col("n"))  # split must leave a right segment
+    ml = F.col("cum") / F.col("i")
+    mr = (F.col("tot") - F.col("cum")) / (F.col("n") - F.col("i"))
+    score = F.abs(ml - mr) * F.sqrt(
+        F.col("i") * (F.col("n") - F.col("i")) / F.col("n")
+    )
+    ranked = scored.select(
+        key_col,
+        "h",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(ml, 4).alias("mean_left"),
+        F.round(mr, 4).alias("mean_right"),
+        F.round(score, 6).alias("score"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy(
+                F.col("score").desc(), F.col("h")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            key_col,
+            F.col("h").alias("split_hour"),
+            "n_hours",
+            "mean_left",
+            "mean_right",
+            "score",
+        )
+        .orderBy(key_col)
+    )

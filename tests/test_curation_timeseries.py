@@ -858,3 +858,16 @@ def test_burstiness_periodic_vs_bursty(spark):
            timeseries.burstiness(df, "user_id", "ts", "event_id").collect()}
     assert got[1]["burstiness"] == -1.0
     assert got[2]["burstiness"] > 0.4  # strongly bursty (B=0 is Poisson)
+
+
+def test_mean_shift_changepoint_finds_planted_shift(spark):
+    rows, eid = [], 0
+    base = dt.datetime(2024, 6, 1)
+    # 24h at ~2/hour, then 24h at ~8/hour: split must land at hour 23
+    for h in range(48):
+        for _ in range(2 if h < 24 else 8):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=7), "m")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    r = timeseries.mean_shift_changepoint(df, "event_type", "ts").collect()[0]
+    assert r["split_hour"] == base + dt.timedelta(hours=23)
+    assert r["mean_left"] == 2.0 and r["mean_right"] == 8.0

@@ -2372,3 +2372,14 @@ def test_type_token_stats_case_insensitive(spark):
     df = spark.createDataFrame([(1, "The the THE")], ["doc_id", "text"])
     r = text.type_token_stats(df).collect()[0]
     assert r["n_types"] == 1 and r["n_hapax"] == 0
+
+
+def test_embedding_outliers_flags_planted_junk(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [1.0 + rnd.uniform(-0.05, 0.05) for _ in range(8)]) for i in range(50)]
+    rows.append((999, [-1.0] * 8))  # anti-aligned junk vector
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.embedding_outliers(df, "embedding", "vec_id", k=3).collect()
+    assert out[0]["id"] == 999
+    assert out[0]["centroid_cos"] < -0.9
