@@ -64,3 +64,47 @@ def grouped_quantiles(
     return df.groupBy(key).agg(
         *[F.percentile(value_col, F.lit(p)).alias(label(p)) for p in probs]
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Exact weighted quantiles per key: the smallest value whose
+    cumulative weight share reaches each quantile (the inverse
+    weighted CDF, left-continuous). The estimator mixture-reweighted
+    corpora need — an unweighted median over temperature-weighted
+    domains answers the wrong question.
+
+    Shape: one (key, value) pre-aggregate collapses duplicate values
+    (map-side combine), one cumulative window per key over the
+    distinct-value frame, then a min per quantile — no global sort,
+    no UDF."""
+    from pyspark.sql import Window
+
+    per_val = df.groupBy(key_col, value_col).agg(
+        F.sum(weight_col).cast("double").alias("__w")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(key_col)
+    cdf = per_val.select(
+        key_col,
+        value_col,
+        (F.sum("__w").over(w) / F.sum("__w").over(tot)).alias("__cdf"),
+    )
+    aggs = []
+    for q in quantiles:
+        name = f"wq_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(
+                F.when(F.col("__cdf") >= q, F.col(value_col))
+            ).alias(name)
+        )
+    return cdf.groupBy(key_col).agg(*aggs).orderBy(key_col)

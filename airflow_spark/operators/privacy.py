@@ -81,3 +81,32 @@ def generalize_numeric(
     return F.concat(
         F.lit("["), lo.cast("string"), F.lit(","), (lo + width).cast("string"), F.lit(")")
     )
+
+
+def l_diversity_stats(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 - the standard parameter name in the literature
+) -> DataFrame:
+    """Per quasi-identifier group: size, distinct sensitive values,
+    and whether the group meets distinct l-diversity — the check that
+    catches k-anonymous groups which still leak (everyone in the
+    group shares the sensitive value). Groups failing it need
+    suppression or generalization before release.
+
+    One grouped aggregate; ``count(distinct)`` per group is exact
+    (the group frame is the small side by construction)."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(sensitive_col).cast("bigint").alias("n_sensitive"),
+        )
+        .withColumn("l_diverse", F.col("n_sensitive") >= l)
+        .orderBy(*quasi_cols)
+    )

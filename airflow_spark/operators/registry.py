@@ -3064,6 +3064,38 @@ def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles per event_type (inverse weighted CDF
+    over the distinct-value frame) with a deterministic synthetic
+    weight — the estimator mixture-reweighted corpora need."""
+    from . import grouped
+
+    t = load_tables(spark, sf_dir)
+    weighted = t.events.select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 5 + 1).cast("double").alias("wt"),
+    )
+    return grouped.weighted_quantiles(
+        weighted, "event_type", "value", "wt", quantiles=(0.25, 0.5, 0.9)
+    )
+
+
+def op_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit over (lang, source) quasi-groups
+    with a derived sensitive attribute — the leak check k-anonymity
+    alone misses."""
+    t = load_tables(spark, sf_dir)
+    return privacy.l_diversity_stats(
+        t.documents.select(
+            "lang", "source", (F.col("n_chars") % 7).alias("sens")
+        ),
+        ["lang", "source"],
+        "sens",
+        l=3,
+    )
+
+
 def op_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point queries vs exact per-user counts, FULLY
     hash-attested: the sketch uses the portable md5 hash family, so
@@ -3155,6 +3187,8 @@ OPERATOR_QUERIES = {
     "op_countmin": op_countmin,
     "op_changepoint": op_changepoint,
     "op_embedding_outliers": op_embedding_outliers,
+    "op_weighted_quantile": op_weighted_quantile,
+    "op_l_diversity": op_l_diversity,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6408,4 +6442,30 @@ scored AS (SELECT id,
            GROUP BY id, cn)
 SELECT id, centroid_cos FROM scored
 ORDER BY centroid_cos ASC, id LIMIT 20
+"""
+
+
+OPERATOR_ORACLE_SQL["op_weighted_quantile"] = """
+WITH w AS (SELECT event_type, value AS v,
+                  CAST(event_id % 5 + 1 AS DOUBLE) AS wt FROM events),
+pv AS (SELECT event_type, v, sum(wt) AS w FROM w GROUP BY event_type, v),
+c AS (SELECT event_type, v,
+             sum(w) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+             / sum(w) OVER (PARTITION BY event_type) AS cdf
+      FROM pv)
+SELECT event_type,
+       min(CASE WHEN cdf >= 0.25 THEN v END) AS wq_0_25,
+       min(CASE WHEN cdf >= 0.5 THEN v END) AS wq_0_5,
+       min(CASE WHEN cdf >= 0.9 THEN v END) AS wq_0_9
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+OPERATOR_ORACLE_SQL["op_l_diversity"] = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT n_chars % 7) AS BIGINT) AS n_sensitive,
+       count(DISTINCT n_chars % 7) >= 3 AS l_diverse
+FROM documents GROUP BY lang, source ORDER BY lang, source
 """

@@ -459,3 +459,34 @@ def test_countmin_never_undercounts_and_merges(spark):
     whole = {(r["row"], r["bucket"]): r["c"] for r in sk.collect()}
     got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
     assert got == whole
+
+
+def test_weighted_quantiles_known_cdf(spark):
+    from airflow_spark.operators import grouped
+
+    # values 1..4 with weights 1,1,1,7 -> weighted median = 4
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 7.0)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    r = grouped.weighted_quantiles(df, "k", "v", "w", (0.25, 0.5)).collect()[0]
+    assert r["wq_0_5"] == 4.0   # cdf reaches 0.5 only at v=4
+    assert r["wq_0_25"] == 3.0  # cdf(3) = 0.3 >= 0.25
+    # unweighted twin disagrees -> the weights matter
+    uw = grouped.weighted_quantiles(
+        df.withColumn("w", F.lit(1.0)), "k", "v", "w", (0.5,)
+    ).collect()[0]
+    assert uw["wq_0_5"] == 2.0
+
+
+def test_l_diversity_flags_homogeneous_group(spark):
+    from airflow_spark.operators import privacy
+
+    rows = (
+        [("en", "web", "x")] * 5                      # k=5 but 1 sensitive value
+        + [("de", "web", s) for s in "abc"]           # diverse
+    )
+    df = spark.createDataFrame(rows, ["lang", "source", "sens"])
+    got = {(r["lang"], r["source"]): r for r in
+           privacy.l_diversity_stats(df, ["lang", "source"], "sens", l=2).collect()}
+    assert got[("en", "web")]["l_diverse"] is False
+    assert got[("en", "web")]["n_rows"] == 5 and got[("en", "web")]["n_sensitive"] == 1
+    assert got[("de", "web")]["l_diverse"] is True
