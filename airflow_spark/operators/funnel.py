@@ -292,3 +292,94 @@ def conversion_latency(
             & F.col("first_buy").isNotNull()
         ).alias("converted"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    buy_type: str = "purchase",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion: S(t) =
+    Π_{t_i ≤ t} (1 − d_i/n_i) over the distinct event (conversion)
+    times, where users who never convert are RIGHT-CENSORED at the
+    observation end instead of being dropped — the difference between
+    this and a naive latency percentile is that censoring keeps the
+    non-converters in the denominator for as long as they were
+    observed, so the curve isn't biased toward fast converters.
+
+    Subjects: users with a first view; duration = first view → first
+    purchase strictly after it (:func:`conversion_latency` semantics);
+    censor time = first view → global max timestamp.
+
+    Shape: the per-user reduction is one user-keyed pass; the curve
+    itself lives on the distinct-duration frame (bounded by distinct
+    conversion latencies), with the cumulative product computed as
+    exp(Σ ln(1 − d/n)) over one ordered window. n_at_risk comes from
+    cumulative counts over the same frame — no per-subject window, no
+    self-join.
+
+    Output: (t_s, n_risk, n_events, survival) ordered by t_s."""
+    from pyspark.sql import Window
+
+    base = conversion_latency(
+        events, user_col, ts_col, type_col, view_type, buy_type
+    ).where(F.col("viewed"))
+    end_ts = events.agg(F.max(ts_col).alias("__end"))
+    subj = base.crossJoin(F.broadcast(end_ts)).select(
+        F.when(
+            F.col("converted"), F.col("lat_s").cast("double")
+        )
+        .otherwise(
+            (
+                F.unix_timestamp("__end")
+                - F.unix_timestamp("first_view")
+            ).cast("double")
+        )
+        .alias("t"),
+        F.col("converted").cast("int").alias("d"),
+    )
+    # distinct-time frame: events and censorings collapse per time
+    per_t = subj.groupBy("t").agg(
+        F.sum("d").alias("d_i"),
+        F.count(F.lit(1)).alias("c_i"),
+    )
+    w_order = Window.orderBy("t")
+    cum_prev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    risked = per_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_i",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_i").over(cum_prev), F.lit(0))
+        ).alias("n_i"),
+    )
+    # the (1 - d/n) factor is clamped away from 0: at a time where
+    # EVERY remaining subject converts, ln(0) is NULL in Spark but
+    # -inf in most SQL engines — the clamp makes both produce the
+    # same ~0 survival that rounds to 0.0
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.greatest(
+                    1.0 - F.col("d_i") / F.col("n_i"), F.lit(1e-12)
+                )
+            )
+        ).over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        risked.where(F.col("d_i") > 0)  # KM steps only at event times
+        .select(
+            F.col("t").alias("t_s"),
+            F.col("n_i").cast("bigint").alias("n_risk"),
+            F.col("d_i").cast("bigint").alias("n_events"),
+            F.round(surv, 6).alias("survival"),
+        )
+        .orderBy("t_s")
+    )

@@ -3064,6 +3064,14 @@ def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion survival curve (view →
+    purchase), right-censoring non-converters at observation end —
+    the unbiased complement to the funnel latency percentiles."""
+    t = load_tables(spark, sf_dir)
+    return funnel.kaplan_meier(t.events).limit(300)
+
+
 def op_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted quantiles per event_type (inverse weighted CDF
     over the distinct-value frame) with a deterministic synthetic
@@ -3189,6 +3197,7 @@ OPERATOR_QUERIES = {
     "op_embedding_outliers": op_embedding_outliers,
     "op_weighted_quantile": op_weighted_quantile,
     "op_l_diversity": op_l_diversity,
+    "op_kaplan_meier": op_kaplan_meier,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6468,4 +6477,45 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT n_chars % 7) AS BIGINT) AS n_sensitive,
        count(DISTINCT n_chars % 7) >= 3 AS l_diverse
 FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+OPERATOR_ORACLE_SQL["op_kaplan_meier"] = """
+WITH fv AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                     AS first_view
+            FROM events GROUP BY user_id),
+fb AS (SELECT e.user_id, f.first_view,
+              min(CASE WHEN e.event_type = 'purchase'
+                        AND e.ts > f.first_view THEN e.ts END) AS first_buy
+       FROM events e JOIN fv f USING (user_id)
+       WHERE f.first_view IS NOT NULL
+       GROUP BY e.user_id, f.first_view),
+endt AS (SELECT max(ts) AS end_ts FROM events),
+subj AS (SELECT CASE WHEN first_buy IS NOT NULL
+                     THEN CAST(floor(epoch(first_buy))
+                               - floor(epoch(first_view)) AS DOUBLE)
+                     ELSE CAST(floor(epoch(end_ts))
+                               - floor(epoch(first_view)) AS DOUBLE)
+                END AS t,
+                CASE WHEN first_buy IS NOT NULL THEN 1 ELSE 0 END AS d
+         FROM fb, endt),
+per_t AS (SELECT t, CAST(sum(d) AS BIGINT) AS d_i,
+                 CAST(count(*) AS BIGINT) AS c_i
+          FROM subj GROUP BY t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM subj),
+risked AS (SELECT t, d_i,
+                  n_total - coalesce(sum(c_i) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS n_i
+           FROM per_t, tot),
+curve AS (SELECT t, d_i, n_i,
+                 exp(sum(ln(greatest(1.0 - CAST(d_i AS DOUBLE)
+                                           / CAST(n_i AS DOUBLE), 1e-12)))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS s
+          FROM risked)
+SELECT t AS t_s, CAST(n_i AS BIGINT) AS n_risk,
+       d_i AS n_events, round(s, 6) AS survival
+FROM curve WHERE d_i > 0 ORDER BY t_s LIMIT 300
 """

@@ -171,3 +171,27 @@ def test_conversion_latency_repeat_buyer_still_converts(spark):
     assert out[1]["converted"] and out[1]["lat_s"] == 5 * 86400
     assert out[2]["viewed"] and not out[2]["converted"]
     assert not out[3]["viewed"] and not out[3]["converted"]
+
+
+def test_kaplan_meier_matches_hand_computation(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # users 1-3 convert at 10s, 20s, 20s; user 4 never converts
+    # (censored at the observation end = 100s)
+    for u, lat in [(1, 10), (2, 20), (3, 20)]:
+        rows.append((u * 10, base, u, "view"))
+        rows.append((u * 10 + 1, base + dt.timedelta(seconds=lat), u, "purchase"))
+    rows.append((40, base, 4, "view"))
+    rows.append((41, base + dt.timedelta(seconds=100), 5, "click"))  # sets end
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    curve = {r["t_s"]: r for r in funnel.kaplan_meier(df).collect()}
+    # subjects: users 1-4 (user 5 never viewed). At t=10: n=4, d=1 -> S=0.75
+    assert curve[10.0]["n_risk"] == 4 and curve[10.0]["n_events"] == 1
+    assert curve[10.0]["survival"] == 0.75
+    # at t=20: n=3, d=2 -> S = 0.75 * (1 - 2/3) = 0.25
+    assert curve[20.0]["n_risk"] == 3 and curve[20.0]["n_events"] == 2
+    assert curve[20.0]["survival"] == 0.25
+    # censored user 4 never produces a step
+    assert set(curve) == {10.0, 20.0}
