@@ -396,3 +396,100 @@ def calibration_table(
         )
         .orderBy("bin")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mann-Whitney U test (normal approximation) that group-1 values
+    are stochastically larger than group-0's — the nonparametric
+    two-sample test when the t-test's normality assumption is junk
+    (latency/price distributions). Returns one row: n0, n1, u1, z.
+
+    U is derived from the same distinct-value sweep as
+    :func:`roc_auc` (U1 = AUC·n0·n1 with average-rank tie handling),
+    so no global per-row rank ever happens; z uses the tie-corrected
+    variance. Near-zero z snaps to 0.0 (FP sign noise, see the
+    time-series family)."""
+    y = F.col(group_col).cast("int")
+    per_score = (
+        df.select(F.col(value_col).alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("pos_s"),
+            F.sum(1 - F.col("y")).alias("neg_s"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    swept = per_score.select(
+        "pos_s",
+        "neg_s",
+        (F.col("pos_s") + F.col("neg_s")).alias("t_s"),
+        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cumneg"),
+    )
+    agg = swept.agg(
+        F.sum("pos_s").cast("bigint").alias("n1"),
+        F.sum("neg_s").cast("bigint").alias("n0"),
+        F.sum(
+            F.col("pos_s") * (F.col("cumneg") + F.col("neg_s") / 2.0)
+        ).alias("u1"),
+        # tie-correction mass: Σ t(t²−1) over tie groups
+        F.sum(
+            F.col("t_s").cast("double")
+            * (F.col("t_s") * F.col("t_s") - 1)
+        ).alias("tie_mass"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    n = n0 + n1
+    var_u = (
+        n0 * n1 / 12.0
+        * ((n + 1.0) - F.col("tie_mass") / (n * (n - 1.0)))
+    )
+    z = F.try_divide(F.col("u1") - n0 * n1 / 2.0, F.sqrt(var_u))
+    return agg.select(
+        "n0",
+        "n1",
+        F.round("u1", 2).alias("u1"),
+        F.when(F.abs(z) < 1e-6, F.lit(0.0))
+        .otherwise(F.round(z, 4))
+        .alias("z"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Cohen's d effect size between group 1 and group 0 (pooled-SD
+    standardized mean difference) — the "is it LARGE, not just
+    significant" companion every A/B z-test needs at row counts where
+    everything is significant. One aggregate pass (conditional
+    sums); d = (μ1 − μ0) / s_pooled."""
+    y = F.col(group_col).cast("int")
+    v = F.col(value_col).cast("double")
+    agg = df.select(v.alias("v"), y.alias("y")).agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n0"),
+        F.avg(F.when(F.col("y") == 1, F.col("v"))).alias("m1"),
+        F.avg(F.when(F.col("y") == 0, F.col("v"))).alias("m0"),
+        F.var_samp(F.when(F.col("y") == 1, F.col("v"))).alias("v1"),
+        F.var_samp(F.when(F.col("y") == 0, F.col("v"))).alias("v0"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    pooled = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n0 - 1) * F.col("v0"))
+        / (n1 + n0 - 2.0)
+    )
+    d = F.try_divide(F.col("m1") - F.col("m0"), pooled)
+    return agg.select(
+        "n0",
+        "n1",
+        F.round("m0", 4).alias("mean_0"),
+        F.round("m1", 4).alias("mean_1"),
+        F.when(F.abs(d) < 1e-6, F.lit(0.0))
+        .otherwise(F.round(d, 4))
+        .alias("cohens_d"),
+    )

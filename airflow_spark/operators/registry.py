@@ -3064,6 +3064,51 @@ def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (normal approx, tie-corrected) between user-
+    parity variants on event values — the nonparametric sibling of
+    op_ab_test, derived from the distinct-value sweep (no global
+    rank)."""
+    t = load_tables(spark, sf_dir)
+    return inference.mann_whitney_u(
+        t.events.select("value", (F.col("user_id") % 2).alias("grp")),
+        "value",
+        "grp",
+    )
+
+
+def op_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the same variants — magnitude,
+    not significance."""
+    t = load_tables(spark, sf_dir)
+    return inference.cohens_d(
+        t.events.select("value", (F.col("user_id") % 2).alias("grp")),
+        "value",
+        "grp",
+    )
+
+
+def op_activity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heat-grid with each cell's share of
+    all events — the calendar profile behind staffing/capacity and the
+    seasonal baselines. One grouped count + a broadcast total."""
+    t = load_tables(spark, sf_dir)
+    cell = t.events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = cell.agg(F.sum("n").alias("n_total"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
 def op_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion survival curve (view →
     purchase), right-censoring non-converters at observation end —
@@ -3198,6 +3243,9 @@ OPERATOR_QUERIES = {
     "op_weighted_quantile": op_weighted_quantile,
     "op_l_diversity": op_l_diversity,
     "op_kaplan_meier": op_kaplan_meier,
+    "op_mannwhitney": op_mannwhitney,
+    "op_cohens_d": op_cohens_d,
+    "op_activity_grid": op_activity_grid,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6518,4 +6566,67 @@ curve AS (SELECT t, d_i, n_i,
 SELECT t AS t_s, CAST(n_i AS BIGINT) AS n_risk,
        d_i AS n_events, round(s, 6) AS survival
 FROM curve WHERE d_i > 0 ORDER BY t_s LIMIT 300
+"""
+
+
+OPERATOR_ORACLE_SQL["op_mannwhitney"] = """
+WITH sc AS (SELECT value AS s, CAST(user_id % 2 AS INT) AS y FROM events),
+g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_s,
+             CAST(sum(1 - y) AS BIGINT) AS neg_s
+      FROM sc GROUP BY s),
+c AS (SELECT pos_s, neg_s, pos_s + neg_s AS t_s,
+             coalesce(sum(neg_s) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumneg
+      FROM g),
+a AS (SELECT CAST(sum(pos_s) AS BIGINT) AS n1,
+             CAST(sum(neg_s) AS BIGINT) AS n0,
+             sum(pos_s * (cumneg + neg_s / 2.0)) AS u1,
+             sum(CAST(t_s AS DOUBLE) * (t_s * t_s - 1)) AS tie_mass
+      FROM c),
+zc AS (SELECT n0, n1, u1,
+              (u1 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+              / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0
+                     * ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+                        - tie_mass / (CAST(n0 + n1 AS DOUBLE)
+                                      * (CAST(n0 + n1 AS DOUBLE) - 1.0))))
+                AS z
+       FROM a)
+SELECT n0, n1, round(u1, 2) AS u1,
+       CASE WHEN abs(z) < 1e-6 THEN 0.0 ELSE round(z, 4) END AS z
+FROM zc
+"""
+
+
+OPERATOR_ORACLE_SQL["op_cohens_d"] = """
+WITH sc AS (SELECT CAST(value AS DOUBLE) AS v,
+                   CAST(user_id % 2 AS INT) AS y FROM events),
+a AS (SELECT CAST(sum(y) AS BIGINT) AS n1,
+             CAST(sum(1 - y) AS BIGINT) AS n0,
+             avg(CASE WHEN y = 1 THEN v END) AS m1,
+             avg(CASE WHEN y = 0 THEN v END) AS m0,
+             var_samp(CASE WHEN y = 1 THEN v END) AS v1,
+             var_samp(CASE WHEN y = 0 THEN v END) AS v0
+      FROM sc),
+d AS (SELECT n0, n1, m0, m1,
+             (m1 - m0) / nullif(sqrt(((CAST(n1 AS DOUBLE) - 1) * v1
+                                      + (CAST(n0 AS DOUBLE) - 1) * v0)
+                                     / (CAST(n1 AS DOUBLE)
+                                        + CAST(n0 AS DOUBLE) - 2.0)),
+                                0.0) AS d
+      FROM a)
+SELECT n0, n1, round(m0, 4) AS mean_0, round(m1, 4) AS mean_1,
+       CASE WHEN abs(d) < 1e-6 THEN 0.0 ELSE round(d, 4) END AS cohens_d
+FROM d
+"""
+
+
+OPERATOR_ORACLE_SQL["op_activity_grid"] = """
+WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY dayofweek(ts) + 1, hour(ts)),
+t AS (SELECT sum(n) AS n_total FROM c)
+SELECT dow, hod, n,
+       round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+FROM c, t ORDER BY dow, hod
 """

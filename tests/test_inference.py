@@ -326,3 +326,29 @@ def test_calibration_table_bins_and_rates(spark):
     assert [r["bin"] for r in out] == [1, 2, 3, 4]
     assert all(r["n"] == 5 for r in out)
     assert [r["pos_rate"] for r in out] == [0.0, 0.0, 1.0, 1.0]
+
+
+def test_mann_whitney_shifted_distribution(spark):
+    # group 1 values strictly above group 0 -> U1 = n0*n1, max z
+    rows = [(float(i), 0) for i in range(20)] + [(float(i + 100), 1) for i in range(20)]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = inference.mann_whitney_u(df, "v", "g").collect()[0]
+    assert r["u1"] == 400.0
+    assert r["z"] > 5.0
+    # identical distributions -> U1 = n0*n1/2 exactly, z = 0
+    same = spark.createDataFrame(
+        [(float((i // 2) % 10), i % 2) for i in range(40)], ["v", "g"]
+    )
+    r2 = inference.mann_whitney_u(same, "v", "g").collect()[0]
+    assert r2["u1"] == 200.0 and r2["z"] == 0.0
+
+
+def test_cohens_d_unit_shift(spark):
+    import random
+    rnd = random.Random(3)
+    rows = [(rnd.gauss(0, 1), 0) for _ in range(2000)] + [
+        (rnd.gauss(1, 1), 1) for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = inference.cohens_d(df, "v", "g").collect()[0]
+    assert 0.8 < r["cohens_d"] < 1.2  # true d = 1.0
