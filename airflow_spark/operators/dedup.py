@@ -417,10 +417,15 @@ def simhash_signatures(
 ) -> DataFrame:
     """SimHash per doc: sign of per-bit votes over token hashes.
 
-    Implemented as projections only: token array → hash per token →
-    per-bit vote folds (``aggregate``) → bits packed into a bigint.
-    No explode, no shuffle; the shift amounts are Python literals so
-    everything stays in codegen.
+    Shape: hash each token once, explode, then ONE grouped aggregate
+    computes all per-bit vote sums (map-side combine — the shuffle
+    carries num_bits small ints per doc per partition, never tokens).
+    The earlier projection-only form (num_bits separate ``aggregate``
+    folds) re-traversed the token array once PER BIT and its generated
+    code took seconds to compile — the same pathology
+    ``minhash_signatures`` documents; explode+agg is the fix in both.
+    Token-less docs are preserved via a left join (all-zero votes →
+    signature 0), exactly as the fold form behaved.
 
     ``hash_fn='xxhash64'`` (default, fastest: JVM intrinsic) yields
     64-bit signatures; ``hash_fn='md5'`` yields 60-bit signatures from
@@ -440,21 +445,23 @@ def simhash_signatures(
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
-    def _vote(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    hashed = _ensure_parallelism(df, id_col).select(
+    base = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.transform(tokens_ws(F.col(text_col)), tok_hash).alias("__h"),
+        tokens_ws(F.col(text_col)).alias("__t"),
     )
-    voted = hashed.select(
-        "id",
+    exploded = base.select("id", F.explode("__t").alias("__tok")).select(
+        "id", tok_hash(F.col("__tok")).alias("__h")
+    )
+    h = F.col("__h")
+    voted = exploded.groupBy("id").agg(
         *[
-            F.aggregate("__h", F.lit(0), _vote(j)).alias(f"__v{j}")
+            F.sum(
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
             for j in range(num_bits)
-        ],
+        ]
     )
     sig = functools.reduce(
         lambda a, b: a.bitwiseOR(b),
@@ -465,7 +472,14 @@ def simhash_signatures(
             for j in range(num_bits)
         ],
     )
-    return voted.select("id", sig.alias("simhash"))
+    return (
+        base.select("id")
+        .join(voted, "id", "left")
+        .select(
+            "id",
+            F.coalesce(sig, F.lit(0).cast("bigint")).alias("simhash"),
+        )
+    )
 
 
 def simhash_neardup_pairs(
