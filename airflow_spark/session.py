@@ -83,7 +83,14 @@ def get_session(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode "driver" heap IS the whole executor pool: 8g across
+        # 32 task threads put long benches under GC pressure (measured
+        # 2x run-to-run swings on the LSH tail); the deploy target has
+        # 128 GiB, so default to a quarter of it
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         .config("spark.ui.enabled", "false")
         # keep stage-progress bars off stdout/stderr: the bench contract
         # is ONE parseable JSON line on stdout (builder-time-only conf)
