@@ -3064,6 +3064,82 @@ def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue per region:
+    Σ share² over each region's customer-nation shares (10000 × the
+    share-of-revenue form) — the market-concentration twin of Gini,
+    one grouped aggregate over the (region, nation) revenue frame."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .join(
+            F.broadcast(t.nation),
+            t.customer.c_nationkey == t.nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(t.region),
+            t.nation.n_regionkey == t.region.r_regionkey,
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = Window.partitionBy("r_name")
+    share = F.col("rev") / F.sum("rev").over(tot)
+    return (
+        rev.select("r_name", "n_name", share.alias("__s"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.round(F.sum(F.col("__s") * F.col("__s")) * 10000, 2).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+def op_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peaks in each event_type's hourly rate: hours strictly
+    higher than both neighbors AND above the series mean + 1σ — the
+    spike report behind alerting thresholds. One windowed pass over
+    the calendar-bounded hourly frame + a broadcast of per-key stats."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("c").alias("__mu"), F.stddev_samp("c").alias("__sd")
+    )
+    flagged = (
+        hourly.select(
+            "event_type",
+            "h",
+            "c",
+            F.lag("c").over(w).alias("__prev"),
+            F.lead("c").over(w).alias("__next"),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .where(
+            (F.col("c") > F.col("__prev"))
+            & (F.col("c") > F.col("__next"))
+            & (F.col("c") > F.col("__mu") + F.col("__sd"))
+        )
+    )
+    return flagged.select(
+        "event_type",
+        F.col("h").alias("peak_hour"),
+        F.col("c").cast("bigint").alias("n_events"),
+        F.round((F.col("c") - F.col("__mu")) / F.col("__sd"), 4).alias(
+            "sigmas"
+        ),
+    ).orderBy("event_type", "peak_hour")
+
+
 def op_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (normal approx, tie-corrected) between user-
     parity variants on event values — the nonparametric sibling of
@@ -3246,6 +3322,8 @@ OPERATOR_QUERIES = {
     "op_mannwhitney": op_mannwhitney,
     "op_cohens_d": op_cohens_d,
     "op_activity_grid": op_activity_grid,
+    "op_hhi": op_hhi,
+    "op_peak_hours": op_peak_hours,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6629,4 +6707,37 @@ t AS (SELECT sum(n) AS n_total FROM c)
 SELECT dow, hod, n,
        round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
 FROM c, t ORDER BY dow, hod
+"""
+
+
+OPERATOR_ORACLE_SQL["op_hhi"] = """
+WITH rev AS (SELECT r_name, n_name, sum(o_totalprice) AS rev
+             FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name, n_name),
+sh AS (SELECT r_name, n_name,
+              rev / sum(rev) OVER (PARTITION BY r_name) AS s
+       FROM rev)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+       round(sum(s * s) * 10000, 2) AS hhi
+FROM sh GROUP BY r_name ORDER BY r_name
+"""
+
+
+OPERATOR_ORACLE_SQL["op_peak_hours"] = """
+WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+st AS (SELECT event_type, avg(c) AS mu, stddev_samp(c) AS sd
+       FROM hourly GROUP BY event_type),
+n AS (SELECT event_type, h, c,
+             lag(c) OVER w AS p, lead(c) OVER w AS nx
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h))
+SELECT n.event_type, h AS peak_hour, CAST(c AS BIGINT) AS n_events,
+       round((c - mu) / sd, 4) AS sigmas
+FROM n JOIN st ON n.event_type = st.event_type
+WHERE c > p AND c > nx AND c > mu + sd
+ORDER BY n.event_type, peak_hour
 """
