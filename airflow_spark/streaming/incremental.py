@@ -269,3 +269,85 @@ def neardup_ingest(
         .start()
     )
     return q.awaitTermination(timeout_s)
+
+
+def _write_batch_sketch(
+    sketch: DataFrame, sketch_dir: str, batch_id: int
+) -> None:
+    """Write one micro-batch's Count-Min counters under its batch-id
+    partition with per-partition overwrite: a replayed batch (at-least-
+    once foreachBatch) OVERWRITES its own partition instead of
+    appending a second copy, so counters never double-count — the
+    additive-merge analog of ``idempotent_batch_writer``."""
+    from pyspark.sql import functions as F
+
+    spark = sketch.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            sketch.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(sketch_dir)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def heavy_hitter_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType | str,
+    checkpoint_dir: str,
+    sketch_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    source_format: str = "parquet",
+    timeout_s: float = 300.0,
+) -> bool:
+    """Streaming heavy-hitter counting with FIXED-SIZE state: each
+    micro-batch reduces to a Count-Min counter grid (depth×width rows
+    regardless of key cardinality — the property an exact count table
+    loses at 100 TB key spaces), written replay-safe per batch-id.
+    ``merged_sketch`` aggregates the partitions by addition (Count-Min
+    counters are mergeable), and point estimates never undercount.
+
+    Runs with ``availableNow`` like the other ingest tasks — fire per
+    scheduler interval, drain what arrived, exit."""
+    from ..operators import sketches as _sketches
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        sk = _sketches.countmin_counts(batch, key_col, depth, width)
+        _write_batch_sketch(sk, sketch_dir, batch_id)
+
+    stream = (
+        spark.readStream.schema(schema).format(source_format).load(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    done = q.awaitTermination(timeout_s)
+    if not done:
+        q.stop()
+    return done
+
+
+def merged_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The cross-batch Count-Min sketch: per-batch counter partitions
+    summed by (row, bucket) — additive merge, exactly the distributed
+    pre-aggregation shape."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

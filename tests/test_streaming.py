@@ -836,3 +836,58 @@ def test_neardup_ingest_across_batches(spark, tmp_path):
     )
     kept2 = {r.doc_id for r in spark.read.parquet(hist).collect()}
     assert kept2 == {1, 3, 11}  # 10 dropped against history
+
+
+def test_heavy_hitter_ingest_merges_and_replay_safe(spark, tmp_path):
+    """Cross-run Count-Min: two availableNow runs build mergeable
+    per-batch sketches; estimates never undercount the true totals,
+    and a replayed batch overwrites (not doubles) its partition."""
+    from airflow_spark.operators import sketches
+    from airflow_spark.streaming.incremental import (
+        _write_batch_sketch,
+        heavy_hitter_ingest,
+        merged_sketch,
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    skdir = str(tmp_path / "sketch")
+
+    def drop(rows):
+        spark.createDataFrame(rows, ["event_id", "key"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    drop([(i, f"k{i % 3}") for i in range(30)])
+    assert heavy_hitter_ingest(
+        spark, str(src), "event_id bigint, key string", ckpt, skdir,
+        "key", depth=4, width=16,
+    )
+    drop([(100 + i, "k0") for i in range(20)])
+    assert heavy_hitter_ingest(
+        spark, str(src), "event_id bigint, key string", ckpt, skdir,
+        "key", depth=4, width=16,
+    )
+    sk = merged_sketch(spark, skdir)
+    keys = spark.createDataFrame([("k0",), ("k1",), ("k2",)], ["key"])
+    est = {
+        r["key"]: r["cm_estimate"]
+        for r in sketches.countmin_estimate(
+            sk, keys, "key", depth=4, width=16
+        ).collect()
+    }
+    # true: k0 = 10 + 20 = 30, k1 = k2 = 10 -> never undercounted
+    assert est["k0"] >= 30 and est["k1"] >= 10 and est["k2"] >= 10
+    # total counter mass equals total rows (sketch counts every row once)
+    mass = sk.agg(F.sum("c")).collect()[0][0]
+    assert mass == 4 * 50  # depth rows x 50 events
+    # replay safety: rewriting batch 0's sketch does not double-count
+    b0 = spark.createDataFrame(
+        [(i, f"k{i % 3}") for i in range(30)], ["event_id", "key"]
+    )
+    _write_batch_sketch(
+        sketches.countmin_counts(b0, "key", 4, 16), skdir, 0
+    )
+    mass2 = merged_sketch(spark, skdir).agg(F.sum("c")).collect()[0][0]
+    assert mass2 == mass
