@@ -383,3 +383,100 @@ def kaplan_meier(
         )
         .orderBy("t_s")
     )
+
+
+def audience_overlap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Jaccard overlap between every pair of event types' user
+    audiences — "do the people who X also Y" (feature-adoption /
+    cannibalization analytics). Distinct (type, user) pairs self-join
+    on user (both sides pre-deduped, so the join output is exactly
+    the intersection counts), audience sizes broadcast back.
+
+    Shape: one distinct + one equi self-join keyed on the user — the
+    |types|² result frame is tiny; nothing pairwise ever happens at
+    the user level."""
+    tu = events.select(
+        F.col(type_col).alias("t"), F.col(user_col).alias("u")
+    ).distinct()
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tu.select(F.col("t").alias("t_a"), "u")
+        .join(tu.select(F.col("t").alias("t_b"), "u"), "u")
+        .where(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("t").alias("t_a"), F.col("n").alias("n_a"))),
+            "t_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("t").alias("t_b"), F.col("n").alias("n_b"))),
+            "t_b",
+        )
+        .select(
+            "t_a",
+            "t_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("t_a", "t_b")
+    )
+
+
+def power_user_concentration(
+    events: DataFrame,
+    user_col: str = "user_id",
+    thresholds: tuple[float, ...] = (0.5, 0.8),
+) -> DataFrame:
+    """The 80/20 report: how few users produce each ``threshold``
+    share of all events (count + user-share), one row per threshold.
+    Heaviest-first cumulative share over the per-user count frame —
+    a window over |users| rows, not events."""
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col(user_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per_user.agg(
+        F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_users")
+    )
+    ranked = per_user.select(
+        F.sum("n").over(w).alias("cum"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col(user_col)))
+        .alias("rank"),
+    ).crossJoin(F.broadcast(tot))
+    rows = []
+    for th in thresholds:
+        hit = ranked.where(
+            F.col("cum") >= F.col("n_events") * F.lit(th)
+        ).agg(F.min("rank").alias("k"))
+        rows.append(
+            hit.crossJoin(F.broadcast(tot)).select(
+                F.lit(th).alias("share_of_events"),
+                F.col("k").cast("bigint").alias("n_top_users"),
+                F.round(
+                    F.col("k") / F.col("n_users").cast("double"), 6
+                ).alias("user_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("share_of_events")

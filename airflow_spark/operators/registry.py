@@ -3064,6 +3064,41 @@ def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition (trend = centered 24h MA,
+    seasonal = hour-of-day mean of the detrended series, residual) of
+    the purchase stream's hourly rate — what anomaly thresholds should
+    watch instead of raw counts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        timeseries.seasonal_decompose_hourly(
+            t.events.where(F.col("event_type") == "purchase"),
+            "event_type",
+            "ts",
+            trend_window=24,
+        )
+        .limit(300)
+    )
+
+
+def op_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap between every event-type pair's user audiences
+    (distinct (type, user) self-join on the user key — never pairwise
+    at the user level)."""
+    t = load_tables(spark, sf_dir)
+    return funnel.audience_overlap(t.events, "user_id", "event_type")
+
+
+def op_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 report: how few users produce 50% / 80% of all
+    events — heaviest-first cumulative share over the per-user count
+    frame."""
+    t = load_tables(spark, sf_dir)
+    return funnel.power_user_concentration(
+        t.events, "user_id", thresholds=(0.5, 0.8)
+    )
+
+
 def op_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman concentration of order revenue per region:
     Σ share² over each region's customer-nation shares (10000 × the
@@ -3324,6 +3359,9 @@ OPERATOR_QUERIES = {
     "op_activity_grid": op_activity_grid,
     "op_hhi": op_hhi,
     "op_peak_hours": op_peak_hours,
+    "op_seasonal_decompose": op_seasonal_decompose,
+    "op_audience_overlap": op_audience_overlap,
+    "op_power_users": op_power_users,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6740,4 +6778,61 @@ SELECT n.event_type, h AS peak_hour, CAST(c AS BIGINT) AS n_events,
 FROM n JOIN st ON n.event_type = st.event_type
 WHERE c > p AND c > nx AND c > mu + sd
 ORDER BY n.event_type, peak_hour
+"""
+
+
+OPERATOR_ORACLE_SQL["op_seasonal_decompose"] = """
+WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY event_type, date_trunc('hour', ts)),
+tr AS (SELECT event_type, h, extract(hour FROM h) AS hod, c,
+              avg(c) OVER w AS trend,
+              count(*) OVER w AS n_window
+       FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+se AS (SELECT event_type, hod, avg(c - trend) AS seasonal
+       FROM tr GROUP BY event_type, hod)
+SELECT tr.event_type, h, CAST(c AS BIGINT) AS n_events,
+       CASE WHEN abs(trend) < 1e-9 THEN 0.0
+            ELSE round(trend, 4) END AS trend,
+       CASE WHEN abs(seasonal) < 1e-9 THEN 0.0
+            ELSE round(seasonal, 4) END AS seasonal,
+       CASE WHEN abs(c - trend - seasonal) < 1e-9 THEN 0.0
+            ELSE round(c - trend - seasonal, 4) END AS residual,
+       CAST(n_window AS BIGINT) AS n_window
+FROM tr JOIN se ON tr.event_type = se.event_type AND tr.hod = se.hod
+ORDER BY tr.event_type, h LIMIT 300
+"""
+
+
+OPERATOR_ORACLE_SQL["op_audience_overlap"] = """
+WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+s AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY t),
+i AS (SELECT a.t AS t_a, b.t AS t_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+      GROUP BY a.t, b.t)
+SELECT t_a, t_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+         AS jaccard
+FROM i JOIN s sa ON i.t_a = sa.t JOIN s sb ON i.t_b = sb.t
+ORDER BY t_a, t_b
+"""
+
+
+OPERATOR_ORACLE_SQL["op_power_users"] = """
+WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_users FROM pu),
+r AS (SELECT sum(n) OVER (ORDER BY n DESC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY n DESC, user_id) AS rank
+      FROM pu),
+k AS (SELECT CAST(th AS DOUBLE) AS th, min(rank) AS k
+      FROM r, (SELECT unnest([0.5, 0.8]) AS th) ths, tot
+      WHERE cum >= n_events * th GROUP BY th)
+SELECT th AS share_of_events, CAST(k AS BIGINT) AS n_top_users,
+       round(k / CAST(n_users AS DOUBLE), 6) AS user_share
+FROM k, tot ORDER BY share_of_events
 """

@@ -13,7 +13,7 @@ engine-side generalization a large corpus of such telemetry needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1043,4 +1043,64 @@ def mean_shift_changepoint(
             "score",
         )
         .orderBy(key_col)
+    )
+
+
+def seasonal_decompose_hourly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    trend_window: int = 24,
+) -> DataFrame:
+    """Additive STL-lite decomposition of each key's hourly rate:
+    count = trend (centered ``trend_window``-hour moving average)
+    + seasonal (mean detrended value per hour-of-day)
+    + residual. The residual is what anomaly thresholds should watch —
+    raw counts alarm on every rush hour.
+
+    Two windows + one broadcast join, all on the calendar-bounded
+    hourly frame. Edge hours without a full centered window use the
+    partial average (standard practice; flagged via n_window)."""
+    hourly = df.groupBy(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    half = trend_window // 2
+    w_ma = (
+        Window.partitionBy(key_col)
+        .orderBy("h")
+        .rowsBetween(-half, half)
+    )
+    trended = hourly.select(
+        key_col,
+        "h",
+        F.hour("h").alias("hod"),
+        "c",
+        F.avg("c").over(w_ma).alias("trend"),
+        F.count(F.lit(1)).over(w_ma).alias("n_window"),
+    )
+    seas = trended.groupBy(key_col, "hod").agg(
+        F.avg(F.col("c") - F.col("trend")).alias("seasonal")
+    )
+    def _snap(col: Column) -> Column:
+        # a statistically-zero component is FP cancellation noise whose
+        # SIGN depends on summation order — "-0.0" would split engines
+        # (see ``autocorrelation``)
+        return (
+            F.when(F.abs(col) < 1e-9, F.lit(0.0)).otherwise(F.round(col, 4))
+        )
+
+    resid = F.col("c") - F.col("trend") - F.col("seasonal")
+    return (
+        trended.join(F.broadcast(seas), [key_col, "hod"])
+        .select(
+            key_col,
+            "h",
+            F.col("c").cast("bigint").alias("n_events"),
+            _snap(F.col("trend")).alias("trend"),
+            _snap(F.col("seasonal")).alias("seasonal"),
+            _snap(resid).alias("residual"),
+            F.col("n_window").cast("bigint").alias("n_window"),
+        )
+        .orderBy(key_col, "h")
     )

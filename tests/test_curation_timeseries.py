@@ -871,3 +871,20 @@ def test_mean_shift_changepoint_finds_planted_shift(spark):
     r = timeseries.mean_shift_changepoint(df, "event_type", "ts").collect()[0]
     assert r["split_hour"] == base + dt.timedelta(hours=23)
     assert r["mean_left"] == 2.0 and r["mean_right"] == 8.0
+
+
+def test_seasonal_decompose_components_sum(spark):
+    rows, eid = [], 0
+    base = dt.datetime(2024, 7, 1)
+    for day in range(3):
+        for hod in range(24):
+            for _ in range(2 + (4 if hod == 9 else 0)):
+                rows.append((eid, base + dt.timedelta(days=day, hours=hod), "purchase")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = timeseries.seasonal_decompose_hourly(df, "event_type", "ts").collect()
+    for r in out:
+        # components reassemble the observation (within rounding)
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n_events"]) < 2e-3
+    # the 9am spike loads on the SEASONAL component mid-series
+    mid = [r for r in out if r["h"].hour == 9 and r["n_window"] == 25]
+    assert mid and all(r["seasonal"] > 2.0 for r in mid)

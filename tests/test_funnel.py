@@ -195,3 +195,33 @@ def test_kaplan_meier_matches_hand_computation(spark):
     assert curve[20.0]["survival"] == 0.25
     # censored user 4 never produces a step
     assert set(curve) == {10.0, 20.0}
+
+
+def test_audience_overlap_known_sets(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # A audience = {1,2,3}, B = {2,3,4} -> |A∩B|=2, |A∪B|=4 -> 0.5
+    rows = [(i, base, u, "A") for i, u in enumerate([1, 2, 3])] + [
+        (10 + i, base, u, "B") for i, u in enumerate([2, 3, 4, 4])
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    r = funnel.audience_overlap(df).collect()[0]
+    assert (r["t_a"], r["t_b"]) == ("A", "B")
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["n_both"] == 2
+    assert r["jaccard"] == 0.5
+
+
+def test_power_user_concentration_8020(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # user 1 fires 80 events, users 2..21 fire 1 each -> 80% of events
+    # come from 1 of 21 users
+    rows = [(i, base, 1, "x") for i in range(80)] + [
+        (100 + u, base, u, "x") for u in range(2, 22)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {r["share_of_events"]: r for r in
+           funnel.power_user_concentration(df, thresholds=(0.5, 0.8)).collect()}
+    assert got[0.8]["n_top_users"] == 1
+    assert got[0.8]["user_share"] == round(1 / 21, 6)
+    assert got[0.5]["n_top_users"] == 1
