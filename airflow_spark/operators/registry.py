@@ -3064,6 +3064,20 @@ def op_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-miss pairs over part names (window 3,
+    Levenshtein ≤ 3) — the linear-candidate blocking complement to
+    the delete-variant fuzzy join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        linkage.sorted_neighborhood_pairs(
+            t.part.select("p_name"), "p_name", window=3, max_distance=3
+        )
+        .orderBy("name_a", "name_b")
+        .limit(300)
+    )
+
+
 def op_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive STL-lite decomposition (trend = centered 24h MA,
     seasonal = hour-of-day mean of the detrended series, residual) of
@@ -3362,6 +3376,7 @@ OPERATOR_QUERIES = {
     "op_seasonal_decompose": op_seasonal_decompose,
     "op_audience_overlap": op_audience_overlap,
     "op_power_users": op_power_users,
+    "op_sorted_neighborhood": op_sorted_neighborhood,
     "op_char_entropy": op_char_entropy,
     "op_histogram": op_histogram,
     "op_transition_probs": op_transition_probs,
@@ -6835,4 +6850,22 @@ k AS (SELECT CAST(th AS DOUBLE) AS th, min(rank) AS k
 SELECT th AS share_of_events, CAST(k AS BIGINT) AS n_top_users,
        round(k / CAST(n_users AS DOUBLE), 6) AS user_share
 FROM k, tot ORDER BY share_of_events
+"""
+
+
+OPERATOR_ORACLE_SQL["op_sorted_neighborhood"] = """
+WITH v AS (SELECT DISTINCT p_name AS v FROM part),
+r AS (SELECT v,
+             lead(v, 1) OVER (ORDER BY v) AS n1,
+             lead(v, 2) OVER (ORDER BY v) AS n2
+      FROM v),
+p AS (SELECT least(v, n1) AS name_a, greatest(v, n1) AS name_b
+      FROM r WHERE n1 IS NOT NULL
+      UNION
+      SELECT least(v, n2) AS name_a, greatest(v, n2) AS name_b
+      FROM r WHERE n2 IS NOT NULL)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS distance
+FROM p WHERE levenshtein(name_a, name_b) <= 3
+ORDER BY name_a, name_b LIMIT 300
 """

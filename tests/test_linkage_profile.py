@@ -369,3 +369,20 @@ def test_group_entropy_uniform_and_degenerate(spark):
     h = -(2 / 3) * _m.log2(2 / 3) - (1 / 3) * _m.log2(1 / 3)
     assert got[3]["entropy_bits"] == pytest.approx(h, abs=1e-5)
     assert got[3]["n_events"] == 3 and got[3]["n_types"] == 2
+
+
+def test_sorted_neighborhood_finds_adjacent_near_misses(spark):
+    names = ["widget a", "widget b", "widget c", "zzz totally else"]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    out = {
+        (r["name_a"], r["name_b"]): r["distance"]
+        for r in linkage.sorted_neighborhood_pairs(
+            df, "name", window=3, max_distance=3
+        ).collect()
+    }
+    assert out[("widget a", "widget b")] == 1
+    assert out[("widget a", "widget c")] == 1
+    # the far string never pairs (distance > 3), and no self-pairs leak
+    # from the frame edge where lead() is NULL
+    assert all(a != b for a, b in out)
+    assert not any("zzz" in a or "zzz" in b for a, b in out)
