@@ -449,34 +449,44 @@ def power_user_concentration(
     per_user = events.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = (
-        Window.orderBy(F.col("n").desc(), F.col(user_col))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    order = (F.col("n").desc(), F.col(user_col))
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     tot = per_user.agg(
         F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_users")
     )
     ranked = per_user.select(
         F.sum("n").over(w).alias("cum"),
-        F.row_number()
-        .over(Window.orderBy(F.col("n").desc(), F.col(user_col)))
-        .alias("rank"),
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
     ).crossJoin(F.broadcast(tot))
-    rows = []
-    for th in thresholds:
-        hit = ranked.where(
-            F.col("cum") >= F.col("n_events") * F.lit(th)
-        ).agg(F.min("rank").alias("k"))
-        rows.append(
-            hit.crossJoin(F.broadcast(tot)).select(
+    # ONE aggregate answers every threshold (min rank whose cumulative
+    # share reaches it) — a per-threshold filter+agg would rebuild the
+    # per-user count and the global sort window len(thresholds) times
+    agg = ranked.agg(
+        F.first("n_users").alias("n_users"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("n_events") * F.lit(th),
+                    F.col("rank"),
+                )
+            ).alias(f"__k{i}")
+            for i, th in enumerate(thresholds)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(th).alias("share_of_events"),
-                F.col("k").cast("bigint").alias("n_top_users"),
+                F.col(f"__k{i}").cast("bigint").alias("n_top_users"),
                 F.round(
-                    F.col("k") / F.col("n_users").cast("double"), 6
+                    F.col(f"__k{i}") / F.col("n_users").cast("double"), 6
                 ).alias("user_share"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("share_of_events")
+            for i, th in enumerate(thresholds)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("share_of_events")
+    )

@@ -159,7 +159,10 @@ def connected_components(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the local
     clustering signal (community density, spam-ring detection).
@@ -172,16 +175,22 @@ def triangle_count(
     dedup family caps hot LSH buckets.
 
     Returns (node, n_triangles) for every node in at least one
-    triangle.
+    triangle. ``edges_canonical=True`` skips the canonicalize +
+    distinct shuffle when the caller already guarantees lo<hi,
+    loop-free, deduplicated edges (``clustering_coefficient`` builds
+    exactly that frame — re-dedup would be a wasted |E| shuffle).
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    if edges_canonical:
+        e = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -608,14 +617,12 @@ def assortativity(
         .join(deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")), "b")
         .select(F.col("dx").cast("double"), F.col("dy").cast("double"))
     )
-    r = F.try_divide(
-        F.covar_samp("dx", "dy"), F.stddev_samp("dx") * F.stddev_samp("dy")
-    )
+    from ..functions.numeric import safe_corr, snap_zero
+
+    r = safe_corr(F.col("dx"), F.col("dy"))
     return paired.agg(
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
-        F.when(F.abs(r) < 1e-6, F.lit(0.0))
-        .otherwise(F.round(r, 6))
-        .alias("assortativity"),
+        snap_zero(r).alias("assortativity"),
     )
 
 
@@ -643,7 +650,7 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    tri = triangle_count(canon, "a", "b")
+    tri = triangle_count(canon, "a", "b", edges_canonical=True)
     pairs = (F.col("deg") * (F.col("deg") - 1) / 2.0).cast("double")
     coeff = F.when(
         F.col("deg") >= 2,

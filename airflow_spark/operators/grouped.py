@@ -94,17 +94,31 @@ def weighted_quantiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = Window.partitionBy(key_col)
+    # carry cum and total separately and compare cum >= q·total: the
+    # ratio form's last row is NOT guaranteed exactly 1.0 (the ordered
+    # and whole-partition sums reduce in different orders), so q=1.0
+    # could find no row; the max-value coalesce double-covers that.
+    # Zero-total keys (all weights 0) are dropped — their weighted
+    # quantile is undefined, and NaN cdfs would otherwise select the
+    # minimum silently.
     cdf = per_val.select(
         key_col,
         value_col,
-        (F.sum("__w").over(w) / F.sum("__w").over(tot)).alias("__cdf"),
-    )
+        F.sum("__w").over(w).alias("__cum"),
+        F.sum("__w").over(tot).alias("__tot"),
+    ).where(F.col("__tot") > 0)
     aggs = []
     for q in quantiles:
         name = f"wq_{str(q).replace('.', '_')}"
         aggs.append(
-            F.min(
-                F.when(F.col("__cdf") >= q, F.col(value_col))
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("__cum") >= F.lit(q) * F.col("__tot"),
+                        F.col(value_col),
+                    )
+                ),
+                F.max(value_col),
             ).alias(name)
         )
     return cdf.groupBy(key_col).agg(*aggs).orderBy(key_col)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import snap_zero
+
 
 def grouped_regression(
     df: DataFrame,
@@ -315,6 +317,38 @@ def theil_by_group(
     return agg.select(group_col, "n", F.round(theil, 6).alias("theil"))
 
 
+def _rank_sweep(
+    df: DataFrame, value_col: str, label_col: str
+) -> DataFrame:
+    """Shared distinct-value rank sweep for the Mann-Whitney family
+    (:func:`roc_auc`, :func:`mann_whitney_u`): per distinct value,
+    positive/negative counts, the tie-group size, and the cumulative
+    negatives STRICTLY BELOW — one hash agg plus one window over the
+    distinct-value frame, never a global per-row rank.
+
+    Rows with a NULL value or label are DROPPED (the standard
+    estimator convention): a NULL would otherwise form its own rank
+    group — and Spark (NULLS FIRST) and most other engines
+    (NULLS LAST) would even rank it at opposite ends."""
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        df.select(F.col(value_col).alias("s"), lab.alias("y"))
+        .where(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("pos_s"),
+            F.sum(1 - F.col("y")).alias("neg_s"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    return per_score.select(
+        "pos_s",
+        "neg_s",
+        (F.col("pos_s") + F.col("neg_s")).alias("t_s"),
+        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cumneg"),
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -328,23 +362,10 @@ def roc_auc(
     of N rows; instead scores collapse to the DISTINCT-value frame
     first (one hash agg with per-score pos/neg counts), and the single
     cumulative window runs over that much smaller frame — the same
-    design as the KS statistic. AUC = Σ_s pos_s·(cumneg_<s +
+    design as the KS statistic (see :func:`_rank_sweep`; NULL scores
+    and labels are excluded). AUC = Σ_s pos_s·(cumneg_<s +
     neg_s/2) / (P·N). Returns one row: n_pos, n_neg, auc."""
-    lab = F.col(label_col).cast("int")
-    per_score = (
-        df.select(F.col(score_col).alias("s"), lab.alias("y"))
-        .groupBy("s")
-        .agg(
-            F.sum("y").alias("pos_s"),
-            F.sum(1 - F.col("y")).alias("neg_s"),
-        )
-    )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    swept = per_score.select(
-        "pos_s",
-        "neg_s",
-        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cumneg"),
-    )
+    swept = _rank_sweep(df, score_col, label_col)
     return swept.agg(
         F.sum("pos_s").cast("bigint").alias("n_pos"),
         F.sum("neg_s").cast("bigint").alias("n_neg"),
@@ -410,25 +431,11 @@ def mann_whitney_u(
 
     U is derived from the same distinct-value sweep as
     :func:`roc_auc` (U1 = AUC·n0·n1 with average-rank tie handling),
-    so no global per-row rank ever happens; z uses the tie-corrected
+    so no global per-row rank ever happens (NULL values/labels are
+    excluded — see :func:`_rank_sweep`); z uses the tie-corrected
     variance. Near-zero z snaps to 0.0 (FP sign noise, see the
     time-series family)."""
-    y = F.col(group_col).cast("int")
-    per_score = (
-        df.select(F.col(value_col).alias("s"), y.alias("y"))
-        .groupBy("s")
-        .agg(
-            F.sum("y").alias("pos_s"),
-            F.sum(1 - F.col("y")).alias("neg_s"),
-        )
-    )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    swept = per_score.select(
-        "pos_s",
-        "neg_s",
-        (F.col("pos_s") + F.col("neg_s")).alias("t_s"),
-        F.coalesce(F.sum("neg_s").over(w), F.lit(0)).alias("cumneg"),
-    )
+    swept = _rank_sweep(df, value_col, group_col)
     agg = swept.agg(
         F.sum("pos_s").cast("bigint").alias("n1"),
         F.sum("neg_s").cast("bigint").alias("n0"),
@@ -452,9 +459,7 @@ def mann_whitney_u(
         "n0",
         "n1",
         F.round("u1", 2).alias("u1"),
-        F.when(F.abs(z) < 1e-6, F.lit(0.0))
-        .otherwise(F.round(z, 4))
-        .alias("z"),
+        snap_zero(z, digits=4).alias("z"),
     )
 
 
@@ -489,7 +494,5 @@ def cohens_d(
         "n1",
         F.round("m0", 4).alias("mean_0"),
         F.round("m1", 4).alias("mean_1"),
-        F.when(F.abs(d) < 1e-6, F.lit(0.0))
-        .otherwise(F.round(d, 4))
-        .alias("cohens_d"),
+        snap_zero(d, digits=4).alias("cohens_d"),
     )

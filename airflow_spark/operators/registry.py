@@ -3153,13 +3153,13 @@ def op_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local peaks in each event_type's hourly rate: hours strictly
     higher than both neighbors AND above the series mean + 1σ — the
     spike report behind alerting thresholds. One windowed pass over
-    the calendar-bounded hourly frame + a broadcast of per-key stats."""
+    the DENSE hourly frame (silent hours are zeros — a spike next to
+    a gap must compare against 0, not against whatever hour sorts
+    next) + a broadcast of per-key stats."""
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir)
-    hourly = t.events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hourly = timeseries.dense_hourly_counts(t.events, "event_type", "ts")
     w = Window.partitionBy("event_type").orderBy("h")
     stats = hourly.groupBy("event_type").agg(
         F.avg("c").alias("__mu"), F.stddev_samp("c").alias("__sd")
@@ -6388,7 +6388,7 @@ WITH sc AS (SELECT CAST(embedding[1] AS DOUBLE) AS s, label % 2 AS y
             FROM embeddings),
 g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_s,
              CAST(sum(1 - y) AS BIGINT) AS neg_s
-      FROM sc GROUP BY s),
+      FROM sc WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY s),
 c AS (SELECT pos_s, neg_s,
              coalesce(sum(neg_s) OVER (ORDER BY s
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -6525,9 +6525,18 @@ FROM deg LEFT JOIN tri USING (node) ORDER BY node
 
 
 OPERATOR_ORACLE_SQL["op_seasonality_strength"] = """
-WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                       CAST(count(*) AS DOUBLE) AS c
-                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+WITH hourly0 AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                        CAST(count(*) AS DOUBLE) AS c
+                 FROM events
+                 GROUP BY event_type, date_trunc('hour', ts)),
+bnd AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        FROM hourly0 GROUP BY event_type),
+spine AS (SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM bnd),
+hourly AS (SELECT spine.event_type, spine.h,
+                  CAST(coalesce(c, 0) AS DOUBLE) AS c
+           FROM spine LEFT JOIN hourly0 USING (event_type, h)),
 r AS (SELECT event_type, c,
              c - avg(c) OVER (PARTITION BY event_type,
                               extract(hour FROM h)) AS r
@@ -6587,9 +6596,18 @@ ORDER BY t.user_id LIMIT 200
 
 
 OPERATOR_ORACLE_SQL["op_changepoint"] = """
-WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                       CAST(count(*) AS DOUBLE) AS c
-                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+WITH hourly0 AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                        CAST(count(*) AS DOUBLE) AS c
+                 FROM events
+                 GROUP BY event_type, date_trunc('hour', ts)),
+bnd AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        FROM hourly0 GROUP BY event_type),
+spine AS (SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM bnd),
+hourly AS (SELECT spine.event_type, spine.h,
+                  CAST(coalesce(c, 0) AS DOUBLE) AS c
+           FROM spine LEFT JOIN hourly0 USING (event_type, h)),
 cum AS (SELECT event_type, h,
                sum(c) OVER (PARTITION BY event_type ORDER BY h
                             ROWS BETWEEN UNBOUNDED PRECEDING
@@ -6640,14 +6658,17 @@ pv AS (SELECT event_type, v, sum(wt) AS w FROM w GROUP BY event_type, v),
 c AS (SELECT event_type, v,
              sum(w) OVER (PARTITION BY event_type ORDER BY v
                           ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW)
-             / sum(w) OVER (PARTITION BY event_type) AS cdf
+                          AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS tot
       FROM pv)
 SELECT event_type,
-       min(CASE WHEN cdf >= 0.25 THEN v END) AS wq_0_25,
-       min(CASE WHEN cdf >= 0.5 THEN v END) AS wq_0_5,
-       min(CASE WHEN cdf >= 0.9 THEN v END) AS wq_0_9
-FROM c GROUP BY event_type ORDER BY event_type
+       coalesce(min(CASE WHEN cum >= 0.25 * tot THEN v END), max(v))
+         AS wq_0_25,
+       coalesce(min(CASE WHEN cum >= 0.5 * tot THEN v END), max(v))
+         AS wq_0_5,
+       coalesce(min(CASE WHEN cum >= 0.9 * tot THEN v END), max(v))
+         AS wq_0_9
+FROM c WHERE tot > 0 GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -6704,7 +6725,7 @@ OPERATOR_ORACLE_SQL["op_mannwhitney"] = """
 WITH sc AS (SELECT value AS s, CAST(user_id % 2 AS INT) AS y FROM events),
 g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_s,
              CAST(sum(1 - y) AS BIGINT) AS neg_s
-      FROM sc GROUP BY s),
+      FROM sc WHERE s IS NOT NULL AND y IS NOT NULL GROUP BY s),
 c AS (SELECT pos_s, neg_s, pos_s + neg_s AS t_s,
              coalesce(sum(neg_s) OVER (ORDER BY s
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -6780,9 +6801,18 @@ FROM sh GROUP BY r_name ORDER BY r_name
 
 
 OPERATOR_ORACLE_SQL["op_peak_hours"] = """
-WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                       CAST(count(*) AS DOUBLE) AS c
-                FROM events GROUP BY event_type, date_trunc('hour', ts)),
+WITH hourly0 AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                        CAST(count(*) AS DOUBLE) AS c
+                 FROM events
+                 GROUP BY event_type, date_trunc('hour', ts)),
+bnd AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        FROM hourly0 GROUP BY event_type),
+spine AS (SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM bnd),
+hourly AS (SELECT spine.event_type, spine.h,
+                  CAST(coalesce(c, 0) AS DOUBLE) AS c
+           FROM spine LEFT JOIN hourly0 USING (event_type, h)),
 st AS (SELECT event_type, avg(c) AS mu, stddev_samp(c) AS sd
        FROM hourly GROUP BY event_type),
 n AS (SELECT event_type, h, c,
@@ -6797,10 +6827,18 @@ ORDER BY n.event_type, peak_hour
 
 
 OPERATOR_ORACLE_SQL["op_seasonal_decompose"] = """
-WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
-                       CAST(count(*) AS DOUBLE) AS c
-                FROM events WHERE event_type = 'purchase'
-                GROUP BY event_type, date_trunc('hour', ts)),
+WITH hourly0 AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                        CAST(count(*) AS DOUBLE) AS c
+                 FROM events WHERE event_type = 'purchase'
+                 GROUP BY event_type, date_trunc('hour', ts)),
+bnd AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        FROM hourly0 GROUP BY event_type),
+spine AS (SELECT event_type,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM bnd),
+hourly AS (SELECT spine.event_type, spine.h,
+                  CAST(coalesce(c, 0) AS DOUBLE) AS c
+           FROM spine LEFT JOIN hourly0 USING (event_type, h)),
 tr AS (SELECT event_type, h, extract(hour FROM h) AS hod, c,
               avg(c) OVER w AS trend,
               count(*) OVER w AS n_window

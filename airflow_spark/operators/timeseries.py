@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import safe_corr, snap_zero
+
 
 def sessionize(
     df: DataFrame,
@@ -795,27 +797,12 @@ def autocorrelation(
     )
     aggs = [F.count(F.lit(1)).alias("n")]
     for k in range(1, max_lag + 1):
-        lk = F.col(f"__l{k}")
-        # corr spelled as covar/(σ·σ) under try_divide: a zero-variance
-        # series yields NULL (the ANSI "undefined" DuckDB's corr also
-        # returns) instead of the DIVIDE_BY_ZERO that built-in corr()
-        # raises in ANSI mode. Pearson r uses COMPLETE pairs only, so
-        # both inputs are masked to rows where the pair exists (a bare
-        # stddev_samp(v) would also see the k lag-less head rows);
-        # covar_samp/stddev_samp pair up so the (n-1) factors cancel.
-        both = v.isNotNull() & lk.isNotNull()
-        vp, lp = F.when(both, v), F.when(both, lk)
-        c = F.try_divide(
-            F.covar_samp(vp, lp), F.stddev_samp(vp) * F.stddev_samp(lp)
-        )
-        # |corr| < 1e-6 snaps to exactly 0.0: a true-zero ACF estimate
-        # is pure FP summation noise whose SIGN depends on reduction
-        # order, so distributed vs sequential engines would disagree
-        # on "-0.0" vs "0.0"
+        # safe_corr: NULL on zero variance like ANSI engines (built-in
+        # corr raises under ANSI mode), complete-pairs masking;
+        # snap_zero: a true-zero ACF estimate's sign is reduction-order
+        # FP noise that would split engines on "-0.0" vs "0.0"
         aggs.append(
-            F.when(F.abs(c) < 1e-6, F.lit(0.0))
-            .otherwise(F.round(c, 6))
-            .alias(f"acf_{k}")
+            snap_zero(safe_corr(v, F.col(f"__l{k}"))).alias(f"acf_{k}")
         )
     return lagged.groupBy(key_col).agg(*aggs)
 
@@ -877,18 +864,9 @@ def hourly_cross_correlation(
     )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_hours")]
     for k in range(-max_lag, max_lag + 1):
-        bk = F.col(f"b_{k + max_lag}")
-        both = F.col("a").isNotNull() & bk.isNotNull()
-        ap, bp = F.when(both, F.col("a")), F.when(both, bk)
-        c = F.try_divide(
-            F.covar_samp(ap, bp), F.stddev_samp(ap) * F.stddev_samp(bp)
-        )
+        c = safe_corr(F.col("a"), F.col(f"b_{k + max_lag}"))
         name = f"xc_{'m' if k < 0 else 'p'}{abs(k)}" if k != 0 else "xc_0"
-        aggs.append(
-            F.when(F.abs(c) < 1e-6, F.lit(0.0))
-            .otherwise(F.round(c, 6))
-            .alias(name)
-        )
+        aggs.append(snap_zero(c).alias(name))
     return shifted.agg(*aggs)
 
 
@@ -904,15 +882,14 @@ def seasonality_strength(
     z-scores fine); →1 ⇒ strongly periodic (use seasonal baselines or
     the false-positive rate explodes).
 
-    Shape: one (key, hour) count agg, one (key, hour-of-day) mean via
-    a window over the hourly frame (already shuffled on the key), one
-    final variance agg — all map-side-combinable, frames bounded by
-    calendar hours × keys. var_pop of exact group means guarantees
-    strength ∈ [0, 1]; a constant series (zero variance) → NULL."""
-    hourly = df.groupBy(
-        F.col(key_col),
-        F.date_trunc("hour", F.col(ts_col)).alias("h"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    Shape: the DENSE hourly frame (``dense_hourly_counts`` — a
+    1-hour-a-day stream's seasonality lives in its 23 silent hours,
+    which a sparse frame would drop entirely), one (key, hour-of-day)
+    mean via a window, one final variance agg — all map-side-
+    combinable, frames bounded by calendar hours × keys. var_pop of
+    exact group means guarantees strength ∈ [0, 1]; a constant series
+    (zero variance) → NULL."""
+    hourly = dense_hourly_counts(df, key_col, ts_col)
     w = Window.partitionBy(key_col, F.hour("h"))
     resid = hourly.select(
         key_col,
@@ -920,12 +897,9 @@ def seasonality_strength(
         (F.col("c") - F.avg("c").over(w)).alias("r"),
     )
     strength = F.lit(1.0) - F.try_divide(F.var_pop("r"), F.var_pop("c"))
-    # |x| < 1e-6 → exactly 0.0: a no-seasonality series is 0 up to FP
-    # cancellation whose sign is reduction-order noise (see
-    # ``autocorrelation``)
-    snapped = F.when(F.abs(strength) < 1e-6, F.lit(0.0)).otherwise(
-        F.round(strength, 6)
-    )
+    # snap_zero: a no-seasonality share is 0 up to FP cancellation
+    # whose sign is reduction-order noise
+    snapped = snap_zero(strength)
     return (
         resid.groupBy(key_col)
         .agg(
@@ -959,10 +933,9 @@ def burstiness(
         F.col("g").isNotNull()
     )
     mu, sd = F.avg("g"), F.stddev_samp("g")
-    b = F.try_divide(sd - mu, sd + mu)
-    # near-zero snap: a Poisson-like cadence sits at B ≈ 0 where the
-    # sign is FP noise — see ``autocorrelation``
-    b = F.when(F.abs(b) < 1e-6, F.lit(0.0)).otherwise(F.round(b, 6))
+    # snap_zero: a Poisson-like cadence sits at B ≈ 0 where the sign
+    # is FP noise
+    b = snap_zero(F.try_divide(sd - mu, sd + mu))
     return (
         gaps.groupBy(key_col)
         .agg(
@@ -987,15 +960,13 @@ def mean_shift_changepoint(
     segment means, and the score; rerun on segments to find further
     breaks (classic binary segmentation).
 
-    Shape: one (key, hour) count, then cumulative windows over each
-    key's calendar-bounded hourly frame, then an argmax row per key —
-    two window passes, no self-joins. The argmax orders by the
+    Shape: the DENSE hourly frame (``dense_hourly_counts`` — silent
+    hours are explicit zeros, so a drop-to-zero outage is visible as
+    a split), then cumulative windows per key, then an argmax row per
+    key — two window passes, no self-joins. The argmax orders by the
     ROUNDED score with the hour as tiebreak, so sub-ulp FP noise
     can't flip the reported changepoint between engines."""
-    hourly = df.groupBy(
-        F.col(key_col),
-        F.date_trunc("hour", F.col(ts_col)).alias("h"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    hourly = dense_hourly_counts(df, key_col, ts_col)
     wcum = (
         Window.partitionBy(key_col)
         .orderBy("h")
@@ -1058,13 +1029,12 @@ def seasonal_decompose_hourly(
     + residual. The residual is what anomaly thresholds should watch —
     raw counts alarm on every rush hour.
 
-    Two windows + one broadcast join, all on the calendar-bounded
-    hourly frame. Edge hours without a full centered window use the
-    partial average (standard practice; flagged via n_window)."""
-    hourly = df.groupBy(
-        F.col(key_col),
-        F.date_trunc("hour", F.col(ts_col)).alias("h"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    Two windows + one broadcast join, all on the DENSE hourly frame
+    (``dense_hourly_counts`` — a sparse frame would let the centered
+    MA silently bridge multi-day gaps as if adjacent). Edge hours
+    without a full centered window use the partial average (standard
+    practice; flagged via n_window)."""
+    hourly = dense_hourly_counts(df, key_col, ts_col)
     half = trend_window // 2
     w_ma = (
         Window.partitionBy(key_col)
@@ -1083,12 +1053,10 @@ def seasonal_decompose_hourly(
         F.avg(F.col("c") - F.col("trend")).alias("seasonal")
     )
     def _snap(col: Column) -> Column:
-        # a statistically-zero component is FP cancellation noise whose
-        # SIGN depends on summation order — "-0.0" would split engines
-        # (see ``autocorrelation``)
-        return (
-            F.when(F.abs(col) < 1e-9, F.lit(0.0)).otherwise(F.round(col, 4))
-        )
+        # statistically-zero components: see ``snap_zero`` (tighter
+        # eps — these are sums of a few dozen terms, and legitimate
+        # small seasonal values start well above 1e-9)
+        return snap_zero(col, eps=1e-9, digits=4)
 
     resid = F.col("c") - F.col("trend") - F.col("seasonal")
     return (
@@ -1103,4 +1071,40 @@ def seasonal_decompose_hourly(
             F.col("n_window").cast("bigint").alias("n_window"),
         )
         .orderBy(key_col, "h")
+    )
+
+
+def dense_hourly_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(key, h, c): hourly event counts with EXPLICIT ZERO rows for
+    silent hours inside each key's own [min, max] hour span — the
+    shared spine for every hourly-rate diagnostic (a changepoint
+    detector that never sees the outage hours can't find the outage;
+    neighbors-of-a-gap must compare against 0, not against whatever
+    hour happens to sort next).
+
+    Per-key spine (sequence over that key's own bounds, like
+    ``gap_fill``) — rows added are proportional to each key's
+    calendar span, never |keys| × global range. One grouped count +
+    one left join, both keyed on (key, h)."""
+    hourly = df.groupBy(
+        F.col(key_col),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    bounds = hourly.groupBy(key_col).agg(
+        F.min("h").alias("__h0"), F.max("h").alias("__h1")
+    )
+    spine = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("__h0"), F.col("__h1"), F.expr("interval 1 hour")
+            )
+        ).alias("h"),
+    )
+    return spine.join(hourly, [key_col, "h"], "left").select(
+        key_col, "h", F.coalesce(F.col("c"), F.lit(0.0)).alias("c")
     )

@@ -888,3 +888,34 @@ def test_seasonal_decompose_components_sum(spark):
     # the 9am spike loads on the SEASONAL component mid-series
     mid = [r for r in out if r["h"].hour == 9 and r["n_window"] == 25]
     assert mid and all(r["seasonal"] > 2.0 for r in mid)
+
+
+def test_changepoint_sees_drop_to_zero(spark):
+    # 24h at 5/hour then TOTAL SILENCE for 24h except one closing event:
+    # the sparse frame would hide the outage; the dense spine makes the
+    # split land at the last active hour
+    rows, eid = [], 0
+    base = dt.datetime(2024, 8, 1)
+    for h in range(24):
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(hours=h), "m")); eid += 1
+    rows.append((eid, base + dt.timedelta(hours=47), "m"))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    r = timeseries.mean_shift_changepoint(df, "event_type", "ts").collect()[0]
+    assert r["split_hour"] == base + dt.timedelta(hours=23)
+    assert r["mean_left"] == 5.0
+    assert r["mean_right"] < 0.1  # ~1 event over 24 silent hours
+    assert r["n_hours"] == 48  # dense: every calendar hour is a row
+
+
+def test_seasonality_strength_needs_dense_zeros(spark):
+    # active exactly 1 hour per day: ALL the seasonality is in the 23
+    # silent hours -> dense spine must report strength ~1
+    rows, eid = [], 0
+    base = dt.datetime(2024, 8, 10)
+    for day in range(5):
+        for _ in range(6):
+            rows.append((eid, base + dt.timedelta(days=day, hours=9), "x")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    r = timeseries.seasonality_strength(df, "event_type", "ts").collect()[0]
+    assert r["seasonality"] == 1.0
