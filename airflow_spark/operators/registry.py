@@ -3189,6 +3189,37 @@ def op_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "peak_hour")
 
 
+def op_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check for the user-parity A/B assignment:
+    chi-square goodness-of-fit of observed variant USER counts vs the
+    designed 50/50 split — the experiment-health gate run before any
+    treatment metric is read (an SRM means the assignment itself is
+    broken and every downstream test is invalid)."""
+    t = load_tables(spark, sf_dir)
+    users = t.events.select(
+        "user_id", (F.col("user_id") % 2).alias("grp")
+    ).distinct()
+    agg = users.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    n = n0 + n1
+    exp = n / 2.0
+    chisq = (n0 - exp) * (n0 - exp) / exp + (n1 - exp) * (n1 - exp) / exp
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(chisq, 6).alias("chisq"),
+        # 3.841 = chi-square(1 dof) critical value at alpha = 0.05
+        (chisq > 3.841).alias("srm_detected"),
+    )
+
+
 def op_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (normal approx, tie-corrected) between user-
     parity variants on event values — the nonparametric sibling of
@@ -3373,6 +3404,7 @@ OPERATOR_QUERIES = {
     "op_activity_grid": op_activity_grid,
     "op_hhi": op_hhi,
     "op_peak_hours": op_peak_hours,
+    "op_srm": op_srm,
     "op_seasonal_decompose": op_seasonal_decompose,
     "op_audience_overlap": op_audience_overlap,
     "op_power_users": op_power_users,
@@ -6906,4 +6938,24 @@ SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS INT) AS distance
 FROM p WHERE levenshtein(name_a, name_b) <= 3
 ORDER BY name_a, name_b LIMIT 300
+"""
+
+
+OPERATOR_ORACLE_SQL["op_srm"] = """
+WITH u AS (SELECT DISTINCT user_id, user_id % 2 AS grp FROM events),
+a AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM u),
+c AS (SELECT n0, n1,
+             (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+               * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+               / ((n0 + n1) / 2.0)
+             + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+               * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+               / ((n0 + n1) / 2.0) AS chisq
+      FROM a)
+SELECT n0, n1, round(chisq, 6) AS chisq, chisq > 3.841 AS srm_detected
+FROM c
 """
