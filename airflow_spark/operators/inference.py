@@ -496,3 +496,79 @@ def cohens_d(
         F.round("m1", 4).alias("mean_1"),
         snap_zero(d, digits=4).alias("cohens_d"),
     )
+
+
+def cuped_effect(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    variant_col: str,
+    split_ts: str,
+) -> DataFrame:
+    """CUPED-adjusted treatment effect (Deng et al. 2013): per-user
+    PRE-period means serve as the control covariate for POST-period
+    means — Y' = Y_post − θ·(X_pre − mean(X_pre)) with
+    θ = cov(X, Y)/var(X) removes the between-user variance the
+    pre-period already explains, which is how experiments reach
+    significance in a fraction of the runtime. Returns one row:
+    per-variant counts, the raw effect, the CUPED effect (same
+    expectation, smaller variance), θ, and the variance-reduction
+    share.
+
+    Shape: one user-keyed conditional aggregate builds (pre, post)
+    per user (only users observed in BOTH periods enter — CUPED is
+    undefined without the covariate); one 1-row stats aggregate
+    (θ, mean_pre) broadcasts back; one final aggregate. Nothing
+    driver-side, no windows."""
+    pre = F.avg(
+        F.when(F.col(ts_col) < F.lit(split_ts).cast("timestamp"),
+               F.col(value_col))
+    )
+    post = F.avg(
+        F.when(F.col(ts_col) >= F.lit(split_ts).cast("timestamp"),
+               F.col(value_col))
+    )
+    per_user = (
+        df.groupBy(F.col(user_col), F.col(variant_col).alias("grp"))
+        .agg(pre.alias("x"), post.alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    stats = per_user.agg(
+        F.try_divide(F.covar_samp("x", "y"), F.var_samp("x")).alias(
+            "theta"
+        ),
+        F.avg("x").alias("mx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(stats)).select(
+        "grp",
+        "y",
+        (
+            F.col("y")
+            - F.col("theta") * (F.col("x") - F.col("mx"))
+        ).alias("y_adj"),
+        "theta",
+    )
+    g1 = F.col("grp") == 1
+    agg = adj.agg(
+        F.sum(F.when(~g1, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(g1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        (
+            F.avg(F.when(g1, F.col("y")))
+            - F.avg(F.when(~g1, F.col("y")))
+        ).alias("__raw"),
+        (
+            F.avg(F.when(g1, F.col("y_adj")))
+            - F.avg(F.when(~g1, F.col("y_adj")))
+        ).alias("__cuped"),
+        F.first("theta").alias("__theta"),
+        F.try_divide(F.var_samp("y_adj"), F.var_samp("y")).alias("__vr"),
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        snap_zero(F.col("__raw"), digits=4).alias("effect_raw"),
+        snap_zero(F.col("__cuped"), digits=4).alias("effect_cuped"),
+        snap_zero(F.col("__theta"), digits=4).alias("theta"),
+        snap_zero(1.0 - F.col("__vr"), digits=4).alias("var_reduction"),
+    )

@@ -3189,6 +3189,24 @@ def op_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "peak_hour")
 
 
+def op_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B effect on per-user mean event value: first
+    half of the observation window is the pre-period covariate, user
+    parity the variant — same expected effect as the raw diff with
+    the pre-period variance removed."""
+    t = load_tables(spark, sf_dir)
+    return inference.cuped_effect(
+        t.events.select(
+            "user_id", "ts", "value", (F.col("user_id") % 2).alias("v")
+        ),
+        "user_id",
+        "ts",
+        "value",
+        "v",
+        split_ts="2024-01-16 00:00:00",
+    )
+
+
 def op_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio mismatch check for the user-parity A/B assignment:
     chi-square goodness-of-fit of observed variant USER counts vs the
@@ -3405,6 +3423,7 @@ OPERATOR_QUERIES = {
     "op_hhi": op_hhi,
     "op_peak_hours": op_peak_hours,
     "op_srm": op_srm,
+    "op_cuped": op_cuped,
     "op_seasonal_decompose": op_seasonal_decompose,
     "op_audience_overlap": op_audience_overlap,
     "op_power_users": op_power_users,
@@ -6958,4 +6977,42 @@ c AS (SELECT n0, n1,
       FROM a)
 SELECT n0, n1, round(chisq, 6) AS chisq, chisq > 3.841 AS srm_detected
 FROM c
+"""
+
+
+OPERATOR_ORACLE_SQL["op_cuped"] = """
+WITH pu AS (SELECT user_id, user_id % 2 AS grp,
+                   avg(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                            THEN value END) AS x,
+                   avg(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                            THEN value END) AS y
+            FROM events GROUP BY user_id, user_id % 2),
+ok AS (SELECT grp, x, y FROM pu
+       WHERE x IS NOT NULL AND y IS NOT NULL),
+st AS (SELECT covar_samp(x, y) / nullif(var_samp(x), 0.0) AS theta,
+              avg(x) AS mx
+       FROM ok),
+adj AS (SELECT grp, y, y - theta * (x - mx) AS y_adj, theta
+        FROM ok, st),
+a AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             avg(CASE WHEN grp = 1 THEN y END)
+               - avg(CASE WHEN grp = 0 THEN y END) AS raw,
+             avg(CASE WHEN grp = 1 THEN y_adj END)
+               - avg(CASE WHEN grp = 0 THEN y_adj END) AS cuped,
+             first(theta) AS theta,
+             var_samp(y_adj) / nullif(var_samp(y), 0.0) AS vr
+      FROM adj)
+SELECT n0, n1,
+       CASE WHEN abs(raw) < 1e-6 THEN 0.0
+            ELSE round(raw, 4) END AS effect_raw,
+       CASE WHEN abs(cuped) < 1e-6 THEN 0.0
+            ELSE round(cuped, 4) END AS effect_cuped,
+       CASE WHEN abs(theta) < 1e-6 THEN 0.0
+            ELSE round(theta, 4) END AS theta,
+       CASE WHEN abs(1.0 - vr) < 1e-6 THEN 0.0
+            ELSE round(1.0 - vr, 4) END AS var_reduction
+FROM a
 """

@@ -352,3 +352,29 @@ def test_cohens_d_unit_shift(spark):
     df = spark.createDataFrame(rows, ["v", "g"])
     r = inference.cohens_d(df, "v", "g").collect()[0]
     assert 0.8 < r["cohens_d"] < 1.2  # true d = 1.0
+
+
+def test_cuped_reduces_variance_preserves_effect(spark):
+    import datetime as dt
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    eid = 0
+    pre_t = dt.datetime(2024, 1, 5)
+    post_t = dt.datetime(2024, 1, 20)
+    # per-user baseline b; post value = b + small noise + 2.0 lift for
+    # variant 1 -> CUPED should recover ~2.0 with big variance reduction
+    for u in range(300):
+        b = rnd.uniform(0, 100)
+        v = u % 2
+        rows.append((eid, pre_t, u, v, b + rnd.gauss(0, 1))); eid += 1
+        rows.append((eid, post_t, u, v, b + rnd.gauss(0, 1) + (2.0 if v else 0.0))); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "v", "value"])
+    r = inference.cuped_effect(
+        df, "user_id", "ts", "value", "v", "2024-01-16 00:00:00"
+    ).collect()[0]
+    # raw diff is swamped by between-user baseline spread; CUPED isn't
+    assert abs(r["effect_cuped"] - 2.0) < 0.5
+    assert r["var_reduction"] > 0.9  # baseline explains ~all variance
+    assert 0.9 < r["theta"] < 1.1
