@@ -73,6 +73,7 @@ def pagerank(
     # round's plan (planning cost dominates small-graph rounds)
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    prev_ckpt: DataFrame | None = None
     for i in range(iters):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -95,6 +96,13 @@ def pagerank(
         # truncation is the middle that scales to both axes
         if (i + 1) % 4 == 0 and i + 1 < iters:
             ranks = ranks.persist()
+            # materialize the new checkpoint, then drop the previous
+            # one — otherwise a long run accumulates one cached frame
+            # per 4 rounds for the session lifetime
+            ranks.count()
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
     return ranks
 
 
@@ -149,6 +157,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # `changed` materialized `new`; the superseded label frame's
+        # cache is dead weight from here — drop it (long runs would
+        # otherwise hold one cached frame per round)
+        if labels.is_cached:
+            labels.unpersist()
         labels = new
         if changed == 0:
             return labels
@@ -500,6 +513,7 @@ def personalized_pagerank(
         in_sources, F.lit(1.0 / len(srcs))
     ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", teleport.alias("rank"))
+    prev_ckpt: DataFrame | None = None
     for i in range(iters):
         contrib = (
             e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -518,6 +532,10 @@ def personalized_pagerank(
         # periodic (not per-round) persist — see ``pagerank``
         if (i + 1) % 4 == 0 and i + 1 < iters:
             ranks = ranks.persist()
+            ranks.count()
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ranks
     return ranks
 
 

@@ -329,11 +329,14 @@ def _rank_sweep(
     Rows with a NULL value or label are DROPPED (the standard
     estimator convention): a NULL would otherwise form its own rank
     group — and Spark (NULLS FIRST) and most other engines
-    (NULLS LAST) would even rank it at opposite ends."""
+    (NULLS LAST) would even rank it at opposite ends. The label
+    contract is strictly binary: non-0/1 labels are dropped too
+    (``neg_s`` is ``sum(1−y)``, so a stray 2 would contribute −1 to
+    the negative count and silently corrupt AUC/U downstream)."""
     lab = F.col(label_col).cast("int")
     per_score = (
         df.select(F.col(value_col).alias("s"), lab.alias("y"))
-        .where(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .where(F.col("s").isNotNull() & F.col("y").isin(0, 1))
         .groupBy("s")
         .agg(
             F.sum("y").alias("pos_s"),
@@ -472,16 +475,22 @@ def cohens_d(
     standardized mean difference) — the "is it LARGE, not just
     significant" companion every A/B z-test needs at row counts where
     everything is significant. One aggregate pass (conditional
-    sums); d = (μ1 − μ0) / s_pooled."""
+    sums); d = (μ1 − μ0) / s_pooled. The group column is a strictly
+    binary 0/1 contract — other values are dropped, not folded into
+    a group (``n0 = sum(1−y)`` would otherwise go negative)."""
     y = F.col(group_col).cast("int")
     v = F.col(value_col).cast("double")
-    agg = df.select(v.alias("v"), y.alias("y")).agg(
-        F.sum("y").cast("bigint").alias("n1"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("n0"),
-        F.avg(F.when(F.col("y") == 1, F.col("v"))).alias("m1"),
-        F.avg(F.when(F.col("y") == 0, F.col("v"))).alias("m0"),
-        F.var_samp(F.when(F.col("y") == 1, F.col("v"))).alias("v1"),
-        F.var_samp(F.when(F.col("y") == 0, F.col("v"))).alias("v0"),
+    agg = (
+        df.select(v.alias("v"), y.alias("y"))
+        .where(F.col("y").isin(0, 1))
+        .agg(
+            F.sum("y").cast("bigint").alias("n1"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("n0"),
+            F.avg(F.when(F.col("y") == 1, F.col("v"))).alias("m1"),
+            F.avg(F.when(F.col("y") == 0, F.col("v"))).alias("m0"),
+            F.var_samp(F.when(F.col("y") == 1, F.col("v"))).alias("v1"),
+            F.var_samp(F.when(F.col("y") == 0, F.col("v"))).alias("v0"),
+        )
     )
     n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
     pooled = F.sqrt(
@@ -530,7 +539,11 @@ def cuped_effect(
                F.col(value_col))
     )
     per_user = (
-        df.groupBy(F.col(user_col), F.col(variant_col).alias("grp"))
+        # Strictly binary variant contract: a stray variant value
+        # would be folded into control by the `~(grp == 1)` branches
+        # below — drop it instead.
+        df.where(F.col(variant_col).cast("int").isin(0, 1))
+        .groupBy(F.col(user_col), F.col(variant_col).alias("grp"))
         .agg(pre.alias("x"), post.alias("y"))
         .where(F.col("x").isNotNull() & F.col("y").isNotNull())
     )

@@ -1024,7 +1024,11 @@ def seasonal_decompose_hourly(
     trend_window: int = 24,
 ) -> DataFrame:
     """Additive STL-lite decomposition of each key's hourly rate:
-    count = trend (centered ``trend_window``-hour moving average)
+    count = trend (centered moving average over ``trend_window + 1``
+    rows — ``rowsBetween(-w/2, w/2)`` is symmetric around the current
+    hour, so the EFFECTIVE window is one hour wider than the
+    parameter; a textbook even-order centered MA would instead use
+    the 2×(w/2) half-end-point weighted form)
     + seasonal (mean detrended value per hour-of-day)
     + residual. The residual is what anomaly thresholds should watch —
     raw counts alarm on every rush hour.

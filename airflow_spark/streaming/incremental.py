@@ -296,6 +296,14 @@ def _write_batch_sketch(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+        else:
+            # conf.get(key, None) returns None for a never-set conf
+            # (it does NOT surface the SQLConf default "static"), so
+            # restoring requires unset — skipping would leave the
+            # session permanently in "dynamic" mode and make later
+            # plain overwrite+partitionBy writes retain stale
+            # partitions.
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
 
 def heavy_hitter_ingest(

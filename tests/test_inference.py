@@ -378,3 +378,42 @@ def test_cuped_reduces_variance_preserves_effect(spark):
     assert abs(r["effect_cuped"] - 2.0) < 0.5
     assert r["var_reduction"] > 0.9  # baseline explains ~all variance
     assert 0.9 < r["theta"] < 1.1
+
+
+def test_binary_label_contract_drops_stray_values(spark):
+    """Non-0/1 labels are DROPPED, not folded into a group: a stray 2
+    used to contribute -1 to the negative count via sum(1-y) and
+    silently corrupt AUC/U/d (advisor round-3 finding)."""
+    clean = [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)]
+    dirty = clean + [(0.5, 2), (0.6, -1)]
+    df_c = spark.createDataFrame(clean, ["s", "y"])
+    df_d = spark.createDataFrame(dirty, ["s", "y"])
+    auc_c = inference.roc_auc(df_c, "s", "y").collect()[0]
+    auc_d = inference.roc_auc(df_d, "s", "y").collect()[0]
+    assert auc_c["auc"] == auc_d["auc"] == 1.0
+    d_c = inference.cohens_d(df_c, "s", "y").collect()[0]
+    d_d = inference.cohens_d(df_d, "s", "y").collect()[0]
+    assert d_c["n0"] == d_d["n0"] == 2
+    assert d_c["cohens_d"] == d_d["cohens_d"]
+
+
+def test_cuped_drops_stray_variant_values(spark):
+    import datetime as dt
+
+    pre_t = dt.datetime(2024, 1, 5)
+    post_t = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in range(40):
+        v = u % 2
+        rows.append((pre_t, u, v, 10.0 + u))
+        rows.append((post_t, u, v, 10.0 + u + (2.0 if v else 0.0)))
+    # variant 3 users would previously be counted as CONTROL (grp != 1)
+    for u in range(100, 110):
+        rows.append((pre_t, u, 3, 999.0))
+        rows.append((post_t, u, 3, 999.0))
+    df = spark.createDataFrame(rows, ["ts", "user_id", "v", "value"])
+    r = inference.cuped_effect(
+        df, "user_id", "ts", "value", "v", "2024-01-16 00:00:00"
+    ).collect()[0]
+    assert r["n0"] == 20 and r["n1"] == 20
+    assert abs(r["effect_cuped"] - 2.0) < 0.1

@@ -891,3 +891,30 @@ def test_heavy_hitter_ingest_merges_and_replay_safe(spark, tmp_path):
     )
     mass2 = merged_sketch(spark, skdir).agg(F.sum("c")).collect()[0][0]
     assert mass2 == mass
+
+
+def test_write_batch_sketch_restores_unset_overwrite_mode(spark, tmp_path):
+    """conf.get(key, None) returns None for a never-set conf, so the
+    restore path must UNSET rather than skip — otherwise the session
+    is permanently left in 'dynamic' partitionOverwriteMode and later
+    plain overwrite+partitionBy writes silently retain stale
+    partitions (advisor round-3 finding)."""
+    from airflow_spark.streaming.incremental import _write_batch_sketch
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        spark.conf.unset(key)  # start from the never-set state
+    except Exception:
+        pass
+    sk = spark.createDataFrame([(0, 1, 5)], "row INT, col INT, cnt INT")
+    _write_batch_sketch(sk, str(tmp_path / "sketch"), batch_id=0)
+    # SQLConf default surfaces once the conf is genuinely unset
+    assert spark.conf.get(key).lower() == "static"
+    # and the downstream hazard is gone: a plain overwrite+partitionBy
+    # write replaces the WHOLE output, not just matching partitions
+    out = str(tmp_path / "plain")
+    spark.createDataFrame([(1, "a"), (2, "b")], "p INT, v STRING") \
+        .write.mode("overwrite").partitionBy("p").parquet(out)
+    spark.createDataFrame([(1, "c")], "p INT, v STRING") \
+        .write.mode("overwrite").partitionBy("p").parquet(out)
+    assert spark.read.parquet(out).count() == 1
