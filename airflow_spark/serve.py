@@ -71,8 +71,28 @@ def build(spark=None, pipelines_spec: str | None = None):
                 scheduler.register(p, **kwargs)
 
     role_provider = None
+    jwks_path = os.environ.get("SPARK_GRAFT_API_JWKS")
     roles_spec = os.environ.get("SPARK_GRAFT_API_ROLES")
-    if roles_spec:
+    if jwks_path:
+        # OIDC/JWT bearer auth (reference webserver_config.py analog):
+        # SPARK_GRAFT_API_JWKS      = path to the IdP's JWKS document
+        # SPARK_GRAFT_API_GROUPS    = "idp-group=Role,..." mapping
+        # SPARK_GRAFT_API_ISSUER /
+        # SPARK_GRAFT_API_AUDIENCE  = optional iss/aud pins
+        from .pipeline.auth import JwksRoleProvider
+
+        groups_spec = os.environ.get(
+            "SPARK_GRAFT_API_GROUPS", "Admin=Admin,Op=Op,Viewer=Viewer"
+        )
+        role_provider = JwksRoleProvider(
+            jwks_path,
+            roles_mapping=dict(
+                pair.split("=", 1) for pair in groups_spec.split(",")
+            ),
+            issuer=os.environ.get("SPARK_GRAFT_API_ISSUER"),
+            audience=os.environ.get("SPARK_GRAFT_API_AUDIENCE"),
+        )
+    elif roles_spec:
         # "token=Role,token2=Role2" — the static provider; richer
         # providers (OIDC group mapping) are wired programmatically
         role_provider = StaticTokenRoles(

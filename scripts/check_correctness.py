@@ -54,13 +54,31 @@ def main() -> int:
     print(json.dumps({
         "sf_dir": sf_dir,
         "elapsed_s": round(time.time() - t0, 1),
+        "registry_size": len(qs),
         "n_queries": len(results),
         "n_failures": len(failures),
+        "digest": _family_digest(results),
         "results": results,
     }, indent=2))
     for name, detail in failures:
         print(f"FAIL {name}: {detail}", file=sys.stderr)
     return 1 if failures else 0
+
+
+def _family_digest(results: dict[str, str]) -> dict[str, str]:
+    """Compact ``{family: "green/total"}`` roll-up (family = first
+    token after ``op_``; qNN queries roll up as ``q``). The driver's
+    recorded tail samples only ~50 entries, so this digest is the one
+    place the per-round record captures the AGGREGATE health of all
+    186+ op_* oracles."""
+    fam_green: dict[str, int] = {}
+    fam_total: dict[str, int] = {}
+    for name, status in results.items():
+        fam = name.split("_")[1] if name.startswith("op_") else "q"
+        fam_total[fam] = fam_total.get(fam, 0) + 1
+        ok = status == "ok" or status.startswith("rows-only")
+        fam_green[fam] = fam_green.get(fam, 0) + (1 if ok else 0)
+    return {f: f"{fam_green[f]}/{fam_total[f]}" for f in sorted(fam_total)}
 
 
 if __name__ == "__main__":

@@ -1,25 +1,50 @@
 #!/bin/sh
 # The full pre-round-end verification chain, in the order that keeps
 # every timing measurement on an uncontended JVM (never two local
-# Spark drivers at once). ~45 min total at sf0.1 on local[32].
+# Spark drivers at once). ~50 min total at sf0.1 on local[32].
 #
 #   1. lint gate                     (seconds)
 #   2. full test suite               (~12 min)
-#   3. full-registry oracle, sf0.01  (~6 min; exit 0 = all green)
-#   4. full-registry oracle, sf0.1   (~12 min; writes the committed
-#                                     CORRECTNESS_LOCAL_sf0.1.json)
-#   5. physical-plan audit           (PLANS.md, expect 0 flagged)
-#   6. 10x scale audit               (SCALE.md)
-#   7. bench at sf0.1                (BENCH_FULL.json; commit as
+#   3. full-registry oracle, sf0.001 (~3 min; writes committed artifact)
+#   4. full-registry oracle, sf0.01  (~6 min; writes committed artifact)
+#   5. full-registry oracle, sf0.1   (~12 min; writes committed artifact)
+#   6. artifact-vs-registry gate     (refuses round-close if any scale's
+#                                     artifact has n_queries != registry
+#                                     size or any failure — the op_cuped
+#                                     round-3 gap can't recur silently)
+#   7. physical-plan audit           (PLANS.md, expect 0 flagged)
+#   8. 10x scale audit               (SCALE.md)
+#   9. bench at sf0.1                (BENCH_FULL.json; commit as
 #                                     BENCH_FULL_r{N}.json)
 set -e
 cd "$(dirname "$0")/.."
 
 ./scripts/lint.sh
 python3 -m pytest tests/ -q
-python3 scripts/check_correctness.py /root/testdata/sf0.01
+python3 scripts/check_correctness.py /root/testdata/sf0.001 \
+    > CORRECTNESS_LOCAL_sf0.001.json
+python3 scripts/check_correctness.py /root/testdata/sf0.01 \
+    > CORRECTNESS_LOCAL_sf0.01.json
 python3 scripts/check_correctness.py /root/testdata/sf0.1 \
     > CORRECTNESS_LOCAL_sf0.1.json
+python3 - << 'EOF'
+import json, sys
+bad = []
+for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    with open(f"CORRECTNESS_LOCAL_{sf}.json") as f:
+        rec = json.load(f)
+    if rec["n_failures"]:
+        bad.append(f"{sf}: {rec['n_failures']} failures")
+    if rec["n_queries"] != rec["registry_size"]:
+        bad.append(
+            f"{sf}: artifact covers {rec['n_queries']} of "
+            f"{rec['registry_size']} registry entries"
+        )
+    print(f"{sf}: {rec['n_queries']}/{rec['registry_size']} attested, "
+          f"digest {json.dumps(rec['digest'])}")
+if bad:
+    sys.exit("REFUSING round-close: " + "; ".join(bad))
+EOF
 python3 scripts/plan_report.py
 python3 scripts/scale_check.py 10
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \

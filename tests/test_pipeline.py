@@ -1389,3 +1389,233 @@ def test_dataset_trigger_ignores_metadata_and_races(tmp_path):
     # real data change still fires
     (ds / "part-1.parquet").write_bytes(b"more")
     assert trig.should_fire()
+
+
+# ---------------------------------------------------------------------------
+# OIDC/JWT auth provider (reference webserver_config.py:93-118 analog)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rsa_keypair():
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    return key, key.public_key()
+
+
+def _jwt_provider(rsa_keypair, clock, **kw):
+    from airflow_spark.pipeline.auth import (
+        JwksRoleProvider,
+        jwk_from_public_key,
+    )
+
+    _, pub = rsa_keypair
+    jwks = {"keys": [jwk_from_public_key(pub, kid="k1")]}
+    kw.setdefault("roles_mapping", {"eng-admins": "Admin",
+                                    "analysts": "Viewer"})
+    return JwksRoleProvider(jwks, clock=clock, **kw)
+
+
+def test_jwt_valid_viewer_reads_and_admin_mutates(spark, rsa_keypair):
+    """The verdict's done-bar: valid-JWT Viewer reads (200), viewer
+    mutation 403, group->Admin mutation 202; groups resolve through
+    the same GroupRoleMapper lattice as the static provider."""
+    from airflow_spark.pipeline.api import ControlPlane
+    from airflow_spark.pipeline.auth import mint_rs256_jwt
+
+    key, _ = rsa_keypair
+    now = 1_700_000_000
+    prov = _jwt_provider(rsa_keypair, clock=lambda: now)
+    cp = ControlPlane(spark, [_mini_pipeline()], role_provider=prov)
+
+    viewer_tok = mint_rs256_jwt(key, {
+        "sub": "u1", "preferred_username": "casey",
+        "groups": ["analysts"], "exp": now + 600,
+    }, kid="k1")
+    admin_tok = mint_rs256_jwt(key, {
+        "sub": "u2", "preferred_username": "root",
+        "groups": ["analysts", "eng-admins"],  # highest role wins
+        "exp": now + 600,
+    }, kid="k1")
+    viewer = {"Authorization": f"Bearer {viewer_tok}"}
+    admin = {"Authorization": f"Bearer {admin_tok}"}
+
+    st, body = cp.dispatch("GET", "/pipelines", None, viewer)
+    assert st == 200 and body["pipelines"]
+    st, body = cp.dispatch("POST", "/pipelines/api_demo/trigger", {}, viewer)
+    assert st == 403 and body["user"] == "casey"
+    st, body = cp.dispatch("POST", "/pipelines/api_demo/trigger", {}, admin)
+    assert st == 202 and body["run_id"]
+    import time as _time
+    for _ in range(100):
+        if cp.dispatch("GET", f"/runs/{body['run_id']}", None, viewer)[1][
+            "status"
+        ] != "running":
+            break
+        _time.sleep(0.1)
+
+
+def test_jwt_expired_and_tampered_are_401(spark, rsa_keypair):
+    from airflow_spark.pipeline.api import ControlPlane
+    from airflow_spark.pipeline.auth import mint_rs256_jwt
+
+    key, _ = rsa_keypair
+    now = 1_700_000_000
+    prov = _jwt_provider(rsa_keypair, clock=lambda: now)
+    cp = ControlPlane(spark, [_mini_pipeline()], role_provider=prov)
+
+    expired = mint_rs256_jwt(key, {
+        "sub": "u1", "groups": ["analysts"], "exp": now - 120,
+    }, kid="k1")
+    assert cp.dispatch("GET", "/pipelines", None,
+                       {"Authorization": f"Bearer {expired}"})[0] == 401
+
+    good = mint_rs256_jwt(key, {
+        "sub": "u1", "groups": ["analysts"], "exp": now + 600,
+    }, kid="k1")
+    # tamper with the PAYLOAD (signature no longer covers it)
+    import base64 as _b64
+    import json as _json
+    h, p, s = good.split(".")
+    claims = _json.loads(_b64.urlsafe_b64decode(p + "=" * (-len(p) % 4)))
+    claims["groups"] = ["eng-admins"]
+    p2 = _b64.urlsafe_b64encode(
+        _json.dumps(claims).encode()
+    ).rstrip(b"=").decode()
+    assert cp.dispatch("GET", "/pipelines", None,
+                       {"Authorization": f"Bearer {h}.{p2}.{s}"})[0] == 401
+    # missing exp entirely is also a 401 (exp is REQUIRED)
+    noexp = mint_rs256_jwt(key, {"sub": "u1", "groups": ["analysts"]},
+                           kid="k1")
+    assert cp.dispatch("GET", "/pipelines", None,
+                       {"Authorization": f"Bearer {noexp}"})[0] == 401
+
+
+def test_jwt_alg_downgrade_rejected(rsa_keypair):
+    """alg comes from the attacker-controlled header: alg=none and the
+    RS->HS256 key-confusion downgrade must fail before any crypto."""
+    import base64 as _b64
+    import hashlib
+    import hmac
+    import json as _json
+
+    from cryptography.hazmat.primitives import serialization
+
+    def enc(b):
+        return _b64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    now = 1_700_000_000
+    prov = _jwt_provider(rsa_keypair, clock=lambda: now)
+    claims = enc(_json.dumps(
+        {"sub": "mallory", "groups": ["eng-admins"], "exp": now + 600}
+    ).encode())
+
+    none_tok = enc(b'{"alg":"none","typ":"JWT"}') + "." + claims + "."
+    assert prov.authenticate(
+        {"Authorization": f"Bearer {none_tok}"}) is None
+
+    # HS256 signed with the PUBLIC key bytes as the HMAC secret
+    _, pub = rsa_keypair
+    pem = pub.public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo,
+    )
+    hs_head = enc(b'{"alg":"HS256","typ":"JWT","kid":"k1"}')
+    si = f"{hs_head}.{claims}"
+    sig = enc(hmac.new(pem, si.encode(), hashlib.sha256).digest())
+    assert prov.authenticate(
+        {"Authorization": f"Bearer {si}.{sig}"}) is None
+
+
+def test_jwt_issuer_audience_and_unmapped_groups(spark, rsa_keypair):
+    from airflow_spark.pipeline.api import ControlPlane
+    from airflow_spark.pipeline.auth import mint_rs256_jwt
+
+    key, _ = rsa_keypair
+    now = 1_700_000_000
+    prov = _jwt_provider(
+        rsa_keypair, clock=lambda: now,
+        issuer="https://idp.local", audience="engine",
+    )
+    cp = ControlPlane(spark, [_mini_pipeline()], role_provider=prov)
+
+    def tok(**over):
+        c = {"sub": "u1", "groups": ["analysts"], "exp": now + 600,
+             "iss": "https://idp.local", "aud": ["engine", "other"]}
+        c.update(over)
+        return {"Authorization":
+                "Bearer " + mint_rs256_jwt(key, c, kid="k1")}
+
+    assert cp.dispatch("GET", "/pipelines", None, tok())[0] == 200
+    assert cp.dispatch("GET", "/pipelines", None,
+                       tok(iss="https://evil"))[0] == 401
+    assert cp.dispatch("GET", "/pipelines", None,
+                       tok(aud="other-api"))[0] == 401
+    # valid signature, no mapped group: authenticated but roleless
+    # -> 403 (authz), NOT 401 (authn) — same split as the static path
+    assert cp.dispatch("GET", "/pipelines", None,
+                       tok(groups=["strangers"]))[0] == 403
+
+
+def test_jwt_logout_revocation(rsa_keypair):
+    """Logout analog: a revoked token is rejected until its exp, and
+    the revocation entry self-expires afterwards (bounded list)."""
+    from airflow_spark.pipeline.auth import mint_rs256_jwt
+
+    key, _ = rsa_keypair
+    now = [1_700_000_000]
+    prov = _jwt_provider(rsa_keypair, clock=lambda: now[0])
+    tok = mint_rs256_jwt(key, {
+        "sub": "u1", "jti": "abc-123", "groups": ["analysts"],
+        "exp": now[0] + 600,
+    }, kid="k1")
+    hdr = {"Authorization": f"Bearer {tok}"}
+    assert prov.authenticate(hdr)["role"] == "Viewer"
+    prov.revoke(tok)
+    assert prov.authenticate(hdr) is None
+    assert len(prov._revoked) == 1
+    now[0] += 700  # past exp+leeway: entry garbage-collects
+    prov.revoke(mint_rs256_jwt(key, {
+        "sub": "u2", "jti": "z", "groups": ["analysts"],
+        "exp": now[0] + 60,
+    }, kid="k1"))
+    assert "jti:abc-123" not in prov._revoked
+
+
+def test_serve_wires_jwks_provider_from_env(
+    spark, tmp_path, monkeypatch, rsa_keypair
+):
+    """Container wiring: SPARK_GRAFT_API_JWKS + SPARK_GRAFT_API_GROUPS
+    stand up the OIDC provider; JWKS takes precedence over the static
+    token list."""
+    import json as _json
+
+    from airflow_spark.pipeline.auth import (
+        jwk_from_public_key,
+        mint_rs256_jwt,
+    )
+
+    key, pub = rsa_keypair
+    jwks_file = tmp_path / "jwks.json"
+    jwks_file.write_text(
+        _json.dumps({"keys": [jwk_from_public_key(pub, kid="k1")]})
+    )
+    monkeypatch.setenv("SPARK_GRAFT_API_JWKS", str(jwks_file))
+    monkeypatch.setenv("SPARK_GRAFT_API_GROUPS", "readers=Viewer")
+    monkeypatch.setenv("SPARK_GRAFT_API_ROLES", "ro=Viewer")  # shadowed
+    monkeypatch.delenv("SPARK_GRAFT_STATE_DIR", raising=False)
+    from airflow_spark.serve import build
+
+    _, plane, _, _ = build(spark, pipelines_spec=None)
+    assert plane.dispatch(
+        "GET", "/pipelines", None, {"Authorization": "Bearer ro"}
+    )[0] == 401  # the static token is NOT honored
+    import time as _time
+    tok = mint_rs256_jwt(key, {
+        "sub": "u", "groups": ["readers"],
+        "exp": int(_time.time()) + 600,
+    }, kid="k1")
+    assert plane.dispatch(
+        "GET", "/pipelines", None, {"Authorization": f"Bearer {tok}"}
+    )[0] == 200
