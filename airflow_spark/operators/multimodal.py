@@ -501,8 +501,16 @@ def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
     if strict:
         raise NotImplementedError(
             "audio decode beyond WAV/PCM requires a codec (e.g. ffmpeg); "
-            "not available here"
+            "not available here (metadata-level ingest for MP3 is "
+            "available via extract_audio_metadata)"
         )
+    # metadata-level MP3 parse (frame walk, no PCM): the fake MFCCs
+    # stay hash-derived, but duration/rate are the REAL values
+    mp3 = _parse_mp3_metadata(data)
+    if mp3 is not None:
+        meta = {"duration_ms": mp3["duration_ms"],
+                "sample_rate": mp3["sample_rate"], **{
+                    k: v for k, v in meta.items() if v is not None}}
     h = hashlib.sha256(data).digest()
     return {
         "duration_ms": int(meta.get("duration_ms") or (1000 + h[0] * 16)),
@@ -556,6 +564,232 @@ def extract_audio_features(
         ).withColumn("__sr", F.lit(None).cast("int"))
     return src.select(id_col, data_col, "__dur", "__sr").mapInPandas(
         _extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
+# -- audio metadata (no PCM decode) ------------------------------------------
+
+#: MPEG audio bitrate tables, kbps (ISO/IEC 11172-3 / 13818-3).
+#: Index = the 4-bit bitrate_index field; 0 = "free format" (treated
+#: as unparseable), 15 = invalid.
+_MP3_BITRATES = {
+    # (version_group, layer): table — version_group 1 = MPEG1,
+    # 2 = MPEG2/2.5 (they share tables)
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160],
+}
+_MP3_RATES = {
+    "1": [44100, 48000, 32000],
+    "2": [22050, 24000, 16000],
+    "2.5": [11025, 12000, 8000],
+}
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 when absent). Size is
+    a 28-bit syncsafe integer (ID3v2.4 spec §3.1) + the 10-byte
+    header."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        return 0  # not syncsafe: corrupt tag, treat as absent
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    return 10 + size
+
+
+def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
+    """Metadata-level MP3 ingest: walk MPEG audio frame headers
+    (public ISO/IEC 11172-3 §2.4.1.3 header layout) and the ID3v1/v2
+    tags — duration, average bitrate, sample rate, channel mode —
+    WITHOUT decoding any PCM (that still needs a codec and stays
+    behind the strict-raise stub). This covers what curation
+    pipelines actually filter on: length, fidelity, tag presence.
+
+    Returns None when the payload is not MPEG audio. The frame walk
+    is bounded by ``max_frames`` so one pathological payload can't
+    stall a task; a walk that breaks early still reports the frames
+    it read (duration then underestimates, n_frames says by how
+    much)."""
+    id3v2 = _id3v2_size(data)
+    pos = id3v2
+    end = len(data)
+    has_id3v1 = end >= 128 and data[end - 128:end - 125] == b"TAG"
+    if has_id3v1:
+        end -= 128
+    n_frames = 0
+    total_kbps = 0
+    sample_rate = None
+    version = layer = channels = None
+    vbr = False
+    first_kbps = None
+    duration_s = 0.0
+    while pos + 4 <= end and n_frames < max_frames:
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            if n_frames == 0:
+                pos += 1  # tolerate leading junk before the first sync
+                if pos - id3v2 > 4096:
+                    return None
+                continue
+            break  # mid-stream desync: stop the walk, keep the count
+        ver_bits = (b1 >> 3) & 0x3
+        ver = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+        lay = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if ver is None or lay is None or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames == 0:
+                return None
+            break
+        vgroup = 1 if ver == "1" else 2
+        kbps = _MP3_BITRATES[(vgroup, lay)][br_idx]
+        sr = _MP3_RATES[ver][sr_idx]
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        spf = 384 if lay == 1 else (
+            1152 if lay == 2 or vgroup == 1 else 576
+        )
+        if lay == 1:
+            flen = (12 * kbps * 1000 // sr + padding) * 4
+        else:
+            flen = spf // 8 * kbps * 1000 // sr + padding
+        if flen <= 4:
+            break
+        if n_frames == 0:
+            version, layer, sample_rate = ver, lay, sr
+            channels = 1 if mode == 3 else 2
+            first_kbps = kbps
+        elif kbps != first_kbps:
+            vbr = True
+        n_frames += 1
+        total_kbps += kbps
+        duration_s += spf / sr
+        pos += flen
+    if n_frames == 0:
+        return None
+    out = {
+        "container": "mp3",
+        "mpeg_version": version,
+        "layer": layer,
+        "bitrate_kbps": int(round(total_kbps / n_frames)),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": int(round(duration_s * 1000.0)),
+        "vbr": vbr,
+        "id3v2": id3v2 > 0,
+        "title": None,
+        "artist": None,
+    }
+    if has_id3v1:
+        tag = data[len(data) - 128:]
+        out["title"] = tag[3:33].split(b"\x00")[0].decode(
+            "latin-1", "replace").strip() or None
+        out["artist"] = tag[33:63].split(b"\x00")[0].decode(
+            "latin-1", "replace").strip() or None
+    return out
+
+
+def _wav_metadata(data: bytes):
+    """Header-level WAV metadata via the same stdlib parse the decode
+    path uses — no sample data is materialized beyond the read."""
+    wav = _decode_wav(data)
+    if wav is None:
+        return None
+    x, sr = wav
+    return {
+        "container": "wav",
+        "mpeg_version": None,
+        "layer": None,
+        "bitrate_kbps": None,
+        "sample_rate": int(sr),
+        "channels": 1,  # _decode_wav downmixes; channels pre-mix lost
+        "n_frames": len(x),
+        "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
+        "vbr": False,
+        "id3v2": False,
+        "title": None,
+        "artist": None,
+    }
+
+
+AUDIO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("mpeg_version", T.StringType()),
+        T.StructField("layer", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("vbr", T.BooleanType()),
+        T.StructField("id3v2", T.BooleanType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+    ]
+)
+
+
+def extract_audio_metadata(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Metadata-level audio ingest (MP3 frame walk + ID3, WAV header)
+    — the curation-pipeline surface for compressed audio the container
+    can't PCM-decode: duration/bitrate/sample-rate filters, tag
+    presence, VBR detection. Unrecognized payloads yield a NULL
+    container row (never a raise: metadata extraction is a profiling
+    pass, the strict decode contract lives in
+    ``extract_audio_features``). Arrow-batched ``mapInPandas``, same
+    plumbing contract as the feature extractors — payloads stay
+    behind, only the small metadata frame flows on."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                meta = _parse_mp3_metadata(raw) or _wav_metadata(raw) or {}
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(raw),
+                        "sha256": hashlib.sha256(raw).hexdigest(),
+                        "container": meta.get("container"),
+                        "mpeg_version": meta.get("mpeg_version"),
+                        "layer": meta.get("layer"),
+                        "bitrate_kbps": meta.get("bitrate_kbps"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "channels": meta.get("channels"),
+                        "n_frames": meta.get("n_frames"),
+                        "duration_ms": meta.get("duration_ms"),
+                        "vbr": meta.get("vbr"),
+                        "id3v2": meta.get("id3v2"),
+                        "title": meta.get("title"),
+                        "artist": meta.get("artist"),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_METADATA_SCHEMA]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(
+        _extract, AUDIO_METADATA_SCHEMA
     )
 
 

@@ -3389,11 +3389,57 @@ def op_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.assortativity(edges)
 
 
+def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level MP3 ingest (``multimodal.extract_audio_metadata``
+    — ISO/IEC 11172-3 frame-header walk + ID3, no PCM decode) attested
+    end-to-end: every 7th document synthesizes a deterministic
+    MPEG1-Layer-III CBR stream (``1 + doc_id % 40`` frames @ 128 kbps
+    / 44.1 kHz) inside the same Arrow batches real payloads ride, the
+    walker parses the bytes back, and the closed-form frame arithmetic
+    (n·1152 samples / 44100 Hz) is the DuckDB oracle."""
+    import pandas as _pd
+
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = t.documents.select(F.col("doc_id").alias("media_id")).where(
+        F.col("doc_id") % 7 == 0
+    )
+    # one 417-byte frame: 144 * 128000 / 44100 = 417 (no padding)
+    frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413
+
+    def _synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [
+                        frame * (1 + int(m) % 40) for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    return (
+        multimodal.extract_audio_metadata(payloads)
+        .select(
+            "media_id",
+            "n_frames",
+            "duration_ms",
+            "bitrate_kbps",
+            "sample_rate",
+            "vbr",
+        )
+        .orderBy("media_id")
+    )
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
 # (round 1 lost the tail of this list to a time cut-off).
 OPERATOR_QUERIES = {
+    "op_audio_metadata": op_audio_metadata,
     "op_gini": op_gini,
     "op_rfm": op_rfm,
     "op_pareto_front": op_pareto_front,
@@ -4459,6 +4505,21 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 
 
 OPERATOR_ORACLE_SQL = {
+    # The MP3 frame walk's closed form: n frames of 1152 samples at
+    # 44.1 kHz; the Spark side parses SYNTHESIZED bytes back into
+    # exactly these numbers (registry.op_audio_metadata).
+    "op_audio_metadata": """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 40 AS BIGINT) AS n_frames,
+       CAST(round((1 + doc_id % 40) * 1152000.0 / 44100.0, 0) AS BIGINT)
+         AS duration_ms,
+       128 AS bitrate_kbps,
+       44100 AS sample_rate,
+       false AS vbr
+FROM documents
+WHERE doc_id % 7 = 0
+ORDER BY media_id
+""",
     "op_regexp_funcs": """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs,

@@ -2383,3 +2383,92 @@ def test_embedding_outliers_flags_planted_junk(spark):
     out = similarity.embedding_outliers(df, "embedding", "vec_id", k=3).collect()
     assert out[0]["id"] == 999
     assert out[0]["centroid_cos"] < -0.9
+
+
+# ---------------------------------------------------------------------------
+# MP3 metadata-level ingest (frame-header/ID3 walk, no PCM decode)
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame(br_idx: int = 9, sr_idx: int = 0) -> bytes:
+    """One MPEG1 Layer III frame: sync + header per ISO/IEC 11172-3
+    §2.4.1.3, zero-filled payload. br_idx 9 = 128 kbps, sr_idx 0 =
+    44100 Hz -> frame length 144*128000/44100 = 417 bytes."""
+    rates = {9: 128, 10: 160}
+    kbps = rates[br_idx]
+    flen = 144 * kbps * 1000 // 44100
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x40])
+    return hdr + b"\x00" * (flen - 4)
+
+
+def _id3v2(payload_len: int = 100) -> bytes:
+    # 10-byte header + syncsafe size
+    size = bytes([(payload_len >> 21) & 0x7F, (payload_len >> 14) & 0x7F,
+                  (payload_len >> 7) & 0x7F, payload_len & 0x7F])
+    return b"ID3\x04\x00\x00" + size + b"\x00" * payload_len
+
+
+def _id3v1(title: str, artist: str) -> bytes:
+    t = title.encode("latin-1").ljust(30, b"\x00")[:30]
+    a = artist.encode("latin-1").ljust(30, b"\x00")[:30]
+    return b"TAG" + t + a + b"\x00" * (128 - 3 - 60)
+
+
+def test_mp3_metadata_frame_walk_cbr_with_tags(spark):
+    frames = b"".join(_mp3_frame() for _ in range(38))
+    data = _id3v2() + frames + _id3v1("A Song", "An Artist")
+    df = spark.createDataFrame([(1, data)], "media_id LONG, data BINARY")
+    row = multimodal.extract_audio_metadata(df).first()
+    assert row["container"] == "mp3"
+    assert row["mpeg_version"] == "1" and row["layer"] == 3
+    assert row["bitrate_kbps"] == 128 and row["sample_rate"] == 44100
+    assert row["channels"] == 2 and row["vbr"] is False
+    assert row["n_frames"] == 38
+    # 38 frames x 1152 samples @ 44100 Hz = 992.6 ms
+    assert abs(row["duration_ms"] - 993) <= 1
+    assert row["id3v2"] is True
+    assert row["title"] == "A Song" and row["artist"] == "An Artist"
+
+
+def test_mp3_metadata_vbr_average_bitrate(spark):
+    frames = b"".join(
+        _mp3_frame(br_idx=9 if i % 2 == 0 else 10) for i in range(20)
+    )
+    df = spark.createDataFrame([(1, frames)], "media_id LONG, data BINARY")
+    row = multimodal.extract_audio_metadata(df).first()
+    assert row["vbr"] is True
+    assert row["bitrate_kbps"] == 144  # mean of 128/160 alternation
+
+
+def test_audio_metadata_wav_and_unknown_rows(spark):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 4000)  # 0.5 s
+    rows = [(1, buf.getvalue()), (2, b"\x00\x01not-audio-at-all")]
+    df = spark.createDataFrame(rows, "media_id LONG, data BINARY")
+    got = {r["media_id"]: r for r in
+           multimodal.extract_audio_metadata(df).collect()}
+    assert got[1]["container"] == "wav"
+    assert got[1]["sample_rate"] == 8000
+    assert got[1]["duration_ms"] == 500
+    # unknown payloads profile as NULL-container rows, never raise
+    assert got[2]["container"] is None and got[2]["n_bytes"] > 0
+
+
+def test_mp3_strict_pcm_decode_still_raises(spark):
+    """The strict-raise contract for actual PCM extraction survives:
+    metadata parses, MFCC decode does not."""
+    frames = b"".join(_mp3_frame() for _ in range(5))
+    df = spark.createDataFrame([(1, frames)], "media_id LONG, data BINARY")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_audio_features(df, strict=True).collect()
+    # non-strict: fake MFCCs but REAL duration from the frame walk
+    row = multimodal.extract_audio_features(df, strict=False).first()
+    assert row["sample_rate"] == 44100
+    assert abs(row["duration_ms"] - int(5 * 1152 / 44100 * 1000)) <= 1
