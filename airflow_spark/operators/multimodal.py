@@ -793,6 +793,200 @@ def extract_audio_metadata(
     )
 
 
+# -- video metadata (no frame decode) ----------------------------------------
+
+
+def _iter_boxes(data: bytes, lo: int, hi: int):
+    """ISO BMFF box iterator (ISO/IEC 14496-12 §4.2): yields
+    (type, body_start, box_end). Handles 64-bit largesize and
+    size-0-to-end; stops on any malformed size rather than raising —
+    the walker reports what it could read."""
+    pos = lo
+    while pos + 8 <= hi:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > hi:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = hi - pos
+        if size < 8 or pos + size > hi:
+            return
+        yield typ, body, pos + size
+        pos += size
+
+
+def _parse_mp4_metadata(data: bytes):
+    """Metadata-level MP4/ISO-BMFF ingest (public ISO/IEC 14496-12 box
+    layout): ftyp brand, mvhd duration/timescale, per-track tkhd
+    dimensions, hdlr handler, stsd codec fourcc and stsz sample count
+    — duration/resolution/codec WITHOUT decoding any frame (H.264
+    decode still needs a codec and stays behind the strict-raise
+    stub). Returns None when the payload is not ISO BMFF."""
+    if len(data) < 12:
+        return None
+    # an MP4 starts with a box whose type is ftyp/moov/mdat/free/styp
+    head = data[4:8]
+    if head not in (b"ftyp", b"moov", b"mdat", b"free", b"styp", b"wide"):
+        return None
+    out = {
+        "container": "mp4",
+        "brand": None,
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "video_codec": None,
+        "audio_codec": None,
+    }
+
+    def parse_trak(lo: int, hi: int) -> None:
+        handler = None
+        codec = None
+        n_samples = None
+        w = h = None
+        stack = [(lo, hi)]
+        while stack:
+            a, b = stack.pop()
+            for typ, body, end in _iter_boxes(data, a, b):
+                if typ in (b"mdia", b"minf", b"stbl"):
+                    stack.append((body, end))
+                elif typ == b"tkhd" and end - body >= 8:
+                    # width/height: 16.16 fixed point, last 8 bytes
+                    w = int.from_bytes(data[end - 8:end - 4], "big") >> 16
+                    h = int.from_bytes(data[end - 4:end], "big") >> 16
+                elif typ == b"hdlr" and end - body >= 12:
+                    handler = data[body + 8:body + 12]
+                elif typ == b"stsd" and end - body >= 16:
+                    codec = data[body + 12:body + 16].decode(
+                        "latin-1", "replace"
+                    )
+                elif typ == b"stsz" and end - body >= 12:
+                    n_samples = int.from_bytes(
+                        data[body + 8:body + 12], "big"
+                    )
+        if handler == b"vide":
+            out["video_codec"] = codec
+            out["n_frames"] = n_samples
+            if w:
+                out["width"] = w
+            if h:
+                out["height"] = h
+        elif handler == b"soun":
+            out["audio_codec"] = codec
+
+    saw_moov = False
+    for typ, body, end in _iter_boxes(data, 0, len(data)):
+        if typ == b"ftyp" and end - body >= 4:
+            out["brand"] = data[body:body + 4].decode("latin-1", "replace")
+        elif typ == b"moov":
+            saw_moov = True
+            for t2, b2, e2 in _iter_boxes(data, body, end):
+                if t2 == b"mvhd" and e2 - b2 >= 20:
+                    ver = data[b2]
+                    if ver == 1 and e2 - b2 >= 32:
+                        ts = int.from_bytes(data[b2 + 20:b2 + 24], "big")
+                        dur = int.from_bytes(data[b2 + 24:b2 + 32], "big")
+                    else:
+                        ts = int.from_bytes(data[b2 + 12:b2 + 16], "big")
+                        dur = int.from_bytes(data[b2 + 16:b2 + 20], "big")
+                    if ts:
+                        out["duration_ms"] = int(round(dur * 1000.0 / ts))
+                elif t2 == b"trak":
+                    parse_trak(b2, e2)
+    if not saw_moov and out["brand"] is None:
+        return None  # bare mdat/free with no structure: not usable
+    return out
+
+
+def _avi_metadata(data: bytes):
+    """Header-level AVI metadata via the existing RIFF walk (frame
+    offsets only — no pixel data is touched)."""
+    avi = _parse_avi(data)
+    if avi is None:
+        return None
+    n = len(avi["frames"])
+    us = avi["us_per_frame"] or 0
+    comp = avi.get("compression")
+    fourcc = None
+    if comp == 0:
+        fourcc = "DIB "  # uncompressed RGB
+    elif comp is not None:
+        fourcc = comp.to_bytes(4, "little").decode("latin-1", "replace")
+    return {
+        "container": "avi",
+        "brand": None,
+        "duration_ms": int(round(n * us / 1000.0)) if us else None,
+        "width": avi["width"] or None,
+        "height": avi["height"] or None,
+        "n_frames": n,
+        "video_codec": fourcc,
+        "audio_codec": None,
+    }
+
+
+VIDEO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+    ]
+)
+
+
+def extract_video_metadata(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Metadata-level video ingest (MP4 box walk + AVI RIFF walk) —
+    the curation surface for compressed video the container can't
+    frame-decode: duration/resolution/codec filters without touching
+    a single pixel. Unrecognized payloads yield NULL-container rows
+    (profiling pass, never a raise); Arrow-batched ``mapInPandas``,
+    payloads stay behind."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                meta = _parse_mp4_metadata(raw) or _avi_metadata(raw) or {}
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(raw),
+                        "sha256": hashlib.sha256(raw).hexdigest(),
+                        **{
+                            k: meta.get(k)
+                            for k in (
+                                "container", "brand", "duration_ms",
+                                "width", "height", "n_frames",
+                                "video_codec", "audio_codec",
+                            )
+                        },
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_METADATA_SCHEMA]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(
+        _extract, VIDEO_METADATA_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -96,6 +96,12 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
         .where(F.col("__id") > F.col("__mn"))
         .select((F.col("__id") - 1).alias("gap_end"))
     )
+    # pairing the k-th gap start with the k-th gap end needs a GLOBAL
+    # rank over the boundary rows — a single-partition sort, fine
+    # while boundaries are sparse (they are: one row per gap, not per
+    # id; a 100 TB id column with millions of gaps still fits one
+    # task). If a pathological corpus ever makes boundaries dense,
+    # the fix is a range-bucketed two-level rank, not a bigger sort.
     ws = Window.orderBy("gap_start")
     we = Window.orderBy("gap_end")
     k_starts = starts.withColumn("__k", F.row_number().over(ws))

@@ -3434,12 +3434,75 @@ def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-level MP4 ingest (``multimodal.extract_video_metadata``
+    — ISO/IEC 14496-12 box walk, no frame decode) attested end-to-end:
+    every 11th document synthesizes a minimal ISO BMFF payload
+    (timescale 1000, duration ``(1 + doc_id % 50) * 500`` ms, 640×360
+    avc1 video track with ``1 + doc_id % 24`` stsz samples), the
+    walker parses the boxes back, and the synthesis parameters are the
+    DuckDB oracle."""
+    import pandas as _pd
+
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = t.documents.select(F.col("doc_id").alias("media_id")).where(
+        F.col("doc_id") % 11 == 0
+    )
+
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+    def _mp4(duration_ms: int, n_frames: int) -> bytes:
+        ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big"))
+        mvhd = _box(b"mvhd", bytes(12) + (1000).to_bytes(4, "big")
+                    + duration_ms.to_bytes(4, "big") + bytes(80))
+        tkhd = _box(b"tkhd", bytes(76) + (640 << 16).to_bytes(4, "big")
+                    + (360 << 16).to_bytes(4, "big"))
+        hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"\x00")
+        stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+                    + (16).to_bytes(4, "big") + b"avc1" + bytes(8))
+        stsz = _box(b"stsz", bytes(8) + n_frames.to_bytes(4, "big"))
+        trak = _box(b"trak", tkhd + _box(
+            b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd + stsz))))
+        return ftyp + _box(b"moov", mvhd + trak)
+
+    def _synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [
+                        _mp4((1 + int(m) % 50) * 500, 1 + int(m) % 24)
+                        for m in pdf["media_id"]
+                    ],
+                }
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    return (
+        multimodal.extract_video_metadata(payloads)
+        .select(
+            "media_id",
+            "brand",
+            "duration_ms",
+            "width",
+            "height",
+            "n_frames",
+            "video_codec",
+        )
+        .orderBy("media_id")
+    )
+
+
 # Dict order = the driver's evaluation order. Oracle-backed (cheap,
 # hash-attested) entries lead; the heavy rows-only LSH family runs
 # last so a truncated driver budget costs the weakest checks first
 # (round 1 lost the tail of this list to a time cut-off).
 OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,
+    "op_video_metadata": op_video_metadata,
     "op_gini": op_gini,
     "op_rfm": op_rfm,
     "op_pareto_front": op_pareto_front,
@@ -4518,6 +4581,20 @@ SELECT doc_id AS media_id,
        false AS vbr
 FROM documents
 WHERE doc_id % 7 = 0
+ORDER BY media_id
+""",
+    # The MP4 box walk's synthesis parameters (registry.op_video_metadata
+    # builds the ISO BMFF payload from exactly these expressions).
+    "op_video_metadata": """
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST((1 + doc_id % 50) * 500 AS BIGINT) AS duration_ms,
+       640 AS width,
+       360 AS height,
+       CAST(1 + doc_id % 24 AS BIGINT) AS n_frames,
+       'avc1' AS video_codec
+FROM documents
+WHERE doc_id % 11 = 0
 ORDER BY media_id
 """,
     "op_regexp_funcs": """

@@ -2472,3 +2472,89 @@ def test_mp3_strict_pcm_decode_still_raises(spark):
     row = multimodal.extract_audio_features(df, strict=False).first()
     assert row["sample_rate"] == 44100
     assert abs(row["duration_ms"] - int(5 * 1152 / 44100 * 1000)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF metadata-level ingest (box walk, no frame decode)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+
+def _mini_mp4(duration_ms: int, w: int, h: int, n_frames: int,
+              codec: bytes = b"avc1", with_audio: bool = False) -> bytes:
+    """Minimal ISO BMFF per ISO/IEC 14496-12: ftyp + moov(mvhd +
+    trak(tkhd + mdia(hdlr + minf(stbl(stsd + stsz))))), timescale
+    1000 so mvhd duration units are milliseconds."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big"))
+    mvhd = _mp4_box(b"mvhd", bytes(4) + bytes(8)
+                    + (1000).to_bytes(4, "big")
+                    + duration_ms.to_bytes(4, "big") + bytes(80))
+    tkhd = _mp4_box(b"tkhd", bytes(76)
+                    + (w << 16).to_bytes(4, "big")
+                    + (h << 16).to_bytes(4, "big"))
+    hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"vide"
+                    + bytes(12) + b"\x00")
+    stsd = _mp4_box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+                    + (16).to_bytes(4, "big") + codec + bytes(8))
+    stsz = _mp4_box(b"stsz", bytes(4) + bytes(4)
+                    + n_frames.to_bytes(4, "big"))
+    stbl = _mp4_box(b"stbl", stsd + stsz)
+    trak = _mp4_box(b"trak", tkhd + _mp4_box(
+        b"mdia", hdlr + _mp4_box(b"minf", stbl)))
+    parts = [mvhd, trak]
+    if with_audio:
+        a_hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"soun"
+                          + bytes(12) + b"\x00")
+        a_stsd = _mp4_box(b"stsd", bytes(4) + (1).to_bytes(4, "big")
+                          + (16).to_bytes(4, "big") + b"mp4a" + bytes(8))
+        a_trak = _mp4_box(b"trak", _mp4_box(
+            b"mdia", a_hdlr + _mp4_box(
+                b"minf", _mp4_box(b"stbl", a_stsd))))
+        parts.append(a_trak)
+    return ftyp + _mp4_box(b"moov", b"".join(parts))
+
+
+def test_mp4_metadata_box_walk(spark):
+    data = _mini_mp4(7500, 640, 360, 180, with_audio=True)
+    df = spark.createDataFrame([(1, data)], "media_id LONG, data BINARY")
+    row = multimodal.extract_video_metadata(df).first()
+    assert row["container"] == "mp4" and row["brand"] == "isom"
+    assert row["duration_ms"] == 7500
+    assert row["width"] == 640 and row["height"] == 360
+    assert row["n_frames"] == 180
+    assert row["video_codec"] == "avc1"
+    assert row["audio_codec"] == "mp4a"
+
+
+def test_video_metadata_avi_and_unknown(spark):
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 40_000, 0, 0, 0, 3, 0, 1, 0,
+                       8, 4, 0, 0, 0, 0)
+    vids = lst(b"strl", chunk(b"strh", struct.pack("<4s4s", b"vids", b"DIB "))
+               + chunk(b"strf", struct.pack("<IiiHHIIiiII", 40, 8, 4, 1, 24,
+                                            0, 0, 0, 0, 0, 0)))
+    movi = b"".join(chunk(b"00db", b"\x00" * 96) for _ in range(3))
+    body = lst(b"hdrl", chunk(b"avih", avih) + vids) + lst(b"movi", movi)
+    avi = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    rows = [(1, avi), (2, b"\x00\x01definitely-not-video")]
+    got = {r["media_id"]: r for r in multimodal.extract_video_metadata(
+        spark.createDataFrame(rows, "media_id LONG, data BINARY")
+    ).collect()}
+    assert got[1]["container"] == "avi"
+    assert got[1]["n_frames"] == 3
+    assert got[1]["duration_ms"] == 120  # 3 frames x 40 ms
+    assert got[1]["width"] == 8 and got[1]["height"] == 4
+    assert got[1]["video_codec"] == "DIB "
+    assert got[2]["container"] is None and got[2]["n_bytes"] > 0
