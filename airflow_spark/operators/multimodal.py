@@ -607,6 +607,63 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size
 
 
+def _id3v2_text_frames(data: bytes) -> dict:
+    """TIT2/TPE1 text frames from a leading ID3v2.3/v2.4 tag
+    (id3.org frame layout: id(4) size(4) flags(2) body, body =
+    encoding byte + text). v2.4 frame sizes are syncsafe, v2.3 plain
+    big-endian — the major-version byte picks the decode. Returns
+    {"title": ..., "artist": ...} for whichever frames parse;
+    anything malformed just ends the frame walk."""
+    total = _id3v2_size(data)
+    if total == 0:
+        return {}
+    major = data[3]
+    pos, end = 10, min(total, len(data))
+    if len(data) > 5 and data[5] & 0x40:  # extended header present
+        if pos + 4 > end:
+            return {}
+        ext = int.from_bytes(data[pos:pos + 4], "big")
+        if major == 4:
+            ext = ((ext >> 24 & 0x7F) << 21 | (ext >> 16 & 0x7F) << 14
+                   | (ext >> 8 & 0x7F) << 7 | (ext & 0x7F))
+        else:
+            ext += 4  # v2.3 ext size excludes its own 4 size bytes
+        pos += ext
+    out: dict[str, str] = {}
+    want = {b"TIT2": "title", b"TPE1": "artist"}
+    while pos + 10 <= end and len(out) < len(want):
+        fid = data[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding reached
+        raw_sz = data[pos + 4:pos + 8]
+        if major == 4:
+            if any(b & 0x80 for b in raw_sz):
+                break
+            fsz = ((raw_sz[0] << 21) | (raw_sz[1] << 14)
+                   | (raw_sz[2] << 7) | raw_sz[3])
+        else:
+            fsz = int.from_bytes(raw_sz, "big")
+        body = data[pos + 10:pos + 10 + fsz]
+        if fid in want and fsz >= 2:
+            enc, payload = body[0], body[1:]
+            try:
+                if enc == 0:
+                    txt = payload.decode("latin-1")
+                elif enc == 1:
+                    txt = payload.decode("utf-16")
+                elif enc == 2:
+                    txt = payload.decode("utf-16-be")
+                else:
+                    txt = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                txt = ""
+            txt = txt.rstrip("\x00").strip()
+            if txt:
+                out[want[fid]] = txt
+        pos += 10 + fsz
+    return out
+
+
 def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
     """Metadata-level MP3 ingest: walk MPEG audio frame headers
     (public ISO/IEC 11172-3 §2.4.1.3 header layout) and the ID3v1/v2
@@ -697,6 +754,9 @@ def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
             "latin-1", "replace").strip() or None
         out["artist"] = tag[33:63].split(b"\x00")[0].decode(
             "latin-1", "replace").strip() or None
+    # ID3v2 text frames win over the fixed-width v1 trailer (the v2
+    # tag is the one modern encoders actually write)
+    out.update(_id3v2_text_frames(data))
     return out
 
 

@@ -2558,3 +2558,43 @@ def test_video_metadata_avi_and_unknown(spark):
     assert got[1]["width"] == 8 and got[1]["height"] == 4
     assert got[1]["video_codec"] == "DIB "
     assert got[2]["container"] is None and got[2]["n_bytes"] > 0
+
+
+def test_mp3_id3v2_text_frames_win_over_v1(spark):
+    """TIT2/TPE1 from an ID3v2.4 tag (syncsafe frame sizes, UTF-8)
+    override the fixed-width v1 trailer; a v2.3 tag (plain big-endian
+    sizes, UTF-16) parses too."""
+    def v2_frame(fid: bytes, text: str, enc: int, syncsafe: bool) -> bytes:
+        body = bytes([enc]) + (
+            text.encode("utf-8") if enc == 3 else text.encode("utf-16")
+        )
+        n = len(body)
+        if syncsafe:
+            sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                        (n >> 7) & 0x7F, n & 0x7F])
+        else:
+            sz = n.to_bytes(4, "big")
+        return fid + sz + b"\x00\x00" + body
+
+    def v2_tag(frames: bytes, major: int) -> bytes:
+        n = len(frames)
+        sz = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F])
+        return b"ID3" + bytes([major, 0, 0]) + sz + frames
+
+    audio = b"".join(_mp3_frame() for _ in range(4))
+    v24 = v2_tag(
+        v2_frame(b"TIT2", "Vérité", 3, True)
+        + v2_frame(b"TPE1", "Ärtist", 3, True),
+        major=4,
+    ) + audio + _id3v1("old title", "old artist")
+    v23 = v2_tag(
+        v2_frame(b"TIT2", "Wide Title", 1, False), major=3
+    ) + audio
+    rows = [(1, v24), (2, v23)]
+    got = {r["media_id"]: r for r in multimodal.extract_audio_metadata(
+        spark.createDataFrame(rows, "media_id LONG, data BINARY")
+    ).collect()}
+    assert got[1]["title"] == "Vérité" and got[1]["artist"] == "Ärtist"
+    assert got[1]["id3v2"] is True and got[1]["n_frames"] == 4
+    assert got[2]["title"] == "Wide Title" and got[2]["artist"] is None
