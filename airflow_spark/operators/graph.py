@@ -390,7 +390,8 @@ def sssp_bounded(
         .persist()
     )
     dist = spark.createDataFrame([(source, 0.0)], "node bigint, dist double")
-    for _ in range(rounds):
+    prev: DataFrame | None = None
+    for i in range(rounds):
         cand = dist.join(adj, "node").select(
             F.col("nbr").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
@@ -400,6 +401,16 @@ def sssp_bounded(
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        # materialize the new round, then drop the superseded cache —
+        # the relaxation only ever reads the latest dist frame, so
+        # keeping old rounds pinned is pure leak (same hygiene as
+        # pagerank's periodic checkpoints). The final round stays
+        # persisted for the caller.
+        if i + 1 < rounds:
+            dist.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = dist
     return dist
 
 
@@ -446,6 +457,12 @@ def kcore(
             .persist()
         )
         n_edges = nxt.count()
+        # nxt is materialized; the peeled-away round's caches are dead
+        # weight from here (cur may be sym on round one — sym is only
+        # read through cur, so dropping it then is safe too)
+        keep.unpersist()
+        if cur.is_cached:
+            cur.unpersist()
         if n_edges == prev_edges:
             return (
                 nxt.groupBy("a")
