@@ -413,3 +413,108 @@ def test_kcore_fixpoint_properties(spark, edge_bits, k):
         assert {(r.node, r.deg) for r in again} == {
             (r.node, r.deg) for r in core
         }
+
+
+# ---------------------------------------------------------------------------
+# Media metadata walkers: total functions over arbitrary bytes
+# ---------------------------------------------------------------------------
+#
+# The walkers run inside mapInPandas over untrusted corpus payloads; a
+# single malformed file raising would kill a 100 TB job's task (and its
+# retries). Contract: parse functions are TOTAL — any byte string
+# returns a dict or None, never raises.
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_mp3_walker_total_on_arbitrary_bytes(data):
+    from airflow_spark.operators.multimodal import (
+        _id3v2_text_frames,
+        _parse_mp3_metadata,
+    )
+
+    out = _parse_mp3_metadata(data)
+    assert out is None or isinstance(out, dict)
+    assert isinstance(_id3v2_text_frames(data), dict)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_mp4_walker_total_on_arbitrary_bytes(data):
+    from airflow_spark.operators.multimodal import _parse_mp4_metadata
+
+    out = _parse_mp4_metadata(data)
+    assert out is None or isinstance(out, dict)
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_mp3_walker_total_on_sync_prefixed_bytes(data):
+    """Force the walker past the sync check: random bytes behind a
+    valid-looking frame sync must still never raise."""
+    from airflow_spark.operators.multimodal import _parse_mp3_metadata
+
+    out = _parse_mp3_metadata(b"\xff\xfb" + data)
+    assert out is None or isinstance(out, dict)
+
+
+@given(st.binary(max_size=1024))
+@settings(max_examples=200, deadline=None)
+def test_mp4_walker_total_on_box_prefixed_bytes(data):
+    """Random bytes wrapped in a plausible box header (moov with a
+    size covering the payload) exercise the recursive walk."""
+    from airflow_spark.operators.multimodal import _parse_mp4_metadata
+
+    payload = (len(data) + 8).to_bytes(4, "big") + b"moov" + data
+    out = _parse_mp4_metadata(payload)
+    assert out is None or isinstance(out, dict)
+
+
+@given(
+    n_frames=st.integers(1, 120),
+    br_idx=st.sampled_from([1, 2, 5, 9, 11, 14]),
+    sr_idx=st.integers(0, 2),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_cbr_roundtrip_exact(n_frames, br_idx, sr_idx):
+    """Synthesize-parse round-trip across the MPEG1-L3 bitrate/rate
+    table: frame count, bitrate, and sample rate recover exactly and
+    duration matches the closed form."""
+    from airflow_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        _parse_mp3_metadata,
+    )
+
+    kbps = _MP3_BITRATES[(1, 3)][br_idx]
+    sr = _MP3_RATES["1"][sr_idx]
+    flen = 144 * kbps * 1000 // sr
+    frame = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0])
+    frame += b"\x00" * (flen - 4)
+    out = _parse_mp3_metadata(frame * n_frames)
+    assert out is not None
+    assert out["n_frames"] == n_frames
+    assert out["bitrate_kbps"] == kbps
+    assert out["sample_rate"] == sr
+    assert out["channels"] == 1  # mode bits 11 = mono
+    assert out["duration_ms"] == round(n_frames * 1152000.0 / sr)
+    assert out["vbr"] is False
+
+
+@given(
+    duration_ms=st.integers(0, 10**9),
+    w=st.integers(1, 8192),
+    h=st.integers(1, 8192),
+    n_frames=st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_roundtrip_exact(duration_ms, w, h, n_frames):
+    from airflow_spark.operators.multimodal import _parse_mp4_metadata
+    from tests.test_llm_ops import _mini_mp4
+
+    out = _parse_mp4_metadata(_mini_mp4(duration_ms, w, h, n_frames))
+    assert out is not None
+    assert out["duration_ms"] == duration_ms
+    assert out["width"] == w and out["height"] == h
+    assert out["n_frames"] == n_frames
+    assert out["video_codec"] == "avc1"
