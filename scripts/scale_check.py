@@ -138,6 +138,17 @@ DECADE_OPS = (
     "op_dedup_containment",
 )
 
+#: The embedding/ANN family — the other path that must hold at 100 TB.
+#: All read only `embeddings`; `op_similarity_pq` is warmed first so
+#: the timing is the serve path (per-corpus train+encode is a one-off,
+#: same convention as the 10x audit and bench.py).
+DECADE_EMB_OPS = (
+    "op_similarity_ann",
+    "op_similarity_ivf",
+    "op_similarity_pq",
+    "op_embedding_neardup",
+)
+
 
 def run_decade() -> int:
     """Two-decade growth audit: 1x -> 10x -> 100x documents for the
@@ -149,12 +160,16 @@ def run_decade() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     dirs = {1: SF_DIR}
     for n in (10, 100):
-        dirs[n] = build_replica(spark, n, tables=("documents",))
+        dirs[n] = build_replica(
+            spark, n, tables=("documents", "embeddings")
+        )
     out: dict[str, dict] = {}
-    for name in DECADE_OPS:
+    for name in DECADE_OPS + DECADE_EMB_OPS:
         fn = r.OPERATOR_QUERIES[name]
         rec: dict[str, float | None] = {}
         for n, d in dirs.items():
+            if name == "op_similarity_pq":
+                fn(spark, d).count()  # warm: one-off train+encode
             t0 = time.time()
             fn(spark, d).count()
             rec[f"t{n}"] = round(time.time() - t0, 2)
@@ -176,20 +191,25 @@ def run_decade() -> int:
     return 0
 
 
-_DECADE_HEADER = "## Two-decade audit (dedup family, 1x -> 10x -> 100x)"
+_DECADE_HEADER = "## Two-decade audit (dedup + ANN families, 1x -> 10x -> 100x)"
 
 
 def _decade_section(out: dict) -> list[str]:
     lines = [
         _DECADE_HEADER,
         "",
-        "`documents` replicated 10x and 100x (remapped ids; every copy",
-        "is a true near-duplicate of its siblings, so planted duplicate",
-        "cliques grow quadratically by construction). The per-DECADE",
-        "growth ratio is the signal: ≤ ~10x per decade = the",
-        "banding/bucket-cap/budget machinery holds with no hidden",
+        "`documents` and `embeddings` replicated 10x and 100x (remapped",
+        "ids; every copy is a true near-duplicate of its siblings, so",
+        "planted duplicate cliques grow quadratically by construction).",
+        "The per-DECADE growth ratio is the signal: ≤ ~10x per decade =",
+        "the banding/bucket-cap/budget machinery holds with no hidden",
         "quadratic term — the second decade is the honest one, where",
-        "1x fixed costs no longer mask growth.",
+        "1x fixed costs no longer mask growth. The embedding rows",
+        "(`op_similarity_*`, `op_embedding_neardup`) audit the ANN",
+        "serve paths: single-probe LSH/IVF queries should be near",
+        "scan-bound, PQ (timed on its warmed serve path) near",
+        "fixed-cost, and the sign-LSH pair op tracks its quadratic",
+        "true-output growth like the text trio.",
         "",
         "| operator | t(1x) s | t(10x) s | t(100x) s | 1x→10x | 10x→100x |",
         "|---|---|---|---|---|---|",
