@@ -11,10 +11,14 @@ token's ``groups`` claim onto Admin/Viewer roles at login
 :class:`JwksRoleProvider` is the engine-native equivalent, shaped for
 the ControlPlane's pluggable ``authenticate(headers)`` slot:
 
-- **Offline verification** against a LOCAL JWKS document (a dict, or
-  a path to one) — no network in the request path or in tests; a
-  deployment refreshes the document out-of-band exactly like a JWKS
-  cache would.
+- **Offline verification** against LOCAL JWKS document(s) (a dict, a
+  path, or a list of either) — no network in the request path or in
+  tests; a deployment refreshes the documents out-of-band exactly
+  like a JWKS cache would.
+- **Kid rollover**: :meth:`rotate` (or the ``retiring_jwks``
+  constructor arg) keeps the outgoing key set verifying for a grace
+  window — the offline analog of the reference's live JWKS client
+  surviving IdP key rotation (webserver_config.py:60-141).
 - **RS256 only.** ``alg`` comes from the ATTACKER-CONTROLLED header,
   so the accepted algorithm is pinned server-side: ``none`` and the
   HS256 key-confusion downgrade (signing with the PUBLIC key as an
@@ -97,32 +101,37 @@ class JwksRoleProvider:
 
     def __init__(
         self,
-        jwks: dict | str,
+        jwks: dict | str | list,
         roles_mapping: dict[str, str],
         issuer: str | None = None,
         audience: str | None = None,
         groups_claim: str = "groups",
         leeway_s: int = 30,
         clock=time.time,
+        retiring_jwks: dict | str | list | None = None,
+        rotation_grace_s: float = 3600.0,
+        retired_at: float | None = None,
     ):
         if not _HAVE_CRYPTO:
             raise RuntimeError(
                 "JwksRoleProvider needs the 'cryptography' package for "
                 "RS256 verification"
             )
-        if isinstance(jwks, str):
-            with open(jwks) as f:
-                jwks = json.load(f)
-        self._keys: dict[str | None, rsa.RSAPublicKey] = {}
-        for k in jwks.get("keys", []):
-            if k.get("kty") != "RSA":
-                continue
-            pub = rsa.RSAPublicNumbers(
-                _b64url_uint(k["e"]), _b64url_uint(k["n"])
-            ).public_key()
-            self._keys[k.get("kid")] = pub
+        self._keys = self._load_keys(jwks)
         if not self._keys:
             raise ValueError("JWKS document contains no RSA keys")
+        # kid-rollover grace: keys from the RETIRING document(s) still
+        # verify until retired_at + rotation_grace_s, after which only
+        # the current set is accepted (reference analog: the live JWKS
+        # client at config/webserver_config.py:60-141 survives IdP key
+        # rollover because old kids stay fetchable for a while)
+        self._retiring = (
+            self._load_keys(retiring_jwks) if retiring_jwks else {}
+        )
+        self.rotation_grace_s = float(rotation_grace_s)
+        self._retired_at = (
+            float(retired_at) if retired_at is not None else clock()
+        )
         self._mapper = GroupRoleMapper(roles_mapping)
         self.issuer = issuer
         self.audience = audience
@@ -132,6 +141,48 @@ class JwksRoleProvider:
         #: jti/token-hash → exp epoch; entries self-expire (see revoke)
         self._revoked: dict[str, float] = {}
         self._lock = threading.Lock()
+
+    def _load_keys(
+        self, jwks: dict | str | list
+    ) -> dict[str | None, "rsa.RSAPublicKey"]:
+        """Merge one or more JWKS documents (dicts or paths) into a
+        kid → public-key map. Later documents win on kid collision."""
+        docs = jwks if isinstance(jwks, list) else [jwks]
+        keys: dict[str | None, rsa.RSAPublicKey] = {}
+        for doc in docs:
+            if isinstance(doc, str):
+                with open(doc) as f:
+                    doc = json.load(f)
+            if not isinstance(doc, dict):
+                raise ValueError("JWKS document must be a JSON object")
+            for k in doc.get("keys", []):
+                if k.get("kty") != "RSA":
+                    continue
+                pub = rsa.RSAPublicNumbers(
+                    _b64url_uint(k["e"]), _b64url_uint(k["n"])
+                ).public_key()
+                keys[k.get("kid")] = pub
+        return keys
+
+    def rotate(
+        self,
+        new_jwks: dict | str | list,
+        grace_s: float | None = None,
+    ) -> None:
+        """Install ``new_jwks`` as the current key set; the previous
+        current set becomes the retiring set and keeps verifying for
+        ``grace_s`` (default: the configured ``rotation_grace_s``)
+        measured from now. Tokens signed with a kid absent from both
+        sets — or present only in a retiring set past its grace — 401."""
+        new_keys = self._load_keys(new_jwks)
+        if not new_keys:
+            raise ValueError("JWKS document contains no RSA keys")
+        with self._lock:
+            self._retiring = dict(self._keys)
+            self._keys = new_keys
+            self._retired_at = self._clock()
+            if grace_s is not None:
+                self.rotation_grace_s = float(grace_s)
 
     # -- provider interface -------------------------------------------------
 
@@ -195,13 +246,26 @@ class JwksRoleProvider:
         if len(parts) != 3:
             raise JwtError("not a compact JWS")
         header = json.loads(_b64url_decode(parts[0]))
+        # json.loads of attacker input can yield any JSON value; only
+        # an object is a JWS header — a list/str/number here would
+        # escape the except tuples in authenticate() as AttributeError
+        if not isinstance(header, dict):
+            raise JwtError("header is not a JSON object")
         # pin the algorithm server-side; the header value is attacker
         # input (alg=none and RS->HS key-confusion both arrive here)
         if header.get("alg") != "RS256":
             raise JwtError("algorithm not allowed")
-        key = self._keys.get(header.get("kid"))
+        kid = header.get("kid")
+        key = self._keys.get(kid)
+        if key is None and kid in self._retiring:
+            # kid-rollover grace window: the retiring key verifies
+            # until retired_at + rotation_grace_s, then 401s
+            if self._clock() <= self._retired_at + self.rotation_grace_s:
+                key = self._retiring[kid]
+            else:
+                raise JwtError("key retired")
         if key is None:
-            if header.get("kid") is None and len(self._keys) == 1:
+            if kid is None and len(self._keys) == 1:
                 key = next(iter(self._keys.values()))
             else:
                 raise JwtError("unknown kid")
@@ -216,6 +280,8 @@ class JwksRoleProvider:
         except InvalidSignature as ex:
             raise JwtError("bad signature") from ex
         claims = json.loads(_b64url_decode(parts[1]))
+        if not isinstance(claims, dict):
+            raise JwtError("claims are not a JSON object")
         now = self._clock()
         exp = claims.get("exp")
         if not isinstance(exp, (int, float)):

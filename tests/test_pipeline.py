@@ -1583,6 +1583,126 @@ def test_jwt_logout_revocation(rsa_keypair):
     assert "jti:abc-123" not in prov._revoked
 
 
+def test_jwt_non_object_header_and_claims_are_401(spark, rsa_keypair):
+    """A bearer token whose header (or claims) segment is valid JSON
+    but NOT an object (e.g. base64url of '[]') must be a clean 401 —
+    not an AttributeError escaping authenticate() and killing the
+    dispatch thread (advisor finding, auth.py json.loads sites)."""
+    import base64 as _b64
+
+    from airflow_spark.pipeline.api import ControlPlane
+    from airflow_spark.pipeline.auth import mint_rs256_jwt
+
+    key, _ = rsa_keypair
+    now = 1_700_000_000
+    prov = _jwt_provider(rsa_keypair, clock=lambda: now)
+
+    def enc(b: bytes) -> str:
+        return _b64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    good = mint_rs256_jwt(key, {
+        "sub": "u1", "groups": ["analysts"], "exp": now + 600,
+    }, kid="k1")
+    _, payload, sig = good.split(".")
+    for bad_header in (b"[]", b'"str"', b"3", b"null"):
+        tok = f"{enc(bad_header)}.{payload}.{sig}"
+        assert prov.authenticate(
+            {"Authorization": f"Bearer {tok}"}
+        ) is None
+        prov.revoke(tok)  # must not raise either
+    # non-object CLAIMS: re-sign so only the claims shape is at fault
+    header = enc(b'{"alg":"RS256","kid":"k1"}')
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+    for bad_claims in (b"[]", b"17"):
+        si = f"{header}.{enc(bad_claims)}"
+        s = key.sign(si.encode(), padding.PKCS1v15(), hashes.SHA256())
+        assert prov.authenticate(
+            {"Authorization": f"Bearer {si}.{enc(s)}"}
+        ) is None
+    # and the control plane stays alive end-to-end
+    cp = ControlPlane(spark, [_mini_pipeline()], role_provider=prov)
+    st, _ = cp.dispatch(
+        "GET", "/pipelines", None,
+        {"Authorization": f"Bearer {enc(b'[]')}.{payload}.{sig}"},
+    )
+    assert st == 401
+    st, body = cp.dispatch(
+        "GET", "/pipelines", None, {"Authorization": f"Bearer {good}"}
+    )
+    assert st == 200 and body["pipelines"]
+
+
+def test_jwt_key_rotation_grace_window(rsa_keypair):
+    """Kid rollover (reference webserver_config.py:60-141 analog): a
+    token signed with the RETIRING key verifies during the grace
+    window, 401s after it; the new key verifies throughout; an
+    unknown kid always 401s."""
+    from cryptography.hazmat.primitives.asymmetric import rsa as _rsa
+
+    from airflow_spark.pipeline.auth import (
+        JwksRoleProvider,
+        jwk_from_public_key,
+        mint_rs256_jwt,
+    )
+
+    old_key, old_pub = rsa_keypair
+    new_key = _rsa.generate_private_key(
+        public_exponent=65537, key_size=2048
+    )
+    now = [1_700_000_000]
+    prov = JwksRoleProvider(
+        {"keys": [jwk_from_public_key(old_pub, kid="k1")]},
+        roles_mapping={"analysts": "Viewer"},
+        clock=lambda: now[0],
+    )
+    claims = {"sub": "u", "groups": ["analysts"], "exp": now[0] + 86_400}
+    old_tok = {"Authorization": "Bearer " + mint_rs256_jwt(
+        old_key, claims, kid="k1")}
+    new_tok = {"Authorization": "Bearer " + mint_rs256_jwt(
+        new_key, claims, kid="k2")}
+    stranger = {"Authorization": "Bearer " + mint_rs256_jwt(
+        new_key, claims, kid="k9")}
+
+    assert prov.authenticate(old_tok)["role"] == "Viewer"
+    assert prov.authenticate(new_tok) is None  # k2 not installed yet
+
+    prov.rotate(
+        {"keys": [jwk_from_public_key(new_key.public_key(), kid="k2")]},
+        grace_s=3600,
+    )
+    # during grace: BOTH kids verify; unknown kid still 401s
+    assert prov.authenticate(old_tok)["role"] == "Viewer"
+    assert prov.authenticate(new_tok)["role"] == "Viewer"
+    assert prov.authenticate(stranger) is None
+    now[0] += 3601  # past grace: retiring key is dead, new key lives
+    assert prov.authenticate(old_tok) is None
+    assert prov.authenticate(new_tok)["role"] == "Viewer"
+    # constructor form: old+new docs as a retiring/current pair
+    prov2 = JwksRoleProvider(
+        {"keys": [jwk_from_public_key(new_key.public_key(), kid="k2")]},
+        roles_mapping={"analysts": "Viewer"},
+        clock=lambda: now[0],
+        retiring_jwks={"keys": [jwk_from_public_key(old_pub, kid="k1")]},
+        rotation_grace_s=600,
+    )
+    assert prov2.authenticate(old_tok)["role"] == "Viewer"
+    now[0] += 601
+    assert prov2.authenticate(old_tok) is None
+    # a LIST of documents merges into the current set (multi-doc JWKS)
+    prov3 = JwksRoleProvider(
+        [
+            {"keys": [jwk_from_public_key(old_pub, kid="k1")]},
+            {"keys": [jwk_from_public_key(new_key.public_key(),
+                                          kid="k2")]},
+        ],
+        roles_mapping={"analysts": "Viewer"},
+        clock=lambda: now[0],
+    )
+    assert prov3.authenticate(old_tok)["role"] == "Viewer"
+    assert prov3.authenticate(new_tok)["role"] == "Viewer"
+
+
 def test_serve_wires_jwks_provider_from_env(
     spark, tmp_path, monkeypatch, rsa_keypair
 ):
