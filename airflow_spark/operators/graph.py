@@ -13,6 +13,14 @@ on the edge side, shuffling only the (node, rank/label) frame.
 
 Public algorithms: PageRank (Brin/Page), label-propagation connected
 components (the min-label hashmin variant used by e.g. GraphFrames).
+
+Cache contract (uniform across the iterative ops): the RETURNED frame
+is persisted and already materialized; every internal cache — the
+co-partitioned adjacency, loop invariants, per-round checkpoints and
+frontiers — is unpersisted before return, on the error paths too. The
+caller owns the single remaining cache and may ``result.unpersist()``
+when done; ``tests/test_graph.py`` asserts the persistent-RDD ledger
+returns to baseline after that.
 """
 
 from __future__ import annotations
@@ -103,6 +111,17 @@ def pagerank(
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
+    # cache contract (uniform across the iterative graph ops): the
+    # RETURNED frame is persisted and materialized; every internal
+    # cache — loop invariants and the last periodic checkpoint — is
+    # dropped here. The caller owns the one remaining cache and may
+    # result.unpersist() when done.
+    ranks = ranks.persist()
+    ranks.count()
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    nodes.unpersist()
+    e_deg.unpersist()
     return ranks
 
 
@@ -164,7 +183,14 @@ def connected_components(
             labels.unpersist()
         labels = new
         if changed == 0:
+            # labels is persisted AND materialized (the convergence
+            # probe ran on it); drop the loop-invariant adjacency so
+            # the returned frame owns the only remaining cache
+            sym.unpersist()
             return labels
+    sym.unpersist()
+    if labels.is_cached:
+        labels.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters)"
@@ -333,6 +359,7 @@ def bfs_distances(
     )
     dist = spark.createDataFrame([(source, 0)], "node bigint, dist int")
     frontier = dist
+    frontiers: list[DataFrame] = []
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(adj, "node")
@@ -342,6 +369,7 @@ def bfs_distances(
             .select("node", F.lit(d).alias("dist"))
             .persist()
         )
+        frontiers.append(nxt)
         if nxt.isEmpty():
             break
         # no per-round persist on the accumulator: it is a union of
@@ -350,6 +378,14 @@ def bfs_distances(
         # materialization barrier (measured 5× slower in pagerank)
         dist = dist.unionByName(nxt)
         frontier = nxt
+    # cache contract: persist + materialize the returned accumulator,
+    # then drop every per-round frontier and the adjacency — the
+    # caller owns the single remaining cache
+    dist = dist.persist()
+    dist.count()
+    for f in frontiers:
+        f.unpersist()
+    adj.unpersist()
     return dist
 
 
@@ -404,13 +440,15 @@ def sssp_bounded(
         # materialize the new round, then drop the superseded cache —
         # the relaxation only ever reads the latest dist frame, so
         # keeping old rounds pinned is pure leak (same hygiene as
-        # pagerank's periodic checkpoints). The final round stays
-        # persisted for the caller.
-        if i + 1 < rounds:
-            dist.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = dist
+        # pagerank's periodic checkpoints); EVERY round now, so the
+        # penultimate frame no longer outlives the loop
+        dist.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+    # cache contract: the returned final-round frame is the only cache
+    # left — drop the adjacency (callers only read the dist frame)
+    adj.unpersist()
     return dist
 
 
@@ -464,13 +502,21 @@ def kcore(
         if cur.is_cached:
             cur.unpersist()
         if n_edges == prev_edges:
-            return (
+            # cache contract: materialize the final degree agg as the
+            # returned cache, then drop the fixpoint edge set it reads
+            out = (
                 nxt.groupBy("a")
                 .agg(F.count(F.lit(1)).alias("deg"))
                 .select(F.col("a").alias("node"), "deg")
                 .orderBy("node")
+                .persist()
             )
+            out.count()
+            nxt.unpersist()
+            return out
         cur, prev_edges = nxt, n_edges
+    if cur.is_cached:
+        cur.unpersist()
     raise RuntimeError(
         f"kcore did not reach a fixpoint in {max_iters} rounds"
     )
@@ -518,6 +564,7 @@ def personalized_pagerank(
     # count over the already-persisted node set
     n_found = nodes.where(F.col("node").isin(srcs)).count()
     if n_found != len(srcs):
+        nodes.unpersist()  # error path: don't leak the invariant cache
         raise ValueError(
             f"{len(srcs) - n_found} source id(s) absent from the edge list"
         )
@@ -553,6 +600,14 @@ def personalized_pagerank(
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ranks
+    # same cache contract as ``pagerank``: returned frame persisted +
+    # materialized, all internal caches dropped
+    ranks = ranks.persist()
+    ranks.count()
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    nodes.unpersist()
+    e_deg.unpersist()
     return ranks
 
 

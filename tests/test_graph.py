@@ -317,3 +317,72 @@ def test_clustering_coefficient_triangle_plus_pendant(spark):
     assert got[0]["coeff"] == round(1 / 3, 6)
     # pendant: deg 1 -> 0.0 by convention, still present
     assert got[3]["coeff"] == 0.0 and got[3]["n_triangles"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Cache hygiene: the uniform contract from the module docstring — after an
+# iterative op returns (its result is already materialized), the ONLY
+# persisted RDDs beyond the pre-call baseline back the returned frame, and
+# result.unpersist() returns the ledger to baseline exactly.
+# ---------------------------------------------------------------------------
+
+
+def _persisted_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+@pytest.mark.parametrize(
+    "opname",
+    [
+        "pagerank",
+        "personalized_pagerank",
+        "connected_components",
+        "bfs_distances",
+        "sssp_bounded",
+        "kcore",
+    ],
+)
+def test_iterative_ops_leave_only_the_returned_cache(spark, opname):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 5)]
+    e = _edges(spark, pairs)
+    ew = e.withColumn("w", (e.src + e.dst + 1).cast("double"))
+    calls = {
+        "pagerank": lambda: graph.pagerank(e, iters=6),
+        "personalized_pagerank": lambda: graph.personalized_pagerank(
+            e, sources=[0], iters=6
+        ),
+        "connected_components": lambda: graph.connected_components(e),
+        "bfs_distances": lambda: graph.bfs_distances(e, source=0),
+        "sssp_bounded": lambda: graph.sssp_bounded(ew, source=0, rounds=3),
+        "kcore": lambda: graph.kcore(e, k=2),
+    }
+    before = _persisted_ids(spark)
+    out = calls[opname]()
+    out.collect()
+    during = _persisted_ids(spark) - before
+    # internal caches (adjacency, invariants, per-round frames) must be
+    # gone; exactly the returned frame's cache may remain
+    assert len(during) <= 1, (
+        f"{opname} left {len(during)} extra persisted RDDs: {during}"
+    )
+    out.unpersist()
+    assert _persisted_ids(spark) - before == set(), (
+        f"{opname}: ledger did not return to baseline after unpersist"
+    )
+
+
+def test_iterative_ops_error_paths_leave_no_cache(spark):
+    before = _persisted_ids(spark)
+    with pytest.raises(RuntimeError):
+        graph.connected_components(
+            _edges(spark, [(i, i + 1) for i in range(1, 6)]), max_iters=2
+        )
+    assert _persisted_ids(spark) - before == set()
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(
+            _edges(spark, [(0, 1), (1, 0)]), sources=[99], iters=2
+        )
+    # the missing-source guard fires after `nodes` is persisted; the
+    # raise path must still drop it
+    assert _persisted_ids(spark) - before == set()
