@@ -505,12 +505,14 @@ def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
             "available via extract_audio_metadata)"
         )
     # metadata-level MP3 parse (frame walk, no PCM): the fake MFCCs
-    # stay hash-derived, but duration/rate are the REAL values
+    # stay hash-derived, but duration/rate are the REAL values — the
+    # parsed numbers WIN over caller-declared metadata (declared
+    # values only fill formats the walker can't parse)
     mp3 = _parse_mp3_metadata(data)
     if mp3 is not None:
-        meta = {"duration_ms": mp3["duration_ms"],
-                "sample_rate": mp3["sample_rate"], **{
-                    k: v for k, v in meta.items() if v is not None}}
+        meta = {**{k: v for k, v in meta.items() if v is not None},
+                "duration_ms": mp3["duration_ms"],
+                "sample_rate": mp3["sample_rate"]}
     h = hashlib.sha256(data).digest()
     return {
         "duration_ms": int(meta.get("duration_ms") or (1000 + h[0] * 16)),

@@ -1,10 +1,12 @@
 """Driver-facing registry for the LLM-data-pipeline operators.
 
 Each entry is a ``(spark, sf_dir) -> DataFrame`` callable over the
-driver testdata. SQL-expressible ops carry a DuckDB oracle; the
-LSH/embedding family is declared rows-only (float accumulation order
-and hash salts are not portable SQL) and is property-tested in
-``tests/test_llm_ops.py`` instead.
+driver testdata, and EVERY entry carries a DuckDB oracle
+(``OPERATOR_ORACLE_SQL`` has the same keys): approximate families
+(LSH, sketches, greedy MMR) attest through exact SQL twins plus
+accuracy-bound booleans rather than direct value equality. The
+LLM-op families are additionally property-tested in
+``tests/test_llm_ops.py``.
 """
 
 from __future__ import annotations
@@ -3496,9 +3498,9 @@ def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Dict order = the driver's evaluation order. Oracle-backed (cheap,
-# hash-attested) entries lead; the heavy rows-only LSH family runs
-# last so a truncated driver budget costs the weakest checks first
+# Dict order = the driver's evaluation order (every entry is
+# oracle-backed). Cheap entries lead; the heavy LSH family runs last
+# so a truncated driver budget costs the slowest checks first
 # (round 1 lost the tail of this list to a time cut-off).
 OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,

@@ -7,6 +7,28 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# --publish-dry-run mirrors .github/workflows/publish.yml's publish
+# job: build the image (when docker exists) and print the tag set the
+# workflow would push. Never pushes — same as the workflow's default
+# (push only happens on the runner with PUBLISH_IMAGE=true).
+if [ "${1:-}" = "--publish-dry-run" ]; then
+    echo "== job: publish (dry run) =="
+    owner="${GITHUB_REPOSITORY_OWNER:-local}"
+    tag="${GIT_TAG:-$(git describe --tags --abbrev=0 2>/dev/null || echo v0.0.0-dev)}"
+    date_tag="$(date +%Y.%m.%d)"
+    echo "would push:"
+    echo "  ghcr.io/${owner}/airflow-spark-engine:${tag}"
+    echo "  ghcr.io/${owner}/airflow-spark-engine:latest"
+    echo "  ghcr.io/${owner}/airflow-spark-engine:${date_tag}"
+    if command -v docker >/dev/null 2>&1 && docker info >/dev/null 2>&1; then
+        docker build -t "airflow-spark-engine:${tag}" .
+        echo "publish dry run: image built, nothing pushed"
+    else
+        echo "publish dry run: docker daemon unavailable here; tag plan above"
+    fi
+    exit 0
+fi
+
 echo "== job: lint =="
 ./scripts/lint.sh
 
