@@ -666,6 +666,44 @@ def _id3v2_text_frames(data: bytes) -> dict:
     return out
 
 
+def _xing_vbri_header(
+    data: bytes, pos: int, vgroup: int, mode: int
+) -> dict | None:
+    """Xing/Info/VBRI stream-info header inside the FIRST frame, when
+    present (the de-facto VBR standard: LAME/Xing write 'Xing' for VBR
+    and 'Info' for CBR right after the side info; Fraunhofer writes
+    'VBRI' at a fixed 32-byte offset). Returns {tag, frames?, bytes?}
+    — frames = declared count of AUDIO frames following this header
+    frame, bytes = declared total stream size including it."""
+    # Xing/Info offset = 4-byte header + side-info size, which depends
+    # on version and channel mode (ISO/IEC 11172-3 §2.4.1.7: MPEG1
+    # 17 mono / 32 stereo; MPEG2/2.5 9 / 17)
+    mono = mode == 3
+    si = (17 if mono else 32) if vgroup == 1 else (9 if mono else 17)
+    off = pos + 4 + si
+    if data[off:off + 4] in (b"Xing", b"Info"):
+        tag = data[off:off + 4].decode("ascii")
+        flags = int.from_bytes(data[off + 4:off + 8], "big")
+        p = off + 8
+        out: dict = {"tag": tag}
+        if flags & 0x1:  # frames field
+            out["frames"] = int.from_bytes(data[p:p + 4], "big")
+            p += 4
+        if flags & 0x2:  # bytes field
+            out["bytes"] = int.from_bytes(data[p:p + 4], "big")
+        return out
+    # VBRI: fixed 32 bytes after the header (Fraunhofer layout:
+    # 'VBRI' ver(2) delay(2) quality(2) bytes(4) frames(4))
+    voff = pos + 4 + 32
+    if data[voff:voff + 4] == b"VBRI":
+        return {
+            "tag": "VBRI",
+            "bytes": int.from_bytes(data[voff + 10:voff + 14], "big"),
+            "frames": int.from_bytes(data[voff + 14:voff + 18], "big"),
+        }
+    return None
+
+
 def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
     """Metadata-level MP3 ingest: walk MPEG audio frame headers
     (public ISO/IEC 11172-3 §2.4.1.3 header layout) and the ID3v1/v2
@@ -673,6 +711,14 @@ def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
     WITHOUT decoding any PCM (that still needs a codec and stays
     behind the strict-raise stub). This covers what curation
     pipelines actually filter on: length, fidelity, tag presence.
+
+    When the first frame carries a Xing/Info/VBRI stream-info header
+    with a frame count, duration/n_frames/bitrate come from the
+    HEADER (O(1), the shape a 100 TB metadata pass wants — VBR files
+    are otherwise only measurable by walking every frame) and the
+    walk is skipped; ``vbr`` is True for the Xing/VBRI tags, False
+    for Info (LAME's CBR marker). The frame walk below remains the
+    fallback for headerless streams.
 
     Returns None when the payload is not MPEG audio. The frame walk
     is bounded by ``max_frames`` so one pathological payload can't
@@ -692,6 +738,7 @@ def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
     vbr = False
     first_kbps = None
     duration_s = 0.0
+    stream_info: dict | None = None
     while pos + 4 <= end and n_frames < max_frames:
         b0, b1, b2, b3 = data[pos:pos + 4]
         if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
@@ -728,6 +775,13 @@ def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
             version, layer, sample_rate = ver, lay, sr
             channels = 1 if mode == 3 else 2
             first_kbps = kbps
+            if lay == 3:
+                hdr = _xing_vbri_header(data, pos, vgroup, mode)
+                if hdr is not None and hdr.get("frames"):
+                    # header-declared stream info: O(1), no walk
+                    stream_info = hdr
+                    n_frames = 1
+                    break
         elif kbps != first_kbps:
             vbr = True
         n_frames += 1
@@ -740,16 +794,33 @@ def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
         "container": "mp3",
         "mpeg_version": version,
         "layer": layer,
-        "bitrate_kbps": int(round(total_kbps / n_frames)),
+        "bitrate_kbps": int(round(total_kbps / max(n_frames, 1)))
+        if total_kbps else first_kbps,
         "sample_rate": sample_rate,
         "channels": channels,
         "n_frames": n_frames,
         "duration_ms": int(round(duration_s * 1000.0)),
         "vbr": vbr,
+        "xing": None,
         "id3v2": id3v2 > 0,
         "title": None,
         "artist": None,
     }
+    if stream_info is not None:
+        nf, sr = stream_info["frames"], sample_rate
+        spf = 384 if layer == 1 else (
+            1152 if layer == 2 or version == "1" else 576
+        )
+        out["n_frames"] = nf
+        out["duration_ms"] = int(round(nf * spf * 1000.0 / sr))
+        out["vbr"] = stream_info["tag"] in ("Xing", "VBRI")
+        out["xing"] = stream_info["tag"]
+        if stream_info.get("bytes"):
+            # floor division on both sides (walker here, SQL oracle
+            # twin) so the average bitrate is rounding-mode-exact
+            out["bitrate_kbps"] = int(
+                stream_info["bytes"] * 8 * sr // (nf * spf * 1000)
+            )
     if has_id3v1:
         tag = data[len(data) - 128:]
         out["title"] = tag[3:33].split(b"\x00")[0].decode(
@@ -779,6 +850,7 @@ def _wav_metadata(data: bytes):
         "n_frames": len(x),
         "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
         "vbr": False,
+        "xing": None,
         "id3v2": False,
         "title": None,
         "artist": None,
@@ -799,6 +871,7 @@ AUDIO_METADATA_SCHEMA = T.StructType(
         T.StructField("n_frames", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
         T.StructField("vbr", T.BooleanType()),
+        T.StructField("xing", T.StringType()),
         T.StructField("id3v2", T.BooleanType()),
         T.StructField("title", T.StringType()),
         T.StructField("artist", T.StringType()),
@@ -841,6 +914,7 @@ def extract_audio_metadata(
                         "n_frames": meta.get("n_frames"),
                         "duration_ms": meta.get("duration_ms"),
                         "vbr": meta.get("vbr"),
+                        "xing": meta.get("xing"),
                         "id3v2": meta.get("id3v2"),
                         "title": meta.get("title"),
                         "artist": meta.get("artist"),

@@ -3393,12 +3393,18 @@ def op_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level MP3 ingest (``multimodal.extract_audio_metadata``
-    — ISO/IEC 11172-3 frame-header walk + ID3, no PCM decode) attested
-    end-to-end: every 7th document synthesizes a deterministic
-    MPEG1-Layer-III CBR stream (``1 + doc_id % 40`` frames @ 128 kbps
-    / 44.1 kHz) inside the same Arrow batches real payloads ride, the
-    walker parses the bytes back, and the closed-form frame arithmetic
-    (n·1152 samples / 44100 Hz) is the DuckDB oracle."""
+    — ISO/IEC 11172-3 frame-header walk + Xing/Info/VBRI stream-info
+    headers + ID3, no PCM decode) attested end-to-end: every 7th
+    document synthesizes a deterministic MPEG1-Layer-III stream —
+    ``doc_id % 14 == 0`` a plain CBR stream (``1 + doc_id % 40``
+    frames @ 128 kbps / 44.1 kHz, walker walks every frame),
+    ``doc_id % 14 == 7`` a VBR stream (a Xing header frame declaring
+    frame/byte totals, then the same count of audio frames
+    alternating 128/160 kbps — the walker must take the O(1) header
+    path). The closed-form frame/byte arithmetic is the DuckDB
+    oracle: duration from the declared frame count, average bitrate
+    floor((bytes·8·44100)/(n·1152·1000)) exactly as the walker
+    computes it."""
     import pandas as _pd
 
     from . import multimodal
@@ -3407,8 +3413,20 @@ def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = t.documents.select(F.col("doc_id").alias("media_id")).where(
         F.col("doc_id") % 7 == 0
     )
-    # one 417-byte frame: 144 * 128000 / 44100 = 417 (no padding)
-    frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413
+    # one 417-byte frame: 144 * 128000 / 44100 = 417 (no padding);
+    # the 160 kbps sibling: 144 * 160000 / 44100 = 522
+    f128 = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413
+    f160 = bytes([0xFF, 0xFB, 0xA0, 0x40]) + b"\x00" * 518
+
+    def _vbr_payload(n: int) -> bytes:
+        audio = b"".join(f128 if i % 2 == 0 else f160 for i in range(n))
+        xing = bytearray(f128)
+        off = 4 + 32  # MPEG1 joint-stereo side info
+        xing[off:off + 4] = b"Xing"
+        xing[off + 4:off + 8] = (3).to_bytes(4, "big")  # frames+bytes
+        xing[off + 8:off + 12] = n.to_bytes(4, "big")
+        xing[off + 12:off + 16] = (417 + len(audio)).to_bytes(4, "big")
+        return bytes(xing) + audio
 
     def _synth(batches):
         for pdf in batches:
@@ -3416,7 +3434,10 @@ def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "data": [
-                        frame * (1 + int(m) % 40) for m in pdf["media_id"]
+                        f128 * (1 + int(m) % 40)
+                        if int(m) % 14 == 0
+                        else _vbr_payload(1 + int(m) % 40)
+                        for m in pdf["media_id"]
                     ],
                 }
             )
@@ -3431,6 +3452,7 @@ def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitrate_kbps",
             "sample_rate",
             "vbr",
+            "xing",
         )
         .orderBy("media_id")
     )
@@ -4572,17 +4594,31 @@ FROM orders ORDER BY o_orderkey LIMIT 200
 OPERATOR_ORACLE_SQL = {
     # The MP3 frame walk's closed form: n frames of 1152 samples at
     # 44.1 kHz; the Spark side parses SYNTHESIZED bytes back into
-    # exactly these numbers (registry.op_audio_metadata).
+    # exactly these numbers (registry.op_audio_metadata). CBR rows
+    # (doc_id % 14 = 0) are walked frame by frame; VBR rows
+    # (doc_id % 14 = 7) carry a Xing header declaring n frames and
+    # 417 + 417*ceil(n/2) + 522*floor(n/2) total bytes (alternating
+    # 128/160 kbps audio frames behind a 417-byte Xing frame), and the
+    # walker's O(1) header path must reproduce the floor-division
+    # average bitrate exactly.
     "op_audio_metadata": """
+WITH base AS (
+  SELECT doc_id,
+         CAST(1 + doc_id % 40 AS BIGINT) AS n,
+         (doc_id % 14 = 7) AS is_vbr
+  FROM documents WHERE doc_id % 7 = 0
+)
 SELECT doc_id AS media_id,
-       CAST(1 + doc_id % 40 AS BIGINT) AS n_frames,
-       CAST(round((1 + doc_id % 40) * 1152000.0 / 44100.0, 0) AS BIGINT)
-         AS duration_ms,
-       128 AS bitrate_kbps,
+       n AS n_frames,
+       CAST(round(n * 1152000.0 / 44100.0, 0) AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN is_vbr
+                 THEN ((417 + 417 * ((n + 1) // 2) + 522 * (n // 2))
+                       * 8 * 44100) // (n * 1152 * 1000)
+                 ELSE 128 END AS INT) AS bitrate_kbps,
        44100 AS sample_rate,
-       false AS vbr
-FROM documents
-WHERE doc_id % 7 = 0
+       is_vbr AS vbr,
+       CASE WHEN is_vbr THEN 'Xing' END AS xing
+FROM base
 ORDER BY media_id
 """,
     # The MP4 box walk's synthesis parameters (registry.op_video_metadata

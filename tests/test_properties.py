@@ -502,6 +502,54 @@ def test_mp3_cbr_roundtrip_exact(n_frames, br_idx, sr_idx):
 
 
 @given(
+    n=st.integers(1, 80),
+    tag=st.sampled_from([b"Xing", b"Info", b"VBRI"]),
+    mono=st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp3_xing_vbri_header_roundtrip(n, tag, mono):
+    """Stream-info header round-trip: the walker must take the O(1)
+    header path — declared frame count and byte total reproduce
+    n_frames, duration, and the floor-division average bitrate
+    exactly; vbr is True for Xing/VBRI, False for Info; and the same
+    stream without the header falls back to the frame walk."""
+    from airflow_spark.operators.multimodal import _parse_mp3_metadata
+
+    b3 = 0xC0 if mono else 0x40  # mode bits: 11=mono, 01=joint stereo
+    f128 = bytes([0xFF, 0xFB, 0x90, b3]) + b"\x00" * 413
+    f160 = bytes([0xFF, 0xFB, 0xA0, b3]) + b"\x00" * 518
+    audio = b"".join(f128 if i % 2 == 0 else f160 for i in range(n))
+    total = 417 + len(audio)
+    hdr = bytearray(f128)
+    if tag == b"VBRI":
+        off = 4 + 32  # fixed offset, independent of channel mode
+        hdr[off:off + 4] = b"VBRI"
+        hdr[off + 4:off + 6] = (1).to_bytes(2, "big")
+        hdr[off + 10:off + 14] = total.to_bytes(4, "big")
+        hdr[off + 14:off + 18] = n.to_bytes(4, "big")
+    else:
+        off = 4 + (17 if mono else 32)  # after MPEG1 side info
+        hdr[off:off + 4] = tag
+        hdr[off + 4:off + 8] = (3).to_bytes(4, "big")
+        hdr[off + 8:off + 12] = n.to_bytes(4, "big")
+        hdr[off + 12:off + 16] = total.to_bytes(4, "big")
+    out = _parse_mp3_metadata(bytes(hdr) + audio)
+    assert out is not None
+    assert out["xing"] == tag.decode()
+    assert out["n_frames"] == n
+    assert out["duration_ms"] == round(n * 1152000.0 / 44100.0)
+    assert out["bitrate_kbps"] == total * 8 * 44100 // (n * 1152 * 1000)
+    assert out["vbr"] is (tag != b"Info")
+    # headerless fallback: the walk counts all n+1 physical frames and
+    # flags VBR from the bitrate alternation (when n > 1)
+    plain = _parse_mp3_metadata(f128 + audio)
+    assert plain is not None and plain["xing"] is None
+    assert plain["n_frames"] == n + 1
+    if n > 1:
+        assert plain["vbr"] is True
+
+
+@given(
     duration_ms=st.integers(0, 10**9),
     w=st.integers(1, 8192),
     h=st.integers(1, 8192),
