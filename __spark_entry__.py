@@ -57,7 +57,7 @@ _DRIVER_WINDOW: list[str] = [
     "op_similarity_topk", "op_similarity_ann", "op_similarity_ivf",
     "op_similarity_pq", "op_semantic_decontaminate",
     "op_embedding_neardup", "op_token_fertility", "op_bpe_tokenize",
-    "op_readability", "op_bm25_search", "op_hybrid_rrf",
+    "op_audio_fingerprint", "op_bm25_search", "op_hybrid_rrf",
     "op_pagerank", "op_kcore", "op_sssp", "op_triangle_count",
     "op_regression", "op_cuped", "op_kaplan_meier",
     "op_seasonal_decompose", "op_changepoint",

@@ -6,10 +6,13 @@ The Spark-side plumbing is real and tested — schemas, Arrow-batched
 the formats pure Python/numpy can handle: baseline JPEG (bundled
 ITU T.81 codec, ``jpeg.py`` — 4:4:4/4:2:2/4:2:0, the dominant
 web-corpus format), PNG (zlib inflate + unfilter), WAV PCM (wave
-module + numpy MFCCs/fingerprints), and uncompressed RGB-DIB AVI
-video (RIFF parse + numpy per-frame luma). Pillow, when installed,
-takes priority and widens coverage (WebP, progressive JPEG, …);
-remaining codecs (MP3, H.264, …) need external libraries this
+module + numpy MFCCs/fingerprints), mono MPEG-1 Layer III audio
+(bundled ISO/IEC 11172-3 decode pipeline, ``mp3.py`` — see its
+docstring for the documented subset boundary), and uncompressed
+RGB-DIB AVI video (RIFF parse + numpy per-frame luma). Pillow, when
+installed, takes priority for images and widens coverage (WebP,
+progressive JPEG, …); remaining codecs (stereo/reservoir MP3,
+H.264, …) need external libraries this
 container lacks, so those either raise ``NotImplementedError``
 (strict mode) or produce a deterministic fake derived from the bytes
 (test mode). Swapping in a
@@ -487,9 +490,13 @@ def _mfcc(samples, sr: int, n_coef: int = 13, max_s: float = 10.0):
 
 def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
     """Audio decode: REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy
-    MFCCs — no external codec needed); other formats follow the stub
-    contract (strict raises; otherwise a deterministic fake derived
-    from the payload hash, preserving declared metadata)."""
+    MFCCs — no external codec needed) and for the bundled MPEG-1
+    Layer III subset (``mp3.decode_mp3``: mono, long blocks, Huffman
+    tables 1/B — the full ISO pipeline with a designed NPR polyphase
+    prototype; see the mp3 module docstring for the exact boundary);
+    other formats follow the stub contract (strict raises; otherwise
+    a deterministic fake derived from the payload hash, preserving
+    declared metadata)."""
     wav = _decode_wav(data)
     if wav is not None:
         x, sr = wav
@@ -498,11 +505,23 @@ def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
             "sample_rate": int(sr),
             "mfcc": [float(c) for c in _mfcc(x, sr)],
         }
+    try:
+        from .mp3 import Mp3DecodeError, decode_mp3
+
+        x, sr = decode_mp3(data)
+        return {
+            "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
+            "sample_rate": int(sr),
+            "mfcc": [float(c) for c in _mfcc(x, sr)],
+        }
+    except Mp3DecodeError:
+        pass  # not MP3, or outside the bundled subset: stub contract
     if strict:
         raise NotImplementedError(
-            "audio decode beyond WAV/PCM requires a codec (e.g. ffmpeg); "
-            "not available here (metadata-level ingest for MP3 is "
-            "available via extract_audio_metadata)"
+            "audio decode beyond WAV/PCM and the bundled mono Layer-III "
+            "subset requires a codec (e.g. ffmpeg); not available here "
+            "(metadata-level ingest for any MP3 is available via "
+            "extract_audio_metadata)"
         )
     # metadata-level MP3 parse (frame walk, no PCM): the fake MFCCs
     # stay hash-derived, but duration/rate are the REAL values — the

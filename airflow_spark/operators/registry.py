@@ -3458,6 +3458,67 @@ def op_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 PCM decode attested end-to-end (``operators/mp3.py``:
+    the bundled pure-numpy ISO/IEC 11172-3 Layer-III codec pair —
+    scalefactors, Huffman, requantize, alias butterflies, IMDCT,
+    polyphase synthesis): every 13th document synthesizes a
+    bin-centered tone (FFT bin ``60 + 28·(doc_id % 30)`` of an
+    8192-point spectrum at 44.1 kHz), ENCODES it to a valid
+    Layer-III bitstream, DECODES the bytes back to PCM, and
+    fingerprints both paths (dominant spectral bin of the decoded
+    PCM vs the raw tone). The oracle is the closed form: all three
+    bins equal the planted one — if any codec stage shifted or
+    dropped the tone, the hash breaks."""
+    import numpy as _np
+    import pandas as _pd
+
+    from . import mp3 as mp3codec
+
+    t = load_tables(spark, sf_dir)
+    # the corpus parquet is a handful of files; the codec work is
+    # ~50 ms/row of pure Python, so spread rows across every core
+    # BEFORE the mapInPandas (same pattern as media_repartition)
+    ids = (
+        t.documents.select(F.col("doc_id").alias("media_id"))
+        .where(F.col("doc_id") % 13 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _fp(batches):
+        sr, nfft = 44100, 8192
+        tt = _np.arange(int(sr * 0.3)) / sr
+        win = _np.hanning(nfft)
+
+        def peak(sig):
+            seg = sig[4000:4000 + nfft] * win
+            return int(_np.argmax(_np.abs(_np.fft.rfft(seg))))
+
+        for pdf in batches:
+            bins, mp3_bins, wav_bins = [], [], []
+            for m in pdf["media_id"]:
+                bin_k = 60 + 28 * (int(m) % 30)
+                x = 0.8 * _np.sin(2 * _np.pi * (bin_k * sr / nfft) * tt)
+                y, _sr = mp3codec.decode_mp3(mp3codec.encode_mp3(x, sr))
+                bins.append(bin_k)
+                mp3_bins.append(peak(y))
+                wav_bins.append(peak(x))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "freq_bin": bins,
+                    "mp3_peak_bin": mp3_bins,
+                    "wav_peak_bin": wav_bins,
+                }
+            )
+
+    return ids.mapInPandas(
+        _fp,
+        "media_id LONG, freq_bin LONG, mp3_peak_bin LONG, "
+        "wav_peak_bin LONG",
+    ).orderBy("media_id")
+
+
 def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level MP4 ingest (``multimodal.extract_video_metadata``
     — ISO/IEC 14496-12 box walk, no frame decode) attested end-to-end:
@@ -3526,6 +3587,7 @@ def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (round 1 lost the tail of this list to a time cut-off).
 OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,
+    "op_audio_fingerprint": op_audio_fingerprint,
     "op_video_metadata": op_video_metadata,
     "op_gini": op_gini,
     "op_rfm": op_rfm,
@@ -4619,6 +4681,19 @@ SELECT doc_id AS media_id,
        is_vbr AS vbr,
        CASE WHEN is_vbr THEN 'Xing' END AS xing
 FROM base
+ORDER BY media_id
+""",
+    # The bundled Layer-III codec pair's closed form: every planted
+    # tone sits exactly on FFT bin 60 + 28*(doc_id % 30); decode must
+    # put the dominant bin back where the encoder planted it
+    # (registry.op_audio_fingerprint, operators/mp3.py).
+    "op_audio_fingerprint": """
+SELECT doc_id AS media_id,
+       CAST(60 + 28 * (doc_id % 30) AS BIGINT) AS freq_bin,
+       CAST(60 + 28 * (doc_id % 30) AS BIGINT) AS mp3_peak_bin,
+       CAST(60 + 28 * (doc_id % 30) AS BIGINT) AS wav_peak_bin
+FROM documents
+WHERE doc_id % 13 = 0
 ORDER BY media_id
 """,
     # The MP4 box walk's synthesis parameters (registry.op_video_metadata
