@@ -3519,6 +3519,85 @@ def op_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def op_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection attested end-to-end
+    (``multimodal.image_neardup_pairs``: real BMP pixel decode →
+    dHash → the same 4-band pigeonhole Hamming join text SimHash
+    uses): documents pair up as (d, d+6) for d % 12 == 0 — member A
+    renders an 8×9 grid of {60,180} luma blocks derived from md5 of
+    the pair id (each block exactly one dHash cell: 64×72 px, 8 px
+    cells), member B is the SAME image brightness-shifted +4 (the
+    classic perceptual-hash invariance: every strict > comparison is
+    preserved, so dHash(B) == dHash(A)), and distinct pairs differ in
+    ~24 bits. The oracle is the planted closed form: exactly the
+    (d, d+6) pairs at Hamming 0."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t.documents.select(F.col("doc_id").alias("media_id")).where(
+            F.col("doc_id") % 6 == 0
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _bmp24_gray(gray: _np.ndarray) -> bytes:
+        h, w = gray.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = []
+        pad = b"\x00" * (stride - w * 3)
+        for y in range(h - 1, -1, -1):  # bottom-up DIB rows
+            px = gray[y].astype(_np.uint8)
+            rows.append(
+                _np.repeat(px, 3).astype(_np.uint8).tobytes() + pad
+            )
+        body = b"".join(rows)
+        info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0)
+        head = _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body),
+                            0, 0, 14 + 40)
+        return head + info + body
+
+    def _image_for(m: int) -> bytes:
+        base = m - 6 if m % 12 == 6 else m
+        bits = _hashlib.md5(f"img:{base}".encode()).digest() * 5
+        cells = _np.array(
+            [(bits[j // 8] >> (j % 8)) & 1 for j in range(72)],
+            dtype=_np.int64,
+        ).reshape(8, 9)
+        # per-column ramp so every horizontally adjacent cell pair
+        # differs by >= 10 luma: the strict > comparisons dHash takes
+        # then have a real margin (equal-mean cells would otherwise
+        # ride on exact float equality of box means, which the
+        # brightness shift perturbs through rounding)
+        ramp = 10 * _np.arange(9, dtype=_np.int64)[None, :]
+        gray = 40 + ramp + 120 * cells
+        if m % 12 == 6:
+            gray = gray + 4  # brightness-shifted near-duplicate
+        return _bmp24_gray(_np.kron(gray, _np.ones((8, 8), _np.int64)))
+
+    def _synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [_image_for(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    return (
+        multimodal.image_neardup_pairs(payloads, max_hamming=6)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level MP4 ingest (``multimodal.extract_video_metadata``
     — ISO/IEC 14496-12 box walk, no frame decode) attested end-to-end:
@@ -3588,6 +3667,7 @@ def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,
     "op_audio_fingerprint": op_audio_fingerprint,
+    "op_image_neardup": op_image_neardup,
     "op_video_metadata": op_video_metadata,
     "op_gini": op_gini,
     "op_rfm": op_rfm,
@@ -4695,6 +4775,18 @@ SELECT doc_id AS media_id,
 FROM documents
 WHERE doc_id % 13 = 0
 ORDER BY media_id
+""",
+    # Planted image-pair closed form (registry.op_image_neardup): the
+    # brightness-shifted member keeps an identical dHash, so the pair
+    # list is exactly the (d, d+6) plant at Hamming 0.
+    "op_image_neardup": """
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       0 AS hamming
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 6
+WHERE a.doc_id % 12 = 0
+ORDER BY id_a, id_b
 """,
     # The MP4 box walk's synthesis parameters (registry.op_video_metadata
     # builds the ISO BMFF payload from exactly these expressions).
