@@ -408,6 +408,83 @@ def image_neardup_pairs(
     )
 
 
+def audio_fingerprint_pairs(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    nfft: int = 8192,
+    skip: int = 4000,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """CODEC-INVARIANT audio near-duplicates: decode each payload to
+    PCM (RIFF/WAVE via the stdlib path, MPEG-1 Layer III via the
+    bundled ``mp3`` codec), fingerprint the dominant spectral bin of
+    a Hann-windowed ``nfft`` frame, and pair same-fingerprint rows —
+    so a .wav and an .mp3 of the SAME recording dedup against each
+    other, which byte-level hashing can never do. Undecodable
+    payloads drop out (quarantine posture).
+
+    Returns (id_a, id_b, fp) with id_a < id_b. Scale shape: only the
+    (id, fp) longs shuffle — one groupBy on the fingerprint with the
+    same count-first hot-bucket cap the SimHash band join uses;
+    payloads never leave the decode scan."""
+    import numpy as np
+
+    from .mp3 import Mp3DecodeError, decode_mp3
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(nfft)
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                dec = _decode_wav(raw)
+                if dec is None:
+                    try:
+                        dec = decode_mp3(raw)
+                    except Mp3DecodeError:
+                        continue  # undecodable: quarantine
+                x, _sr = dec
+                if len(x) < skip + nfft:
+                    x = np.pad(x, (0, skip + nfft - len(x)))
+                seg = x[skip:skip + nfft] * win
+                ids.append(int(mid))
+                fps.append(int(np.argmax(np.abs(np.fft.rfft(seg)))))
+            yield pd.DataFrame({"id": ids, "fp": fps})
+
+    sigs = df.select(id_col, data_col).mapInPandas(_fp, "id LONG, fp LONG")
+    ok = (
+        sigs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("fp")
+    )
+    buckets = (
+        sigs.join(ok, "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    )
+    return (
+        buckets.select(
+            "fp",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("p.id_a", "p.id_b", "fp")
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

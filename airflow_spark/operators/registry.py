@@ -3598,6 +3598,67 @@ def op_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-INVARIANT audio dedup attested end-to-end
+    (``multimodal.audio_fingerprint_pairs``): documents pair as
+    (d, d+6) for d % 12 == 0, where member A is a RIFF/WAVE PCM tone
+    and member B is the SAME tone encoded through the bundled
+    Layer-III encoder — two different container formats, two
+    different byte streams, one recording. Each pair's tone sits on
+    FFT bin ``40 + (d/12 mod 830)`` (bin-centered, so both decode
+    paths fingerprint the exact planted bin), distinct pairs use
+    distinct bins, and the oracle is the closed form: exactly the
+    planted (d, d+6) pairs with their bins. Byte-level hashing can
+    never find these pairs; spectral fingerprinting must."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+    import pandas as _pd
+
+    from . import mp3 as mp3codec
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t.documents.select(F.col("doc_id").alias("media_id")).where(
+            F.col("doc_id") % 6 == 0
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _payload(m: int) -> bytes:
+        sr, nfft = 44100, 8192
+        g = (m - 6 if m % 12 == 6 else m) // 12
+        bin_k = 40 + g % 830
+        tt = _np.arange(int(sr * 0.3)) / sr
+        x = 0.8 * _np.sin(2 * _np.pi * (bin_k * sr / nfft) * tt)
+        if m % 12 == 6:
+            return mp3codec.encode_mp3(x, sr)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def _synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [_payload(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    return (
+        multimodal.audio_fingerprint_pairs(payloads)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level MP4 ingest (``multimodal.extract_video_metadata``
     — ISO/IEC 14496-12 box walk, no frame decode) attested end-to-end:
@@ -3668,6 +3729,7 @@ OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,
     "op_audio_fingerprint": op_audio_fingerprint,
     "op_image_neardup": op_image_neardup,
+    "op_audio_neardup": op_audio_neardup,
     "op_video_metadata": op_video_metadata,
     "op_gini": op_gini,
     "op_rfm": op_rfm,
@@ -4783,6 +4845,18 @@ ORDER BY media_id
 SELECT a.doc_id AS id_a,
        b.doc_id AS id_b,
        0 AS hamming
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 6
+WHERE a.doc_id % 12 = 0
+ORDER BY id_a, id_b
+""",
+    # Planted cross-codec audio-pair closed form
+    # (registry.op_audio_neardup): the WAV member and the Layer-III
+    # member of each pair fingerprint to the same planted bin.
+    "op_audio_neardup": """
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(40 + ((a.doc_id // 12) % 830) AS BIGINT) AS fp
 FROM documents a
 JOIN documents b ON b.doc_id = a.doc_id + 6
 WHERE a.doc_id % 12 = 0

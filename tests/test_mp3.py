@@ -222,3 +222,36 @@ def test_encode_decode_total_on_tones(freq, amp, seconds):
     assert meta["channels"] == 1 and meta["layer"] == 3
     y, sr = decode_mp3(data)
     assert sr == SR and np.all(np.isfinite(y))
+
+
+def test_audio_fingerprint_pairs_cross_codec(spark):
+    """A .wav and an .mp3 of the SAME tone pair up; different tones
+    don't; undecodable payloads quarantine silently."""
+    import io
+    import wave
+
+    from pyspark.sql import Row
+
+    from airflow_spark.operators.multimodal import audio_fingerprint_pairs
+
+    def wav_bytes(x):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(SR)
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    t1 = _tone(200 * SR / 8192)   # bin 200
+    t2 = _tone(500 * SR / 8192)   # bin 500
+    rows = [
+        Row(media_id=1, data=wav_bytes(t1)),
+        Row(media_id=2, data=encode_mp3(t1, SR)),   # same recording
+        Row(media_id=3, data=wav_bytes(t2)),        # different tone
+        Row(media_id=4, data=b"not audio at all"),  # quarantine
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, data BINARY")
+    pairs = [(r.id_a, r.id_b, r.fp)
+             for r in audio_fingerprint_pairs(df).collect()]
+    assert pairs == [(1, 2, 200)]
