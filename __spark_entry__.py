@@ -58,10 +58,10 @@ _DRIVER_WINDOW: list[str] = [
     "op_similarity_pq", "op_semantic_decontaminate",
     "op_embedding_neardup", "op_token_fertility", "op_bpe_tokenize",
     "op_audio_fingerprint", "op_bm25_search", "op_hybrid_rrf",
-    "op_pagerank", "op_kcore", "op_sssp", "op_triangle_count",
+    "op_pagerank", "op_kcore", "op_sssp", "op_image_neardup",
     "op_regression", "op_cuped", "op_kaplan_meier",
     "op_seasonal_decompose", "op_changepoint",
-    "op_hll_rollup", "op_kmv_distinct",
+    "op_hll_rollup", "op_audio_neardup",
     "op_sessionize", "op_funnel", "op_scd2_merge",
     "op_audio_metadata", "op_video_metadata",
 ]
