@@ -255,3 +255,26 @@ def test_audio_fingerprint_pairs_cross_codec(spark):
     pairs = [(r.id_a, r.id_b, r.fp)
              for r in audio_fingerprint_pairs(df).collect()]
     assert pairs == [(1, 2, 200)]
+
+
+@pytest.mark.parametrize("sr", [32000, 48000])
+def test_tone_roundtrip_other_sample_rates(sr):
+    """The 48/32 kHz MPEG-1 variants ride the same pipeline with
+    their own scalefactor-band and frame-length tables: a bin-centered
+    tone round-trips to the exact spectral bin at each rate."""
+    nfft = 8192
+    bin_k = 300
+    # long enough that skip + nfft samples exist at EVERY rate
+    n = 4000 + nfft + 2048
+    t = np.arange(n) / sr
+    x = 0.8 * np.sin(2 * np.pi * (bin_k * sr / nfft) * t)
+    data = encode_mp3(x, sr)
+    y, got_sr = decode_mp3(data)
+    assert got_sr == sr
+    seg = y[4000:4000 + nfft] * np.hanning(nfft)
+    assert int(np.argmax(np.abs(np.fft.rfft(seg)))) == bin_k
+    # and the metadata walker agrees on the rate and frame count
+    from airflow_spark.operators.multimodal import _parse_mp3_metadata
+
+    meta = _parse_mp3_metadata(data)
+    assert meta["sample_rate"] == sr and meta["layer"] == 3
