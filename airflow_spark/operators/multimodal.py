@@ -408,6 +408,80 @@ def image_neardup_pairs(
     )
 
 
+def video_neardup_pairs(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    n_sample: int = 3,
+    max_hamming: int = 6,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Frame-sampled perceptual VIDEO near-duplicates: decode the
+    uncompressed-AVI video stream (same RIFF parse + DIB pixel walk
+    as ``extract_video_features``), dHash ``n_sample`` evenly spaced
+    frames, fold them into one 64-bit signature by bitwise MAJORITY
+    (robust to a minority of differing frames — intros, watermarks),
+    and feed the signatures through the same banded Hamming join text
+    SimHash and image dHash use. Undecodable/compressed payloads drop
+    out (quarantine posture; real H.264 decode is out of scope per
+    docs/adr/0001). Only (id, 8-byte signature) rows shuffle —
+    frames never leave the decode scan."""
+    import numpy as np
+
+    from . import dedup as _dedup
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                avi = _parse_avi(raw)
+                if (
+                    avi is None
+                    or avi["compression"] != 0
+                    or avi["bpp"] not in (24, 32)
+                    or not avi["frames"]
+                ):
+                    continue
+                nf = len(avi["frames"])
+                take = sorted({
+                    round(i * (nf - 1) / max(n_sample - 1, 1))
+                    for i in range(min(n_sample, nf))
+                })
+                hashes = []
+                for fi in take:
+                    off, size = avi["frames"][fi]
+                    luma = _dib_luma(
+                        raw[off:off + size], avi["width"],
+                        avi["height"], avi["bpp"],
+                    )
+                    if luma is None:
+                        break
+                    h = _dhash(luma)
+                    hashes.append(np.uint64(h & ((1 << 64) - 1)))
+                if not hashes or len(hashes) != len(take):
+                    continue
+                bits = np.array(
+                    [[(int(h) >> j) & 1 for j in range(64)]
+                     for h in hashes],
+                    dtype=np.int64,
+                )
+                maj = (bits.sum(axis=0) * 2 > len(hashes)).astype(int)
+                v = 0
+                for j in range(63, -1, -1):
+                    v = (v << 1) | int(maj[j])
+                ids.append(int(mid))
+                sigs.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame({"id": ids, "simhash": sigs})
+
+    sigs = df.select(id_col, data_col).mapInPandas(
+        _sig, "id LONG, simhash LONG"
+    )
+    return _dedup.simhash_neardup_pairs(
+        sigs, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+
+
 def audio_fingerprint_pairs(
     df: DataFrame,
     data_col: str = "data",

@@ -3659,6 +3659,116 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampled VIDEO near-dup attested end-to-end
+    (``multimodal.video_neardup_pairs``: real RIFF/AVI parse → DIB
+    pixel decode → per-frame dHash → bitwise-MAJORITY signature →
+    banded Hamming join): documents pair as (d, d+6) for d % 12 == 0.
+    Member A is a 5-frame uncompressed AVI of md5-derived luma grids
+    (one dHash cell per 8-px block, per-column ramp for comparison
+    margin); member B is the same video brightness-shifted +4 WITH
+    ITS FIRST FRAME REPLACED by different content — the majority fold
+    over the 3 sampled frames (first/middle/last) must absorb the
+    differing frame, so the pair still lands at Hamming 0. The oracle
+    is the planted closed form."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t.documents.select(F.col("doc_id").alias("media_id")).where(
+            F.col("doc_id") % 6 == 0
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _grid_frame(seed: str) -> _np.ndarray:
+        bits = _hashlib.md5(seed.encode()).digest() * 5
+        cells = _np.array(
+            [(bits[j // 8] >> (j % 8)) & 1 for j in range(72)],
+            dtype=_np.int64,
+        ).reshape(8, 9)
+        ramp = 10 * _np.arange(9, dtype=_np.int64)[None, :]
+        return 40 + ramp + 120 * cells  # same margin trick as images
+
+    def _avi_for(m: int) -> bytes:
+        base = m - 6 if m % 12 == 6 else m
+        is_b = m % 12 == 6
+        grays = []
+        for f in range(5):
+            # temporally coherent like a real clip: every frame shares
+            # the group's base pattern with per-frame brightness
+            # jitter (+f, dHash-invariant); member B's FIRST frame is
+            # genuinely different content for the majority fold to
+            # absorb
+            seed = (
+                f"vid:{base}:alt" if is_b and f == 0
+                else f"vid:{base}"
+            )
+            g = _grid_frame(seed) + f
+            if is_b:
+                g = g + 4  # brightness-shifted near-duplicate
+            grays.append(_np.kron(g, _np.ones((8, 8), _np.int64)))
+        h, w = grays[0].shape
+        stride = ((w * 3 + 3) // 4) * 4
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + _struct.pack("<I", len(body)) + body + pad
+
+        def lst(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        avih = _struct.pack(
+            "<IIIIIIIIIIIIII",
+            33366, 0, 0, 0, len(grays), 0, 1, 0, w, h, 0, 0, 0, 0,
+        )
+        strh = _struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+            1, 30, 0, len(grays), 0, 0, 0, 0, 0, 0, 0,
+        )
+        strf = _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0
+        )
+        movi = b""
+        for g in grays:
+            rows = _np.zeros((h, stride), dtype=_np.uint8)
+            bgr = _np.repeat(
+                g[::-1].astype(_np.uint8), 3, axis=1
+            )  # bottom-up, gray so BGR == repeat
+            rows[:, : w * 3] = bgr
+            movi += chunk(b"00db", rows.tobytes())
+        body = (
+            lst(b"hdrl", chunk(b"avih", avih)
+                + lst(b"strl", chunk(b"strh", strh)
+                      + chunk(b"strf", strf)))
+            + lst(b"movi", movi)
+        )
+        return (
+            b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"AVI " + body
+        )
+
+    def _synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "data": [_avi_for(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    return (
+        multimodal.video_neardup_pairs(payloads, max_hamming=6)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-level MP4 ingest (``multimodal.extract_video_metadata``
     — ISO/IEC 14496-12 box walk, no frame decode) attested end-to-end:
@@ -3730,6 +3840,7 @@ OPERATOR_QUERIES = {
     "op_audio_fingerprint": op_audio_fingerprint,
     "op_image_neardup": op_image_neardup,
     "op_audio_neardup": op_audio_neardup,
+    "op_video_neardup": op_video_neardup,
     "op_video_metadata": op_video_metadata,
     "op_gini": op_gini,
     "op_rfm": op_rfm,
@@ -4857,6 +4968,18 @@ ORDER BY id_a, id_b
 SELECT a.doc_id AS id_a,
        b.doc_id AS id_b,
        CAST(40 + ((a.doc_id // 12) % 830) AS BIGINT) AS fp
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 6
+WHERE a.doc_id % 12 = 0
+ORDER BY id_a, id_b
+""",
+    # Planted video-pair closed form (registry.op_video_neardup): the
+    # brightness-shifted member's one differing frame is absorbed by
+    # the bitwise-majority signature fold, so pairs land at Hamming 0.
+    "op_video_neardup": """
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       0 AS hamming
 FROM documents a
 JOIN documents b ON b.doc_id = a.doc_id + 6
 WHERE a.doc_id % 12 = 0

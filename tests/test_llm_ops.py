@@ -2598,3 +2598,41 @@ def test_mp3_id3v2_text_frames_win_over_v1(spark):
     assert got[1]["title"] == "Vérité" and got[1]["artist"] == "Ärtist"
     assert got[1]["id3v2"] is True and got[1]["n_frames"] == 4
     assert got[2]["title"] == "Wide Title" and got[2]["artist"] is None
+
+
+def test_video_neardup_pairs_majority_fold(spark):
+    """Frame-sampled video near-dup: a brightness-shifted copy with
+    ONE differing frame still pairs (the bitwise-majority signature
+    absorbs the minority frame); unrelated clips and compressed /
+    undecodable payloads don't pair."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from airflow_spark.operators.multimodal import video_neardup_pairs
+
+    rng = np.random.default_rng(7)
+
+    def clip(base, alt_first=False, shift=0):
+        frames = []
+        for f in range(5):
+            g = base.copy() if not (alt_first and f == 0) else (
+                rng.integers(0, 2, base.shape) * 120 + 40
+            )
+            px = np.kron(g + f + shift,
+                         np.ones((8, 8), np.int64)).astype(np.uint8)
+            frames.append(np.repeat(px[:, :, None], 3, axis=2))
+        return _rgb_avi(frames)
+
+    ramp = 10 * np.arange(9, dtype=np.int64)[None, :]
+    base_a = 40 + ramp + 120 * rng.integers(0, 2, (8, 9))
+    base_c = 40 + ramp + 120 * rng.integers(0, 2, (8, 9))
+    rows = [
+        Row(media_id=1, data=clip(base_a)),
+        Row(media_id=2, data=clip(base_a, alt_first=True, shift=4)),
+        Row(media_id=3, data=clip(base_c)),           # unrelated clip
+        Row(media_id=4, data=b"\x00" * 64),           # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, data BINARY")
+    pairs = [(r.id_a, r.id_b, r.hamming)
+             for r in video_neardup_pairs(df).collect()]
+    assert pairs == [(1, 2, 0)]
