@@ -44,26 +44,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # _DRIVER_WINDOW below; everything not listed follows in its natural
 # order, so total coverage is unchanged (all entries, all oracles).
 _DRIVER_WINDOW: list[str] = [
-    # relational spine — one per family (projection/filter, semi/anti,
-    # outer joins, aggs, windows, set ops, scalar funcs, TPC-H shapes)
-    "q01", "q02", "q03", "q06", "q07", "q10", "q12", "q14", "q15",
-    "q16", "q19", "q21", "q23", "q24", "q25", "q29", "q31", "q39",
-    "q44", "q51",
-    # round-5 op_* slice: dedup + similarity/embedding + text/curation
-    # + graph + inference + time series + sketches + sessions + CDC +
-    # multimodal metadata — the families the judge sampled by hand in
-    # rounds 3–4, now in the driver's own window
-    "op_dedup_exact", "op_dedup_minhash", "op_dedup_simhash",
-    "op_similarity_topk", "op_similarity_ann", "op_similarity_ivf",
-    "op_similarity_pq", "op_semantic_decontaminate",
-    "op_embedding_neardup", "op_token_fertility", "op_bpe_tokenize",
-    "op_audio_fingerprint", "op_bm25_search", "op_hybrid_rrf",
-    "op_pagerank", "op_kcore", "op_sssp", "op_image_neardup",
-    "op_regression", "op_cuped", "op_kaplan_meier",
-    "op_seasonal_decompose", "op_changepoint",
-    "op_hll_rollup", "op_audio_neardup",
-    "op_sessionize", "op_funnel", "op_scd2_merge",
-    "op_audio_metadata", "op_video_metadata",
+    # round-6 relational spine — rotated off the round-5 set so the
+    # accumulated driver record covers more of q01–q51 per round
+    "q04", "q05", "q08", "q09", "q11", "q13", "q17", "q18", "q20",
+    "q22", "q26", "q28", "q30", "q33", "q35", "q38", "q41", "q43",
+    "q46", "q50",
+    # round-6 op_* slice: the families never driver-attested before —
+    # relational op_* (as-of/interval/fuzzy/reduced joins), window
+    # frames, OLAP (cube/grouping-sets/pivot/unpivot), remaining
+    # sketches, text/curation breadth, graph remainder, versioning,
+    # plus op_video_neardup (missed the r5 window by one commit) and
+    # the three dedup ops flagged over-linear in SCALE_DECADE.json
+    "op_asof_join", "op_interval_join", "op_fuzzy_join",
+    "op_reduced_join",
+    "op_running_total", "op_range_window", "op_topk_with_ties",
+    "op_cube", "op_grouping_sets", "op_pivot", "op_unpivot",
+    "op_kmv_distinct", "op_countmin", "op_bitmap_distinct",
+    "op_heavy_hitters",
+    "op_lang_id", "op_text_quality", "op_readability",
+    "op_decontaminate",
+    "op_connected_components", "op_triangle_count",
+    "op_bfs_distances",
+    "op_scd2_apply_changes", "op_snapshot_diff", "op_zorder",
+    "op_video_neardup", "op_personalized_pagerank",
+    "op_dedup_containment", "op_dedup_jaccard_prefix",
+    "op_dedup_ngram_jaccard",
 ]
 
 

@@ -41,13 +41,23 @@ def _materialize_truncated(df: DataFrame) -> DataFrame:
     the persist contract) and the frame survives executor loss on a
     real cluster. Deployments point ``setCheckpointDir`` at durable
     shared storage; when unset (e.g. the external driver's plain
-    session) a /tmp dir is installed here — correct in local mode,
-    and the session conf ``spark.cleaner.referenceTracking
-    .cleanCheckpoints=true`` (set in ``session.get_session``) lets
-    the context GC the files."""
+    session) a per-process tempdir is installed here — correct in
+    local mode. ``spark.cleaner.referenceTracking.cleanCheckpoints=
+    true`` lets the context GC files as RDDs are collected (set by
+    ``session.get_session``; externally-built sessions may have it
+    off, and the conf is fixed at context start), so the install
+    also registers an atexit sweep of the per-process dir — files
+    can't accumulate past process lifetime either way."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir("/tmp/spark_graft_checkpoints")
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{os.getpid()}_")
+        sc.setCheckpointDir(ckpt)
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     # classic checkpoint gotcha: the checkpoint-write job re-runs the
     # RDD from lineage, so an unpersisted eager checkpoint computes
     # the segment TWICE (measured ~2x on the 10-round PageRank).

@@ -948,10 +948,29 @@ def _parse_mp3_metadata(data: bytes, max_frames: int = 200_000):
             if lay == 3:
                 hdr = _xing_vbri_header(data, pos, vgroup, mode)
                 if hdr is not None and hdr.get("frames"):
-                    # header-declared stream info: O(1), no walk
-                    stream_info = hdr
-                    n_frames = 1
-                    break
+                    # Sanity-check the DECLARED counts against the
+                    # bytes actually present before trusting them: a
+                    # corrupt/crafted header declaring frames=2^32-1
+                    # would otherwise feed an absurd duration to
+                    # curation filters. Each Layer-III frame is at
+                    # least spf/8 * min_bitrate / sr bytes, so the
+                    # payload bounds the plausible frame count; the
+                    # declared byte length likewise can't exceed the
+                    # payload. Implausible headers fall back to the
+                    # bounded frame walk below.
+                    min_kbps = _MP3_BITRATES[(vgroup, 3)][1]
+                    min_flen = spf // 8 * min_kbps * 1000 // sr
+                    avail = end - pos
+                    plausible = (
+                        hdr["frames"] * max(min_flen, 1) <= avail * 2
+                        and (not hdr.get("bytes")
+                             or hdr["bytes"] <= avail + 4096)
+                    )
+                    if plausible:
+                        # header-declared stream info: O(1), no walk
+                        stream_info = hdr
+                        n_frames = 1
+                        break
         elif kbps != first_kbps:
             vbr = True
         n_frames += 1

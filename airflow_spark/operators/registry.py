@@ -3605,11 +3605,16 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and member B is the SAME tone encoded through the bundled
     Layer-III encoder — two different container formats, two
     different byte streams, one recording. Each pair's tone sits on
-    FFT bin ``40 + (d/12 mod 830)`` (bin-centered, so both decode
-    paths fingerprint the exact planted bin), distinct pairs use
-    distinct bins, and the oracle is the closed form: exactly the
-    planted (d, d+6) pairs with their bins. Byte-level hashing can
-    never find these pairs; spectral fingerprinting must."""
+    FFT bin ``40 + (d/12 mod 2400)`` (bin-centered, so both decode
+    paths fingerprint the exact planted bin; 2400 is inside the
+    measured codec-faithful range — round-trip argmax drifts above
+    ~bin 2500 where the encoder band-limits). The oracle is the same
+    closed form as a self-join on the computed bin, so if a corpus
+    ever grows past doc_id 12*2400 the wrap-around cross-pairs appear
+    identically on BOTH sides (equal dominant bins ARE near-dups
+    under this operator's semantics) instead of silently diverging.
+    Byte-level hashing can never find these pairs; spectral
+    fingerprinting must."""
     import io as _io
     import wave as _wave
 
@@ -3630,7 +3635,7 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _payload(m: int) -> bytes:
         sr, nfft = 44100, 8192
         g = (m - 6 if m % 12 == 6 else m) // 12
-        bin_k = 40 + g % 830
+        bin_k = 40 + g % 2400
         tt = _np.arange(int(sr * 0.3)) / sr
         x = 0.8 * _np.sin(2 * _np.pi * (bin_k * sr / nfft) * tt)
         if m % 12 == 6:
@@ -4963,14 +4968,21 @@ ORDER BY id_a, id_b
 """,
     # Planted cross-codec audio-pair closed form
     # (registry.op_audio_neardup): the WAV member and the Layer-III
-    # member of each pair fingerprint to the same planted bin.
+    # member of each pair fingerprint to the same planted bin. Written
+    # as a self-join on the COMPUTED bin (not the (d, d+6) plant) so a
+    # corpus past doc_id 12*2400 yields the same wrap-around
+    # cross-pairs on both sides instead of silently diverging.
     "op_audio_neardup": """
-SELECT a.doc_id AS id_a,
-       b.doc_id AS id_b,
-       CAST(40 + ((a.doc_id // 12) % 830) AS BIGINT) AS fp
-FROM documents a
-JOIN documents b ON b.doc_id = a.doc_id + 6
-WHERE a.doc_id % 12 = 0
+WITH clips AS (
+  SELECT doc_id AS id,
+         CAST(40 + (((doc_id - CASE WHEN doc_id % 12 = 6 THEN 6 ELSE 0 END)
+                     // 12) % 2400) AS BIGINT) AS fp
+  FROM documents
+  WHERE doc_id % 6 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b, a.fp
+FROM clips a
+JOIN clips b ON a.fp = b.fp AND a.id < b.id
 ORDER BY id_a, id_b
 """,
     # Planted video-pair closed form (registry.op_video_neardup): the

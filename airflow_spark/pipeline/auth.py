@@ -256,17 +256,25 @@ class JwksRoleProvider:
         if header.get("alg") != "RS256":
             raise JwtError("algorithm not allowed")
         kid = header.get("kid")
-        key = self._keys.get(kid)
-        if key is None and kid in self._retiring:
+        # snapshot (keys, retiring, retired_at) under the rotation
+        # lock: a request racing rotate() must never pair the NEW
+        # retiring set with the OLD timestamp (transient spurious 401
+        # / mis-bounded grace window)
+        with self._lock:
+            keys = self._keys
+            retiring = self._retiring
+            retired_at = self._retired_at
+        key = keys.get(kid)
+        if key is None and kid in retiring:
             # kid-rollover grace window: the retiring key verifies
             # until retired_at + rotation_grace_s, then 401s
-            if self._clock() <= self._retired_at + self.rotation_grace_s:
-                key = self._retiring[kid]
+            if self._clock() <= retired_at + self.rotation_grace_s:
+                key = retiring[kid]
             else:
                 raise JwtError("key retired")
         if key is None:
-            if kid is None and len(self._keys) == 1:
-                key = next(iter(self._keys.values()))
+            if kid is None and len(keys) == 1:
+                key = next(iter(keys.values()))
             else:
                 raise JwtError("unknown kid")
         signing_input = f"{parts[0]}.{parts[1]}".encode()

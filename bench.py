@@ -183,7 +183,33 @@ def compact_line(out: dict, max_bytes: int = 1950) -> str:
     return text
 
 
-def _prior_recording(sf: float | None) -> dict | None:
+def _current_round() -> int:
+    """The round currently BEING built: the driver writes BENCH_r{N}.json
+    only when it closes round N, so the newest driver recording + 1 is
+    the in-flight round (builder-committed BENCH_FULL_r{N}.json copies
+    can exist for the in-flight round; driver recordings cannot)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(re.search(r"_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if "FULL" not in os.path.basename(p)
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _prior_recording(
+    sf: float | None, before_round: int | None = None
+) -> dict | None:
+    """Newest committed recording at this sf. ``before_round`` limits
+    the search to rounds strictly earlier — the cross-round comparison
+    (``vs_prior_round``) passes the in-flight round so a mid-round
+    committed BENCH_FULL_r{N}.json can't make the final artifact of
+    round N compare against itself; the regression gate passes None
+    (newest artifact, including same-round commits, is the right
+    baseline for catching what THIS session changed)."""
     import glob
     import re
 
@@ -199,14 +225,16 @@ def _prior_recording(sf: float | None) -> dict | None:
     )
     for path in reversed(recs):
         try:
+            rnd = int(re.search(r"_r(\d+)", path).group(1))
+            if before_round is not None and rnd >= before_round:
+                continue
             with open(path) as f:
                 rec = json.load(f)
             parsed = rec.get("parsed") or rec
             prior = parsed.get("queries") or {}
             if rec.get("sf", parsed.get("sf")) != sf or not prior:
                 continue
-            return {"round": re.search(r"_r(\d+)", path).group(1),
-                    "queries": prior}
+            return {"round": str(rnd), "queries": prior}
         except (OSError, ValueError, AttributeError):
             continue
     return None
@@ -218,7 +246,7 @@ def _comparable_totals(
     """Apples-to-apples cross-round comparison: the registry grows every
     round, so the raw total is not comparable — also report the total
     restricted to the queries the prior recording had."""
-    rec = _prior_recording(sf)
+    rec = _prior_recording(sf, before_round=_current_round())
     if rec is None:
         return None
     shared = [n for n in rec["queries"] if n in timings]

@@ -58,11 +58,41 @@ def main() -> int:
         "n_queries": len(results),
         "n_failures": len(failures),
         "digest": _family_digest(results),
+        "never_windowed": _never_windowed(qs),
         "results": results,
     }, indent=2))
     for name, detail in failures:
         print(f"FAIL {name}: {detail}", file=sys.stderr)
     return 1 if failures else 0
+
+
+def _never_windowed(qs: dict) -> dict:
+    """Warn on registry entries that have never appeared in any
+    round's driver correctness window (DRIVER_WINDOWS.json) — these
+    ride builder/judge attestation only, so they are the ones to
+    rotate into ``_DRIVER_WINDOW`` in future rounds."""
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DRIVER_WINDOWS.json",
+    )
+    try:
+        with open(ledger_path) as fh:
+            ledger = json.load(fh)
+    except OSError:
+        return {"count": -1, "note": "DRIVER_WINDOWS.json missing"}
+    windowed: set[str] = set()
+    for key, entries in ledger.items():
+        if key.startswith("r"):
+            windowed.update(entries)
+    missing = sorted(set(qs) - windowed)
+    if missing:
+        print(
+            f"WARN: {len(missing)} registry entries never in a driver "
+            f"window yet: {', '.join(missing[:8])}"
+            + (" ..." if len(missing) > 8 else ""),
+            file=sys.stderr,
+        )
+    return {"count": len(missing), "entries": missing}
 
 
 def _family_digest(results: dict[str, str]) -> dict[str, str]:

@@ -65,6 +65,35 @@ def test_flag_regressions_requires_absolute_and_relative_growth(monkeypatch):
     assert flags == {"op_real": 2.0}
 
 
+def test_vs_prior_round_skips_same_round_artifacts(tmp_path, monkeypatch):
+    """A BENCH_FULL_r{N}.json committed MID-round N must not become
+    round N's own cross-round baseline: vs_prior_round compares
+    against the newest round strictly before the in-flight one, while
+    the regression gate keeps the newest artifact (incl. same-round)."""
+    def _art(rnd: int, q: float) -> None:
+        (tmp_path / f"BENCH_FULL_r{rnd:02d}.json").write_text(json.dumps(
+            {"sf": 0.1, "queries": {"q01": q}}
+        ))
+
+    _art(5, 2.0)
+    _art(6, 1.0)  # mid-round-6 commit
+    # driver recordings close rounds 1-5 only -> in-flight round is 6
+    for r in range(1, 6):
+        (tmp_path / f"BENCH_r{r:02d}.json").write_text(json.dumps(
+            {"sf": 0.1, "queries": {"q01": 9.9}}
+        ))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench._current_round() == 6
+    comp = bench._comparable_totals({"q01": 3.0}, 0.1)
+    assert comp["prior_round"] == 5
+    assert comp["prior_total_shared"] == 2.0
+    # the regression gate still baselines on the newest artifact (r6)
+    newest = bench._prior_recording(0.1)
+    assert newest["round"] == "6"
+
+
 def test_committed_round_snapshot_matches_full_schema():
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

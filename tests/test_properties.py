@@ -550,6 +550,35 @@ def test_mp3_xing_vbri_header_roundtrip(n, tag, mono):
 
 
 @given(
+    n=st.integers(1, 20),
+    declared=st.sampled_from([2**32 - 1, 2**24, 10**7]),
+    mono=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_implausible_xing_header_falls_back_to_walk(n, declared, mono):
+    """A corrupt/crafted Xing header declaring an absurd frame count
+    (far more frames than the payload could physically hold) must NOT
+    be trusted: the walker falls back to the bounded frame walk, so
+    n_frames/duration reflect the frames actually present."""
+    from airflow_spark.operators.multimodal import _parse_mp3_metadata
+
+    b3 = 0xC0 if mono else 0x40
+    f128 = bytes([0xFF, 0xFB, 0x90, b3]) + b"\x00" * 413
+    audio = f128 * n
+    hdr = bytearray(f128)
+    off = 4 + (17 if mono else 32)
+    hdr[off:off + 4] = b"Xing"
+    hdr[off + 4:off + 8] = (3).to_bytes(4, "big")
+    hdr[off + 8:off + 12] = declared.to_bytes(4, "big")
+    hdr[off + 12:off + 16] = (417 * (n + 1)).to_bytes(4, "big")
+    out = _parse_mp3_metadata(bytes(hdr) + audio)
+    assert out is not None
+    assert out["xing"] is None  # header rejected, walk used
+    assert out["n_frames"] == n + 1
+    assert out["duration_ms"] == round((n + 1) * 1152000.0 / 44100.0)
+
+
+@given(
     duration_ms=st.integers(0, 10**9),
     w=st.integers(1, 8192),
     h=st.integers(1, 8192),
