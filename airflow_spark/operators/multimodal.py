@@ -416,16 +416,18 @@ def video_neardup_pairs(
     max_hamming: int = 6,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Frame-sampled perceptual VIDEO near-duplicates: decode the
-    uncompressed-AVI video stream (same RIFF parse + DIB pixel walk
-    as ``extract_video_features``), dHash ``n_sample`` evenly spaced
-    frames, fold them into one 64-bit signature by bitwise MAJORITY
-    (robust to a minority of differing frames — intros, watermarks),
-    and feed the signatures through the same banded Hamming join text
-    SimHash and image dHash use. Undecodable/compressed payloads drop
-    out (quarantine posture; real H.264 decode is out of scope per
-    docs/adr/0001). Only (id, 8-byte signature) rows shuffle —
-    frames never leave the decode scan."""
+    """Frame-sampled perceptual VIDEO near-duplicates: decode the AVI
+    video stream — REAL pixel decode for uncompressed RGB DIB and for
+    Motion-JPEG (each 'MJPG' chunk through the bundled T.81 codec;
+    docs/adr/0002) — dHash ``n_sample`` evenly spaced frames, fold
+    them into one 64-bit signature by bitwise MAJORITY (robust to a
+    minority of differing frames — intros, watermarks), and feed the
+    signatures through the same banded Hamming join text SimHash and
+    image dHash use. A BI_RGB clip and an MJPEG re-encode of the SAME
+    clip therefore pair up (codec-invariant, like the WAV/MP3 audio
+    pair). Undecodable payloads (H.264/VP9/...) drop out (quarantine
+    posture per docs/adr/0002). Only (id, 8-byte signature) rows
+    shuffle — frames never leave the decode scan."""
     import numpy as np
 
     from . import dedup as _dedup
@@ -436,12 +438,7 @@ def video_neardup_pairs(
             for mid, data in zip(pdf[id_col], pdf[data_col]):
                 raw = bytes(data)
                 avi = _parse_avi(raw)
-                if (
-                    avi is None
-                    or avi["compression"] != 0
-                    or avi["bpp"] not in (24, 32)
-                    or not avi["frames"]
-                ):
+                if not _avi_decodable(avi):
                     continue
                 nf = len(avi["frames"])
                 take = sorted({
@@ -450,11 +447,7 @@ def video_neardup_pairs(
                 })
                 hashes = []
                 for fi in take:
-                    off, size = avi["frames"][fi]
-                    luma = _dib_luma(
-                        raw[off:off + size], avi["width"],
-                        avi["height"], avi["bpp"],
-                    )
+                    luma = _avi_frame_luma(avi, raw, fi)
                     if luma is None:
                         break
                     h = _dhash(luma)
@@ -1579,6 +1572,43 @@ def _parse_avi(data: bytes):
     return info if info["frames"] else None
 
 
+#: 'MJPG' as the little-endian BITMAPINFOHEADER biCompression fourcc —
+#: Motion JPEG in AVI: every video chunk is an independent baseline
+#: JPEG, decodable with the bundled T.81 codec (docs/adr/0002).
+_FOURCC_MJPG = 0x47504A4D
+
+
+def _avi_frame_luma(avi: dict, raw: bytes, idx: int):
+    """Decode one video frame of a parsed AVI to a float luma matrix:
+    REAL decode for uncompressed RGB DIB (BI_RGB) and Motion-JPEG
+    ('MJPG' — each chunk is a standalone baseline JPEG, decoded with
+    the bundled pure-numpy T.81 codec, ``jpeg.decode_baseline_jpeg``).
+    Returns None for other codecs (H.264/VP9/... keep the quarantine/
+    strict contract per docs/adr/0002) or geometry mismatches."""
+    off, size = avi["frames"][idx]
+    fbytes = raw[off : off + size]
+    comp = avi.get("compression")
+    if comp == 0 and avi.get("bpp") in (24, 32):
+        return _dib_luma(fbytes, avi["width"], avi["height"], avi["bpp"])
+    if comp == _FOURCC_MJPG:
+        from .jpeg import decode_baseline_jpeg
+
+        dec = decode_baseline_jpeg(fbytes)
+        return dec["luma"] if dec is not None else None
+    return None
+
+
+def _avi_decodable(avi) -> bool:
+    return (
+        avi is not None
+        and bool(avi.get("frames"))
+        and (
+            (avi.get("compression") == 0 and avi.get("bpp") in (24, 32))
+            or avi.get("compression") == _FOURCC_MJPG
+        )
+    )
+
+
 def _dib_luma(raw: bytes, width: int, height: int, bpp: int):
     """Decode one uncompressed DIB frame (BI_RGB: bottom-up rows, BGR,
     4-byte row padding) to a float luma matrix, or None if the buffer
@@ -1629,10 +1659,12 @@ def extract_video_features(
     media row (frames of one video stay in one partition).
 
     Decode is REAL for uncompressed RGB-DIB AVI (RIFF parse + numpy —
-    the video analog of the WAV-PCM audio path): each sampled timestamp
+    the video analog of the WAV-PCM audio path) AND for Motion-JPEG
+    AVI (each 'MJPG' chunk is a standalone baseline JPEG, decoded with
+    the bundled T.81 codec; docs/adr/0002): each sampled timestamp
     maps to its container frame via the avih frame interval, and
     sha256 / mean_luma / embedding come from the actual frame pixels.
-    Compressed codecs keep the stub contract (strict raises; otherwise
+    Other codecs keep the stub contract (strict raises; otherwise
     a deterministic payload-hash fake)."""
     frames = sample_frames(df, every_ms, id_col)
     joined = frames.join(df.select(id_col, data_col), id_col).repartition(
@@ -1657,18 +1689,15 @@ def extract_video_features(
                         avi_cache.pop(next(iter(avi_cache)))
                     avi_cache[key] = _parse_avi(raw)
                 avi = avi_cache[key]
-                decodable = avi is not None and avi.get("compression") == 0
-                if decodable:
+                if _avi_decodable(avi):
                     us = avi["us_per_frame"] or 1
                     idx = min(
                         int(ts) * 1000 // us, len(avi["frames"]) - 1
                     )
                     off, size = avi["frames"][idx]
-                    fbytes = raw[off : off + size]
-                    luma = _dib_luma(
-                        fbytes, avi["width"], avi["height"], avi["bpp"]
-                    )
+                    luma = _avi_frame_luma(avi, raw, idx)
                     if luma is not None:
+                        fbytes = raw[off : off + size]
                         out.append(
                             {
                                 "media_id": int(mid),
@@ -1681,8 +1710,9 @@ def extract_video_features(
                         continue
                 if strict:
                     raise NotImplementedError(
-                        "video decode beyond uncompressed RGB AVI requires "
-                        "a codec (e.g. ffmpeg); not available here"
+                        "video decode beyond uncompressed RGB AVI and "
+                        "Motion-JPEG requires a codec (e.g. ffmpeg); not "
+                        "available here — see docs/adr/0002"
                     )
                 h = hashlib.sha256(raw + int(ts).to_bytes(8, "big")).digest()
                 out.append(

@@ -3665,17 +3665,22 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampled VIDEO near-dup attested end-to-end
-    (``multimodal.video_neardup_pairs``: real RIFF/AVI parse → DIB
-    pixel decode → per-frame dHash → bitwise-MAJORITY signature →
-    banded Hamming join): documents pair as (d, d+6) for d % 12 == 0.
-    Member A is a 5-frame uncompressed AVI of md5-derived luma grids
-    (one dHash cell per 8-px block, per-column ramp for comparison
-    margin); member B is the same video brightness-shifted +4 WITH
-    ITS FIRST FRAME REPLACED by different content — the majority fold
-    over the 3 sampled frames (first/middle/last) must absorb the
-    differing frame, so the pair still lands at Hamming 0. The oracle
-    is the planted closed form."""
+    """CODEC-INVARIANT frame-sampled VIDEO near-dup attested
+    end-to-end (``multimodal.video_neardup_pairs``: real RIFF/AVI
+    parse → pixel decode → per-frame dHash → bitwise-MAJORITY
+    signature → banded Hamming join): documents pair as (d, d+6) for
+    d % 12 == 0. Member A is a 5-frame UNCOMPRESSED (BI_RGB DIB) AVI
+    of md5-derived luma grids (one dHash cell per 8-px block,
+    per-column ramp for comparison margin); member B is the same
+    video re-encoded as MOTION-JPEG (every frame through the bundled
+    T.81 encoder — a genuinely compressed container, docs/adr/0002),
+    brightness-shifted +4, WITH ITS FIRST FRAME REPLACED by different
+    content — the majority fold over the 3 sampled frames
+    (first/middle/last) must absorb the differing frame AND the
+    per-frame JPEG decode must reproduce dHash-exact pixels, so the
+    pair still lands at Hamming 0. The oracle is the planted closed
+    form; byte-level or whole-container hashing can never pair a DIB
+    stream with an MJPEG stream."""
     import hashlib as _hashlib
     import struct as _struct
 
@@ -3683,6 +3688,7 @@ def op_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
 
     from . import multimodal
+    from .jpeg import encode_baseline_jpeg as _enc_jpeg
 
     t = load_tables(spark, sf_dir)
     ids = (
@@ -3733,21 +3739,33 @@ def op_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<IIIIIIIIIIIIII",
             33366, 0, 0, 0, len(grays), 0, 1, 0, w, h, 0, 0, 0, 0,
         )
+        codec = b"MJPG" if is_b else b"DIB "
         strh = _struct.pack(
-            "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+            "<4s4sIHHIIIIIIIIhhhh", b"vids", codec, 0, 0, 0, 0,
             1, 30, 0, len(grays), 0, 0, 0, 0, 0, 0, 0,
         )
+        compression = 0x47504A4D if is_b else 0  # 'MJPG' fourcc / BI_RGB
         strf = _struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0
+            "<IiiHHIIiiII", 40, w, h, 1, 24, compression, 0, 0, 0, 0, 0
         )
         movi = b""
         for g in grays:
-            rows = _np.zeros((h, stride), dtype=_np.uint8)
-            bgr = _np.repeat(
-                g[::-1].astype(_np.uint8), 3, axis=1
-            )  # bottom-up, gray so BGR == repeat
-            rows[:, : w * 3] = bgr
-            movi += chunk(b"00db", rows.tobytes())
+            if is_b:
+                # member B: genuinely compressed Motion-JPEG — each
+                # frame is a standalone baseline JPEG ('00dc' chunk)
+                movi += chunk(
+                    b"00dc",
+                    _enc_jpeg(
+                        _np.clip(g, 0, 255).astype(_np.uint8), quality=85
+                    ),
+                )
+            else:
+                rows = _np.zeros((h, stride), dtype=_np.uint8)
+                bgr = _np.repeat(
+                    g[::-1].astype(_np.uint8), 3, axis=1
+                )  # bottom-up, gray so BGR == repeat
+                rows[:, : w * 3] = bgr
+                movi += chunk(b"00db", rows.tobytes())
         body = (
             lst(b"hdrl", chunk(b"avih", avih)
                 + lst(b"strl", chunk(b"strh", strh)

@@ -1959,6 +1959,143 @@ def test_video_avi_audio_stream_first(spark):
     assert all(abs(e - 100.0 / 255.0) < 1e-6 for e in r["embedding"])  # float32 column
 
 
+def _mjpeg_avi(frames_gray, us_per_frame=1_000_000, quality=85):
+    """Minimal Motion-JPEG AVI: biCompression='MJPG', every '00dc'
+    chunk a standalone baseline JPEG from the bundled T.81 encoder.
+    frames_gray: list of (h, w) uint8 arrays."""
+    import struct
+
+    import numpy as np
+
+    from airflow_spark.operators.jpeg import encode_baseline_jpeg
+
+    h, w = frames_gray[0].shape
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, 0, 0, 0, len(frames_gray), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0,
+                       1, 30, 0, len(frames_gray), 0, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,
+                       0, 0, 0, 0, 0)
+    movi = b""
+    for fr in frames_gray:
+        movi += chunk(
+            b"00dc",
+            encode_baseline_jpeg(np.asarray(fr, np.uint8), quality=quality),
+        )
+    body = (
+        lst(b"hdrl", chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+        + lst(b"movi", movi)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def test_video_mjpeg_avi_real_decode(spark):
+    """Motion-JPEG AVI must decode for REAL through the bundled T.81
+    codec (docs/adr/0002): per-frame mean_luma comes from the decoded
+    pixels (within JPEG quantization tolerance), and strict=True takes
+    the real-decode path without raising."""
+    import numpy as np
+
+    dark = np.full((16, 16), 30, dtype=np.uint8)
+    light = np.full((16, 16), 220, dtype=np.uint8)
+    avi = _mjpeg_avi([dark, light], us_per_frame=1_000_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi), ("video/avi", 16, 16, 2000, None, 2))],
+        "media_id long, data binary, meta struct<mime:string,width:int,"
+        "height:int,duration_ms:long,sample_rate:int,n_frames:int>",
+    )
+    out = {
+        r["frame_ts_ms"]: r
+        for r in multimodal.extract_video_features(
+            df, every_ms=1000, strict=True
+        ).collect()
+    }
+    assert set(out) == {0, 1000}
+    assert abs(out[0]["mean_luma"] - 30.0 / 255.0) < 0.02
+    assert abs(out[1000]["mean_luma"] - 220.0 / 255.0) < 0.02
+    assert out[0]["sha256"] != out[1000]["sha256"]
+
+
+def test_video_neardup_cross_codec_dib_vs_mjpeg(spark):
+    """A BI_RGB clip and an MJPEG re-encode of the SAME clip must pair
+    up (codec-invariant video near-dup, the video analog of the
+    WAV/MP3 audio pair), while an unrelated clip stays unpaired."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def clip(seed):
+        # dHash-friendly: 8x9 cell grid with strong block contrast
+        cells = (rng.integers(0, 2, (8, 9)) if seed is None
+                 else _seed_cells(seed))
+        ramp = 10 * np.arange(9, dtype=np.int64)[None, :]
+        g = 40 + ramp + 120 * cells
+        return np.kron(g, np.ones((8, 8), np.int64))
+
+    def _seed_cells(seed):
+        import hashlib
+        bits = hashlib.md5(seed.encode()).digest() * 5
+        return np.array(
+            [(bits[j // 8] >> (j % 8)) & 1 for j in range(72)],
+            dtype=np.int64,
+        ).reshape(8, 9)
+
+    base = [clip("a") + f for f in range(3)]
+    other = [clip("b") + f for f in range(3)]
+    dib = _rgb_avi([
+        np.repeat(np.clip(f, 0, 255).astype(np.uint8)[:, :, None], 3, 2)
+        for f in base
+    ])
+    mjpg = _mjpeg_avi([np.clip(f + 4, 0, 255).astype(np.uint8)
+                       for f in base])
+    dib_other = _rgb_avi([
+        np.repeat(np.clip(f, 0, 255).astype(np.uint8)[:, :, None], 3, 2)
+        for f in other
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(dib)), (2, bytearray(mjpg)),
+         (3, bytearray(dib_other))],
+        "media_id long, data binary",
+    )
+    pairs = multimodal.video_neardup_pairs(df, max_hamming=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_video_neardup_quarantines_unknown_fourcc(spark):
+    """A compressed fourcc the boundary excludes (H264) must drop out
+    of the pair search (quarantine posture per docs/adr/0002), not
+    crash or fake-match."""
+    import struct
+
+    import numpy as np
+
+    frame = np.full((16, 16), 128, dtype=np.uint8)
+    avi = bytearray(_mjpeg_avi([frame, frame]))
+    # rewrite BOTH header fourccs (strh fccHandler + strf
+    # biCompression) to H264: parseable container, undecodable codec
+    avi = bytes(avi).replace(
+        struct.pack("<I", 0x47504A4D), struct.pack("<I", 0x34363248), 2
+    )
+    good = _mjpeg_avi([frame, frame])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(good)), (3, bytearray(good))],
+        "media_id long, data binary",
+    )
+    pairs = multimodal.video_neardup_pairs(df, max_hamming=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+
+
 def test_bloom_probe_survives_duplicate_ids(spark):
     """Membership is per distinct key: duplicate id values must not
     merge probe sets and drop true members (the old false negative)."""
