@@ -1,4 +1,4 @@
-"""Pure-numpy MPEG-1 Audio Layer III codec pair (mono).
+"""Pure-numpy MPEG-1 Audio Layer III codec pair.
 
 The LAST decode frontier from the multimodal family: a real
 Layer-III DECODE path (bitstream parse → scalefactors → Huffman →
@@ -35,8 +35,10 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   only emits these. A stream selecting any other table raises
   ``Mp3DecodeError`` — the strict-contract behavior the rest of the
   multimodal family uses for unsupported features.
-- Mono MPEG-1 Layer III, long blocks (``windows_switching_flag`` 0),
-  ``main_data_begin`` 0 (no bit reservoir). Anything else raises.
+- MPEG-1 Layer III: mono, stereo, dual-channel, and mid/side joint
+  stereo (round 6); long, start/stop, short, and mixed windows
+  (round 6). Still out: intensity stereo, ``main_data_begin`` != 0
+  (bit reservoir), scfsi sharing — those raise.
 
 Scale posture: decode runs inside Arrow-batched ``mapInPandas``
 (`multimodal.extract_audio_features`), one payload per row, pixels/
@@ -87,6 +89,14 @@ _SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576],
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
+}
+
+#: short-block scalefactor band boundaries per sample rate (Table B.8,
+#: per-window line indices; 3 windows x 192 lines = 576)
+_SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
 
 #: preemphasis table (pretab), bands 0..21
@@ -197,6 +207,39 @@ _MDCT_COS = np.cos(
     * (2 * np.arange(18)[:, None] + 1)
 )
 
+#: block_type 1 (start) / 3 (stop) hybrid windows (ISO §2.4.3.4.10.3):
+#: long sine on the steady half, short sine on the transition half
+_n36 = np.arange(36)
+_WIN_START = np.where(
+    _n36 < 18, np.sin(np.pi / 36.0 * (_n36 + 0.5)),
+    np.where(_n36 < 24, 1.0,
+             np.where(_n36 < 30,
+                      np.sin(np.pi / 12.0 * (_n36 - 18 + 0.5)), 0.0)),
+)
+_WIN_STOP = np.where(
+    _n36 < 6, 0.0,
+    np.where(_n36 < 12, np.sin(np.pi / 12.0 * (_n36 - 6 + 0.5)),
+             np.where(_n36 < 18, 1.0,
+                      np.sin(np.pi / 36.0 * (_n36 + 0.5)))),
+)
+#: block_type -> 36-point window (2 = short handled separately)
+_WIN_BT = {0: _MDCT_WIN, 1: _WIN_START, 3: _WIN_STOP}
+
+#: 12-point MDCT pair for short blocks (3 windows x 6 lines/subband)
+_WIN12 = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
+_MDCT12_COS = np.cos(
+    np.pi / 24.0
+    * (2 * np.arange(12)[None, :] + 1 + 6)
+    * (2 * np.arange(6)[:, None] + 1)
+)
+#: encoder-side gain matching the unnormalized decoder IMDCT: the
+#: MDCT->IMDCT->overlap-add chain has gain N/2 (orthogonality x PB
+#: windows), so the 12-point short path carries 6 where the 36-point
+#: long path carries 18 through the same synthesis filterbank — the
+#: fixture encoder scales short lines by 18/6 so both block types
+#: round-trip at unity. The DECODER stays spec-exact (unnormalized).
+_SHORT_ENC_SCALE = 3.0
+
 
 def _mdct18(z36: np.ndarray) -> np.ndarray:
     """36-point MDCT -> 18 lines (input already windowed)."""
@@ -208,31 +251,54 @@ def _imdct18(lines: np.ndarray) -> np.ndarray:
     return (lines @ _MDCT_COS) * _MDCT_WIN
 
 
+def _imdct_hybrid(lines18: np.ndarray, block_type: int) -> np.ndarray:
+    """One subband's 18 lines -> 36 windowed time samples for 50%
+    overlap-add, honoring the block type: 0/1/3 run the 36-point IMDCT
+    with the normal/start/stop window; 2 (short) runs three 12-point
+    IMDCTs (lines window-major: [w0 x6, w1 x6, w2 x6]) overlap-added
+    into the center 24 samples of the 36-slot frame (ISO
+    §2.4.3.4.10.3)."""
+    if block_type != 2:
+        return (lines18 @ _MDCT_COS) * _WIN_BT[block_type]
+    t36 = np.zeros(36)
+    for w in range(3):
+        y = (lines18[6 * w : 6 * w + 6] @ _MDCT12_COS) * _WIN12
+        t36[6 + 6 * w : 18 + 6 * w] += y
+    return t36
+
+
 _BFLY_LO = 17 - np.arange(8)
 _BFLY_HI = np.arange(8)
 
 
-def _alias_reduce(gr: np.ndarray) -> np.ndarray:
-    """Decoder-side butterflies across the 31 subband boundaries
-    (ISO §2.4.3.4.10.1). ``gr`` is (32, 18) granule lines; vectorized
-    over all boundaries at once (each butterfly touches only the top
-    8 lines of band sb-1 and bottom 8 of band sb — disjoint sets)."""
+def _alias_reduce(gr: np.ndarray, n_bounds: int = 31) -> np.ndarray:
+    """Decoder-side butterflies across subband boundaries (ISO
+    §2.4.3.4.10.1). ``gr`` is (32, 18) granule lines; vectorized over
+    all boundaries at once (each butterfly touches only the top 8
+    lines of band sb-1 and bottom 8 of band sb — disjoint sets).
+    ``n_bounds``: how many low boundaries to process — 31 for long
+    granules, 1 for mixed blocks (only the long-region boundary), 0
+    for pure short blocks (no alias reduction, per spec)."""
+    if n_bounds <= 0:
+        return gr.copy()
     out = gr.copy()
-    lo = out[:-1][:, _BFLY_LO]
-    hi = out[1:][:, _BFLY_HI]
-    out[:-1, 10:18] = (lo * _CS - hi * _CA)[:, ::-1]
-    out[1:, 0:8] = hi * _CS + lo * _CA
+    lo = out[:n_bounds][:, _BFLY_LO]
+    hi = out[1 : n_bounds + 1][:, _BFLY_HI]
+    out[:n_bounds, 10:18] = (lo * _CS - hi * _CA)[:, ::-1]
+    out[1 : n_bounds + 1, 0:8] = hi * _CS + lo * _CA
     return out
 
 
-def _alias_unreduce(gr: np.ndarray) -> np.ndarray:
+def _alias_unreduce(gr: np.ndarray, n_bounds: int = 31) -> np.ndarray:
     """Encoder-side inverse: the butterflies are orthonormal
     rotations (cs² + ca² = 1), so the inverse is the transpose."""
+    if n_bounds <= 0:
+        return gr.copy()
     out = gr.copy()
-    lo = out[:-1][:, _BFLY_LO]
-    hi = out[1:][:, _BFLY_HI]
-    out[:-1, 10:18] = (lo * _CS + hi * _CA)[:, ::-1]
-    out[1:, 0:8] = hi * _CS - lo * _CA
+    lo = out[:n_bounds][:, _BFLY_LO]
+    hi = out[1 : n_bounds + 1][:, _BFLY_HI]
+    out[:n_bounds, 10:18] = (lo * _CS + hi * _CA)[:, ::-1]
+    out[1 : n_bounds + 1, 0:8] = hi * _CS - lo * _CA
     return out
 
 
@@ -285,43 +351,83 @@ class _BitReader:
 # ---------------------------------------------------------------------------
 
 
+def _quant_segments(
+    block_type: str, sfb: list[int], sfbs: list[int]
+) -> list[tuple[int, int, int, int]]:
+    """Bitstream-order quantization segments for one granule:
+    (lo, hi, sf_limit, slen) with sf_limit 0 marking a no-scalefactor
+    region (its lines are dropped, like long band 21). The order is
+    exactly the order scalefactors are written (band-major,
+    window-minor for short regions), so the encoder can zip segments
+    with its scalefactor list."""
+    segs: list[tuple[int, int, int, int]] = []
+    if block_type == "long":
+        for b in range(21):
+            limit, slen = (15, 4) if b < 11 else (7, 3)
+            segs.append((sfb[b], sfb[b + 1], limit, slen))
+        segs.append((sfb[21], 576, 0, 0))
+        return segs
+    pos = 0
+    if block_type == "mixed":
+        for b in range(8):  # long region: subbands 0-1, lines 0..36
+            segs.append((sfb[b], sfb[b + 1], 15, 4))
+        pos = sfb[8]
+        b0 = 3
+    else:
+        b0 = 0
+    for b in range(b0, 13):
+        wb = sfbs[b + 1] - sfbs[b]
+        for _w in range(3):
+            if b < 6:
+                segs.append((pos, pos + wb, 15, 4))
+            elif b < 12:
+                segs.append((pos, pos + wb, 7, 3))
+            else:
+                segs.append((pos, pos + wb, 0, 0))
+            pos += wb
+    return segs
+
+
 def _quantize_granule(
-    lines: np.ndarray, sfb: list[int]
-) -> tuple[np.ndarray, int, np.ndarray]:
-    """Sign/band-energy quantizer: per scalefactor band, lines at or
-    above 0.5x the band peak become ±1, the rest 0; ``global_gain``
-    carries the granule peak and per-band scalefactors carry band
-    attenuation in 2^-0.5 steps (``scalefac_scale`` 0). Crude — the
-    point of this encoder is valid fixture bitstreams whose decoded
-    spectrum matches the source's, not rate-distortion performance."""
+    lines: np.ndarray, segs: list[tuple[int, int, int, int]]
+) -> tuple[np.ndarray, int, list[int]]:
+    """Sign/band-energy quantizer: per quantization segment (a long
+    scalefactor band, or one window of a short band), lines at or
+    above 0.5x the segment peak become ±1, the rest 0;
+    ``global_gain`` carries the granule peak and per-segment
+    scalefactors carry attenuation in 2^-0.5 steps (``scalefac_scale``
+    0). Crude — the point of this encoder is valid fixture bitstreams
+    whose decoded spectrum matches the source's, not rate-distortion
+    performance."""
+    n_sf = sum(1 for _lo, _hi, lim, _s in segs if lim)
     peak = float(np.max(np.abs(lines)))
     if peak <= 0.0:
-        return np.zeros(576, dtype=np.int64), 0, np.zeros(21, dtype=np.int64)
+        return np.zeros(576, dtype=np.int64), 0, [0] * n_sf
     # dequant magnitude for ±1 at scalefac 0 is 2^((gg-210)/4)
     gg = int(round(210 + 4 * np.log2(peak)))
     gg = max(0, min(255, gg))
     amp = 2.0 ** ((gg - 210) / 4.0)
     q = np.zeros(576, dtype=np.int64)
-    sf = np.zeros(21, dtype=np.int64)
-    for b in range(21):
-        lo, hi = sfb[b], sfb[b + 1]
+    sf: list[int] = []
+    for lo, hi, limit, _slen in segs:
+        if limit == 0:
+            continue  # no-scalefactor region: lines dropped
         seg = lines[lo:hi]
         bpeak = float(np.max(np.abs(seg))) if hi > lo else 0.0
         if bpeak <= 0.0:
+            sf.append(0)
             continue
-        # band attenuation relative to the granule amp, 2^-0.5 steps
+        # segment attenuation relative to the granule amp, 2^-0.5 steps
         want = max(0.0, -2.0 * np.log2(bpeak / amp))
-        limit = 15 if b < 11 else 7
         if want > limit + 0.5:
-            # band peak sits below the scalefactor-representable
+            # segment peak sits below the scalefactor-representable
             # floor: clamping would decode its (leakage-level) lines
-            # orders of magnitude too loud — drop the band instead
+            # orders of magnitude too loud — drop the segment instead
+            sf.append(0)
             continue
-        sf[b] = min(limit, int(round(want)))
+        sf.append(min(limit, int(round(want))))
         keep = np.abs(seg) >= 0.5 * bpeak
         q[lo:hi] = np.where(keep, np.sign(seg).astype(np.int64), 0)
-    # band 21 (lines >= sfb[21]) has no scalefactor: drop its lines
-    q[sfb[21]:] = 0
     return q, gg, sf
 
 
@@ -352,64 +458,129 @@ def _encode_granule_bits(
     return big_pairs, len(w) - start
 
 
+def _unorder_short(
+    nat: np.ndarray, sfb: list[int], sfb_short: list[int], mixed: bool
+) -> np.ndarray:
+    """Natural (32x18 window-major) line order -> the bitstream's
+    band-major/window-minor interleave (exact inverse of
+    :func:`_reorder_short`)."""
+    flat = np.zeros(576)
+    long_lines = sfb[8] if mixed else 0
+    flat[:long_lines] = nat[:long_lines]
+    win = np.zeros((3, 192))
+    first_sb = long_lines // 18
+    for sb in range(first_sb, 32):
+        for w in range(3):
+            win[w, 6 * sb : 6 * sb + 6] = (
+                nat[18 * sb + 6 * w : 18 * sb + 6 * w + 6]
+            )
+    b0 = 3 if mixed else 0
+    pos = long_lines
+    for b in range(b0, 13):
+        lo, hi = sfb_short[b], sfb_short[b + 1]
+        wb = hi - lo
+        for w in range(3):
+            flat[pos:pos + wb] = win[w, lo:hi]
+            pos += wb
+    return flat
+
+
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
-               kbps: int = 128) -> bytes:
-    """Encode mono float PCM into an MPEG-1 Layer III CBR stream
-    (this codec pair's documented subset: mono, long blocks, no bit
-    reservoir, Huffman tables 1/B). Lossy by design — the quantizer
-    keeps per-band dominant lines at sign precision with band-energy
-    scalefactors, which preserves the spectrum's shape (dominant
-    frequencies, band energies) rather than the waveform."""
+               kbps: int = 128, block_type: str = "long") -> bytes:
+    """Encode float PCM into an MPEG-1 Layer III CBR stream (this
+    codec pair's documented subset: no bit reservoir, Huffman tables
+    1/B). ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
+    mid/side joint stereo (mode 01, mode_extension MS — the decoder's
+    stereo path). ``block_type``: 'long' (default), 'short' (every
+    granule block_type 2), or 'mixed' (block_type 2 with
+    mixed_block_flag — subbands 0-1 long, rest short). Lossy by
+    design — the quantizer keeps per-segment dominant lines at sign
+    precision with band-energy scalefactors, which preserves the
+    spectrum's shape (dominant frequencies, band energies) rather
+    than the waveform."""
     if sample_rate not in _SFB_LONG:
         raise Mp3EncodeError(f"unsupported sample rate {sample_rate}")
     if kbps not in _BITRATES:
         raise Mp3EncodeError(f"unsupported bitrate {kbps}")
-    x = np.asarray(pcm, dtype=np.float64).ravel()
+    if block_type not in ("long", "short", "mixed"):
+        raise Mp3EncodeError(f"unsupported block_type {block_type!r}")
+    x = np.asarray(pcm, dtype=np.float64)
     if x.size == 0:
         raise Mp3EncodeError("empty PCM")
+    if x.ndim == 2 and x.shape[1] == 2:
+        # mid/side joint stereo: channel 0 carries (l+r)/√2, channel 1
+        # (l-r)/√2; the decoder inverts (ISO §2.4.3.4.9.2)
+        inv = 1.0 / np.sqrt(2.0)
+        chans = [(x[:, 0] + x[:, 1]) * inv, (x[:, 0] - x[:, 1]) * inv]
+    elif x.ndim == 1:
+        chans = [x]
+    else:
+        raise Mp3EncodeError("PCM must be (n,) mono or (n, 2) stereo")
+    nch = len(chans)
     sfb = _SFB_LONG[sample_rate]
+    sfbs = _SFB_SHORT[sample_rate]
+    segs = _quant_segments(block_type, sfb, sfbs)
     br_idx = _BITRATES.index(kbps)
     sr_idx = _RATES.index(sample_rate)
     frame_len = 144 * kbps * 1000 // sample_rate  # no padding bit
+    short = block_type != "long"
+    mixed = block_type == "mixed"
+    n_alias = 31 if not short else (1 if mixed else 0)
 
     # analysis -> subband blocks; frames consume 36 blocks (2 granules
     # x 18); pad to a whole frame count
-    s = _analysis_filterbank(x)
-    nblk = s.shape[0]
+    ss = [_analysis_filterbank(c) for c in chans]
+    nblk = ss[0].shape[0]
     blocks_per_frame = 36
     nframes = max(1, -(-nblk // blocks_per_frame))
-    if nblk < nframes * blocks_per_frame:
-        s = np.vstack(
-            [s, np.zeros((nframes * blocks_per_frame - nblk, 32))]
-        )
-    # frequency inversion parity (odd subbands carry inverted
-    # spectra): flip odd time samples of odd subbands so MDCT lines
-    # land in ascending frequency — mirrored by the decoder
-    s[1::2, 1::2] *= -1.0
+    for ci in range(nch):
+        if nblk < nframes * blocks_per_frame:
+            ss[ci] = np.vstack(
+                [ss[ci],
+                 np.zeros((nframes * blocks_per_frame - nblk, 32))]
+            )
+        # frequency inversion parity (odd subbands carry inverted
+        # spectra): flip odd time samples of odd subbands so MDCT
+        # lines land in ascending frequency — mirrored by the decoder
+        ss[ci][1::2, 1::2] *= -1.0
 
     frames = []
-    prev = np.zeros((32, 18))
+    prev = [np.zeros((32, 18)) for _ in range(nch)]
     for fi in range(nframes):
-        granule_bits: list[tuple[int, int, int, np.ndarray, _BitWriter]] = []
+        # granule-major, channel-minor (the spec's side-info and
+        # main-data order)
+        granule_bits: list[list[tuple]] = [[], []]
         for g in range(2):
-            blk = s[(fi * 2 + g) * 18:(fi * 2 + g + 1) * 18]  # (18, 32)
-            cur = blk.T  # (32, 18)
-            lines = np.empty((32, 18))
-            for sb in range(32):
-                z = np.concatenate([prev[sb], cur[sb]]) * _MDCT_WIN
-                lines[sb] = _mdct18(z)
-            prev = cur
-            lines = _alias_unreduce(lines)
-            flat = lines.reshape(576)
-            q, gg, sf = _quantize_granule(flat, sfb)
-            w = _BitWriter()
-            # scalefactors: scalefac_compress 15 -> slen (4, 3)
-            for b in range(11):
-                w.write(int(sf[b]), 4)
-            for b in range(11, 21):
-                w.write(int(sf[b]), 3)
-            big_values, _ = _encode_granule_bits(w, q)
-            granule_bits.append((len(w), big_values, gg, sf, w))
+            for ci in range(nch):
+                blk = ss[ci][(fi * 2 + g) * 18:(fi * 2 + g + 1) * 18]
+                cur = blk.T  # (32, 18)
+                lines = np.empty((32, 18))
+                for sb in range(32):
+                    z36 = np.concatenate([prev[ci][sb], cur[sb]])
+                    if short and not (mixed and sb < 2):
+                        for w in range(3):
+                            lines[sb, 6 * w:6 * w + 6] = (
+                                _MDCT12_COS
+                                @ (z36[6 + 6 * w:18 + 6 * w] * _WIN12)
+                            ) * _SHORT_ENC_SCALE
+                    else:
+                        lines[sb] = _mdct18(z36 * _MDCT_WIN)
+                prev[ci] = cur
+                lines = _alias_unreduce(lines, n_alias)
+                flat = lines.reshape(576)
+                if short:
+                    flat = _unorder_short(flat, sfb, sfbs, mixed)
+                q, gg, sf = _quantize_granule(flat, segs)
+                w = _BitWriter()
+                # scalefactors in segment order (scalefac_compress 15
+                # -> slen (4, 3))
+                si = 0
+                for _lo, _hi, limit, slen in segs:
+                    if limit:
+                        w.write(int(sf[si]), slen)
+                        si += 1
+                big_values, _ = _encode_granule_bits(w, q)
+                granule_bits[g].append((len(w), big_values, gg, w))
 
         # assemble: header + side info + main data, zero-padded to the
         # CBR frame length
@@ -422,31 +593,44 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         hw.write(sr_idx, 2)
         hw.write(0, 1)       # padding
         hw.write(0, 1)       # private
-        hw.write(0b11, 2)    # mono
-        hw.write(0, 2)       # mode extension
+        hw.write(0b11 if nch == 1 else 0b01, 2)  # mono / joint stereo
+        hw.write(0 if nch == 1 else 0b10, 2)     # mode ext: MS on
         hw.write(0, 1)       # copyright
         hw.write(1, 1)       # original
         hw.write(0, 2)       # emphasis
-        # side info (mono: 17 bytes)
+        # side info (17 bytes mono / 32 stereo)
         hw.write(0, 9)       # main_data_begin = 0 (no reservoir)
-        hw.write(0, 5)       # private_bits
-        hw.write(0, 4)       # scfsi: scalefactors sent per granule
-        for part23, big_values, gg, _sf, _w in granule_bits:
-            hw.write(part23, 12)
-            hw.write(big_values, 9)
-            hw.write(gg, 8)
-            hw.write(15, 4)  # scalefac_compress -> slen (4, 3)
-            hw.write(0, 1)   # windows_switching_flag: long blocks
-            hw.write(1, 5)   # table_select region 0 = table 1
-            hw.write(1, 5)   # region 1
-            hw.write(1, 5)   # region 2
-            hw.write(15, 4)  # region0_count (maximal: one region)
-            hw.write(7, 3)   # region1_count
-            hw.write(0, 1)   # preflag
-            hw.write(0, 1)   # scalefac_scale (multiplier 0.5)
-            hw.write(0, 1)   # count1table_select (unused: no count1)
-        for _p, _b, _g, _sf, w in granule_bits:
-            hw._bits.extend(w._bits)
+        hw.write(0, 5 if nch == 1 else 3)  # private_bits
+        for _ci in range(nch):
+            hw.write(0, 4)   # scfsi: scalefactors sent per granule
+        for g in range(2):
+            for part23, big_values, gg, _w in granule_bits[g]:
+                hw.write(part23, 12)
+                hw.write(big_values, 9)
+                hw.write(gg, 8)
+                hw.write(15, 4)  # scalefac_compress -> slen (4, 3)
+                if short:
+                    hw.write(1, 1)   # windows_switching_flag
+                    hw.write(2, 2)   # block_type 2 (short windows)
+                    hw.write(1 if mixed else 0, 1)
+                    hw.write(1, 5)   # table_select region 0 = table 1
+                    hw.write(1, 5)   # region 1
+                    hw.write(0, 3)   # subblock_gain window 0
+                    hw.write(0, 3)   # window 1
+                    hw.write(0, 3)   # window 2
+                else:
+                    hw.write(0, 1)   # windows_switching_flag: long
+                    hw.write(1, 5)   # table_select region 0 = table 1
+                    hw.write(1, 5)   # region 1
+                    hw.write(1, 5)   # region 2
+                    hw.write(15, 4)  # region0_count (maximal)
+                    hw.write(7, 3)   # region1_count
+                hw.write(0, 1)   # preflag
+                hw.write(0, 1)   # scalefac_scale (multiplier 0.5)
+                hw.write(0, 1)   # count1table_select (unused)
+        for g in range(2):
+            for _p, _b, _g, w in granule_bits[g]:
+                hw._bits.extend(w._bits)
         frame = bytearray(hw.pad_to_bytes())
         if len(frame) > frame_len:
             raise Mp3EncodeError(
@@ -465,19 +649,51 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
 
 def _decode_granule(
     r: _BitReader, part2_3_length: int, big_values: int, gg: int,
-    scalefac_compress: int, table_selects: tuple[int, int, int],
+    scalefac_compress: int, table_selects: tuple[int, ...],
     count1table_select: int, scalefac_scale: int, preflag: int,
     sfb: list[int],
+    block_type: int = 0,
+    mixed: bool = False,
+    sfb_short: list[int] | None = None,
+    subblock_gain: tuple[int, int, int] = (0, 0, 0),
 ) -> np.ndarray:
-    """Scalefactors + Huffman + requantize for one long-block granule.
-    Returns 576 requantized spectral lines."""
+    """Scalefactors + Huffman + requantize for one granule (long,
+    short, or mixed windows). Returns 576 requantized spectral lines
+    in the bitstream's frequency order (short granules are reordered
+    later by :func:`_reorder_short`)."""
     start = r.pos
     slen1, slen2 = _SLEN[scalefac_compress]
-    sf = np.zeros(22, dtype=np.int64)
-    for b in range(11):
-        sf[b] = r.read(slen1) if slen1 else 0
-    for b in range(11, 21):
-        sf[b] = r.read(slen2) if slen2 else 0
+
+    if block_type == 2 and not mixed:
+        # pure short: sfbs 0..5 x 3 windows (slen1), 6..11 x 3 (slen2)
+        sfs = np.zeros((13, 3), dtype=np.int64)
+        for b in range(6):
+            for w in range(3):
+                sfs[b, w] = r.read(slen1) if slen1 else 0
+        for b in range(6, 12):
+            for w in range(3):
+                sfs[b, w] = r.read(slen2) if slen2 else 0
+        sf_long = None
+    elif block_type == 2:
+        # mixed: long sfbs 0..7 (slen1), short sfbs 3..5 x 3 (slen1),
+        # 6..11 x 3 (slen2)
+        sf_long = np.zeros(22, dtype=np.int64)
+        for b in range(8):
+            sf_long[b] = r.read(slen1) if slen1 else 0
+        sfs = np.zeros((13, 3), dtype=np.int64)
+        for b in range(3, 6):
+            for w in range(3):
+                sfs[b, w] = r.read(slen1) if slen1 else 0
+        for b in range(6, 12):
+            for w in range(3):
+                sfs[b, w] = r.read(slen2) if slen2 else 0
+    else:
+        sf_long = np.zeros(22, dtype=np.int64)
+        for b in range(11):
+            sf_long[b] = r.read(slen1) if slen1 else 0
+        for b in range(11, 21):
+            sf_long[b] = r.read(slen2) if slen2 else 0
+        sfs = None
 
     q = np.zeros(576, dtype=np.int64)
     pos = 0
@@ -526,22 +742,82 @@ def _decode_granule(
         raise Mp3DecodeError("granule overran part2_3_length")
     r.pos = start + part2_3_length
 
-    # requantize: |v|^(4/3) * 2^((gg-210)/4) * 2^(-mult*(sf+pretab))
+    # requantize: |v|^(4/3) * 2^((gg-210)/4 - 8*subblock_gain(w)
+    #                            - mult*(sf+pretab))
     mult = 0.5 * (scalefac_scale + 1)
-    band_of = np.zeros(576, dtype=np.int64)
-    for b in range(22):
-        band_of[sfb[b]:sfb[b + 1]] = b
-    sf_all = sf[band_of] + (np.array(_PRETAB)[band_of] if preflag else 0)
+    exp = np.full(576, (gg - 210) / 4.0)
+    if block_type == 2:
+        sfbs = sfb_short
+        long_lines = sfb[8] if mixed else 0  # 36 at every rate
+        if mixed:
+            band_of = np.zeros(long_lines, dtype=np.int64)
+            for b in range(8):
+                band_of[sfb[b]:sfb[b + 1]] = b
+            pre = np.array(_PRETAB)[band_of] if preflag else 0
+            exp[:long_lines] -= mult * (sf_long[band_of] + pre)
+        b0 = 3 if mixed else 0
+        pos2 = long_lines
+        for b in range(b0, 13):
+            wb = sfbs[b + 1] - sfbs[b]
+            for w in range(3):
+                sf_bw = sfs[b, w] if b < 12 else 0
+                exp[pos2:pos2 + wb] -= (
+                    8.0 * subblock_gain[w] + mult * sf_bw
+                )
+                pos2 += wb
+    else:
+        band_of = np.zeros(576, dtype=np.int64)
+        for b in range(22):
+            band_of[sfb[b]:sfb[b + 1]] = b
+        pre = np.array(_PRETAB)[band_of] if preflag else 0
+        exp -= mult * (sf_long[band_of] + pre)
     mags = np.abs(q).astype(np.float64) ** (4.0 / 3.0)
-    gains = 2.0 ** ((gg - 210) / 4.0 - mult * sf_all)
-    return np.sign(q) * mags * gains
+    return np.sign(q) * mags * 2.0 ** exp
 
 
-def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode an MPEG-1 Layer III mono stream (this codec's documented
-    subset) to float PCM. Returns (samples, sample_rate). Raises
-    :class:`Mp3DecodeError` on anything outside the boundary — the
-    caller (``multimodal._decode_audio_impl``) maps that onto the
+def _reorder_short(
+    flat: np.ndarray, sfb: list[int], sfb_short: list[int], mixed: bool
+) -> np.ndarray:
+    """Bitstream order -> natural (32, 18) subband lines for a short
+    granule: the bitstream interleaves each short scalefactor band's
+    three windows consecutively (band-major, window-minor); the
+    hybrid filterbank wants window-major 6-line groups per subband
+    ([w0 x6, w1 x6, w2 x6] — the layout ``_imdct_hybrid`` consumes).
+    Mixed granules keep their first two subbands (lines 0..35) in
+    long order."""
+    nat = np.zeros(576)
+    long_lines = sfb[8] if mixed else 0
+    nat[:long_lines] = flat[:long_lines]
+    win = np.zeros((3, 192))
+    b0 = 3 if mixed else 0
+    pos = long_lines
+    for b in range(b0, 13):
+        lo, hi = sfb_short[b], sfb_short[b + 1]
+        wb = hi - lo
+        for w in range(3):
+            win[w, lo:hi] = flat[pos:pos + wb]
+            pos += wb
+    first_sb = long_lines // 18
+    for sb in range(first_sb, 32):
+        for w in range(3):
+            nat[18 * sb + 6 * w : 18 * sb + 6 * w + 6] = (
+                win[w, 6 * sb : 6 * sb + 6]
+            )
+    return nat
+
+
+def decode_mp3(
+    data: bytes, downmix: bool = True
+) -> tuple[np.ndarray, int]:
+    """Decode an MPEG-1 Layer III stream (mono, stereo, dual-channel,
+    or mid/side joint stereo; long, short, start/stop, and mixed
+    windows — this codec's documented subset, docs/adr/0001) to float
+    PCM. Returns (samples, sample_rate); ``downmix=True`` (the
+    pipeline default) averages channels to mono, ``downmix=False``
+    returns shape (n, nch) for multi-channel streams. Raises
+    :class:`Mp3DecodeError` on anything outside the boundary —
+    intensity stereo, bit reservoir, scfsi — and the caller
+    (``multimodal._decode_audio_impl``) maps that onto the
     strict/fake contract."""
     # skip a leading ID3v2 tag if present (same walk as the metadata
     # parser, kept dependency-free here)
@@ -557,7 +833,10 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
 
     sample_rate = None
     sfb: list[int] | None = None
-    granules: list[np.ndarray] = []
+    sfb_s: list[int] | None = None
+    nch: int | None = None
+    # per channel: list of (flat576_in_natural_order, block_type, mixed)
+    granules: list[list[tuple[np.ndarray, int, bool]]] = []
     nframes = 0
     while pos + 4 <= end:
         b0, b1, b2, b3 = data[pos:pos + 4]
@@ -573,24 +852,31 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
         if br_idx in (0, 15) or sr_idx == 3:
             raise Mp3DecodeError("free-format/invalid header")
         mode = (b3 >> 6) & 0x3
-        if mode != 0x3:
-            raise Mp3DecodeError("only mono streams supported")
+        mode_ext = (b3 >> 4) & 0x3
+        ch = 1 if mode == 0x3 else 2
+        ms = mode == 0x1 and bool(mode_ext & 0x2)
+        if mode == 0x1 and mode_ext & 0x1:
+            raise Mp3DecodeError("intensity stereo not supported")
         kbps = _BITRATES[br_idx]
         sr = _RATES[sr_idx]
         if sample_rate is None:
             sample_rate = sr
-            sfb = _SFB_LONG[sr]
+            sfb, sfb_s = _SFB_LONG[sr], _SFB_SHORT[sr]
+            nch = ch
+            granules = [[] for _ in range(nch)]
         elif sr != sample_rate:
             raise Mp3DecodeError("sample rate change mid-stream")
+        elif ch != nch:
+            raise Mp3DecodeError("channel-mode change mid-stream")
         padding = (b2 >> 1) & 0x1
         crc = not (b1 & 0x1)
         frame_len = 144 * kbps * 1000 // sr + padding
         frame = data[pos + 4 + (2 if crc else 0):pos + frame_len]
         r = _BitReader(frame)
-        if r.remaining() < 136:
+        if r.remaining() < (136 if nch == 1 else 256):
             raise Mp3DecodeError("truncated side info")
         try:
-            _parse_frame_granules(r, sfb, granules)
+            _parse_frame_granules(r, sfb, sfb_s, nch, ms, granules)
         except IndexError as ex:  # bit reads past a truncated frame
             raise Mp3DecodeError("truncated frame body") from ex
         pos += frame_len
@@ -598,50 +884,103 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     if nframes == 0 or sample_rate is None:
         raise Mp3DecodeError("no MPEG audio frames found")
 
-    # spectral lines -> subband blocks: alias reduction, IMDCT with
-    # overlap-add, frequency inversion
-    overlap = np.zeros((32, 18))
-    blocks = np.empty((len(granules) * 18, 32))
-    for gi, flat in enumerate(granules):
-        lines = _alias_reduce(flat.reshape(32, 18))
-        for sb in range(32):
-            t36 = _imdct18(lines[sb])
-            blocks[gi * 18:(gi + 1) * 18, sb] = t36[:18] + overlap[sb]
-            overlap[sb] = t36[18:]
-    blocks[1::2, 1::2] *= -1.0  # frequency inversion (decoder side)
-    pcm = _synthesis_filterbank(blocks)
-    return pcm, sample_rate
+    # spectral lines -> subband blocks per channel: alias reduction,
+    # hybrid IMDCT with overlap-add, frequency inversion
+    chans = []
+    for chan in granules:
+        overlap = np.zeros((32, 18))
+        blocks = np.empty((len(chan) * 18, 32))
+        for gi, (flat, bt, mixed) in enumerate(chan):
+            # alias reduction: all 31 boundaries for long windows,
+            # only the long-region boundary for mixed, none for pure
+            # short (ISO §2.4.3.4.10.1)
+            nb = 31 if bt != 2 else (1 if mixed else 0)
+            lines = _alias_reduce(flat.reshape(32, 18), nb)
+            for sb in range(32):
+                sb_bt = 0 if (bt == 2 and mixed and sb < 2) else bt
+                t36 = _imdct_hybrid(lines[sb], sb_bt)
+                blocks[gi * 18:(gi + 1) * 18, sb] = (
+                    t36[:18] + overlap[sb]
+                )
+                overlap[sb] = t36[18:]
+        blocks[1::2, 1::2] *= -1.0  # frequency inversion (decoder)
+        chans.append(_synthesis_filterbank(blocks))
+    if len(chans) == 1:
+        return chans[0], sample_rate
+    stacked = np.stack(chans, axis=1)
+    return (stacked.mean(axis=1) if downmix else stacked), sample_rate
 
 
 def _parse_frame_granules(
-    r: _BitReader, sfb: list[int], granules: list[np.ndarray]
+    r: _BitReader,
+    sfb: list[int],
+    sfb_short: list[int],
+    nch: int,
+    ms: bool,
+    granules: list[list[tuple[np.ndarray, int, bool]]],
 ) -> None:
-    """Side info (mono: 17 bytes) + both granules of one frame,
-    appended to ``granules`` as 576-line arrays."""
+    """Side info (17 bytes mono / 32 stereo) + both granules of one
+    frame, appended per channel as (576 natural-order lines,
+    block_type, mixed) tuples. Mid/side matrixing is applied on the
+    requantized spectra (ISO §2.4.3.4.9.2: li = (mi+si)/√2,
+    ri = (mi−si)/√2)."""
     if r.read(9) != 0:
         raise Mp3DecodeError("bit reservoir (main_data_begin) "
                              "not supported")
-    r.read(5)  # private
-    if r.read(4):
-        raise Mp3DecodeError("scfsi scalefactor sharing not supported")
-    side = []
-    for _g in range(2):
-        part23 = r.read(12)
-        big_values = r.read(9)
-        gg = r.read(8)
-        sc = r.read(4)
-        if r.read(1):
-            raise Mp3DecodeError("block switching (short blocks) "
+    r.read(5 if nch == 1 else 3)  # private bits
+    for _ch in range(nch):
+        if r.read(4):
+            raise Mp3DecodeError("scfsi scalefactor sharing "
                                  "not supported")
-        tsel = (r.read(5), r.read(5), r.read(5))
-        r.read(4)  # region0_count
-        r.read(3)  # region1_count
-        pre = r.read(1)
-        sfs = r.read(1)
-        c1t = r.read(1)
-        side.append((part23, big_values, gg, sc, tsel, pre, sfs, c1t))
-    for part23, big_values, gg, sc, tsel, pre, sfs, c1t in side:
-        granules.append(
-            _decode_granule(r, part23, big_values, gg, sc, tsel,
-                            c1t, sfs, pre, sfb)
-        )
+    side: list[list[tuple]] = [[], []]
+    for g in range(2):
+        for _ch in range(nch):
+            part23 = r.read(12)
+            big_values = r.read(9)
+            gg = r.read(8)
+            sc = r.read(4)
+            if r.read(1):  # windows_switching_flag
+                bt = r.read(2)
+                if bt == 0:
+                    raise Mp3DecodeError("reserved block type 0 with "
+                                         "window switching")
+                mixed = bool(r.read(1))
+                tsel = (r.read(5), r.read(5))
+                sbg = (r.read(3), r.read(3), r.read(3))
+            else:
+                bt, mixed, sbg = 0, False, (0, 0, 0)
+                tsel = (r.read(5), r.read(5), r.read(5))
+                r.read(4)  # region0_count
+                r.read(3)  # region1_count
+            pre = r.read(1)
+            sfs = r.read(1)
+            c1t = r.read(1)
+            side[g].append(
+                (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
+                 bt, mixed, sbg)
+            )
+    for g in range(2):
+        decoded = []
+        for ch in range(nch):
+            (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
+             bt, mixed, sbg) = side[g][ch]
+            short = bt == 2
+            flat = _decode_granule(
+                r, part23, big_values, gg, sc, tsel, c1t, sfs, pre,
+                sfb, block_type=bt, mixed=mixed,
+                sfb_short=sfb_short, subblock_gain=sbg,
+            )
+            if short:
+                flat = _reorder_short(flat, sfb, sfb_short, mixed)
+            decoded.append((flat, bt, mixed))
+        if ms and nch == 2:
+            (m, bt0, mx0), (s, bt1, mx1) = decoded
+            if (bt0, mx0) != (bt1, mx1):
+                raise Mp3DecodeError(
+                    "mid/side granule with differing block types"
+                )
+            inv = 1.0 / np.sqrt(2.0)
+            decoded = [((m + s) * inv, bt0, mx0),
+                       ((m - s) * inv, bt0, mx0)]
+        for ch in range(nch):
+            granules[ch].append(decoded[ch])

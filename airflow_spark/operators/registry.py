@@ -3639,6 +3639,16 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tt = _np.arange(int(sr * 0.3)) / sr
         x = 0.8 * _np.sin(2 * _np.pi * (bin_k * sr / nfft) * tt)
         if m % 12 == 6:
+            # alternate the MP3 member's encoding shape so the pair
+            # search attests the decoder's whole boundary: even
+            # groups mono long-block, odd groups STEREO (mid/side
+            # joint stereo) with short windows — both must decode to
+            # the same planted bin as the WAV member
+            if g % 2:
+                return mp3codec.encode_mp3(
+                    _np.stack([x, x], axis=1), sr, kbps=192,
+                    block_type="short",
+                )
             return mp3codec.encode_mp3(x, sr)
         buf = _io.BytesIO()
         with _wave.open(buf, "wb") as w:

@@ -110,9 +110,13 @@ def test_roundtrip_through_audio_features_mfcc():
 def test_unsupported_features_raise_cleanly():
     with pytest.raises(Mp3DecodeError):
         decode_mp3(b"\x00" * 64)
-    # stereo header
-    with pytest.raises(Mp3DecodeError, match="mono"):
-        decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413)
+    # intensity stereo (joint-stereo header with mode_ext bit 0 set)
+    # stays outside the boundary; plain/MS stereo now decodes
+    with pytest.raises(Mp3DecodeError, match="intensity"):
+        decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x50]) + b"\x00" * 413)
+    # all-zero joint-stereo side info decodes as silence (supported)
+    pcm, sr = decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413)
+    assert sr == 44100 and np.allclose(pcm, 0.0)
     # MPEG-2 / Layer II headers
     with pytest.raises(Mp3DecodeError, match="MPEG-1 Layer III"):
         decode_mp3(bytes([0xFF, 0xF3, 0x90, 0xC0]) + b"\x00" * 200)
@@ -278,3 +282,107 @@ def test_tone_roundtrip_other_sample_rates(sr):
 
     meta = _parse_mp3_metadata(data)
     assert meta["sample_rate"] == sr and meta["layer"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Round 6: stereo (mid/side joint stereo) and short/mixed windows
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("block_type", ["short", "mixed"])
+@pytest.mark.parametrize("bin_k", [60, 480, 872, 1600])
+def test_short_block_tone_roundtrip_peak_bin_exact(block_type, bin_k):
+    """Short and mixed windows (block_type 2, 12-point IMDCT with the
+    band-major/window-minor reorder) round-trip a bin-centered tone to
+    the exact planted bin — same contract the long path attests."""
+    x = _tone(bin_k * SR / 8192)
+    y, sr = decode_mp3(encode_mp3(x, SR, block_type=block_type))
+    assert sr == SR
+    assert _peak_bin(y) == bin_k == _peak_bin(x)
+
+
+@pytest.mark.parametrize("block_type", ["short", "mixed"])
+def test_short_block_gain_matches_long_path(block_type):
+    """The 12-point short path must carry the same overall gain as the
+    36-point long path through the shared synthesis filterbank (the
+    encoder's 18/6 scale): decoded RMS within 10% across block types."""
+    x = _tone(1000.0)
+    y_long, _ = decode_mp3(encode_mp3(x, SR, block_type="long"))
+    y_short, _ = decode_mp3(encode_mp3(x, SR, block_type=block_type))
+    n = min(len(y_long), len(y_short))
+    r_long = np.sqrt((y_long[:n] ** 2).mean())
+    r_short = np.sqrt((y_short[:n] ** 2).mean())
+    assert abs(r_short / r_long - 1.0) < 0.10
+
+
+@pytest.mark.parametrize("bin_k", [60, 480, 872])
+def test_stereo_ms_roundtrip_identical_channels(bin_k):
+    """L == R joint-stereo (mid carries everything, side is silent):
+    the downmixed decode lands the planted bin exactly, and the
+    non-downmixed decode returns two near-identical channels."""
+    x = _tone(bin_k * SR / 8192)
+    data = encode_mp3(np.stack([x, x], axis=1), SR, kbps=256)
+    y, sr = decode_mp3(data)
+    assert sr == SR and y.ndim == 1
+    assert _peak_bin(y) == bin_k
+    st, _ = decode_mp3(data, downmix=False)
+    assert st.shape[1] == 2
+    denom = np.abs(st[:, 0]).max()
+    assert np.abs(st[:, 0] - st[:, 1]).max() < 1e-6 * max(denom, 1e-12)
+
+
+def test_stereo_ms_distinct_channels_separate():
+    """L and R carrying DIFFERENT tones must come back on their own
+    channels through the mid/side matrix (the side spectrum is real,
+    not silence), and the downmix contains both components."""
+    xl = _tone(60 * SR / 8192)
+    xr = _tone(480 * SR / 8192)
+    data = encode_mp3(np.stack([xl, xr], axis=1), SR, kbps=320)
+    st, _ = decode_mp3(data, downmix=False)
+    assert _peak_bin(st[:, 0]) == 60
+    assert _peak_bin(st[:, 1]) == 480
+
+
+def test_stereo_short_blocks_roundtrip():
+    """Stereo x short windows compose: the same planted-bin contract
+    holds when both new paths run together."""
+    x = _tone(480 * SR / 8192)
+    y, _ = decode_mp3(
+        encode_mp3(np.stack([x, x], axis=1), SR, kbps=256,
+                   block_type="short")
+    )
+    assert _peak_bin(y) == 480
+
+
+def test_ms_with_mismatched_block_types_raises():
+    """An MS-stereo granule whose two channels declare different block
+    types cannot be matrixed: the decoder must refuse cleanly."""
+    data = bytearray(encode_mp3(
+        np.stack([_tone(1000.0), _tone(1000.0)], axis=1), SR, kbps=256,
+        block_type="short",
+    ))
+    # stereo side info: 9+3+8 bits, then gr0-ch0 side info (59 bits);
+    # flip ch1's windows_switching_flag (bit 34 of its 59) to 0 so
+    # ch0 stays short while ch1 claims long
+    bitpos = 32 + 20 + 59 + 12 + 9 + 8 + 4
+    byte, off = bitpos // 8, 7 - (bitpos % 8)
+    data[byte] &= ~(1 << off)
+    with pytest.raises(Mp3DecodeError):
+        decode_mp3(bytes(data))
+
+
+@given(
+    bin_k=st.integers(40, 2400),
+    block_type=st.sampled_from(["long", "short", "mixed"]),
+    stereo=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_roundtrip_property_all_paths(bin_k, block_type, stereo):
+    """Property: any bin-centered tone through any (block type,
+    channel mode) combination lands its dominant bin exactly."""
+    x = _tone(bin_k * SR / 8192)
+    pcm = np.stack([x, x], axis=1) if stereo else x
+    y, _ = decode_mp3(
+        encode_mp3(pcm, SR, kbps=320, block_type=block_type)
+    )
+    assert _peak_bin(y) == bin_k
