@@ -45,6 +45,17 @@ for sf in ("sf0.001", "sf0.01", "sf0.1"):
 if bad:
     sys.exit("REFUSING round-close: " + "; ".join(bad))
 EOF
+# per-round snapshots: the plain CORRECTNESS_LOCAL_sf*.json files
+# overwrite each round — copy them to CORRECTNESS_LOCAL_r{N}_sf*.json
+# so the 3-scale attestation history stays diffable round over round.
+# Round number = newest driver BENCH_r*.json closure + 1 (the same
+# rule bench.py's cross-round comparison uses).
+ROUND="$(python3 -c 'import bench; print(bench._current_round())')"
+for sf in sf0.001 sf0.01 sf0.1; do
+    cp "CORRECTNESS_LOCAL_${sf}.json" \
+       "CORRECTNESS_LOCAL_r${ROUND}_${sf}.json"
+done
+echo "round-close snapshots written for round ${ROUND}"
 python3 scripts/plan_report.py
 python3 scripts/scale_check.py 10
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
