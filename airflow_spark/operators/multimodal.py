@@ -635,12 +635,13 @@ def _mfcc(samples, sr: int, n_coef: int = 13, max_s: float = 10.0):
 def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
     """Audio decode: REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy
     MFCCs — no external codec needed) and for the bundled MPEG-1
-    Layer III subset (``mp3.decode_mp3``: mono, long blocks, Huffman
-    tables 1/B — the full ISO pipeline with a designed NPR polyphase
-    prototype; see the mp3 module docstring for the exact boundary);
-    other formats follow the stub contract (strict raises; otherwise
-    a deterministic fake derived from the payload hash, preserving
-    declared metadata)."""
+    Layer III subset (``mp3.decode_mp3``: mono/stereo/joint-stereo
+    (mid/side), long + short/mixed blocks — the full ISO pipeline with
+    a designed NPR polyphase prototype; intensity stereo and the bit
+    reservoir remain outside; see the mp3 module docstring and ADR
+    0001 for the exact boundary); other formats follow the stub
+    contract (strict raises; otherwise a deterministic fake derived
+    from the payload hash, preserving declared metadata)."""
     wav = _decode_wav(data)
     if wav is not None:
         x, sr = wav

@@ -73,62 +73,115 @@ def build_replica(spark, n: int, tables: tuple[str, ...] = REPL_TABLES) -> str:
     return out_dir
 
 
+import string as _string
+
+#: translate() source alphabet for the bounded leg's per-copy cipher
+CIPHER_SRC = _string.ascii_lowercase + _string.ascii_uppercase + _string.digits
+
+
+def bounded_ciphers(n: int) -> list[str]:
+    """``n`` distinct translate() destination strings: copy 0 is the
+    identity (byte-identical to the 1x corpus); every other copy gets a
+    seeded permutation of each alphabet segment (lowercase, uppercase,
+    digits — 26!·26!·10! space), de-duped so cross-copy multiplicity is
+    exactly 1 at any ``n``. Pure and deterministic: property-tested in
+    tests/test_scale_fixture.py."""
+    import random
+
+    def _perm(rng: random.Random, alphabet: str) -> str:
+        chars = list(alphabet)
+        rng.shuffle(chars)
+        return "".join(chars)
+
+    lo, up, dg = (
+        _string.ascii_lowercase, _string.ascii_uppercase, _string.digits
+    )
+    out: list[str] = []
+    seen: set[str] = set()
+    for i in range(n):
+        if i == 0:
+            dst = CIPHER_SRC
+        else:
+            salt = 0
+            while True:
+                rng = random.Random(f"cipher:{i}:{salt}")
+                dst = _perm(rng, lo) + _perm(rng, up) + _perm(rng, dg)
+                if dst not in seen:
+                    break
+                salt += 1
+        seen.add(dst)
+        out.append(dst)
+    return out
+
+
+def bounded_signs(i: int, dim: int = 64) -> list[float]:
+    """Seeded ±1 sign pattern for embedding copy ``i`` — cosine is
+    sign-invariant within a copy (s∘x · s∘y = x·y), so within-copy
+    similarity structure is preserved exactly while cross-copy dot
+    products scramble. 2^dim patterns → multiplicity 1."""
+    import random
+
+    rng = random.Random(f"signs:{i}")
+    return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+
+
 def build_bounded_replica(
     spark, n: int, tables: tuple[str, ...] = ("documents", "embeddings")
 ) -> str:
     """N× replica at CONSTANT duplicate multiplicity: each copy keeps
     the corpus's own internal near-dup structure but copies are NOT
-    near-duplicates of each other, so true pair output grows ~N×
-    (linear), not C(N,2)× — this leg measures ALGORITHM growth, where
-    the plain replica measures output growth (every clique ×N).
+    near-duplicates of each other, so true pair output grows exactly
+    N× (linear), not C(N,2)× — this leg measures ALGORITHM growth,
+    where the plain replica measures output growth (every clique ×N).
 
-    - documents: per-copy substitution cipher over letters/digits
-      (``F.translate``) — 1:1 on chars, so token structure, lengths,
-      and WITHIN-copy shingle equality are preserved exactly while
-      cross-copy shingles diverge. Distinct rotations are exhausted at
-      26, so worst-case cross-copy multiplicity is ceil(n/26) ≤ 4 at
-      100× — bounded, vs 100-cliques in the plain replica.
-    - embeddings: per-copy circular shift of the vector components —
-      within-copy cosine is shift-invariant (preserved exactly),
-      cross-copy similarity scrambles below threshold. dim=64 bounds
-      distinct shifts, so multiplicity ≤ ceil(n/64) ≤ 2 at 100×.
+    - documents: per-copy seeded PERMUTATION cipher over letters and
+      digits (``F.translate``) — 1:1 on chars, so token structure,
+      lengths, and WITHIN-copy shingle equality are preserved exactly
+      while cross-copy shingles diverge. The permutation space (26!)
+      keeps every copy's cipher distinct at any realistic n, so
+      cross-copy multiplicity is exactly 1. (An earlier ROTATION
+      cipher exhausted its 26 rotations at n > 26: at 100× each
+      lowercase rotation repeated ~4 times and mostly-lowercase texts
+      became exact cross-copy duplicates — ~740k extra true pairs, a
+      320× second-decade output jump that masqueraded as algorithm
+      growth in the decade audit.)
+    - embeddings: per-copy seeded SIGN-FLIP vector — cosine(s∘x, s∘y)
+      = cosine(x, y) for any fixed sign pattern s (dot products and
+      norms are sign-invariant), so within-copy similarity structure
+      is preserved exactly while cross-copy dot products scramble
+      under mismatched patterns. 2^64 patterns → multiplicity 1.
     """
-    import string
-
     out_dir = f"/tmp/spark_graft_scale{n}_bounded"
     if all(
         os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in tables
     ):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    lo, up, dg = (
-        string.ascii_lowercase, string.ascii_uppercase, string.digits
-    )
+    ciphers = bounded_ciphers(n)
     for t in tables:
         df = load_table(spark, SF_DIR, t)
         copies = []
         for i in range(n):
             c = df
             if t == "documents":
-                r1, r2 = i % 26, (i * 7 + i // 26) % 26
-                r3 = (i // 26) % 10
-                src = lo + up + dg
-                dst = (
-                    lo[r1:] + lo[:r1] + up[r2:] + up[:r2] + dg[r3:] + dg[:r3]
-                )
                 c = c.withColumn(
                     "doc_id", F.col("doc_id") + F.lit(i * 10**9)
-                ).withColumn("text", F.translate(F.col("text"), src, dst))
+                ).withColumn(
+                    "text", F.translate(F.col("text"), CIPHER_SRC, ciphers[i])
+                )
             elif t == "embeddings":
-                d = 64
-                s = i % d
-                if s:
+                if i > 0:
+                    signs = F.array(
+                        *[
+                            F.lit(s).cast("float")
+                            for s in bounded_signs(i)
+                        ]
+                    )
                     c = c.withColumn(
                         "embedding",
-                        F.concat(
-                            F.slice(F.col("embedding"), d - s + 1, s),
-                            F.slice(F.col("embedding"), 1, d - s),
-                        ),
+                        F.zip_with(
+                            "embedding", signs, lambda x, s: x * s
+                        ).cast("array<float>"),
                     )
                 c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
             copies.append(c)
@@ -377,17 +430,23 @@ def _decade_section(record: dict) -> list[str]:
             default=0.0,
         )
         lines += [
-            "### Bounded-multiplicity leg (algorithm growth, output held ~linear)",
+            "### Bounded-multiplicity leg (algorithm growth, output held linear)",
             "",
-            "Same two decades, but each replica copy is content-rotated",
-            "(substitution cipher on text, circular component shift on",
-            "embeddings) so copies are NOT near-duplicates of each other:",
-            "within-copy similarity structure is preserved exactly while",
-            "cross-copy cliques stay constant-bounded (≤4 for text at",
-            "100x, ≤2 for embeddings). True pair output therefore grows",
-            "~linearly with data, and these growth ratios measure the",
-            "ALGORITHM alone — the number the plain replica's quadratic",
-            "planted-clique output conflates.",
+            "Same two decades, but each replica copy is content-rewritten",
+            "(a seeded PERMUTATION cipher on text — 26! distinct ciphers,",
+            "one per copy; a seeded sign-flip pattern on embeddings —",
+            "cosine is sign-invariant within a copy) so copies are NOT",
+            "near-duplicates of each other: within-copy similarity",
+            "structure is preserved exactly while cross-copy multiplicity",
+            "is exactly 1 at any n. True pair output therefore grows",
+            "exactly linearly with data, and these growth ratios measure",
+            "the ALGORITHM alone — the number the plain replica's",
+            "quadratic planted-clique output conflates. (The round-5 leg",
+            "used a 26-ROTATION cipher that silently exhausted at n > 26:",
+            "at 100x mostly-lowercase copies collided into exact",
+            "cross-copy duplicates, a 320x second-decade output jump",
+            "that read as 13-16x 'algorithm' growth. Stage-level",
+            "profiling caught it; the permutation cipher removes it.)",
             "",
         ]
         lines += _decade_table(bounded)
@@ -417,9 +476,9 @@ def _decade_section(record: dict) -> list[str]:
             "  (shingle vocabulary, signature tables) stays ~constant",
             "  while planted pair OUTPUT grows quadratically — it",
             "  stresses emission, not indexing.",
-            "- Bounded leg: content-rotated copies, so pair output is",
-            "  ~linear but distinct content genuinely grows 10x per",
-            "  decade — it stresses indexing (signatures, inverted",
+            "- Bounded leg: content-rewritten copies, so pair output is",
+            "  exactly linear but distinct content genuinely grows 10x",
+            "  per decade — it stresses indexing (signatures, inverted",
             "  index, bucket tables), the axis a growing real corpus",
             "  actually exercises.",
             "",
@@ -427,15 +486,12 @@ def _decade_section(record: dict) -> list[str]:
             f"{_rng(bounded, trio)} vs {_rng(out, trio)} on the plain",
             "replica (both columns min-of-two timed at every scale, so",
             "a one-off GC/spill storm can't masquerade as algorithm).",
-            "Growth above 10x on the worst rows is",
-            "linear-with-overhead: the overhead is one JVM's heap/GC",
-            "under a 10x-bigger working set, not a partitioning or",
-            "candidate-explosion term (ΣC(df,2) stays budget-guarded",
-            "on this leg too — the over-budget rows downgrade to the",
-            "banded-LSH path, which is why their walls track",
-            "op_dedup_minhash's). On a 1000-executor cluster the",
-            "working set per executor stays ~constant per decade of",
-            "data growth; a hidden quadratic would not.",
+            "ΣC(df,2) stays budget-guarded on this leg too — the",
+            "over-budget rows downgrade to the banded-LSH path, which",
+            "is why their walls track op_dedup_minhash's. On a",
+            "1000-executor cluster the working set per executor stays",
+            "~constant per decade of data growth; a hidden quadratic",
+            "would not.",
             "",
         ]
         probe = record.get("probe")

@@ -2527,14 +2527,17 @@ def test_embedding_outliers_flags_planted_junk(spark):
 # ---------------------------------------------------------------------------
 
 
-def _mp3_frame(br_idx: int = 9, sr_idx: int = 0) -> bytes:
+def _mp3_frame(br_idx: int = 9, sr_idx: int = 0, mode_byte: int = 0x40) -> bytes:
     """One MPEG1 Layer III frame: sync + header per ISO/IEC 11172-3
     §2.4.1.3, zero-filled payload. br_idx 9 = 128 kbps, sr_idx 0 =
-    44100 Hz -> frame length 144*128000/44100 = 417 bytes."""
+    44100 Hz -> frame length 144*128000/44100 = 417 bytes. The default
+    ``mode_byte`` 0x40 is joint stereo with no mode extension; 0x50
+    sets the intensity-stereo extension bit (outside the bundled
+    codec's subset — still a strict raise)."""
     rates = {9: 128, 10: 160}
     kbps = rates[br_idx]
     flen = 144 * kbps * 1000 // 44100
-    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x40])
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode_byte])
     return hdr + b"\x00" * (flen - 4)
 
 
@@ -2598,17 +2601,25 @@ def test_audio_metadata_wav_and_unknown_rows(spark):
     assert got[2]["container"] is None and got[2]["n_bytes"] > 0
 
 
-def test_mp3_strict_pcm_decode_still_raises(spark):
-    """The strict-raise contract for actual PCM extraction survives:
-    metadata parses, MFCC decode does not."""
-    frames = b"".join(_mp3_frame() for _ in range(5))
-    df = spark.createDataFrame([(1, frames)], "media_id LONG, data BINARY")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        multimodal.extract_audio_features(df, strict=True).collect()
-    # non-strict: fake MFCCs but REAL duration from the frame walk
-    row = multimodal.extract_audio_features(df, strict=False).first()
+def test_mp3_strict_pcm_decode_boundary(spark):
+    """The strict-raise contract tracks the ADR-0001 codec boundary:
+    after the stereo/short-block extension a plain joint-stereo frame
+    genuinely DECODES (real PCM, no raise), while intensity stereo —
+    still outside the bundled subset — keeps the strict raise."""
+    plain = b"".join(_mp3_frame() for _ in range(5))
+    df = spark.createDataFrame([(1, plain)], "media_id LONG, data BINARY")
+    row = multimodal.extract_audio_features(df, strict=True).first()
     assert row["sample_rate"] == 44100
     assert abs(row["duration_ms"] - int(5 * 1152 / 44100 * 1000)) <= 1
+
+    intensity = b"".join(_mp3_frame(mode_byte=0x50) for _ in range(5))
+    df2 = spark.createDataFrame([(2, intensity)], "media_id LONG, data BINARY")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_audio_features(df2, strict=True).collect()
+    # non-strict: fake MFCCs but REAL duration from the metadata walk
+    row2 = multimodal.extract_audio_features(df2, strict=False).first()
+    assert row2["sample_rate"] == 44100
+    assert abs(row2["duration_ms"] - int(5 * 1152 / 44100 * 1000)) <= 1
 
 
 # ---------------------------------------------------------------------------
