@@ -281,6 +281,22 @@ _SEMANTIC_CHANGES = {
     "op_personalized_pagerank": (
         "same round-5 cache-contract change as op_pagerank"
     ),
+    "op_video_neardup": (
+        "round-6 fixture change (ADR 0002): pair member B is now a "
+        "genuinely compressed Motion-JPEG re-encode decoded "
+        "frame-by-frame through the bundled T.81 baseline JPEG codec, "
+        "where round 5 compared two uncompressed BI_RGB clips — the "
+        "extra wall is real per-frame entropy decode, i.e. the "
+        "codec-invariant semantics the op now attests."
+    ),
+    "op_audio_neardup": (
+        "round-6 fixture change (ADR 0001 extension): the MP3 pair "
+        "member now alternates mono/long-block with stereo/short-block "
+        "encodings so the new decode paths are driven end-to-end — "
+        "stereo granules decode two channels and short blocks run "
+        "3x 12-point IMDCTs per band, so the decode leg does "
+        "strictly more work than round 5's mono/long-only fixture."
+    ),
 }
 
 

@@ -20,9 +20,12 @@ holds where the first one's fixed costs no longer mask anything.
 Writes SCALE_DECADE.json and refreshes the decade section in SCALE.md.
 
 ``decade --bounded`` runs the constant-multiplicity leg: copies are
-content-rotated so true pair output grows ~linearly and the ratios
-measure the algorithm, not the planted-clique output. Legs merge into
-the same JSON (``ops`` / ``bounded_ops``) and SCALE.md section.
+content-rewritten (seeded permutation cipher / sign flips) so true
+pair output grows exactly linearly and the ratios measure the
+algorithm, not the planted-clique output. ``decade --graph`` runs the
+iterative-graph leg (PageRank/PPR/CC over horizontally-replicated
+graphs). Legs merge into the same JSON (``ops`` / ``bounded_ops`` /
+``graph_ops``) and SCALE.md section.
 """
 
 from __future__ import annotations
@@ -275,35 +278,116 @@ DECADE_EMB_OPS = (
     "op_embedding_neardup",
 )
 
+#: The iterative-graph family (loop-of-joins with lineage-truncating
+#: checkpoints) — the third 100 TB path. PageRank/PPR read the
+#: orders⋈lineitem customer↔supplier graph; CC reads the document
+#: exact-dup chains. op_sssp/op_bfs_distances are excluded: their
+#: mod-300 node space is fixed by construction, so replication only
+#: multiplies edge multiplicity, not the graph.
+GRAPH_DECADE_OPS = (
+    "op_pagerank",
+    "op_personalized_pagerank",
+    "op_connected_components",
+)
 
-def run_decade(bounded: bool = False) -> int:
+
+def build_graph_replica(spark, n: int) -> str:
+    """N× replica of the graph-bearing tables, grown HORIZONTALLY —
+    n disjoint copies of the graph (nodes and edges both ×n), the way
+    a real order graph grows, not deeper or denser:
+
+    - orders/lineitem: per-copy key offsets keep each copy's
+      customer↔supplier bipartite graph disjoint from every other
+      copy's (custkey offset 10^7 and suppkey offset 10^6 per copy, so
+      the even/odd node-id spaces never collide across copies).
+    - documents: the bounded PERMUTATION cipher (not the plain
+      replica) — identical cross-copy texts would weld the per-text
+      duplicate chains into 100×-LONGER paths, growing the graph's
+      DIAMETER and forcing extra label-propagation rounds; ciphered
+      copies keep chains within copies, so CC's per-copy structure is
+      preserved exactly.
+    """
+    out_dir = f"/tmp/spark_graft_scale{n}_graph"
+    tables = ("orders", "lineitem", "documents")
+    if all(
+        os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in tables
+    ):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    ciphers = bounded_ciphers(n)
+    for t in tables:
+        df = load_table(spark, SF_DIR, t)
+        copies = []
+        for i in range(n):
+            c = df
+            if t == "orders":
+                c = c.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(i * 10**9)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(i * 10**7)
+                )
+            elif t == "lineitem":
+                c = c.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(i * 10**9)
+                ).withColumn(
+                    "l_suppkey", F.col("l_suppkey") + F.lit(i * 10**6)
+                )
+            elif t == "documents":
+                c = c.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 10**9)
+                ).withColumn(
+                    "text", F.translate(F.col("text"), CIPHER_SRC, ciphers[i])
+                )
+            copies.append(c)
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        allc.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    return out_dir
+
+
+def run_decade(bounded: bool = False, graph: bool = False) -> int:
     """Two-decade growth audit: 1x -> 10x -> 100x documents for the
     near-dup family. The per-DECADE ratio is the verdict: ≤ ~10x per
     decade = linear-or-better, the posture a 100 TB corpus needs.
 
     ``--bounded`` runs the constant-multiplicity leg instead (see
-    ``build_bounded_replica``): true pair output grows ~linearly, so
-    the trio and ``op_embedding_neardup`` growth numbers measure the
-    ALGORITHM, separated from the plain replica's quadratic output.
-    Both legs merge into SCALE_DECADE.json (keys ``ops`` /
-    ``bounded_ops``) and render side by side in SCALE.md."""
+    ``build_bounded_replica``): true pair output grows exactly
+    linearly, so the trio and ``op_embedding_neardup`` growth numbers
+    measure the ALGORITHM, separated from the plain replica's
+    quadratic output. ``--graph`` runs the iterative-graph leg
+    (PageRank family + CC over horizontally-replicated order/document
+    graphs; see ``build_graph_replica``). All legs merge into
+    SCALE_DECADE.json (keys ``ops`` / ``bounded_ops`` / ``graph_ops``)
+    and render side by side in SCALE.md."""
     from airflow_spark.operators import registry as r
 
     spark = get_session(app_name="scale-decade")
     spark.sparkContext.setLogLevel("ERROR")
-    build = build_bounded_replica if bounded else build_replica
     dirs = {1: SF_DIR}
     for n in (10, 100):
-        dirs[n] = build(spark, n, tables=("documents", "embeddings"))
+        if graph:
+            dirs[n] = build_graph_replica(spark, n)
+        elif bounded:
+            dirs[n] = build_bounded_replica(
+                spark, n, tables=("documents", "embeddings")
+            )
+        else:
+            dirs[n] = build_replica(
+                spark, n, tables=("documents", "embeddings")
+            )
     # the bounded leg targets the ops whose plain-replica numbers
     # conflate output with algorithm (the exact-pair trio + the
     # sign-LSH embedding pair op); the hash/ANN serve families keep
     # the plain replica as their (harder) benchmark
-    names = (
-        DECADE_OPS + ("op_embedding_neardup",)
-        if bounded
-        else DECADE_OPS + DECADE_EMB_OPS
-    )
+    if graph:
+        names = GRAPH_DECADE_OPS
+    elif bounded:
+        names = DECADE_OPS + ("op_embedding_neardup",)
+    else:
+        names = DECADE_OPS + DECADE_EMB_OPS
     out: dict[str, dict] = {}
 
     def _time_scale(fn, name: str, n: int, d: str) -> float:
@@ -342,16 +426,18 @@ def run_decade(bounded: bool = False) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # merge legs: a run of one leg must not drop the committed other
     path = os.path.join(root, "SCALE_DECADE.json")
-    record = {"sf_dir": SF_DIR, "ops": {}, "bounded_ops": {}}
+    record = {"sf_dir": SF_DIR, "ops": {}, "bounded_ops": {},
+              "graph_ops": {}}
     if os.path.exists(path):
         with open(path) as f:
             record.update(json.load(f))
     record["sf_dir"] = SF_DIR
-    record["bounded_ops" if bounded else "ops"] = out
+    leg = "graph_ops" if graph else ("bounded_ops" if bounded else "ops")
+    record[leg] = out
     with open(path, "w") as f:
         json.dump(record, f)
     _refresh_decade_section(root, record)
-    print(json.dumps({"decade": True, "bounded": bounded,
+    print(json.dumps({"decade": True, "leg": leg,
                       "sf_dir": SF_DIR, "ops": out}))
     return 0
 
@@ -494,6 +580,37 @@ def _decade_section(record: dict) -> list[str]:
             "would not.",
             "",
         ]
+        graph_ops = record.get("graph_ops") or {}
+        if graph_ops:
+            worst_g = max(
+                (rec["growth_100x"] or 0.0 for rec in graph_ops.values()),
+                default=0.0,
+            )
+            lines += [
+                "### Iterative-graph leg (loop-of-joins, horizontal growth)",
+                "",
+                "The third 100 TB path: PageRank and personalized",
+                "PageRank over the orders⋈lineitem customer↔supplier",
+                "bipartite graph, min-label connected components over",
+                "the per-text duplicate chains. Replicas grow the graph",
+                "HORIZONTALLY — per-copy key offsets keep each copy's",
+                "component disjoint (documents are permutation-ciphered",
+                "so duplicate chains stay within copies rather than",
+                "welding into 100x-longer paths) — so nodes and edges",
+                "both grow 10x per decade while diameter and iteration",
+                "count stay fixed, the shape a growing real graph has.",
+                "Near-10x-per-decade growth = the loop's per-round",
+                "join+agg is linear in edges with no lineage blowup",
+                "(the checkpoint contract in operators/graph.py).",
+                "",
+            ]
+            lines += _decade_table(graph_ops)
+            lines += [
+                "",
+                f"Worst second-decade growth (graph leg): {worst_g:.2f}x "
+                "per 10x data.",
+                "",
+            ]
         probe = record.get("probe")
         if probe:
             lines += [
@@ -523,7 +640,9 @@ def _refresh_decade_section(root: str, out: dict) -> None:
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "decade":
-        return run_decade(bounded="--bounded" in args[1:])
+        return run_decade(
+            bounded="--bounded" in args[1:], graph="--graph" in args[1:]
+        )
     n = int(args[0]) if args and args[0].isdigit() else 10
     only = set(args[1:] if args and args[0].isdigit() else args)
 
