@@ -1,0 +1,321 @@
+#!/usr/bin/env python3
+"""Streaming throughput + state-boundedness audit.
+
+The batch surfaces have three decade legs (dedup trio, ANN serve,
+iterative graph — SCALE_DECADE.json); this is the STREAMING analog:
+drive the five Structured-Streaming shapes over a chunked file stream
+of `events` at 1x (100k rows) and 10x (1M rows, horizontally-grown
+users via the scale replica) and record
+
+- end-to-end rows/sec (wall includes query startup + every micro-batch
+  — the number a capacity plan needs, not a single-batch burst), and
+- max state-store rows (from StreamingQueryProgress.stateOperators) —
+  the 100 TB question for streaming is not speed but whether state is
+  BOUNDED by the watermark/keys-in-flight rather than growing with
+  total rows processed.
+
+Expected state axes (what "bounded" means per shape):
+- tumbling/distinct window counts: state ~ in-flight windows x key
+  cardinality — CONSTANT across stream length at fixed time range.
+- dropDuplicatesWithinWatermark: state ~ ids inside the watermark
+  horizon — grows with event RATE, never with stream age.
+- session windows / last-seen: state ~ active keys — grows with the
+  user population (the 10x replica grows users 10x by design), never
+  with events-per-user.
+
+Writes STREAM_BENCH.json + STREAM_BENCH.md. Run on an idle machine
+(same single-JVM rule as bench.py / scale_check.py).
+
+Usage: python scripts/stream_bench.py [pipeline ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_spark.catalog import load_table  # noqa: E402
+from airflow_spark.session import get_session  # noqa: E402
+from airflow_spark.streaming import monitors  # noqa: E402
+from scale_check import SF_DIR, build_replica  # noqa: E402
+
+N_FILES = 16
+FILES_PER_TRIGGER = 2  # -> 8 micro-batches per run
+TIMEOUT_S = 600
+
+
+def stage(spark, n: int, out_dir: str | None = None) -> str:
+    """Chunked-parquet staging dir for the file stream: 16 files in
+    EVENT-TIME ORDER (ntile over ts), written with ascending mtimes so
+    FileStreamSource replays them chronologically — a realistic stream
+    where the watermark advances monotonically and late-drop only hits
+    actual stragglers. (A time-shuffled replay makes the first batch
+    jump the watermark to ~max(ts), silently classifying most of the
+    remaining stream as late — measured: dropDuplicatesWithinWatermark
+    emitted only 25% of an unshuffled-unique stream.) Writes the
+    catalog-NORMALIZED frame so the streaming reader sees clean µs
+    timestamps without the nanos session conf."""
+    from pyspark.sql import Window
+
+    out = out_dir or f"/tmp/spark_graft_stream_stage{n}"
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    src_dir = SF_DIR if n == 1 else build_replica(spark, n, tables=("events",))
+    df = load_table(spark, src_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    chunked = df.withColumn(
+        "__chunk", F.ntile(N_FILES).over(Window.orderBy("ts", "event_id"))
+    ).persist()
+    chunked.count()
+    tmp = f"{out}.tmp"
+    now = time.time()
+    for i in range(1, N_FILES + 1):
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            chunked.where(F.col("__chunk") == i)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(out, f"chunk_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (now + i, now + i))
+    chunked.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _stream_schema(spark, stage_dir: str):
+    """Batch-inferred schema with TIMESTAMP_NTZ coerced to TIMESTAMP —
+    parquet inference may come back NTZ, which event-time watermarks
+    reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in spark.read.parquet(stage_dir).schema.fields:
+        dt = (
+            T.TimestampType()
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f.dataType
+        )
+        fields.append(T.StructField(f.name, dt, f.nullable))
+    return T.StructType(fields)
+
+
+def _pipelines() -> dict:
+    """name -> (transform, outputMode). Each transform takes the
+    streaming events frame and returns the streaming result frame —
+    the same functions the batch registry/tests use (monitors.py is
+    deliberately batch/stream polymorphic)."""
+    return {
+        "tumbling_window_counts": (
+            lambda s: monitors.tumbling_window_counts(s, "1 hour"),
+            "update",
+        ),
+        "windowed_distinct_counts": (
+            lambda s: monitors.windowed_distinct_counts(s),
+            "update",
+        ),
+        "dedupe_events": (
+            lambda s: monitors.dedupe_events(s, ["event_id"]),
+            "append",
+        ),
+        # session windows only support append on streams (windows emit
+        # once the watermark passes their close; the final in-flight
+        # sessions of a finite replay never finalize — output_rows
+        # undercounts by design, wall/state stay the full-stream cost)
+        "session_window_counts": (
+            lambda s: monitors.session_window_counts(s, "30 minutes"),
+            "append",
+        ),
+        # ProcessingTimeTimeout keeps the query alive with empty
+        # "cleaning up state" batches to evaluate timeouts, so
+        # processAllAvailable() never quiesces — drain until the first
+        # zero-input batch (= all data consumed) instead
+        "last_seen_monitor": (
+            lambda s: monitors.last_seen_monitor(s, stale_after_s=3600),
+            "update",
+            "until_empty",
+        ),
+    }
+
+
+def run_one(
+    spark, stage_dir: str, name: str, fn, mode: str, drain: str = "all"
+) -> dict:
+    schema = _stream_schema(spark, stage_dir)
+    n_rows = spark.read.parquet(stage_dir).count()
+    ckpt = f"/tmp/spark_graft_stream_ckpt/{name}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+        .parquet(stage_dir)
+    )
+    out_rows = spark.sparkContext.accumulator(0)
+
+    def _sink(batch, _bid):
+        out_rows.add(batch.count())
+
+    t0 = time.time()
+    q = (
+        fn(stream)
+        .writeStream.outputMode(mode)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        if drain == "all":
+            q.processAllAvailable()
+        else:
+            # wait for the first empty batch after real data: all input
+            # files are consumed; the query would otherwise run timeout
+            # -evaluation batches forever (ProcessingTimeTimeout)
+            while time.time() - t0 < TIMEOUT_S:
+                progs = list(q.recentProgress)
+                if any(
+                    int(p.get("numInputRows") or 0) == 0
+                    and int(p.get("batchId") or 0) > 0
+                    for p in progs
+                ) and sum(int(p.get("numInputRows") or 0) for p in progs) >= n_rows:
+                    break
+                time.sleep(0.2)
+    finally:
+        wall = time.time() - t0
+        progresses = list(q.recentProgress)
+        q.stop()
+    state_rows = 0
+    n_batches = 0
+    for p in progresses:
+        if int(p.get("numInputRows") or 0) > 0:
+            n_batches += 1
+        for so in (p.get("stateOperators") or []):
+            state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))
+    return {
+        "input_rows": n_rows,
+        "output_rows": out_rows.value,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(n_rows / wall, 0) if wall > 0 else None,
+        "n_batches": n_batches,
+        "max_state_rows": state_rows,
+    }
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_session(app_name="stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {1: stage(spark, 1), 10: stage(spark, 10)}
+    out: dict[str, dict] = {}
+    for name, spec in _pipelines().items():
+        if only and name not in only:
+            continue
+        fn, mode = spec[0], spec[1]
+        drain = spec[2] if len(spec) > 2 else "all"
+        rec: dict[str, dict] = {}
+        for n, d in dirs.items():
+            rec[f"x{n}"] = run_one(spark, d, name, fn, mode, drain)
+            print(f"# {name} x{n}: {json.dumps(rec[f'x{n}'])}", file=sys.stderr)
+        r1, r10 = rec["x1"], rec["x10"]
+        rec["wall_growth_10x"] = (
+            round(r10["wall_s"] / r1["wall_s"], 2) if r1["wall_s"] else None
+        )
+        rec["state_growth_10x"] = (
+            round(r10["max_state_rows"] / r1["max_state_rows"], 2)
+            if r1["max_state_rows"]
+            else None
+        )
+        out[name] = rec
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    record = {"sf_dir": SF_DIR, "pipelines": {}}
+    path = os.path.join(root, "STREAM_BENCH.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            record.update(json.load(f))
+    record["sf_dir"] = SF_DIR
+    record["pipelines"].update(out)
+    with open(path, "w") as f:
+        json.dump(record, f)
+    _write_report(root, record)
+    print(json.dumps({"stream_bench": True, "pipelines": out}))
+    return 0
+
+
+def _write_report(root: str, record: dict) -> None:
+    lines = [
+        "# Streaming throughput + state-boundedness audit",
+        "(auto-generated by scripts/stream_bench.py)",
+        "",
+        "`events` chunked into 16 event-time-ordered parquet files,",
+        "replayed chronologically as a file stream in 8 micro-batches",
+        "(maxFilesPerTrigger=2) at 1x (100k rows) and 10x (1M rows,",
+        "users grown 10x via the horizontal scale replica) — the",
+        "watermark advances monotonically, as in a real stream. Wall",
+        "time covers query startup + every micro-batch —",
+        "capacity-plan numbers, not single-batch bursts.",
+        "",
+        "| pipeline | rows/s (1x) | rows/s (10x) | wall 10x/1x "
+        "| state rows (1x) | state rows (10x) | state 10x/1x |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in sorted(record["pipelines"]):
+        rec = record["pipelines"][name]
+        r1, r10 = rec["x1"], rec["x10"]
+        lines.append(
+            f"| {name} | {r1['rows_per_s']:.0f} "
+            f"| {r10['rows_per_s']:.0f} "
+            f"| {rec['wall_growth_10x']}x | {r1['max_state_rows']} "
+            f"| {r10['max_state_rows']} "
+            f"| {rec['state_growth_10x'] or '—'}x |"
+        )
+    lines += [
+        "",
+        "Reading the state column (the 100 TB question for streaming is",
+        "whether state is bounded by the watermark and live-key set,",
+        "never by stream age):",
+        "",
+        "- `tumbling_window_counts` / `windowed_distinct_counts`: state",
+        "  ~ in-flight windows x event-type cardinality — should stay",
+        "  ~CONSTANT across the 10x (same time range, same types; the",
+        "  distinct variant holds one fixed-size HLL sketch per group).",
+        "- `dedupe_events`: state ~ event ids inside the watermark",
+        "  horizon — grows with event RATE (10x here by construction),",
+        "  never with stream age; the watermark evicts behind the",
+        "  horizon.",
+        "- `session_window_counts` / `last_seen_monitor`: state ~",
+        "  ACTIVE KEYS — the 10x replica grows the user population 10x",
+        "  by design, so ~10x state is the correct (bounded) shape;",
+        "  growth tracking events-per-user instead would be the leak.",
+        "  last_seen additionally evicts alerted-quiet keys, so its",
+        "  steady-state population is live keys only.",
+        "",
+        "Throughput: rows/s should hold or IMPROVE at 10x (bigger",
+        "micro-batches amortize per-batch planning/startup); a drop",
+        "would mean per-batch work scales with accumulated state —",
+        "exactly what the watermark bounds exist to prevent.",
+        "",
+    ]
+    with open(os.path.join(root, "STREAM_BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""The streaming-bench staging invariant: the file stream must replay
+events CHRONOLOGICALLY (ascending file mtimes over event-time-ordered
+chunks), or the first micro-batch jumps the watermark to ~max(ts) and
+the rest of the stream is silently classified late (measured: a
+time-shuffled replay made dropDuplicatesWithinWatermark emit only 25%
+of a unique stream). See scripts/stream_bench.py."""
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory, monkeypatch_module):
+    import stream_bench
+
+    monkeypatch_module.setattr(stream_bench, "SF_DIR", "/root/testdata/sf0.001")
+    out = str(tmp_path_factory.mktemp("stage") / "chunks")
+    stream_bench.stage(spark, 1, out_dir=out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def _chunks(staged):
+    return sorted(
+        f for f in os.listdir(staged) if f.startswith("chunk_")
+    )
+
+
+def test_stage_chunk_files_and_marker(staged):
+    import stream_bench
+
+    assert len(_chunks(staged)) == stream_bench.N_FILES
+    assert os.path.exists(os.path.join(staged, "_STAGED"))
+
+
+def test_stage_mtimes_ascend_with_chunk_order(staged):
+    mtimes = [
+        os.path.getmtime(os.path.join(staged, f)) for f in _chunks(staged)
+    ]
+    assert mtimes == sorted(mtimes)
+    assert len(set(mtimes)) == len(mtimes)  # strictly ascending
+
+
+def test_stage_chunks_partition_event_time(staged):
+    """Chunk i's max(ts) ≤ chunk i+1's min(ts): the replay is a true
+    event-time partition, so the watermark advances monotonically."""
+    prev_max = None
+    total = 0
+    for f in _chunks(staged):
+        t = pq.read_table(os.path.join(staged, f), columns=["ts"])
+        col = t.column("ts").to_pylist()
+        total += len(col)
+        assert col, f
+        lo, hi = min(col), max(col)
+        if prev_max is not None:
+            assert prev_max <= lo, (f, prev_max, lo)
+        prev_max = hi
+    assert total == 1000  # sf0.001 events, nothing dropped in staging
