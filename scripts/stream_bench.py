@@ -219,7 +219,7 @@ def run_one(
     }
 
 
-def stage_docs(spark, n: int) -> str:
+def stage_docs(spark, n: int, out_dir: str | None = None) -> str:
     """16 doc-id-ordered document chunks for the incremental-ingest
     bench. The 10x replica is the BOUNDED (permutation-cipher) one:
     copies carry genuinely distinct content, so the history corpus —
@@ -229,7 +229,7 @@ def stage_docs(spark, n: int) -> str:
     from pyspark.sql import Window
     from scale_check import build_bounded_replica
 
-    out = f"/tmp/spark_graft_ingest_chunks{n}"
+    out = out_dir or f"/tmp/spark_graft_ingest_chunks{n}"
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out

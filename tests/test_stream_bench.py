@@ -74,3 +74,24 @@ def test_stage_chunks_partition_event_time(staged):
             assert prev_max <= lo, (f, prev_max, lo)
         prev_max = hi
     assert total == 1000  # sf0.001 events, nothing dropped in staging
+
+
+def test_stage_docs_partitions_doc_id(spark, tmp_path, monkeypatch):
+    """The ingest bench's doc chunks must partition doc_id ranges so
+    the 8 scheduler fires replay a deterministic growing corpus."""
+    import stream_bench
+
+    monkeypatch.setattr(stream_bench, "SF_DIR", "/root/testdata/sf0.001")
+    d = stream_bench.stage_docs(spark, 1, out_dir=str(tmp_path / "chunks"))
+    files = sorted(f for f in os.listdir(d) if f.startswith("chunk_"))
+    assert len(files) == stream_bench.N_FILES
+    prev_max = None
+    total = 0
+    for f in files:
+        t = pq.read_table(os.path.join(d, f), columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        total += len(ids)
+        if prev_max is not None:
+            assert prev_max < min(ids)
+        prev_max = max(ids)
+    assert total == 500  # sf0.001 documents, nothing dropped in staging
