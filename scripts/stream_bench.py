@@ -26,7 +26,9 @@ Expected state axes (what "bounded" means per shape):
 Writes STREAM_BENCH.json + STREAM_BENCH.md. Run on an idle machine
 (same single-JVM rule as bench.py / scale_check.py).
 
-Usage: python scripts/stream_bench.py [pipeline ...]   (default: all)
+Usage: python scripts/stream_bench.py [--scales 1,10,100] [pipeline ...]
+(default: all pipelines at scales 1,10; --scales 1,10,100 adds the
+second decade — 10M events / 500k docs)
 """
 
 from __future__ import annotations
@@ -318,10 +320,16 @@ def run_incremental_ingest(spark, n: int) -> dict:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    scales = (1, 10)
+    if "--scales" in args:
+        i = args.index("--scales")
+        scales = tuple(int(x) for x in args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     spark = get_session(app_name="stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    dirs = {1: stage(spark, 1), 10: stage(spark, 10)}
+    dirs = {n: stage(spark, n) for n in scales}
     out: dict[str, dict] = {}
     specs: dict = dict(_pipelines())
     specs["incremental_dedup_ingest"] = None  # special runner below
@@ -337,15 +345,20 @@ def main() -> int:
                 drain = spec[2] if len(spec) > 2 else "all"
                 rec[f"x{n}"] = run_one(spark, d, name, fn, mode, drain)
             print(f"# {name} x{n}: {json.dumps(rec[f'x{n}'])}", file=sys.stderr)
-        r1, r10 = rec["x1"], rec["x10"]
-        rec["wall_growth_10x"] = (
-            round(r10["wall_s"] / r1["wall_s"], 2) if r1["wall_s"] else None
-        )
-        rec["state_growth_10x"] = (
-            round(r10["max_state_rows"] / r1["max_state_rows"], 2)
-            if r1["max_state_rows"]
-            else None
-        )
+        for a, b in zip(scales, scales[1:]):
+            ra, rb = rec[f"x{a}"], rec[f"x{b}"]
+            rec[f"wall_growth_x{a}_x{b}"] = (
+                round(rb["wall_s"] / ra["wall_s"], 2) if ra["wall_s"] else None
+            )
+            rec[f"state_growth_x{a}_x{b}"] = (
+                round(rb["max_state_rows"] / ra["max_state_rows"], 2)
+                if ra["max_state_rows"]
+                else None
+            )
+        # back-compat aliases for the common (1, 10) pair
+        if 1 in scales and 10 in scales:
+            rec["wall_growth_10x"] = rec.get("wall_growth_x1_x10")
+            rec["state_growth_10x"] = rec.get("state_growth_x1_x10")
         out[name] = rec
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     record = {"sf_dir": SF_DIR, "pipelines": {}}
@@ -354,7 +367,10 @@ def main() -> int:
         with open(path) as f:
             record.update(json.load(f))
     record["sf_dir"] = SF_DIR
-    record["pipelines"].update(out)
+    for name, rec in out.items():
+        merged = dict(record["pipelines"].get(name) or {})
+        merged.update(rec)
+        record["pipelines"][name] = merged
     with open(path, "w") as f:
         json.dump(record, f)
     _write_report(root, record)
@@ -369,25 +385,51 @@ def _write_report(root: str, record: dict) -> None:
         "",
         "`events` chunked into 16 event-time-ordered parquet files,",
         "replayed chronologically as a file stream in 8 micro-batches",
-        "(maxFilesPerTrigger=2) at 1x (100k rows) and 10x (1M rows,",
-        "users grown 10x via the horizontal scale replica) — the",
-        "watermark advances monotonically, as in a real stream. Wall",
-        "time covers query startup + every micro-batch —",
-        "capacity-plan numbers, not single-batch bursts.",
+        "(maxFilesPerTrigger=2) at 1x (100k rows), 10x (1M rows) and —",
+        "when the --scales 1,10,100 second decade is recorded — 100x",
+        "(10M rows); users grow with the horizontal scale replica, so",
+        "the watermark advances monotonically, as in a real stream.",
+        "Wall time covers query startup + every micro-batch —",
+        "capacity-plan numbers, not single-batch bursts. wall/decade",
+        "and state/decade list the consecutive-scale ratios",
+        "(1x→10x / 10x→100x).",
         "",
-        "| pipeline | rows/s (1x) | rows/s (10x) | wall 10x/1x "
-        "| state rows (1x) | state rows (10x) | state 10x/1x |",
-        "|---|---|---|---|---|---|---|",
     ]
-    for name in sorted(record["pipelines"]):
-        rec = record["pipelines"][name]
-        r1, r10 = rec["x1"], rec["x10"]
+    pipes = record["pipelines"]
+    scales = sorted(
+        {int(k[1:]) for rec in pipes.values() for k in rec if k.startswith("x")}
+    )
+    hdr = (
+        "| pipeline | "
+        + " | ".join(f"rows/s ({n}x)" for n in scales)
+        + " | "
+        + " | ".join(f"state ({n}x)" for n in scales)
+        + " | wall/decade | state/decade |"
+    )
+    lines += [hdr, "|" + "---|" * (2 * len(scales) + 3)]
+    for name in sorted(pipes):
+        rec = pipes[name]
+
+        def _cell(n, field, fmt="{:.0f}"):
+            r = rec.get(f"x{n}")
+            return fmt.format(r[field]) if r else "—"
+
+        walls = "/".join(
+            str(rec.get(f"wall_growth_x{a}_x{b}", "—")) + "x"
+            for a, b in zip(scales, scales[1:])
+            if f"x{a}" in rec and f"x{b}" in rec
+        )
+        states = "/".join(
+            str(rec.get(f"state_growth_x{a}_x{b}", "—")) + "x"
+            for a, b in zip(scales, scales[1:])
+            if f"x{a}" in rec and f"x{b}" in rec
+        )
         lines.append(
-            f"| {name} | {r1['rows_per_s']:.0f} "
-            f"| {r10['rows_per_s']:.0f} "
-            f"| {rec['wall_growth_10x']}x | {r1['max_state_rows']} "
-            f"| {r10['max_state_rows']} "
-            f"| {rec['state_growth_10x'] or '—'}x |"
+            "| " + name + " | "
+            + " | ".join(_cell(n, "rows_per_s") for n in scales)
+            + " | "
+            + " | ".join(_cell(n, "max_state_rows") for n in scales)
+            + f" | {walls} | {states} |"
         )
     lines += [
         "",
