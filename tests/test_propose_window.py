@@ -1,0 +1,53 @@
+"""The round-N+1 driver-window proposer (scripts/propose_window.py):
+the rotation that accumulates driver attestation across rounds must
+propose valid, deduplicated, never-windowed-first windows."""
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+
+
+def test_proposed_window_shape():
+    import __spark_entry__ as e
+    from propose_window import N_OPS, N_RELATIONAL, propose
+
+    window, next_round = propose()
+    assert len(window) == N_RELATIONAL + N_OPS
+    assert len(set(window)) == len(window)  # no duplicates
+    registry = set(e.queries())
+    assert set(window) <= registry
+    assert sum(1 for n in window if n.startswith("op_")) == N_OPS
+
+    # next round is one past the newest ledger round
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "DRIVER_WINDOWS.json")) as f:
+        ledger = {k: v for k, v in json.load(f).items() if k.startswith("r")}
+    assert next_round == max(int(k[1:]) for k in ledger) + 1
+
+    # never-windowed ops take strict priority: while never-windowed
+    # entries remain unproposed, no already-windowed op may be picked
+    windowed_ever = {n for v in ledger.values() for n in v}
+    ops_all = {n for n in registry if n.startswith("op_")}
+    never = ops_all - windowed_ever
+    picked_ops = [n for n in window if n.startswith("op_")]
+    if len(never) >= N_OPS:
+        assert set(picked_ops) <= never
+    else:
+        assert never <= set(picked_ops)
+
+
+def test_proposed_ops_spread_across_families():
+    from propose_window import N_OPS, _family, propose
+
+    window, _ = propose()
+    picked_ops = [n for n in window if n.startswith("op_")]
+    fams = {_family(n) for n in picked_ops}
+    # round-robin must touch many families, not drain one alphabetically
+    assert len(fams) >= min(N_OPS, 15)
