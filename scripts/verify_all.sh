@@ -16,6 +16,9 @@
 #   8. 10x scale audit               (SCALE.md)
 #   9. bench at sf0.1                (BENCH_FULL.json; commit as
 #                                     BENCH_FULL_r{N}.json)
+#  10. streaming audit 1x/10x        (STREAM_BENCH.json/.md; run the
+#                                     100x decade leg separately with
+#                                     --scales 1,10,100 when refreshed)
 set -e
 cd "$(dirname "$0")/.."
 
@@ -60,4 +63,5 @@ python3 scripts/plan_report.py
 python3 scripts/scale_check.py 10
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" python3 bench.py
+python3 scripts/stream_bench.py
 echo "verify_all: every gate green"
