@@ -95,3 +95,48 @@ def test_stage_docs_partitions_doc_id(spark, tmp_path, monkeypatch):
             assert prev_max < min(ids)
         prev_max = max(ids)
     assert total == 500  # sf0.001 documents, nothing dropped in staging
+
+
+def test_report_renders_mixed_scale_records(tmp_path):
+    """_write_report must render records regardless of which scales a
+    pipeline has recorded (a --scales 1,10,100 refresh can land before
+    every pipeline has its second decade)."""
+    import stream_bench
+
+    record = {
+        "sf_dir": "/root/testdata/sf0.1",
+        "pipelines": {
+            "two_decades": {
+                "x1": {"rows_per_s": 100.0, "max_state_rows": 5,
+                       "wall_s": 1.0, "input_rows": 100,
+                       "output_rows": 100, "n_batches": 8},
+                "x10": {"rows_per_s": 1000.0, "max_state_rows": 5,
+                        "wall_s": 1.0, "input_rows": 1000,
+                        "output_rows": 1000, "n_batches": 8},
+                "x100": {"rows_per_s": 9000.0, "max_state_rows": 5,
+                         "wall_s": 1.1, "input_rows": 10000,
+                         "output_rows": 10000, "n_batches": 8},
+                "wall_growth_x1_x10": 1.0,
+                "wall_growth_x10_x100": 1.1,
+                "state_growth_x1_x10": 1.0,
+                "state_growth_x10_x100": 1.0,
+            },
+            "one_decade": {
+                "x1": {"rows_per_s": 50.0, "max_state_rows": 2,
+                       "wall_s": 2.0, "input_rows": 100,
+                       "output_rows": 90, "n_batches": 8},
+                "x10": {"rows_per_s": 400.0, "max_state_rows": 20,
+                        "wall_s": 2.5, "input_rows": 1000,
+                        "output_rows": 900, "n_batches": 8},
+                "wall_growth_x1_x10": 1.25,
+                "state_growth_x1_x10": 10.0,
+            },
+        },
+    }
+    stream_bench._write_report(str(tmp_path), record)
+    md = (tmp_path / "STREAM_BENCH.md").read_text()
+    assert "| two_decades | 100 | 1000 | 9000 | 5 | 5 | 5 " in md
+    # the one-decade record renders em-dashes for the missing scale
+    assert "| one_decade | 50 | 400 | — | 2 | 20 | — " in md
+    assert "1.0x/1.1x" in md  # consecutive-decade wall ratios
+    assert "rows/s (100x)" in md  # header includes every present scale
