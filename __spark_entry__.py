@@ -44,31 +44,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # _DRIVER_WINDOW below; everything not listed follows in its natural
 # order, so total coverage is unchanged (all entries, all oracles).
 _DRIVER_WINDOW: list[str] = [
-    # round-6 relational spine — rotated off the round-5 set so the
-    # accumulated driver record covers more of q01–q51 per round
-    "q04", "q05", "q08", "q09", "q11", "q13", "q17", "q18", "q20",
-    "q22", "q26", "q28", "q30", "q33", "q35", "q38", "q41", "q43",
-    "q46", "q50",
-    # round-6 op_* slice: the families never driver-attested before —
-    # relational op_* (as-of/interval/fuzzy/reduced joins), window
-    # frames, OLAP (cube/grouping-sets/pivot/unpivot), remaining
-    # sketches, text/curation breadth, graph remainder, versioning,
-    # plus op_video_neardup (missed the r5 window by one commit) and
-    # the three dedup ops flagged over-linear in SCALE_DECADE.json
-    "op_asof_join", "op_interval_join", "op_fuzzy_join",
-    "op_reduced_join",
-    "op_running_total", "op_range_window", "op_topk_with_ties",
-    "op_cube", "op_grouping_sets", "op_pivot", "op_unpivot",
-    "op_kmv_distinct", "op_countmin", "op_bitmap_distinct",
-    "op_heavy_hitters",
-    "op_lang_id", "op_text_quality", "op_readability",
-    "op_decontaminate",
-    "op_connected_components", "op_triangle_count",
-    "op_bfs_distances",
-    "op_scd2_apply_changes", "op_snapshot_diff", "op_zorder",
-    "op_video_neardup", "op_personalized_pagerank",
-    "op_dedup_containment", "op_dedup_jaccard_prefix",
-    "op_dedup_ngram_jaccard",
+    # round-7 relational spine: the 11 never-driver-windowed
+    # queries (q27/q32/q34/q36/q37/q40/q42/q45/q47-q49) lead, then
+    # the least-recently-windowed (rounds 1-2) refresh the record
+    "q27", "q32", "q34", "q36", "q37", "q40", "q42", "q45", "q47", "q48",
+    "q49", "q01", "q02", "q03", "q06", "q07", "q10", "q12", "q14", "q15",
+    # round-7 op_* slice (scripts/propose_window.py): 30
+    # never-driver-windowed entries, round-robined across operator
+    # families, plus the new op_dedup_collapse (end-to-end corpus
+    # collapse) registered this round
+    "op_ab_test", "op_abc_class", "op_acf", "op_activity_grid",
+    "op_agg_funcs", "op_approx_percentile", "op_array_funcs",
+    "op_assoc_rules", "op_assortativity", "op_auc", "op_audience_overlap",
+    "op_benford", "op_bigram_quality", "op_bitwise_funcs",
+    "op_bloom_dedup", "op_burstiness", "op_calibration", "op_chisq",
+    "op_chunk_documents", "op_clustering_coeff", "op_cohens_d",
+    "op_cohort_retention", "op_collocations", "op_compaction_plan",
+    "op_corr_matrix", "op_cusum", "op_date_funcs", "op_dedup_collapse",
+    "op_degree_stats", "op_distinctive_terms",
 ]
 
 

@@ -1172,6 +1172,37 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus collapse — the composed dedup a training-data
+    pipeline actually executes: MinHash-LSH verified pairs (exact
+    Jaccard ≥ 0.8, char 5-gram shingles) → connected components
+    (min-label propagation, :func:`dedup.dedup_clusters`) → ONE row per
+    duplicate cluster with the min-id survivor, member count, and the
+    member-id sum. The id_sum column attests the exact component
+    membership (not just sizes) against the oracle's ``WITH RECURSIVE``
+    min-label closure. Singleton documents (no near-dup edge) are not
+    emitted — the output is the collapse plan, one row per group that
+    actually loses members.
+
+    Scale shape: pairs come from the banded/bucket-capped LSH path (no
+    all-pairs), components converge in O(diameter) shuffles on the
+    pair graph only (near-dup components are shallow), and the final
+    rollup is one groupBy on a pairs-sized frame — never corpus-wide."""
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.dedup_minhash_verified(t.documents, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup.dedup_clusters(pairs)  # (id, cluster = min id)
+    return (
+        clusters.groupBy(F.col("cluster").alias("keep_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("id").alias("id_sum"),
+        )
+        .orderBy("keep_id")
+    )
+
+
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) over documents, portable
     md5-derived 60-bit signatures so the oracle can recompute the exact
@@ -3990,6 +4021,7 @@ OPERATOR_QUERIES = {
     "op_dedup_jaccard_prefix": op_dedup_jaccard_prefix,
     "op_dedup_containment": op_dedup_containment,
     "op_dedup_minhash": op_dedup_minhash,
+    "op_dedup_collapse": op_dedup_collapse,
     "op_sessionize": op_sessionize,
     "op_repetition": op_repetition,
     "op_decontaminate": op_decontaminate,
@@ -4085,6 +4117,7 @@ _EXPENSIVE_TAIL = [
     "op_pagerank",
     "op_personalized_pagerank",
     "op_dedup_minhash",
+    "op_dedup_collapse",
 ]
 OPERATOR_QUERIES = {
     **{k: v for k, v in OPERATOR_QUERIES.items() if k not in _EXPENSIVE_TAIL},
@@ -4476,6 +4509,39 @@ def _sql_dedup_minhash() -> str:
     # LSH banding recall is 1.0 on this corpus (a missed pair would be
     # a row-count mismatch).
     return _sql_exact_jaccard_pairs(_SQL_CHAR_SHINGLES, 0.8)
+
+
+def _sql_dedup_collapse(threshold: float = 0.8) -> str:
+    """Oracle twin of op_dedup_collapse: exact all-pairs Jaccard ≥
+    threshold (char 5-gram shingles, same spelling as the minhash
+    oracle) → connected components via a ``WITH RECURSIVE`` min-label
+    reachability closure → one row per multi-member component. id_sum
+    attests exact membership: two different partitions of the same ids
+    into same-sized clusters cannot hash-collide."""
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id AS id, {_SQL_CHAR_SHINGLES} AS shs FROM documents),
+sh AS (SELECT id, unnest(shs) AS sh FROM t),
+sizes AS (SELECT id, len(shs) AS n_sh FROM t),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+pairs AS (SELECT id_a, id_b
+          FROM common JOIN sizes sa ON sa.id = common.id_a
+                      JOIN sizes sb ON sb.id = common.id_b
+          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {threshold}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b AS s, id_a AS d FROM pairs),
+reach(id, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+SELECT cluster AS keep_id,
+       count(*) AS n_members,
+       CAST(sum(id) AS BIGINT) AS id_sum
+FROM comp GROUP BY cluster ORDER BY keep_id
+"""
 
 
 def _sql_dedup_ngram_jaccard() -> str:
@@ -6064,6 +6130,7 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_lang_id": _sql_lang_id(),
     "op_quality_score": _sql_quality_score(),
     "op_dedup_minhash": _sql_dedup_minhash(),
+    "op_dedup_collapse": _sql_dedup_collapse(),
     "op_dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
     "op_dedup_jaccard_prefix": _sql_dedup_ngram_jaccard(),
     "op_dedup_containment": _sql_dedup_containment(threshold=0.6, k=300),

@@ -246,9 +246,22 @@ def _comparable_totals(
     """Apples-to-apples cross-round comparison: the registry grows every
     round, so the raw total is not comparable — also report the total
     restricted to the queries the prior recording had."""
-    rec = _prior_recording(sf, before_round=_current_round())
+    cur = _current_round()
+    rec = _prior_recording(sf, before_round=cur)
     if rec is None:
         return None
+    if int(rec["round"]) != cur - 1:
+        # continuity gate: the comparison contract is "vs the
+        # IMMEDIATELY prior round". If the driver ever skips recording
+        # a round, silently comparing against a round-older artifact
+        # would misattribute two rounds of drift to one — fail loudly
+        # instead so the gap is investigated, not averaged away.
+        raise RuntimeError(
+            f"vs_prior_round continuity broken: in-flight round is "
+            f"{cur} but the newest prior recording at sf={sf} is round "
+            f"{rec['round']} (expected {cur - 1}) — a skipped driver "
+            "round would silently widen the comparison window"
+        )
     shared = [n for n in rec["queries"] if n in timings]
     if not shared:
         return None

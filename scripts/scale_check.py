@@ -46,15 +46,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPL_TABLES = ("documents", "events", "embeddings")
 
 
-def build_replica(spark, n: int, tables: tuple[str, ...] = REPL_TABLES) -> str:
-    out_dir = f"/tmp/spark_graft_scale{n}"
+def _src_tag(src: str) -> str:
+    """Short content-address of a source dataset dir for /tmp cache
+    keys — replica/staging caches keyed only by scale silently served
+    stale data when SPARK_GRAFT_SF_DIR changed between runs."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
+
+
+def build_replica(
+    spark,
+    n: int,
+    tables: tuple[str, ...] = REPL_TABLES,
+    src_dir: str | None = None,
+) -> str:
+    src = src_dir or SF_DIR
+    out_dir = f"/tmp/spark_graft_scale{n}_{_src_tag(src)}"
     if all(
         os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in tables
     ):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     for t in tables:
-        df = load_table(spark, SF_DIR, t)
+        df = load_table(spark, src, t)
         copies = []
         for i in range(n):
             c = df
@@ -129,7 +144,10 @@ def bounded_signs(i: int, dim: int = 64) -> list[float]:
 
 
 def build_bounded_replica(
-    spark, n: int, tables: tuple[str, ...] = ("documents", "embeddings")
+    spark,
+    n: int,
+    tables: tuple[str, ...] = ("documents", "embeddings"),
+    src_dir: str | None = None,
 ) -> str:
     """N× replica at CONSTANT duplicate multiplicity: each copy keeps
     the corpus's own internal near-dup structure but copies are NOT
@@ -154,7 +172,8 @@ def build_bounded_replica(
       is preserved exactly while cross-copy dot products scramble
       under mismatched patterns. 2^64 patterns → multiplicity 1.
     """
-    out_dir = f"/tmp/spark_graft_scale{n}_bounded"
+    src = src_dir or SF_DIR
+    out_dir = f"/tmp/spark_graft_scale{n}_bounded_{_src_tag(src)}"
     if all(
         os.path.isdir(os.path.join(out_dir, f"{t}.parquet")) for t in tables
     ):
@@ -162,7 +181,7 @@ def build_bounded_replica(
     os.makedirs(out_dir, exist_ok=True)
     ciphers = bounded_ciphers(n)
     for t in tables:
-        df = load_table(spark, SF_DIR, t)
+        df = load_table(spark, src, t)
         copies = []
         for i in range(n):
             c = df
@@ -580,48 +599,51 @@ def _decade_section(record: dict) -> list[str]:
             "would not.",
             "",
         ]
-        graph_ops = record.get("graph_ops") or {}
-        if graph_ops:
-            worst_g = max(
-                (rec["growth_100x"] or 0.0 for rec in graph_ops.values()),
-                default=0.0,
-            )
-            lines += [
-                "### Iterative-graph leg (loop-of-joins, horizontal growth)",
-                "",
-                "The third 100 TB path: PageRank and personalized",
-                "PageRank over the orders⋈lineitem customer↔supplier",
-                "bipartite graph, min-label connected components over",
-                "the per-text duplicate chains. Replicas grow the graph",
-                "HORIZONTALLY — per-copy key offsets keep each copy's",
-                "component disjoint (documents are permutation-ciphered",
-                "so duplicate chains stay within copies rather than",
-                "welding into 100x-longer paths) — so nodes and edges",
-                "both grow 10x per decade while diameter and iteration",
-                "count stay fixed, the shape a growing real graph has.",
-                "Near-10x-per-decade growth = the loop's per-round",
-                "join+agg is linear in edges with no lineage blowup",
-                "(the checkpoint contract in operators/graph.py).",
-                "",
-            ]
-            lines += _decade_table(graph_ops)
-            lines += [
-                "",
-                f"Worst second-decade growth (graph leg): {worst_g:.2f}x "
-                "per 10x data.",
-                "",
-            ]
-        probe = record.get("probe")
-        if probe:
-            lines += [
-                "Partition/skew probe on the worst bounded rows",
-                "(recorded by scripts/scale_check.py probe runs):",
-                "",
-            ]
-            for pname in sorted(probe):
-                p = probe[pname]
-                lines.append(f"- `{pname}`: {p.get('note', '')}")
-            lines.append("")
+    # the graph and probe legs render INDEPENDENTLY of the bounded leg:
+    # a SCALE_DECADE.json with graph_ops but no bounded_ops must still
+    # show its graph table (they are separate recordings)
+    graph_ops = record.get("graph_ops") or {}
+    if graph_ops:
+        worst_g = max(
+            (rec["growth_100x"] or 0.0 for rec in graph_ops.values()),
+            default=0.0,
+        )
+        lines += [
+            "### Iterative-graph leg (loop-of-joins, horizontal growth)",
+            "",
+            "The third 100 TB path: PageRank and personalized",
+            "PageRank over the orders⋈lineitem customer↔supplier",
+            "bipartite graph, min-label connected components over",
+            "the per-text duplicate chains. Replicas grow the graph",
+            "HORIZONTALLY — per-copy key offsets keep each copy's",
+            "component disjoint (documents are permutation-ciphered",
+            "so duplicate chains stay within copies rather than",
+            "welding into 100x-longer paths) — so nodes and edges",
+            "both grow 10x per decade while diameter and iteration",
+            "count stay fixed, the shape a growing real graph has.",
+            "Near-10x-per-decade growth = the loop's per-round",
+            "join+agg is linear in edges with no lineage blowup",
+            "(the checkpoint contract in operators/graph.py).",
+            "",
+        ]
+        lines += _decade_table(graph_ops)
+        lines += [
+            "",
+            f"Worst second-decade growth (graph leg): {worst_g:.2f}x "
+            "per 10x data.",
+            "",
+        ]
+    probe = record.get("probe")
+    if probe:
+        lines += [
+            "Partition/skew probe on the worst bounded rows",
+            "(recorded by scripts/scale_check.py probe runs):",
+            "",
+        ]
+        for pname in sorted(probe):
+            p = probe[pname]
+            lines.append(f"- `{pname}`: {p.get('note', '')}")
+        lines.append("")
     return lines
 
 

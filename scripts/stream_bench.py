@@ -46,11 +46,27 @@ from pyspark.sql import functions as F  # noqa: E402
 from airflow_spark.catalog import load_table  # noqa: E402
 from airflow_spark.session import get_session  # noqa: E402
 from airflow_spark.streaming import monitors  # noqa: E402
-from scale_check import SF_DIR, build_replica  # noqa: E402
+from scale_check import SF_DIR, _src_tag, build_replica  # noqa: E402
 
 N_FILES = 16
 FILES_PER_TRIGGER = 2  # -> 8 micro-batches per run
 TIMEOUT_S = 600
+
+
+def _marker_matches(marker: str) -> bool:
+    """A staged dir is reusable only if it was staged FROM the current
+    SF_DIR — the marker records the source, so switching
+    SPARK_GRAFT_SF_DIR between runs re-stages instead of silently
+    replaying a different dataset under the new label."""
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read().strip() == os.path.abspath(SF_DIR)
+
+
+def _write_marker(marker: str) -> None:
+    with open(marker, "w") as f:
+        f.write(os.path.abspath(SF_DIR))
 
 
 def stage(spark, n: int, out_dir: str | None = None) -> str:
@@ -66,13 +82,17 @@ def stage(spark, n: int, out_dir: str | None = None) -> str:
     timestamps without the nanos session conf."""
     from pyspark.sql import Window
 
-    out = out_dir or f"/tmp/spark_graft_stream_stage{n}"
+    out = out_dir or f"/tmp/spark_graft_stream_stage{n}_{_src_tag(SF_DIR)}"
     marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
+    if _marker_matches(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    src_dir = SF_DIR if n == 1 else build_replica(spark, n, tables=("events",))
+    src_dir = (
+        SF_DIR
+        if n == 1
+        else build_replica(spark, n, tables=("events",), src_dir=SF_DIR)
+    )
     df = load_table(spark, src_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -99,8 +119,7 @@ def stage(spark, n: int, out_dir: str | None = None) -> str:
         os.utime(dst, (now + i, now + i))
     chunked.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
-    with open(marker, "w") as f:
-        f.write("ok")
+    _write_marker(marker)
     return out
 
 
@@ -184,6 +203,7 @@ def run_one(
         .option("checkpointLocation", ckpt)
         .start()
     )
+    timed_out = False
     try:
         if drain == "all":
             q.processAllAvailable()
@@ -191,6 +211,7 @@ def run_one(
             # wait for the first empty batch after real data: all input
             # files are consumed; the query would otherwise run timeout
             # -evaluation batches forever (ProcessingTimeTimeout)
+            drained = False
             while time.time() - t0 < TIMEOUT_S:
                 progs = list(q.recentProgress)
                 if any(
@@ -198,8 +219,13 @@ def run_one(
                     and int(p.get("batchId") or 0) > 0
                     for p in progs
                 ) and sum(int(p.get("numInputRows") or 0) for p in progs) >= n_rows:
+                    drained = True
                     break
                 time.sleep(0.2)
+            # a TIMEOUT_S exit is NOT a measurement: the wall is the
+            # timeout and rows/s is garbage — flag it so the artifact
+            # can't silently record a hung run as a slow one
+            timed_out = not drained
     finally:
         wall = time.time() - t0
         progresses = list(q.recentProgress)
@@ -211,7 +237,7 @@ def run_one(
             n_batches += 1
         for so in (p.get("stateOperators") or []):
             state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))
-    return {
+    rec = {
         "input_rows": n_rows,
         "output_rows": out_rows.value,
         "wall_s": round(wall, 2),
@@ -219,6 +245,9 @@ def run_one(
         "n_batches": n_batches,
         "max_state_rows": state_rows,
     }
+    if timed_out:
+        rec["timed_out"] = True
+    return rec
 
 
 def stage_docs(spark, n: int, out_dir: str | None = None) -> str:
@@ -231,14 +260,16 @@ def stage_docs(spark, n: int, out_dir: str | None = None) -> str:
     from pyspark.sql import Window
     from scale_check import build_bounded_replica
 
-    out = out_dir or f"/tmp/spark_graft_ingest_chunks{n}"
+    out = out_dir or f"/tmp/spark_graft_ingest_chunks{n}_{_src_tag(SF_DIR)}"
     marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
+    if _marker_matches(marker):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     src_dir = (
-        SF_DIR if n == 1 else build_bounded_replica(spark, n, ("documents",))
+        SF_DIR
+        if n == 1
+        else build_bounded_replica(spark, n, ("documents",), src_dir=SF_DIR)
     )
     df = load_table(spark, src_dir, "documents")
     chunked = df.withColumn(
@@ -261,8 +292,7 @@ def stage_docs(spark, n: int, out_dir: str | None = None) -> str:
         shutil.move(os.path.join(tmp, part), os.path.join(out, f"chunk_{i:02d}.parquet"))
     chunked.unpersist()
     shutil.rmtree(tmp, ignore_errors=True)
-    with open(marker, "w") as f:
-        f.write("ok")
+    _write_marker(marker)
     return out
 
 
@@ -361,21 +391,37 @@ def main() -> int:
             rec["state_growth_10x"] = rec.get("state_growth_x1_x10")
         out[name] = rec
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    record = _merge_record(root, out, scales)
+    _write_report(root, record)
+    print(json.dumps({"stream_bench": True, "pipelines": out}))
+    return 0
+
+
+def _merge_record(root: str, out: dict, scales: tuple[int, ...]) -> dict:
+    """Merge this invocation into the committed STREAM_BENCH.json. The
+    artifact accumulates across invocations (verify_all records 1x/10x;
+    the 100x leg is a separate manual run), so each invocation appends
+    a provenance entry recording WHICH scales/pipelines it contributed
+    — the mix of machine-states is auditable rather than silent."""
     record = {"sf_dir": SF_DIR, "pipelines": {}}
     path = os.path.join(root, "STREAM_BENCH.json")
     if os.path.exists(path):
         with open(path) as f:
             record.update(json.load(f))
     record["sf_dir"] = SF_DIR
+    record.setdefault("invocations", []).append({
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "scales_run": sorted(scales),
+        "pipelines_run": sorted(out),
+        "sf_dir": SF_DIR,
+    })
     for name, rec in out.items():
         merged = dict(record["pipelines"].get(name) or {})
         merged.update(rec)
         record["pipelines"][name] = merged
     with open(path, "w") as f:
         json.dump(record, f)
-    _write_report(root, record)
-    print(json.dumps({"stream_bench": True, "pipelines": out}))
-    return 0
+    return record
 
 
 def _write_report(root: str, record: dict) -> None:
@@ -412,15 +458,23 @@ def _write_report(root: str, record: dict) -> None:
 
         def _cell(n, field, fmt="{:.0f}"):
             r = rec.get(f"x{n}")
-            return fmt.format(r[field]) if r else "—"
+            v = r.get(field) if r else None
+            if v is None:
+                return "—"
+            cell = fmt.format(v)
+            # a timed-out drain is a hung run, not a measurement
+            return f"{cell} (timeout)" if r.get("timed_out") else cell
+
+        def _ratio(v):
+            return "—" if v is None else f"{v}x"
 
         walls = "/".join(
-            str(rec.get(f"wall_growth_x{a}_x{b}", "—")) + "x"
+            _ratio(rec.get(f"wall_growth_x{a}_x{b}"))
             for a, b in zip(scales, scales[1:])
             if f"x{a}" in rec and f"x{b}" in rec
         )
         states = "/".join(
-            str(rec.get(f"state_growth_x{a}_x{b}", "—")) + "x"
+            _ratio(rec.get(f"state_growth_x{a}_x{b}"))
             for a, b in zip(scales, scales[1:])
             if f"x{a}" in rec and f"x{b}" in rec
         )

@@ -9,6 +9,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
@@ -92,6 +94,28 @@ def test_vs_prior_round_skips_same_round_artifacts(tmp_path, monkeypatch):
     # the regression gate still baselines on the newest artifact (r6)
     newest = bench._prior_recording(0.1)
     assert newest["round"] == "6"
+
+
+def test_vs_prior_round_asserts_round_continuity(tmp_path, monkeypatch):
+    """If the driver ever skips recording a round, the newest prior
+    artifact is round N-2 — vs_prior_round must fail loudly instead of
+    silently attributing two rounds of drift to one comparison."""
+    (tmp_path / "BENCH_FULL_r04.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q01": 2.0}}
+    ))
+    # driver recordings close rounds 1-5 (round 5's lacks queries at
+    # this sf -> not usable as a baseline), so in-flight round is 6
+    # but the newest usable prior is round 4
+    for r in range(1, 6):
+        (tmp_path / f"BENCH_r{r:02d}.json").write_text(json.dumps(
+            {"sf": 0.1, "queries": {"q01": 9.9}} if r != 5 else {"sf": 0.1}
+        ))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench._current_round() == 6
+    with pytest.raises(RuntimeError, match="continuity"):
+        bench._comparable_totals({"q01": 3.0}, 0.1)
 
 
 def test_committed_round_snapshot_matches_full_schema():

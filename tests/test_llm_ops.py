@@ -7,6 +7,7 @@ dedup idempotence, deterministic stubs.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -573,6 +574,36 @@ def test_dedup_clusters_transitive_chain(spark):
     )
     out = {r["id"]: r["cluster"] for r in dedup.dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_collapse_rollup_invariants(spark, sf_smoke):
+    """op_dedup_collapse = verified pairs → components → one row per
+    multi-member cluster. Cross-check the rollup against the pair set
+    it collapsed: every cluster's keep_id is its min member, sizes sum
+    to the distinct ids in the pair graph (clusters partition it), and
+    id_sum bounds prove membership sums are internally consistent."""
+    from airflow_spark.operators.registry import op_dedup_collapse
+
+    pairs = dedup.dedup_minhash_verified(
+        spark.read.parquet(os.path.join(sf_smoke, "documents.parquet")),
+        threshold=0.8,
+    ).select("id_a", "id_b")
+    n_paired_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
+    rows = op_dedup_collapse(spark, sf_smoke).collect()
+    assert rows, "smoke corpus plants near-dups; collapse must find them"
+    for r in rows:
+        assert r["n_members"] >= 2  # singletons are not emitted
+        # keep_id is the min member: n_members-1 other members all > it
+        assert r["id_sum"] >= r["keep_id"] * r["n_members"] + (
+            r["n_members"] * (r["n_members"] - 1) // 2
+        )
+    assert sum(r["n_members"] for r in rows) == n_paired_ids
+    assert len({r["keep_id"] for r in rows}) == len(rows)
 
 
 def test_keep_representatives_end_to_end(docs):

@@ -88,3 +88,27 @@ def test_cross_copy_sign_patterns_scramble_similarity():
     xj = np.array(bounded_signs(3)) * x
     cos = (xi @ xj) / (np.linalg.norm(xi) * np.linalg.norm(xj))
     assert abs(cos) < 0.5
+
+
+def test_decade_section_renders_legs_independently():
+    """A SCALE_DECADE.json with graph_ops (or probe) but NO bounded_ops
+    must still render those sections — they are separate recordings,
+    not sub-tables of the bounded leg."""
+    from scale_check import _decade_section
+
+    row = {"t1": 0.1, "t10": 0.5, "t100": 4.0,
+           "growth_10x": 2.0, "growth_100x": 8.0}
+    rec = {
+        "ops": {"op_x": dict(row)},
+        "graph_ops": {"op_pagerank": dict(row)},
+        "probe": {"op_x": {"note": "partitions balanced"}},
+    }
+    text = "\n".join(_decade_section(rec))
+    assert "Iterative-graph leg" in text
+    assert "op_pagerank" in text
+    assert "Partition/skew probe" in text
+    # and WITH bounded_ops everything renders together
+    rec["bounded_ops"] = {"op_x": dict(row)}
+    text2 = "\n".join(_decade_section(rec))
+    assert "Bounded-multiplicity leg" in text2
+    assert "Iterative-graph leg" in text2

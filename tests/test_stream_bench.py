@@ -97,6 +97,78 @@ def test_stage_docs_partitions_doc_id(spark, tmp_path, monkeypatch):
     assert total == 500  # sf0.001 documents, nothing dropped in staging
 
 
+def test_marker_keyed_by_sf_dir(tmp_path, monkeypatch):
+    """A staged chunk dir is reusable only when it was staged FROM the
+    current SF_DIR — flipping SPARK_GRAFT_SF_DIR must force a re-stage
+    instead of silently replaying the other dataset's chunks."""
+    import stream_bench
+
+    marker = str(tmp_path / "_STAGED")
+    monkeypatch.setattr(stream_bench, "SF_DIR", "/root/testdata/sf0.001")
+    assert not stream_bench._marker_matches(marker)  # absent
+    stream_bench._write_marker(marker)
+    assert stream_bench._marker_matches(marker)
+    monkeypatch.setattr(stream_bench, "SF_DIR", "/root/testdata/sf0.01")
+    assert not stream_bench._marker_matches(marker)  # stale source
+    # legacy "ok" markers (pre-provenance) also force a re-stage
+    with open(marker, "w") as f:
+        f.write("ok")
+    assert not stream_bench._marker_matches(marker)
+
+
+def test_merge_record_appends_invocation_provenance(tmp_path, monkeypatch):
+    """STREAM_BENCH.json accumulates across invocations; each must
+    append a provenance entry naming its scales/pipelines so a mixed
+    1x/10x + manual 100x artifact is auditable."""
+    import stream_bench
+
+    monkeypatch.setattr(stream_bench, "SF_DIR", "/root/testdata/sf0.1")
+    rec1 = stream_bench._merge_record(
+        str(tmp_path),
+        {"p1": {"x1": {"wall_s": 1.0}, "x10": {"wall_s": 2.0}}},
+        (1, 10),
+    )
+    assert [i["scales_run"] for i in rec1["invocations"]] == [[1, 10]]
+    rec2 = stream_bench._merge_record(
+        str(tmp_path), {"p1": {"x100": {"wall_s": 30.0}}}, (1, 10, 100)
+    )
+    assert [i["scales_run"] for i in rec2["invocations"]] == [
+        [1, 10], [1, 10, 100]
+    ]
+    assert rec2["invocations"][1]["pipelines_run"] == ["p1"]
+    assert all("recorded_at" in i for i in rec2["invocations"])
+    # the per-scale rows merged, none lost
+    assert set(rec2["pipelines"]["p1"]) >= {"x1", "x10", "x100"}
+
+
+def test_report_guards_none_and_timeout(tmp_path):
+    """rows_per_s is None when wall_s is 0 and growth ratios can be
+    None — the renderer must emit em-dashes, never crash or print
+    'Nonex'; a timed_out run is flagged in its cells."""
+    import stream_bench
+
+    record = {
+        "sf_dir": "/root/testdata/sf0.1",
+        "pipelines": {
+            "degenerate": {
+                "x1": {"rows_per_s": None, "max_state_rows": 0,
+                       "wall_s": 0.0, "input_rows": 0,
+                       "output_rows": 0, "n_batches": 0},
+                "x10": {"rows_per_s": 17.0, "max_state_rows": 3,
+                        "wall_s": 600.0, "input_rows": 10000,
+                        "output_rows": 1, "n_batches": 2,
+                        "timed_out": True},
+                "wall_growth_x1_x10": None,
+                "state_growth_x1_x10": None,
+            },
+        },
+    }
+    stream_bench._write_report(str(tmp_path), record)
+    md = (tmp_path / "STREAM_BENCH.md").read_text()
+    assert "Nonex" not in md and "None" not in md
+    assert "| degenerate | — | 17 (timeout) | 0 | 3 (timeout) | — | — |" in md
+
+
 def test_report_renders_mixed_scale_records(tmp_path):
     """_write_report must render records regardless of which scales a
     pipeline has recorded (a --scales 1,10,100 refresh can land before
