@@ -37,8 +37,10 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   multimodal family uses for unsupported features.
 - MPEG-1 Layer III: mono, stereo, dual-channel, and mid/side joint
   stereo (round 6); long, start/stop, short, and mixed windows
-  (round 6). Still out: intensity stereo, ``main_data_begin`` != 0
-  (bit reservoir), scfsi sharing — those raise.
+  (round 6); the bit reservoir (``main_data_begin`` back-pointers,
+  round 7 — a rolling ≤511-byte main-data buffer across frames, the
+  layout nearly all real-world CBR streams use). Still out:
+  intensity stereo, scfsi sharing — those raise.
 
 Scale posture: decode runs inside Arrow-batched ``mapInPandas``
 (`multimodal.extract_audio_features`), one payload per row, pixels/
@@ -642,6 +644,86 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
     return b"".join(frames)
 
 
+def repack_with_reservoir(data: bytes, max_backptr: int = 511) -> bytes:
+    """Rewrite a no-reservoir MPEG-1 Layer III stream (every frame
+    ``main_data_begin`` = 0, the form :func:`encode_mp3` emits) into a
+    bit-exact-equivalent stream that USES the bit reservoir: each
+    frame's main data is packed back-to-back into the continuous
+    main-data byte space (ISO §2.4.1.7), so later frames' payloads
+    start up to ``max_backptr`` (≤ 511) bytes inside earlier frames'
+    areas and their side info carries the matching back-pointer.
+    Frame count, sizes, headers, and every decoded sample are
+    unchanged — only the payload layout moves. This is how real CBR
+    encoders ship frames (the slack a quiet frame leaves becomes
+    reservoir headroom for a loud one), which makes it the fixture
+    generator for the reservoir decode path."""
+    if not 0 <= max_backptr <= 511:
+        raise Mp3EncodeError("max_backptr must fit the 9-bit field")
+    frames: list[tuple[bytes, bytes, bytes, int]] = []
+    pos, end = 0, len(data)
+    while pos + 4 <= end:
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            raise Mp3EncodeError("repack input must be a clean frame "
+                                 "sequence (no tags/junk)")
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            raise Mp3EncodeError("not MPEG-1 Layer III")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise Mp3EncodeError("free-format/invalid header")
+        nch = 1 if (b3 >> 6) & 0x3 == 0x3 else 2
+        padding = (b2 >> 1) & 0x1
+        crc = not (b1 & 0x1)
+        frame_len = 144 * _BITRATES[br_idx] * 1000 // _RATES[sr_idx] \
+            + padding
+        frame = data[pos:pos + frame_len]
+        if len(frame) < frame_len:
+            raise Mp3EncodeError("truncated final frame")
+        hdr_len = 4 + (2 if crc else 0)
+        side_len = 17 if nch == 1 else 32
+        side = frame[hdr_len:hdr_len + side_len]
+        area = frame[hdr_len + side_len:]
+        mdb, sideinfo = _parse_side_info(_BitReader(side), nch)
+        if mdb != 0:
+            raise Mp3EncodeError("input already uses the reservoir")
+        used_bits = sum(t[0] for g in sideinfo for t in g)
+        used = (used_bits + 7) // 8
+        if used > len(area):
+            raise Mp3EncodeError("main data overruns its frame area")
+        frames.append((frame[:hdr_len], side, area, used))
+        pos += frame_len
+    if not frames:
+        raise Mp3EncodeError("no MPEG audio frames found")
+    if pos != end:
+        raise Mp3EncodeError("trailing bytes after the last frame")
+
+    # lay the payloads back-to-back into the concatenated area space:
+    # W = where this frame's own area starts, S = where its payload
+    # lands; mdb = W - S is the back-pointer (clamped: gaps beyond
+    # max_backptr stay as never-read ancillary zeros)
+    buf = bytearray(sum(len(a) for _, _, a, _ in frames))
+    mdbs: list[int] = []
+    W = S = 0
+    for _hdr, _side, area, used in frames:
+        S = max(S, W - max_backptr)
+        mdbs.append(W - S)
+        buf[S:S + used] = area[:used]
+        S += used
+        W += len(area)
+
+    out: list[bytes] = []
+    off = 0
+    for (hdr, side, area, _used), mdb in zip(frames, mdbs):
+        sb = bytearray(side)
+        # main_data_begin is the first 9 bits of the side info
+        sb[0] = (mdb >> 1) & 0xFF
+        sb[1] = (sb[1] & 0x7F) | ((mdb & 1) << 7)
+        out.append(hdr + bytes(sb) + bytes(buf[off:off + len(area)]))
+        off += len(area)
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -812,11 +894,14 @@ def decode_mp3(
     """Decode an MPEG-1 Layer III stream (mono, stereo, dual-channel,
     or mid/side joint stereo; long, short, start/stop, and mixed
     windows — this codec's documented subset, docs/adr/0001) to float
-    PCM. Returns (samples, sample_rate); ``downmix=True`` (the
-    pipeline default) averages channels to mono, ``downmix=False``
-    returns shape (n, nch) for multi-channel streams. Raises
+    PCM. Streams using the bit reservoir (``main_data_begin`` != 0)
+    decode via a rolling main-data buffer across frames. Returns
+    (samples, sample_rate); ``downmix=True`` (the pipeline default)
+    averages channels to mono, ``downmix=False`` returns shape
+    (n, nch) for multi-channel streams. Raises
     :class:`Mp3DecodeError` on anything outside the boundary —
-    intensity stereo, bit reservoir, scfsi — and the caller
+    intensity stereo, scfsi, a reservoir pointer reaching before the
+    stream start — and the caller
     (``multimodal._decode_audio_impl``) maps that onto the
     strict/fake contract."""
     # skip a leading ID3v2 tag if present (same walk as the metadata
@@ -837,6 +922,7 @@ def decode_mp3(
     nch: int | None = None
     # per channel: list of (flat576_in_natural_order, block_type, mixed)
     granules: list[list[tuple[np.ndarray, int, bool]]] = []
+    reservoir = bytearray()  # rolling main-data buffer (≤ 511 B kept)
     nframes = 0
     while pos + 4 <= end:
         b0, b1, b2, b3 = data[pos:pos + 4]
@@ -872,13 +958,32 @@ def decode_mp3(
         crc = not (b1 & 0x1)
         frame_len = 144 * kbps * 1000 // sr + padding
         frame = data[pos + 4 + (2 if crc else 0):pos + frame_len]
-        r = _BitReader(frame)
-        if r.remaining() < (136 if nch == 1 else 256):
+        side_len = 17 if nch == 1 else 32
+        if len(frame) < side_len:
             raise Mp3DecodeError("truncated side info")
+        mdb, side = _parse_side_info(_BitReader(frame[:side_len]), nch)
+        # bit reservoir (ISO §2.4.1.7): this frame's main_data starts
+        # mdb bytes BEFORE its own byte area, inside previously
+        # transmitted areas — resolve against the rolling buffer
+        if mdb > len(reservoir):
+            raise Mp3DecodeError(
+                f"bit-reservoir underrun: main_data_begin={mdb} "
+                f"points {mdb - len(reservoir)} bytes before the "
+                "start of the stream (stream cut mid-reservoir?)"
+            )
+        start = len(reservoir) - mdb
+        reservoir.extend(frame[side_len:])
+        rm = _BitReader(bytes(reservoir))
+        rm.pos = start * 8
         try:
-            _parse_frame_granules(r, sfb, sfb_s, nch, ms, granules)
+            _decode_frame_granules(rm, side, sfb, sfb_s, nch, ms,
+                                   granules)
         except IndexError as ex:  # bit reads past a truncated frame
             raise Mp3DecodeError("truncated frame body") from ex
+        # future back-pointers reach at most 511 bytes (9-bit field)
+        # behind the NEXT frame's area — older bytes are dead
+        if len(reservoir) > 511:
+            del reservoir[:-511]
         pos += frame_len
         nframes += 1
     if nframes == 0 or sample_rate is None:
@@ -911,22 +1016,15 @@ def decode_mp3(
     return (stacked.mean(axis=1) if downmix else stacked), sample_rate
 
 
-def _parse_frame_granules(
-    r: _BitReader,
-    sfb: list[int],
-    sfb_short: list[int],
-    nch: int,
-    ms: bool,
-    granules: list[list[tuple[np.ndarray, int, bool]]],
-) -> None:
-    """Side info (17 bytes mono / 32 stereo) + both granules of one
-    frame, appended per channel as (576 natural-order lines,
-    block_type, mixed) tuples. Mid/side matrixing is applied on the
-    requantized spectra (ISO §2.4.3.4.9.2: li = (mi+si)/√2,
-    ri = (mi−si)/√2)."""
-    if r.read(9) != 0:
-        raise Mp3DecodeError("bit reservoir (main_data_begin) "
-                             "not supported")
+def _parse_side_info(
+    r: _BitReader, nch: int
+) -> tuple[int, list[list[tuple]]]:
+    """Side info (17 bytes mono / 32 stereo): returns
+    (main_data_begin, per-granule/per-channel side tuples).
+    ``main_data_begin`` is the bit reservoir's byte back-pointer
+    (ISO §2.4.1.7) — the caller resolves it against the rolling
+    main-data buffer; scfsi sharing stays outside the boundary."""
+    mdb = r.read(9)
     r.read(5 if nch == 1 else 3)  # private bits
     for _ch in range(nch):
         if r.read(4):
@@ -959,6 +1057,25 @@ def _parse_frame_granules(
                 (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
                  bt, mixed, sbg)
             )
+    return mdb, side
+
+
+def _decode_frame_granules(
+    r: _BitReader,
+    side: list[list[tuple]],
+    sfb: list[int],
+    sfb_short: list[int],
+    nch: int,
+    ms: bool,
+    granules: list[list[tuple[np.ndarray, int, bool]]],
+) -> None:
+    """Both granules of one frame from the MAIN-DATA bitstream (the
+    reader is already positioned at this frame's main_data start,
+    which with a non-empty bit reservoir lies inside earlier frames'
+    byte areas). Appended per channel as (576 natural-order lines,
+    block_type, mixed) tuples. Mid/side matrixing is applied on the
+    requantized spectra (ISO §2.4.3.4.9.2: li = (mi+si)/√2,
+    ri = (mi−si)/√2)."""
     for g in range(2):
         decoded = []
         for ch in range(nch):

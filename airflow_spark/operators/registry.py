@@ -3674,13 +3674,21 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # search attests the decoder's whole boundary: even
             # groups mono long-block, odd groups STEREO (mid/side
             # joint stereo) with short windows — both must decode to
-            # the same planted bin as the WAV member
+            # the same planted bin as the WAV member. Every other
+            # group of each shape is additionally repacked to USE THE
+            # BIT RESERVOIR (round 7: nonzero main_data_begin
+            # back-pointers, the layout real CBR encoders emit) —
+            # bit-identical samples, different frame byte layout.
             if g % 2:
-                return mp3codec.encode_mp3(
+                mp3 = mp3codec.encode_mp3(
                     _np.stack([x, x], axis=1), sr, kbps=192,
                     block_type="short",
                 )
-            return mp3codec.encode_mp3(x, sr)
+            else:
+                mp3 = mp3codec.encode_mp3(x, sr)
+            if (g // 2) % 2:
+                mp3 = mp3codec.repack_with_reservoir(mp3)
+            return mp3
         buf = _io.BytesIO()
         with _wave.open(buf, "wb") as w:
             w.setnchannels(1)
