@@ -27,6 +27,7 @@ out of scope → ``None`` (callers quarantine or stub).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -86,84 +87,94 @@ MAX_PIXELS = 25_000_000
 # ---------------------------------------------------------------------------
 
 
-def _build_decode_table(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
-    """(code_length, code) → symbol. Canonical assignment: codes of
-    each length are consecutive, starting from (prev_start + count)<<1."""
-    table = {}
+@lru_cache(maxsize=256)
+def _decode_lut(bits: bytes, values: bytes) -> list[int]:
+    """16-bit-peek Huffman decode table: LUT[next16bits] =
+    (code_length << 8) | symbol, 0 = invalid prefix. Canonical
+    assignment: codes of each length are consecutive, starting from
+    (prev_start + count) << 1; prefix-freeness makes the extension
+    ranges disjoint. Memoized on the raw DHT payload — an MJPEG
+    stream repeats IDENTICAL tables in every frame, so a whole video
+    (and every same-tabled image in a corpus batch) builds each
+    table exactly once per worker process."""
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
+            entry = (length << 8) | values[k]
+            start = code << (16 - length)
+            lut[start:start + span] = [entry] * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    un-stuffing; stops at any non-RST marker."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bitbuf = 0
-        self.nbits = 0
-        self.marker: int | None = None
-
-    def _fill(self) -> bool:
-        d = self.data
-        if self.pos >= len(d):
-            return False
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                self.marker = nxt  # restart or EOI/other: stop here
-                return False
+def _split_entropy(data: bytes, pos: int) -> list[bytes]:
+    """Destuff the entropy-coded scan (0xFF00 → 0xFF) in one forward
+    pass (bulk ``bytes.find`` copies, not per-byte Python), split into
+    per-restart-interval segments at RSTn markers; any other marker
+    (EOI, next SOS…) terminates the scan."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = pos, len(data)
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            break
+        cur += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
         else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
-        return True
+            break
+    segs.append(bytes(cur))
+    return segs
 
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            return 0  # pad with zeros past the marker (T.81 F.2.2.5)
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
 
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+class _EntropyBits:
+    """MSB-first reads over pre-destuffed entropy segments. Reads past
+    a segment end yield zero bits (T.81 F.2.2.5 padding semantics —
+    the MCU loop bound terminates the scan)."""
+
+    __slots__ = ("segs", "seg_idx", "buf", "bitpos")
+
+    def __init__(self, segs: list[bytes]):
+        self.segs = segs
+        self.seg_idx = 0
+        self.buf = segs[0] if segs else b""
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        bp = self.bitpos
+        w = self.buf[bp >> 3:(bp >> 3) + 4]
+        if len(w) < 4:
+            w += b"\x00\x00\x00"
+        return (int.from_bytes(w[:4], "big") >> (16 - (bp & 7))) & 0xFFFF
+
+    def get(self, n: int) -> int:
+        """Read n ≤ 16 bits."""
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
         return v
 
-    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
-
-    def sync_restart(self) -> None:
-        """Consume an RSTn marker and reset bit state."""
-        self.bitbuf = 0
-        self.nbits = 0
-        d = self.data
-        # skip to the marker we stopped at (or scan forward to it)
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                self.marker = None
-                return
-            self.pos += 1
-        self.marker = 0xD9
+    def restart(self) -> bool:
+        """Advance past the next RSTn marker (= into the next
+        pre-split segment); False when the stream has none left."""
+        self.seg_idx += 1
+        if self.seg_idx >= len(self.segs):
+            return False
+        self.buf = self.segs[self.seg_idx]
+        self.bitpos = 0
+        return True
 
 
 def _extend(v: int, n: int) -> int:
@@ -251,10 +262,12 @@ def _decode_jpeg_inner(data: bytes) -> dict | None:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1:p + 17])
+                bits = seg[p + 1:p + 17]
                 nv = sum(bits)
                 values = seg[p + 17:p + 17 + nv]
-                huff[(tc, th)] = _build_decode_table(bits, values)
+                # raw payload only — the memoized peek-LUT is built at
+                # scan time, once per DISTINCT table per process
+                huff[(tc, th)] = (bits, values)
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -280,7 +293,7 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    br = _BitReader(data, pos)
+    br = _EntropyBits(_split_entropy(data, pos))
     # per-component collected coefficient blocks (luma only gets IDCT)
     luma = comps[0]
     n_lblocks = (mcux * luma["h"]) * (mcuy * luma["v"])
@@ -288,20 +301,29 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
     pred = {c["id"]: 0 for c in comps}
     mcu_count = 0
     try:
+        # hoist the per-component LUTs out of the MCU loop (memoized
+        # across frames: MJPEG repeats identical DHT every frame)
+        tbls = [
+            (
+                _decode_lut(*huff[(0, scan[c["id"]][0])]),
+                _decode_lut(*huff[(1, scan[c["id"]][1])]),
+            )
+            for c in comps
+        ]
         for my in range(mcuy):
             for mx in range(mcux):
                 if restart_interval and mcu_count and (
                     mcu_count % restart_interval == 0
                 ):
-                    br.sync_restart()
+                    if not br.restart():
+                        raise ValueError("missing restart segment")
                     pred = {c["id"]: 0 for c in comps}
                 mcu_count += 1
                 for ci, c in enumerate(comps):
-                    dc_tbl = huff[(0, scan[c["id"]][0])]
-                    ac_tbl = huff[(1, scan[c["id"]][1])]
+                    dc_lut, ac_lut = tbls[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
-                            blk = _decode_block(br, dc_tbl, ac_tbl, pred, c)
+                            blk = _decode_block(br, dc_lut, ac_lut, pred, c)
                             if ci == 0:
                                 row = my * c["v"] + by
                                 col = mx * c["h"] + bx
@@ -339,15 +361,23 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
     }
 
 
-def _decode_block(br, dc_tbl, ac_tbl, pred, comp) -> np.ndarray:
+def _decode_block(br, dc_lut, ac_lut, pred, comp) -> np.ndarray:
     blk = np.zeros(64, dtype=np.float64)
-    t = br.decode_symbol(dc_tbl)
-    diff = _extend(br.receive(t), t)
-    pred[comp["id"]] += diff
+    e = dc_lut[br.peek16()]
+    if not e:
+        raise ValueError("invalid Huffman code")
+    br.bitpos += e >> 8
+    t = e & 0xFF
+    if t:
+        pred[comp["id"]] += _extend(br.get(t), t)
     blk[0] = pred[comp["id"]]
     k = 1
     while k < 64:
-        rs = br.decode_symbol(ac_tbl)
+        e = ac_lut[br.peek16()]
+        if not e:
+            raise ValueError("invalid Huffman code")
+        br.bitpos += e >> 8
+        rs = e & 0xFF
         r, s = rs >> 4, rs & 0xF
         if s == 0:
             if r == 15:
@@ -357,7 +387,7 @@ def _decode_block(br, dc_tbl, ac_tbl, pred, comp) -> np.ndarray:
         k += r
         if k > 63:
             raise ValueError("AC run past block end")
-        blk[k] = _extend(br.receive(s), s)
+        blk[k] = _extend(br.get(s), s)
         k += 1
     return blk
 
