@@ -39,8 +39,9 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   stereo (round 6); long, start/stop, short, and mixed windows
   (round 6); the bit reservoir (``main_data_begin`` back-pointers,
   round 7 — a rolling ≤511-byte main-data buffer across frames, the
-  layout nearly all real-world CBR streams use). Still out:
-  intensity stereo, scfsi sharing — those raise.
+  layout nearly all real-world CBR streams use) and scfsi
+  scalefactor sharing between granules (round 7). Still out:
+  intensity stereo — that raises.
 
 Scale posture: decode runs inside Arrow-batched ``mapInPandas``
 (`multimodal.extract_audio_features`), one payload per row, pixels/
@@ -488,7 +489,8 @@ def _unorder_short(
 
 
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
-               kbps: int = 128, block_type: str = "long") -> bytes:
+               kbps: int = 128, block_type: str = "long",
+               scfsi: bool = False) -> bytes:
     """Encode float PCM into an MPEG-1 Layer III CBR stream (this
     codec pair's documented subset: no bit reservoir, Huffman tables
     1/B). ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
@@ -506,6 +508,11 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         raise Mp3EncodeError(f"unsupported bitrate {kbps}")
     if block_type not in ("long", "short", "mixed"):
         raise Mp3EncodeError(f"unsupported block_type {block_type!r}")
+    use_scfsi = bool(scfsi)
+    if use_scfsi and block_type != "long":
+        raise Mp3EncodeError(
+            "scfsi applies to long windows only (§2.4.2.7)"
+        )
     x = np.asarray(pcm, dtype=np.float64)
     if x.size == 0:
         raise Mp3EncodeError("empty PCM")
@@ -550,8 +557,9 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
     prev = [np.zeros((32, 18)) for _ in range(nch)]
     for fi in range(nframes):
         # granule-major, channel-minor (the spec's side-info and
-        # main-data order)
-        granule_bits: list[list[tuple]] = [[], []]
+        # main-data order); quantize BOTH granules first so scfsi can
+        # compare their scalefactors before any bits are written
+        quant: list[list[tuple]] = [[], []]
         for g in range(2):
             for ci in range(nch):
                 blk = ss[ci][(fi * 2 + g) * 18:(fi * 2 + g + 1) * 18]
@@ -572,15 +580,42 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                 flat = lines.reshape(576)
                 if short:
                     flat = _unorder_short(flat, sfb, sfbs, mixed)
-                q, gg, sf = _quantize_granule(flat, segs)
+                quant[g].append(_quantize_granule(flat, segs))
+        # scfsi (§2.4.2.7, long windows): share a band group when the
+        # second granule's scalefactors equal the first's — the bits
+        # are simply not retransmitted
+        scfsi_frame = [0] * nch
+        if use_scfsi:
+            for ci in range(nch):
+                sf0, sf1 = quant[0][ci][2], quant[1][ci][2]
+                for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+                    if sf0[lo:hi] == sf1[lo:hi]:
+                        scfsi_frame[ci] |= 1 << (3 - gi)
+        granule_bits: list[list[tuple]] = [[], []]
+        for g in range(2):
+            for ci in range(nch):
+                q, gg, sf = quant[g][ci]
                 w = _BitWriter()
                 # scalefactors in segment order (scalefac_compress 15
-                # -> slen (4, 3))
+                # -> slen (4, 3)); for long blocks si == band index,
+                # so the scfsi group test is direct
                 si = 0
                 for _lo, _hi, limit, slen in segs:
-                    if limit:
+                    if not limit:
+                        continue
+                    # scfsi_frame is nonzero only for long blocks,
+                    # where si == band index 0..20 — short/mixed
+                    # segment counts exceed the group map
+                    shared = (
+                        g == 1
+                        and scfsi_frame[ci]
+                        and scfsi_frame[ci] & (
+                            1 << (3 - _SCFSI_GROUP_OF[si])
+                        )
+                    )
+                    if not shared:
                         w.write(int(sf[si]), slen)
-                        si += 1
+                    si += 1
                 big_values, _ = _encode_granule_bits(w, q)
                 granule_bits[g].append((len(w), big_values, gg, w))
 
@@ -603,8 +638,10 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         # side info (17 bytes mono / 32 stereo)
         hw.write(0, 9)       # main_data_begin = 0 (no reservoir)
         hw.write(0, 5 if nch == 1 else 3)  # private_bits
-        for _ci in range(nch):
-            hw.write(0, 4)   # scfsi: scalefactors sent per granule
+        for ci_ in range(nch):
+            # scfsi: 0 = scalefactors sent per granule; set bits mark
+            # band groups granule 2 reuses from granule 1
+            hw.write(scfsi_frame[ci_], 4)
         for g in range(2):
             for part23, big_values, gg, _w in granule_bits[g]:
                 hw.write(part23, 12)
@@ -684,7 +721,7 @@ def repack_with_reservoir(data: bytes, max_backptr: int = 511) -> bytes:
         side_len = 17 if nch == 1 else 32
         side = frame[hdr_len:hdr_len + side_len]
         area = frame[hdr_len + side_len:]
-        mdb, sideinfo = _parse_side_info(_BitReader(side), nch)
+        mdb, _scfsi, sideinfo = _parse_side_info(_BitReader(side), nch)
         if mdb != 0:
             raise Mp3EncodeError("input already uses the reservoir")
         used_bits = sum(t[0] for g in sideinfo for t in g)
@@ -738,11 +775,16 @@ def _decode_granule(
     mixed: bool = False,
     sfb_short: list[int] | None = None,
     subblock_gain: tuple[int, int, int] = (0, 0, 0),
-) -> np.ndarray:
+    scfsi: int = 0,
+    prev_sf_long: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Scalefactors + Huffman + requantize for one granule (long,
-    short, or mixed windows). Returns 576 requantized spectral lines
-    in the bitstream's frequency order (short granules are reordered
-    later by :func:`_reorder_short`)."""
+    short, or mixed windows). Returns (576 requantized spectral lines
+    in the bitstream's frequency order — short granules are reordered
+    later by :func:`_reorder_short` — , the long scalefactors, for
+    scfsi reuse by the second granule). A set ``scfsi`` bit (MSB =
+    group 0, bands per ``_SCFSI_GROUPS``) skips the read and copies
+    ``prev_sf_long`` for that group (§2.4.2.7)."""
     start = r.pos
     slen1, slen2 = _SLEN[scalefac_compress]
 
@@ -771,10 +813,22 @@ def _decode_granule(
                 sfs[b, w] = r.read(slen2) if slen2 else 0
     else:
         sf_long = np.zeros(22, dtype=np.int64)
+        shared = np.zeros(21, dtype=bool)
+        if scfsi:
+            if prev_sf_long is None:
+                raise Mp3DecodeError(
+                    "scfsi reuse with no first-granule scalefactors"
+                )
+            for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+                if scfsi & (1 << (3 - gi)):
+                    shared[lo:hi] = True
+                    sf_long[lo:hi] = prev_sf_long[lo:hi]
         for b in range(11):
-            sf_long[b] = r.read(slen1) if slen1 else 0
+            if not shared[b]:
+                sf_long[b] = r.read(slen1) if slen1 else 0
         for b in range(11, 21):
-            sf_long[b] = r.read(slen2) if slen2 else 0
+            if not shared[b]:
+                sf_long[b] = r.read(slen2) if slen2 else 0
         sfs = None
 
     q = np.zeros(576, dtype=np.int64)
@@ -854,7 +908,7 @@ def _decode_granule(
         pre = np.array(_PRETAB)[band_of] if preflag else 0
         exp -= mult * (sf_long[band_of] + pre)
     mags = np.abs(q).astype(np.float64) ** (4.0 / 3.0)
-    return np.sign(q) * mags * 2.0 ** exp
+    return np.sign(q) * mags * 2.0 ** exp, sf_long
 
 
 def _reorder_short(
@@ -900,7 +954,7 @@ def decode_mp3(
     averages channels to mono, ``downmix=False`` returns shape
     (n, nch) for multi-channel streams. Raises
     :class:`Mp3DecodeError` on anything outside the boundary —
-    intensity stereo, scfsi, a reservoir pointer reaching before the
+    intensity stereo, a reservoir pointer reaching before the
     stream start — and the caller
     (``multimodal._decode_audio_impl``) maps that onto the
     strict/fake contract."""
@@ -961,7 +1015,9 @@ def decode_mp3(
         side_len = 17 if nch == 1 else 32
         if len(frame) < side_len:
             raise Mp3DecodeError("truncated side info")
-        mdb, side = _parse_side_info(_BitReader(frame[:side_len]), nch)
+        mdb, scfsi, side = _parse_side_info(
+            _BitReader(frame[:side_len]), nch
+        )
         # bit reservoir (ISO §2.4.1.7): this frame's main_data starts
         # mdb bytes BEFORE its own byte area, inside previously
         # transmitted areas — resolve against the rolling buffer
@@ -977,7 +1033,7 @@ def decode_mp3(
         rm.pos = start * 8
         try:
             _decode_frame_granules(rm, side, sfb, sfb_s, nch, ms,
-                                   granules)
+                                   granules, scfsi=scfsi)
         except IndexError as ex:  # bit reads past a truncated frame
             raise Mp3DecodeError("truncated frame body") from ex
         # future back-pointers reach at most 511 bytes (9-bit field)
@@ -1016,20 +1072,27 @@ def decode_mp3(
     return (stacked.mean(axis=1) if downmix else stacked), sample_rate
 
 
+#: scfsi groups (ISO Table B.6): long scalefactor bands covered by
+#: each of the four scfsi_band bits, MSB (bit 3) = group 0
+_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+#: long band index (0..20) -> its scfsi group index
+_SCFSI_GROUP_OF = [
+    gi for gi, (lo, hi) in enumerate(_SCFSI_GROUPS) for _ in range(lo, hi)
+]
+
+
 def _parse_side_info(
     r: _BitReader, nch: int
-) -> tuple[int, list[list[tuple]]]:
+) -> tuple[int, list[int], list[list[tuple]]]:
     """Side info (17 bytes mono / 32 stereo): returns
-    (main_data_begin, per-granule/per-channel side tuples).
-    ``main_data_begin`` is the bit reservoir's byte back-pointer
-    (ISO §2.4.1.7) — the caller resolves it against the rolling
-    main-data buffer; scfsi sharing stays outside the boundary."""
+    (main_data_begin, per-channel scfsi nibbles, per-granule/
+    per-channel side tuples). ``main_data_begin`` is the bit
+    reservoir's byte back-pointer (ISO §2.4.1.7); a set scfsi bit
+    means granule 2 reuses granule 1's scalefactors for that band
+    group (§2.4.2.7) — both resolved by the caller."""
     mdb = r.read(9)
     r.read(5 if nch == 1 else 3)  # private bits
-    for _ch in range(nch):
-        if r.read(4):
-            raise Mp3DecodeError("scfsi scalefactor sharing "
-                                 "not supported")
+    scfsi = [r.read(4) for _ch in range(nch)]
     side: list[list[tuple]] = [[], []]
     for g in range(2):
         for _ch in range(nch):
@@ -1057,7 +1120,7 @@ def _parse_side_info(
                 (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
                  bt, mixed, sbg)
             )
-    return mdb, side
+    return mdb, scfsi, side
 
 
 def _decode_frame_granules(
@@ -1068,6 +1131,7 @@ def _decode_frame_granules(
     nch: int,
     ms: bool,
     granules: list[list[tuple[np.ndarray, int, bool]]],
+    scfsi: list[int] | None = None,
 ) -> None:
     """Both granules of one frame from the MAIN-DATA bitstream (the
     reader is already positioned at this frame's main_data start,
@@ -1075,18 +1139,31 @@ def _decode_frame_granules(
     byte areas). Appended per channel as (576 natural-order lines,
     block_type, mixed) tuples. Mid/side matrixing is applied on the
     requantized spectra (ISO §2.4.3.4.9.2: li = (mi+si)/√2,
-    ri = (mi−si)/√2)."""
+    ri = (mi−si)/√2). A set scfsi bit makes granule 2 reuse granule
+    1's scalefactors for that band group (§2.4.2.7, long windows
+    only)."""
+    gr0_sf: list[np.ndarray | None] = [None] * nch
     for g in range(2):
         decoded = []
         for ch in range(nch):
             (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
              bt, mixed, sbg) = side[g][ch]
             short = bt == 2
-            flat = _decode_granule(
+            ch_scfsi = scfsi[ch] if scfsi else 0
+            if ch_scfsi and short:
+                raise Mp3DecodeError(
+                    "scfsi set on a short-window granule "
+                    "(spec: long windows only)"
+                )
+            flat, sf_long = _decode_granule(
                 r, part23, big_values, gg, sc, tsel, c1t, sfs, pre,
                 sfb, block_type=bt, mixed=mixed,
                 sfb_short=sfb_short, subblock_gain=sbg,
+                scfsi=ch_scfsi if g == 1 else 0,
+                prev_sf_long=gr0_sf[ch] if g == 1 else None,
             )
+            if g == 0:
+                gr0_sf[ch] = sf_long
             if short:
                 flat = _reorder_short(flat, sfb, sfb_short, mixed)
             decoded.append((flat, bt, mixed))

@@ -3674,18 +3674,21 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # search attests the decoder's whole boundary: even
             # groups mono long-block, odd groups STEREO (mid/side
             # joint stereo) with short windows — both must decode to
-            # the same planted bin as the WAV member. Every other
-            # group of each shape is additionally repacked to USE THE
-            # BIT RESERVOIR (round 7: nonzero main_data_begin
-            # back-pointers, the layout real CBR encoders emit) —
-            # bit-identical samples, different frame byte layout.
+            # the same planted bin as the WAV member. Round 7 widens
+            # the attested boundary further: the mono/long member is
+            # encoded WITH SCFSI (granule 2 reuses granule 1's
+            # scalefactors per band group), and every other group of
+            # each shape is additionally repacked to USE THE BIT
+            # RESERVOIR (nonzero main_data_begin back-pointers, the
+            # layout real CBR encoders emit) — bit-identical samples,
+            # different frame byte layout.
             if g % 2:
                 mp3 = mp3codec.encode_mp3(
                     _np.stack([x, x], axis=1), sr, kbps=192,
                     block_type="short",
                 )
             else:
-                mp3 = mp3codec.encode_mp3(x, sr)
+                mp3 = mp3codec.encode_mp3(x, sr, scfsi=True)
             if (g // 2) % 2:
                 mp3 = mp3codec.repack_with_reservoir(mp3)
             return mp3

@@ -475,3 +475,77 @@ def test_repack_rejects_reservoir_input():
     rep = repack_with_reservoir(encode_mp3(_tone(440.0), SR))
     with pytest.raises(Mp3EncodeError, match="already uses"):
         repack_with_reservoir(rep)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: scfsi (scalefactor sharing between granules)
+# ---------------------------------------------------------------------------
+
+
+def _frame_scfsi(data: bytes) -> list[list[int]]:
+    from airflow_spark.operators.mp3 import (
+        _BITRATES,
+        _RATES,
+        _BitReader,
+        _parse_side_info,
+    )
+
+    out, pos = [], 0
+    while pos + 4 <= len(data):
+        b2, b3 = data[pos + 2], data[pos + 3]
+        flen = (
+            144 * _BITRATES[(b2 >> 4) & 0xF] * 1000
+            // _RATES[(b2 >> 2) & 0x3] + ((b2 >> 1) & 1)
+        )
+        nch = 1 if (b3 >> 6) & 0x3 == 0x3 else 2
+        side = data[pos + 4:pos + 4 + (17 if nch == 1 else 32)]
+        out.append(_parse_side_info(_BitReader(side), nch)[1])
+        pos += flen
+    return out
+
+
+@pytest.mark.parametrize("stereo", [False, True])
+def test_scfsi_roundtrip_bit_identical(stereo):
+    """scfsi elides granule-2 scalefactor bits for band groups whose
+    values repeat granule 1's; the decoder's reuse path must
+    reconstruct the exact same samples as the per-granule stream."""
+    x = _tone(440.0, seconds=0.4) + 0.2 * _tone(1230.0, seconds=0.4)
+    pcm = np.stack([x, 0.5 * x], axis=1) if stereo else x
+    plain = encode_mp3(pcm, SR)
+    shared = encode_mp3(pcm, SR, scfsi=True)
+    assert len(plain) == len(shared)  # same CBR framing
+    nz = [s for fs in _frame_scfsi(shared) for s in fs if s]
+    assert nz, "steady tone must share at least one band group"
+    a, _ = decode_mp3(plain, downmix=False)
+    b, _ = decode_mp3(shared, downmix=False)
+    assert np.array_equal(a, b)
+
+
+def test_scfsi_composes_with_reservoir():
+    from airflow_spark.operators.mp3 import repack_with_reservoir
+
+    x = _tone(440.0, seconds=0.4)
+    enc = encode_mp3(x, SR, scfsi=True)
+    both = repack_with_reservoir(enc)
+    assert any(s for fs in _frame_scfsi(both) for s in fs)
+    assert max(_frame_mdbs(both)) > 0
+    a, _ = decode_mp3(enc)
+    b, _ = decode_mp3(both)
+    assert np.array_equal(a, b)
+
+
+def test_scfsi_requires_long_blocks():
+    with pytest.raises(Mp3EncodeError, match="long windows"):
+        encode_mp3(_tone(440.0), SR, block_type="short", scfsi=True)
+
+
+def test_scfsi_on_short_granule_stream_raises():
+    """A crafted stream with scfsi set but short-window granules must
+    raise (the spec restricts scfsi to long windows)."""
+    data = bytearray(encode_mp3(_tone(440.0), SR, block_type="short"))
+    # set one scfsi bit in frame 0's side info: mono side info starts
+    # at byte 4; bits 9 (mdb) + 5 (private) = 14, scfsi = bits 14-17
+    # -> bit 14 lives in byte 4+1, mask 0x02
+    data[5] |= 0x02
+    with pytest.raises(Mp3DecodeError, match="scfsi"):
+        decode_mp3(bytes(data))
