@@ -39,9 +39,11 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   stereo (round 6); long, start/stop, short, and mixed windows
   (round 6); the bit reservoir (``main_data_begin`` back-pointers,
   round 7 — a rolling ≤511-byte main-data buffer across frames, the
-  layout nearly all real-world CBR streams use) and scfsi
-  scalefactor sharing between granules (round 7). Still out:
-  intensity stereo — that raises.
+  layout nearly all real-world CBR streams use), scfsi scalefactor
+  sharing between granules (round 7), and intensity stereo
+  (tan(is_pos·π/12) position reconstruction, round 7; long windows).
+  The only remaining decode raises are the unshipped big-values
+  Huffman tables and genuinely corrupt streams.
 
 Scale posture: decode runs inside Arrow-batched ``mapInPandas``
 (`multimodal.extract_audio_features`), one payload per row, pixels/
@@ -488,9 +490,32 @@ def _unorder_short(
     return flat
 
 
+def _intensity_positions(
+    fl: np.ndarray, fr: np.ndarray, segs: list[tuple[int, int, int, int]]
+) -> list[int]:
+    """Per-band intensity positions from the two channels' band
+    magnitudes: is_pos = round(atan2(|L|, |R|)·12/π) clipped to 0..6
+    (the inverse of the decoder's tan(is_pos·π/12) ratio). Silent
+    bands get the centre position (harmless: their lines are zero)."""
+    import math
+
+    out: list[int] = []
+    for lo, hi, limit, _slen in segs:
+        if not limit:
+            continue
+        al = float(np.linalg.norm(fl[lo:hi]))
+        ar = float(np.linalg.norm(fr[lo:hi]))
+        if al == 0.0 and ar == 0.0:
+            out.append(3)
+            continue
+        out.append(max(0, min(6, round(math.atan2(al, ar) * 12.0
+                                       / math.pi))))
+    return out
+
+
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                kbps: int = 128, block_type: str = "long",
-               scfsi: bool = False) -> bytes:
+               scfsi: bool = False, intensity: bool = False) -> bytes:
     """Encode float PCM into an MPEG-1 Layer III CBR stream (this
     codec pair's documented subset: no bit reservoir, Huffman tables
     1/B). ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
@@ -513,10 +538,22 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         raise Mp3EncodeError(
             "scfsi applies to long windows only (§2.4.2.7)"
         )
+    use_intensity = bool(intensity)
+    if use_intensity and block_type != "long":
+        raise Mp3EncodeError(
+            "intensity stereo emits long windows only (this encoder)"
+        )
     x = np.asarray(pcm, dtype=np.float64)
     if x.size == 0:
         raise Mp3EncodeError("empty PCM")
-    if x.ndim == 2 and x.shape[1] == 2:
+    if use_intensity:
+        if x.ndim != 2 or x.shape[1] != 2:
+            raise Mp3EncodeError("intensity stereo needs (n, 2) PCM")
+        # intensity joint stereo (mode_extension 01): channels stay
+        # L/R through analysis; the quantizer combines them per
+        # granule and writes per-band is_pos in channel 1
+        chans = [x[:, 0], x[:, 1]]
+    elif x.ndim == 2 and x.shape[1] == 2:
         # mid/side joint stereo: channel 0 carries (l+r)/√2, channel 1
         # (l-r)/√2; the decoder inverts (ISO §2.4.3.4.9.2)
         inv = 1.0 / np.sqrt(2.0)
@@ -557,9 +594,10 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
     prev = [np.zeros((32, 18)) for _ in range(nch)]
     for fi in range(nframes):
         # granule-major, channel-minor (the spec's side-info and
-        # main-data order); quantize BOTH granules first so scfsi can
-        # compare their scalefactors before any bits are written
-        quant: list[list[tuple]] = [[], []]
+        # main-data order); compute BOTH granules' spectra first so
+        # scfsi can compare scalefactors and intensity can combine
+        # channels before any bits are written
+        flats: list[list[np.ndarray]] = [[], []]
         for g in range(2):
             for ci in range(nch):
                 blk = ss[ci][(fi * 2 + g) * 18:(fi * 2 + g + 1) * 18]
@@ -580,7 +618,22 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                 flat = lines.reshape(576)
                 if short:
                     flat = _unorder_short(flat, sfb, sfbs, mixed)
-                quant[g].append(_quantize_granule(flat, segs))
+                flats[g].append(flat)
+        quant: list[list[tuple]] = [[], []]
+        for g in range(2):
+            if use_intensity:
+                # channel 0 transmits the channel SUM; channel 1 sends
+                # no lines — its scalefactor slots carry per-band
+                # is_pos so the decoder reconstructs the pan
+                fl, fr = flats[g]
+                quant[g].append(_quantize_granule(fl + fr, segs))
+                quant[g].append((
+                    np.zeros(576, dtype=np.int64), 0,
+                    _intensity_positions(fl, fr, segs),
+                ))
+            else:
+                for ci in range(nch):
+                    quant[g].append(_quantize_granule(flats[g][ci], segs))
         # scfsi (§2.4.2.7, long windows): share a band group when the
         # second granule's scalefactors equal the first's — the bits
         # are simply not retransmitted
@@ -631,7 +684,10 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         hw.write(0, 1)       # padding
         hw.write(0, 1)       # private
         hw.write(0b11 if nch == 1 else 0b01, 2)  # mono / joint stereo
-        hw.write(0 if nch == 1 else 0b10, 2)     # mode ext: MS on
+        # mode ext: 10 = MS on, 01 = intensity on (mono: unused)
+        hw.write(
+            0 if nch == 1 else (0b01 if use_intensity else 0b10), 2
+        )
         hw.write(0, 1)       # copyright
         hw.write(1, 1)       # original
         hw.write(0, 2)       # emphasis
@@ -781,10 +837,12 @@ def _decode_granule(
     """Scalefactors + Huffman + requantize for one granule (long,
     short, or mixed windows). Returns (576 requantized spectral lines
     in the bitstream's frequency order — short granules are reordered
-    later by :func:`_reorder_short` — , the long scalefactors, for
-    scfsi reuse by the second granule). A set ``scfsi`` bit (MSB =
-    group 0, bands per ``_SCFSI_GROUPS``) skips the read and copies
-    ``prev_sf_long`` for that group (§2.4.2.7)."""
+    later by :func:`_reorder_short` —, the long scalefactors for
+    scfsi/intensity use, and the line index where the Huffman data
+    ends — the zero_part start that bounds the intensity-stereo
+    region). A set ``scfsi`` bit (MSB = group 0, bands per
+    ``_SCFSI_GROUPS``) skips the read and copies ``prev_sf_long`` for
+    that group (§2.4.2.7)."""
     start = r.pos
     slen1, slen2 = _SLEN[scalefac_compress]
 
@@ -908,7 +966,7 @@ def _decode_granule(
         pre = np.array(_PRETAB)[band_of] if preflag else 0
         exp -= mult * (sf_long[band_of] + pre)
     mags = np.abs(q).astype(np.float64) ** (4.0 / 3.0)
-    return np.sign(q) * mags * 2.0 ** exp, sf_long
+    return np.sign(q) * mags * 2.0 ** exp, sf_long, pos
 
 
 def _reorder_short(
@@ -954,8 +1012,8 @@ def decode_mp3(
     averages channels to mono, ``downmix=False`` returns shape
     (n, nch) for multi-channel streams. Raises
     :class:`Mp3DecodeError` on anything outside the boundary —
-    intensity stereo, a reservoir pointer reaching before the
-    stream start — and the caller
+    an unshipped Huffman table, a reservoir pointer reaching before
+    the stream start — and the caller
     (``multimodal._decode_audio_impl``) maps that onto the
     strict/fake contract."""
     # skip a leading ID3v2 tag if present (same walk as the metadata
@@ -995,8 +1053,7 @@ def decode_mp3(
         mode_ext = (b3 >> 4) & 0x3
         ch = 1 if mode == 0x3 else 2
         ms = mode == 0x1 and bool(mode_ext & 0x2)
-        if mode == 0x1 and mode_ext & 0x1:
-            raise Mp3DecodeError("intensity stereo not supported")
+        istereo = mode == 0x1 and bool(mode_ext & 0x1)
         kbps = _BITRATES[br_idx]
         sr = _RATES[sr_idx]
         if sample_rate is None:
@@ -1033,7 +1090,8 @@ def decode_mp3(
         rm.pos = start * 8
         try:
             _decode_frame_granules(rm, side, sfb, sfb_s, nch, ms,
-                                   granules, scfsi=scfsi)
+                                   granules, scfsi=scfsi,
+                                   istereo=istereo)
         except IndexError as ex:  # bit reads past a truncated frame
             raise Mp3DecodeError("truncated frame body") from ex
         # future back-pointers reach at most 511 bytes (9-bit field)
@@ -1123,6 +1181,29 @@ def _parse_side_info(
     return mdb, scfsi, side
 
 
+def _intensity_pan(
+    c0: np.ndarray, c1: np.ndarray, lo: int, hi: int, is_pos: int
+) -> None:
+    """Apply one band's intensity-stereo pan in place
+    (§2.4.3.4.9.3): is_ratio = tan(is_pos·π/12), left gets
+    ratio/(1+ratio) of the transmitted (left-channel) signal, right
+    1/(1+ratio). is_pos 7 is the spec's 'intensity off' escape for a
+    band (channels stay independent); is_pos 6 is the all-left pole
+    (tan(π/2) → ∞)."""
+    if is_pos == 7:
+        return
+    band = c0[lo:hi].copy()
+    if is_pos == 6:
+        c0[lo:hi] = band
+        c1[lo:hi] = 0.0
+        return
+    import math
+
+    k = math.tan(is_pos * math.pi / 12.0)
+    c0[lo:hi] = band * (k / (1.0 + k))
+    c1[lo:hi] = band * (1.0 / (1.0 + k))
+
+
 def _decode_frame_granules(
     r: _BitReader,
     side: list[list[tuple]],
@@ -1132,6 +1213,7 @@ def _decode_frame_granules(
     ms: bool,
     granules: list[list[tuple[np.ndarray, int, bool]]],
     scfsi: list[int] | None = None,
+    istereo: bool = False,
 ) -> None:
     """Both granules of one frame from the MAIN-DATA bitstream (the
     reader is already positioned at this frame's main_data start,
@@ -1155,7 +1237,7 @@ def _decode_frame_granules(
                     "scfsi set on a short-window granule "
                     "(spec: long windows only)"
                 )
-            flat, sf_long = _decode_granule(
+            flat, sf_long, data_end = _decode_granule(
                 r, part23, big_values, gg, sc, tsel, c1t, sfs, pre,
                 sfb, block_type=bt, mixed=mixed,
                 sfb_short=sfb_short, subblock_gain=sbg,
@@ -1166,15 +1248,40 @@ def _decode_frame_granules(
                 gr0_sf[ch] = sf_long
             if short:
                 flat = _reorder_short(flat, sfb, sfb_short, mixed)
-            decoded.append((flat, bt, mixed))
-        if ms and nch == 2:
-            (m, bt0, mx0), (s, bt1, mx1) = decoded
+            decoded.append((flat, bt, mixed, sf_long, data_end))
+        if nch == 2 and (ms or istereo):
+            (c0, bt0, mx0, _sf0, _de0), (c1, bt1, mx1, sf1, de1) = decoded
             if (bt0, mx0) != (bt1, mx1):
                 raise Mp3DecodeError(
-                    "mid/side granule with differing block types"
+                    "joint-stereo granule with differing block types"
                 )
-            inv = 1.0 / np.sqrt(2.0)
-            decoded = [((m + s) * inv, bt0, mx0),
-                       ((m - s) * inv, bt0, mx0)]
+            # intensity region (§2.4.3.4.9.3): scalefactor bands at or
+            # above the right channel's zero_part start; the LEFT
+            # channel carries the signal, the right channel's sf slots
+            # carry is_pos; below the bound MS applies when flagged
+            bound = 576
+            if istereo:
+                if bt0 == 2:
+                    raise Mp3DecodeError(
+                        "intensity stereo with short windows "
+                        "not supported"
+                    )
+                b0i = next(b for b in range(22) if sfb[b] >= de1)
+                bound = sfb[b0i]
+                for b in range(b0i, 21):
+                    _intensity_pan(
+                        c0, c1, sfb[b], sfb[b + 1], int(sf1[b])
+                    )
+                if b0i <= 21:
+                    # the region above band 20 has no own scalefactor;
+                    # it reuses band 20's intensity position
+                    _intensity_pan(c0, c1, sfb[21], 576, int(sf1[20]))
+            if ms:
+                inv = 1.0 / np.sqrt(2.0)
+                m = c0[:bound].copy()
+                s = c1[:bound].copy()
+                c0[:bound] = (m + s) * inv
+                c1[:bound] = (m - s) * inv
+            decoded = [(c0, bt0, mx0, None, 0), (c1, bt0, mx0, None, 0)]
         for ch in range(nch):
-            granules[ch].append(decoded[ch])
+            granules[ch].append(decoded[ch][:3])

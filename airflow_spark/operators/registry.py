@@ -3675,21 +3675,29 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # groups mono long-block, odd groups STEREO (mid/side
             # joint stereo) with short windows — both must decode to
             # the same planted bin as the WAV member. Round 7 widens
-            # the attested boundary further: the mono/long member is
-            # encoded WITH SCFSI (granule 2 reuses granule 1's
-            # scalefactors per band group), and every other group of
-            # each shape is additionally repacked to USE THE BIT
-            # RESERVOIR (nonzero main_data_begin back-pointers, the
-            # layout real CBR encoders emit) — bit-identical samples,
-            # different frame byte layout.
-            if g % 2:
+            # the attested boundary to the whole ADR-0001 decode
+            # surface: shape cycles mono/long WITH SCFSI (granule 2
+            # reuses granule 1's scalefactors), stereo/short, and
+            # INTENSITY joint stereo (70/30 pan; mode_extension 01,
+            # per-band is_pos); every other group of each shape is
+            # additionally repacked to USE THE BIT RESERVOIR (nonzero
+            # main_data_begin back-pointers, the layout real CBR
+            # encoders emit) — bit-identical samples, different frame
+            # byte layout.
+            shape = g % 3
+            if shape == 1:
                 mp3 = mp3codec.encode_mp3(
                     _np.stack([x, x], axis=1), sr, kbps=192,
                     block_type="short",
                 )
+            elif shape == 2:
+                mp3 = mp3codec.encode_mp3(
+                    _np.stack([0.7 * x, 0.3 * x], axis=1), sr,
+                    kbps=192, intensity=True,
+                )
             else:
                 mp3 = mp3codec.encode_mp3(x, sr, scfsi=True)
-            if (g // 2) % 2:
+            if (g // 3) % 2:
                 mp3 = mp3codec.repack_with_reservoir(mp3)
             return mp3
         buf = _io.BytesIO()

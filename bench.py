@@ -308,7 +308,18 @@ _SEMANTIC_CHANGES = {
         "encodings so the new decode paths are driven end-to-end — "
         "stereo granules decode two channels and short blocks run "
         "3x 12-point IMDCTs per band, so the decode leg does "
-        "strictly more work than round 5's mono/long-only fixture."
+        "strictly more work than round 5's mono/long-only fixture. "
+        "Round 7 widens the fixture again: the MP3 member cycles "
+        "mono/long-with-scfsi, stereo/short, and intensity joint "
+        "stereo, and every other group is repacked through the bit "
+        "reservoir (ADR 0001 round-7 extensions) — extra encode work "
+        "per payload, same decode semantics."
+    ),
+    "op_dedup_collapse": (
+        "new in round 7 (no prior recording): composed corpus "
+        "collapse — MinHash-verified pairs, min-label components, "
+        "per-cluster rollup — so its wall includes the full "
+        "op_dedup_minhash pipeline plus the component iterations."
     ),
 }
 

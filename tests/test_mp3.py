@@ -110,10 +110,13 @@ def test_roundtrip_through_audio_features_mfcc():
 def test_unsupported_features_raise_cleanly():
     with pytest.raises(Mp3DecodeError):
         decode_mp3(b"\x00" * 64)
-    # intensity stereo (joint-stereo header with mode_ext bit 0 set)
-    # stays outside the boundary; plain/MS stereo now decodes
-    with pytest.raises(Mp3DecodeError, match="intensity"):
-        decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x50]) + b"\x00" * 413)
+    # intensity stereo is inside the boundary since round 7: an
+    # all-zero intensity-flagged stream decodes as silence like the
+    # MS case below (every band panned all-right, zero signal)
+    pcm_i, sr_i = decode_mp3(
+        bytes([0xFF, 0xFB, 0x90, 0x50]) + b"\x00" * 413
+    )
+    assert sr_i == 44100 and np.allclose(pcm_i, 0.0)
     # all-zero joint-stereo side info decodes as silence (supported)
     pcm, sr = decode_mp3(bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * 413)
     assert sr == 44100 and np.allclose(pcm, 0.0)
@@ -549,3 +552,84 @@ def test_scfsi_on_short_granule_stream_raises():
     data[5] |= 0x02
     with pytest.raises(Mp3DecodeError, match="scfsi"):
         decode_mp3(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: intensity stereo (the last Layer III boundary item)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("is_pos", [1, 3, 5])
+def test_intensity_pan_ratio_exact(is_pos):
+    """A stream panned exactly at an is_pos grid point decodes with
+    channel ratio tan(is_pos*pi/12) — the closed-form §2.4.3.4.9.3
+    reconstruction."""
+    import math
+
+    k = math.tan(is_pos * math.pi / 12)
+    s = _tone(440.0, seconds=0.4, amp=0.6)
+    pcm = np.stack([s * k / (1 + k), s / (1 + k)], axis=1)
+    dec, _ = decode_mp3(
+        encode_mp3(pcm, SR, intensity=True), downmix=False
+    )
+    seg = slice(10000, 15000)
+    rl = float(np.sqrt(np.mean(dec[seg, 0] ** 2)))
+    rr = float(np.sqrt(np.mean(dec[seg, 1] ** 2)))
+    assert abs(rl / rr - k) < 1e-3 * k + 1e-6
+
+
+@pytest.mark.parametrize("pole", ["left", "right"])
+def test_intensity_poles(pole):
+    """is_pos 6 (all-left, the tan(pi/2) pole) and 0 (all-right)
+    reconstruct a fully-panned signal with silence on the far side."""
+    s = _tone(440.0, seconds=0.4, amp=0.6)
+    z = np.zeros_like(s)
+    pcm = np.stack([s, z] if pole == "left" else [z, s], axis=1)
+    dec, _ = decode_mp3(
+        encode_mp3(pcm, SR, intensity=True), downmix=False
+    )
+    seg = slice(10000, 15000)
+    loud = dec[seg, 0 if pole == "left" else 1]
+    quiet = dec[seg, 1 if pole == "left" else 0]
+    assert float(np.sqrt(np.mean(loud ** 2))) > 0.1
+    assert float(np.max(np.abs(quiet))) == 0.0
+
+
+def test_intensity_peak_bin_survives_downmix():
+    x = _tone(312 * SR / 8192)
+    pcm = np.stack([0.7 * x, 0.3 * x], axis=1)
+    y, _ = decode_mp3(encode_mp3(pcm, SR, intensity=True))
+    assert _peak_bin(y) == 312
+
+
+def test_intensity_header_bits():
+    """The emitted stream really is joint stereo with mode_extension
+    01 (intensity on, MS off) — not a renamed MS stream."""
+    x = _tone(440.0)
+    enc = encode_mp3(np.stack([x, x], axis=1), SR, intensity=True)
+    b3 = enc[3]
+    assert (b3 >> 6) & 0x3 == 0x1  # joint stereo
+    assert (b3 >> 4) & 0x3 == 0x1  # mode_ext: intensity only
+
+
+def test_intensity_requires_stereo_long():
+    with pytest.raises(Mp3EncodeError, match="\\(n, 2\\)"):
+        encode_mp3(_tone(440.0), SR, intensity=True)
+    with pytest.raises(Mp3EncodeError, match="long"):
+        encode_mp3(
+            np.stack([_tone(440.0)] * 2, axis=1), SR,
+            block_type="short", intensity=True,
+        )
+
+
+def test_intensity_composes_with_reservoir():
+    from airflow_spark.operators.mp3 import repack_with_reservoir
+
+    x = _tone(440.0, seconds=0.4)
+    pcm = np.stack([0.7 * x, 0.3 * x], axis=1)
+    enc = encode_mp3(pcm, SR, intensity=True)
+    rep = repack_with_reservoir(enc)
+    assert max(_frame_mdbs(rep)) > 0
+    a, _ = decode_mp3(enc, downmix=False)
+    b, _ = decode_mp3(rep, downmix=False)
+    assert np.array_equal(a, b)
