@@ -2634,23 +2634,55 @@ def test_audio_metadata_wav_and_unknown_rows(spark):
 
 def test_mp3_strict_pcm_decode_boundary(spark):
     """The strict-raise contract tracks the ADR-0001 codec boundary:
-    after the stereo/short-block extension a plain joint-stereo frame
-    genuinely DECODES (real PCM, no raise), while intensity stereo —
-    still outside the bundled subset — keeps the strict raise."""
+    plain joint-stereo AND intensity-stereo frames genuinely DECODE
+    (round 7 closed the Layer III feature set), while a stream
+    selecting an unshipped big-values Huffman table — the one
+    remaining boundary — keeps the strict raise."""
     plain = b"".join(_mp3_frame() for _ in range(5))
     df = spark.createDataFrame([(1, plain)], "media_id LONG, data BINARY")
     row = multimodal.extract_audio_features(df, strict=True).first()
     assert row["sample_rate"] == 44100
     assert abs(row["duration_ms"] - int(5 * 1152 / 44100 * 1000)) <= 1
 
+    # intensity-flagged zero frames decode as silence since round 7
     intensity = b"".join(_mp3_frame(mode_byte=0x50) for _ in range(5))
     df2 = spark.createDataFrame([(2, intensity)], "media_id LONG, data BINARY")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        multimodal.extract_audio_features(df2, strict=True).collect()
-    # non-strict: fake MFCCs but REAL duration from the metadata walk
-    row2 = multimodal.extract_audio_features(df2, strict=False).first()
+    row2 = multimodal.extract_audio_features(df2, strict=True).first()
     assert row2["sample_rate"] == 44100
     assert abs(row2["duration_ms"] - int(5 * 1152 / 44100 * 1000)) <= 1
+
+    # unshipped Huffman table: set a granule's big_values and point
+    # region tables at table 7 -> strict raise survives
+    import numpy as np
+
+    from airflow_spark.operators.mp3 import encode_mp3
+
+    t = np.arange(int(44100 * 0.2)) / 44100.0
+    bad = bytearray(encode_mp3(0.5 * np.sin(2 * np.pi * 440 * t), 44100))
+    # mono side info: gr0 side starts at bit 32+18; big_values is bits
+    # 12..21 of the granule, table_select region0 at bits 12+9+8+4+1
+    g0 = 32 + 18 + 12
+    for i, bit in enumerate(f"{7:09b}"):  # big_values = 7
+        byte, off = (g0 + i) // 8, 7 - ((g0 + i) % 8)
+        if bit == "1":
+            bad[byte] |= 1 << off
+        else:
+            bad[byte] &= ~(1 << off)
+    ts0 = g0 + 9 + 8 + 4 + 1
+    for i, bit in enumerate(f"{7:05b}"):  # table_select = 7
+        byte, off = (ts0 + i) // 8, 7 - ((ts0 + i) % 8)
+        if bit == "1":
+            bad[byte] |= 1 << off
+        else:
+            bad[byte] &= ~(1 << off)
+    df3 = spark.createDataFrame(
+        [(3, bytes(bad))], "media_id LONG, data BINARY"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_audio_features(df3, strict=True).collect()
+    # non-strict: fake MFCCs but REAL duration from the metadata walk
+    row3 = multimodal.extract_audio_features(df3, strict=False).first()
+    assert row3["sample_rate"] == 44100
 
 
 # ---------------------------------------------------------------------------
