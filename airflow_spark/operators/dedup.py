@@ -705,25 +705,32 @@ def dedup_clusters(
     (id, cluster) with cluster = min id of the component (the survivor
     under the min-id keep rule).
 
-    Iterative min-label propagation with join steps — each iteration is
-    one shuffle on id; near-dup components are shallow (chains of a few
-    hops), so convergence is fast. Deterministic. Stops early at
-    fixpoint (checked via count of changed labels). If the fixpoint is
-    not reached within ``max_iters`` (a component of graph diameter >
-    max_iters), partial clusters would silently retain duplicates — so
-    that raises unless ``require_convergence=False`` (then it warns and
-    returns the partial labels)."""
-    edges = (
+    Iterative min-label propagation with POINTER JUMPING (each round:
+    label ← min over neighbors' labels, then label ← label(label)),
+    so chains converge in O(log diameter) rounds, not O(diameter).
+    Every round's frame is materialized through the graph family's
+    lineage-truncating checkpoint (``graph._materialize_truncated``):
+    the pair frame usually arrives with a huge upstream plan (the
+    whole LSH pipeline), and a union-of-joins loop over an untruncated
+    lineage makes Catalyst re-analyze a combinatorially growing tree
+    on every action — measured 95 s of pure driver-side planning on a
+    512-edge graph at sf0.1 before truncation, ~8 s after.
+    Deterministic. Stops early at fixpoint (checked via count of
+    changed labels). If the fixpoint is not reached within
+    ``max_iters``, partial clusters would silently retain duplicates —
+    so that raises unless ``require_convergence=False`` (then it warns
+    and returns the partial labels)."""
+    from .graph import _materialize_truncated
+
+    edges = _materialize_truncated(
         pairs.select("id_a", "id_b")
         .union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = _materialize_truncated(
         edges.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
-        .persist()
     )
     converged = False
     for _ in range(max_iters):
@@ -732,15 +739,33 @@ def dedup_clusters(
             .groupBy("id_a")
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.id_a, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jumping: label ← label(label). Labels are always ids
+        # of same-component nodes, so the self-join stays inside the
+        # component while halving the remaining chain depth.
+        new_labels = _materialize_truncated(
+            propagated.alias("a")
+            .join(
+                propagated.select(
+                    F.col("id").alias("pid"), F.col("cluster").alias("pcluster")
+                ),
+                F.col("a.cluster") == F.col("pid"),
+                "left",
+            )
             .select(
-                "id",
+                F.col("a.id").alias("id"),
                 F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                    F.col("a.cluster"),
+                    F.coalesce(F.col("pcluster"), F.col("a.cluster")),
                 ).alias("cluster"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -749,12 +774,10 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         msg = (
             f"dedup_clusters did not reach a fixpoint in {max_iters} "

@@ -730,10 +730,11 @@ def test_pack_sequences_sharded_parallel_form(spark):
 
 
 def test_dedup_clusters_nonconvergence_raises(spark):
-    # a chain of diameter 7 cannot reach fixpoint in 3 iterations:
+    # with pointer jumping each round covers ~2x the chain depth, so
+    # a diameter-60 chain still cannot reach fixpoint in 3 rounds:
     # silent partial clusters would keep duplicates, so it must raise
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(1, 61)], ["id_a", "id_b"]
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         dedup.dedup_clusters(chain, max_iters=3)
@@ -741,7 +742,17 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         partial = dedup.dedup_clusters(
             chain, max_iters=3, require_convergence=False
         )
-    assert partial.count() == 8  # partial labels still returned
+    assert partial.count() == 61  # partial labels still returned
+
+
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    # the flip side: pointer jumping closes a diameter-60 chain well
+    # inside the default budget (~O(log d) rounds, not 60)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], ["id_a", "id_b"]
+    )
+    out = dedup.dedup_clusters(chain, max_iters=10)
+    assert {r["cluster"] for r in out.collect()} == {1}
 
 
 def test_stratified_take_requires_order_by(spark, docs):
