@@ -1203,6 +1203,55 @@ def op_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup SURVIVORSHIP — the emit side of the corpus
+    collapse (``op_dedup_collapse`` says which groups exist; this op
+    emits the kept corpus): same MinHash-verified pair graph →
+    min-label components, then within each cluster keep the
+    HIGHEST-quality member (quality = char length here; ties →
+    smallest doc_id) — "of these near-copies, keep the longest" —
+    with singletons passing through as their own one-member cluster.
+    Output: one row per kept document (keep_id, cluster_id,
+    n_members, quality), hash-attested against the oracle's
+    ``WITH RECURSIVE`` closure + window rank.
+
+    Scale shape: the component loop runs on the pairs-sized graph
+    only; the survivor pick is ONE window over the cluster-joined
+    corpus (cluster cardinality per partition, never corpus-wide) —
+    the same plan ``dedup.keep_best_representatives`` ships."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup.dedup_minhash_verified(t.documents, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    clusters = dedup.dedup_clusters(pairs)  # (id, cluster = min id)
+    members = (
+        t.documents.select(
+            "doc_id", F.length("text").cast("long").alias("quality")
+        )
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster", "doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keep_id"),
+            "cluster_id",
+            "n_members",
+            "quality",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) over documents, portable
     md5-derived 60-bit signatures so the oracle can recompute the exact
@@ -4041,6 +4090,7 @@ OPERATOR_QUERIES = {
     "op_dedup_containment": op_dedup_containment,
     "op_dedup_minhash": op_dedup_minhash,
     "op_dedup_collapse": op_dedup_collapse,
+    "op_dedup_survivors": op_dedup_survivors,
     "op_sessionize": op_sessionize,
     "op_repetition": op_repetition,
     "op_decontaminate": op_decontaminate,
@@ -4137,6 +4187,7 @@ _EXPENSIVE_TAIL = [
     "op_personalized_pagerank",
     "op_dedup_minhash",
     "op_dedup_collapse",
+    "op_dedup_survivors",
 ]
 OPERATOR_QUERIES = {
     **{k: v for k, v in OPERATOR_QUERIES.items() if k not in _EXPENSIVE_TAIL},
@@ -4560,6 +4611,45 @@ SELECT cluster AS keep_id,
        count(*) AS n_members,
        CAST(sum(id) AS BIGINT) AS id_sum
 FROM comp GROUP BY cluster ORDER BY keep_id
+"""
+
+
+def _sql_dedup_survivors(threshold: float = 0.8) -> str:
+    """Oracle twin of op_dedup_survivors: the same recursive min-label
+    closure as the collapse oracle, then every document joins its
+    component (singletons self-labelled) and a window rank keeps the
+    highest-quality member per cluster."""
+    return f"""
+WITH RECURSIVE
+t AS (SELECT doc_id AS id, {_SQL_CHAR_SHINGLES} AS shs FROM documents),
+sh AS (SELECT id, unnest(shs) AS sh FROM t),
+sizes AS (SELECT id, len(shs) AS n_sh FROM t),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+pairs AS (SELECT id_a, id_b
+          FROM common JOIN sizes sa ON sa.id = common.id_a
+                      JOIN sizes sb ON sb.id = common.id_b
+          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {threshold}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b AS s, id_a AS d FROM pairs),
+reach(id, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+members AS (SELECT d.doc_id,
+                   CAST(length(d.text) AS BIGINT) AS quality,
+                   COALESCE(comp.cluster, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+ranked AS (SELECT doc_id, cluster_id, quality,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC,
+                                              doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS n_members
+           FROM members)
+SELECT doc_id AS keep_id, cluster_id, n_members, quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
 
 
@@ -6150,6 +6240,7 @@ FROM documents ORDER BY doc_id LIMIT 200
     "op_quality_score": _sql_quality_score(),
     "op_dedup_minhash": _sql_dedup_minhash(),
     "op_dedup_collapse": _sql_dedup_collapse(),
+    "op_dedup_survivors": _sql_dedup_survivors(),
     "op_dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
     "op_dedup_jaccard_prefix": _sql_dedup_ngram_jaccard(),
     "op_dedup_containment": _sql_dedup_containment(threshold=0.6, k=300),

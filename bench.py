@@ -321,6 +321,11 @@ _SEMANTIC_CHANGES = {
         "per-cluster rollup — so its wall includes the full "
         "op_dedup_minhash pipeline plus the component iterations."
     ),
+    "op_dedup_survivors": (
+        "new in round 7 (no prior recording): the emit side of the "
+        "collapse — same pair graph and component loop, plus the "
+        "corpus-wide survivor window."
+    ),
 }
 
 

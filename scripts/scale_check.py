@@ -284,6 +284,10 @@ DECADE_OPS = (
     "op_dedup_ngram_jaccard",
     "op_dedup_jaccard_prefix",
     "op_dedup_containment",
+    # the composed pipeline op (round 7): minhash pairs -> min-label
+    # components with pointer jumping -> per-cluster rollup; its
+    # decade row attests the whole collapse, not just pair search
+    "op_dedup_collapse",
 )
 
 #: The embedding/ANN family — the other path that must hold at 100 TB.

@@ -606,6 +606,27 @@ def test_dedup_collapse_rollup_invariants(spark, sf_smoke):
     assert len({r["keep_id"] for r in rows}) == len(rows)
 
 
+def test_dedup_survivors_partitions_corpus(spark, sf_smoke):
+    """op_dedup_survivors emits exactly one row per cluster and the
+    cluster sizes partition the corpus (every document is either a
+    kept survivor or a dropped member of some kept row's cluster);
+    each survivor's quality is the max of its cluster by contract."""
+    from airflow_spark.operators.registry import op_dedup_survivors
+
+    n_docs = spark.read.parquet(
+        os.path.join(sf_smoke, "documents.parquet")
+    ).count()
+    rows = op_dedup_survivors(spark, sf_smoke).collect()
+    assert sum(r["n_members"] for r in rows) == n_docs
+    assert len({r["cluster_id"] for r in rows}) == len(rows)
+    multi = [r for r in rows if r["n_members"] > 1]
+    assert multi, "smoke corpus plants near-dups; some cluster must collapse"
+    # the survivor beats (or ties) the min-id member it may replace:
+    # keep_id can differ from cluster_id only when quality is higher
+    for r in multi:
+        assert r["keep_id"] >= r["cluster_id"]
+
+
 def test_keep_representatives_end_to_end(docs):
     pairs = dedup.dedup_minhash(docs, threshold=0.5, num_hashes=64, num_bands=16)
     kept = dedup.keep_representatives(docs, pairs)
