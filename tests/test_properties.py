@@ -226,7 +226,12 @@ def test_cusum_matches_numpy_recursion(spark, values, ref):
     s = 0.0
     for i, v in enumerate(values):
         s = max(0.0, s + (float(v) - float(ref)))
-        assert abs(got[i] - round(s, 6)) < 1e-6, (i, got[i], s)
+        # the op emits round(cusum, 6) with Spark HALF_UP; Python's
+        # round() is banker's, so an exact ...5 tie (hypothesis found
+        # 1.3828125) legitimately differs by a full 1e-6 between the
+        # two rounding modes — compare against the UNROUNDED value
+        # with the half-ulp-of-6-decimals bound instead
+        assert abs(got[i] - s) <= 5.001e-7, (i, got[i], s)
 
 
 @settings(max_examples=15, deadline=None)
