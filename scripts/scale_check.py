@@ -371,7 +371,11 @@ def build_graph_replica(spark, n: int) -> str:
     return out_dir
 
 
-def run_decade(bounded: bool = False, graph: bool = False) -> int:
+def run_decade(
+    bounded: bool = False,
+    graph: bool = False,
+    only: set[str] | None = None,
+) -> int:
     """Two-decade growth audit: 1x -> 10x -> 100x documents for the
     near-dup family. The per-DECADE ratio is the verdict: ≤ ~10x per
     decade = linear-or-better, the posture a 100 TB corpus needs.
@@ -384,8 +388,27 @@ def run_decade(bounded: bool = False, graph: bool = False) -> int:
     (PageRank family + CC over horizontally-replicated order/document
     graphs; see ``build_graph_replica``). All legs merge into
     SCALE_DECADE.json (keys ``ops`` / ``bounded_ops`` / ``graph_ops``)
-    and render side by side in SCALE.md."""
+    and render side by side in SCALE.md.
+
+    ``only`` (CLI: op names after ``decade`` / the leg flag) restricts
+    the run to those rows — the plain leg's exact-trio 100x rows cost
+    10-20 min PER TIMING, so refreshing one new op must not require
+    the full >1.5 h leg. The merge keeps every other committed row."""
     from airflow_spark.operators import registry as r
+
+    if graph:
+        leg_names: tuple[str, ...] = GRAPH_DECADE_OPS
+    elif bounded:
+        leg_names = DECADE_OPS + ("op_embedding_neardup",)
+    else:
+        leg_names = DECADE_OPS + DECADE_EMB_OPS
+    if only:
+        unknown = only - set(leg_names)
+        if unknown:
+            raise SystemExit(
+                f"not in this leg's op list: {sorted(unknown)} "
+                f"(leg ops: {sorted(leg_names)})"
+            )
 
     spark = get_session(app_name="scale-decade")
     spark.sparkContext.setLogLevel("ERROR")
@@ -405,12 +428,9 @@ def run_decade(bounded: bool = False, graph: bool = False) -> int:
     # conflate output with algorithm (the exact-pair trio + the
     # sign-LSH embedding pair op); the hash/ANN serve families keep
     # the plain replica as their (harder) benchmark
-    if graph:
-        names = GRAPH_DECADE_OPS
-    elif bounded:
-        names = DECADE_OPS + ("op_embedding_neardup",)
-    else:
-        names = DECADE_OPS + DECADE_EMB_OPS
+    names = (
+        tuple(n for n in leg_names if n in only) if only else leg_names
+    )
     out: dict[str, dict] = {}
 
     def _time_scale(fn, name: str, n: int, d: str) -> float:
@@ -456,7 +476,9 @@ def run_decade(bounded: bool = False, graph: bool = False) -> int:
             record.update(json.load(f))
     record["sf_dir"] = SF_DIR
     leg = "graph_ops" if graph else ("bounded_ops" if bounded else "ops")
-    record[leg] = out
+    # merge per-op within the leg too: an `only`-filtered refresh of
+    # one row must not drop the leg's other committed rows
+    record[leg] = {**(record.get(leg) or {}), **out}
     with open(path, "w") as f:
         json.dump(record, f)
     _refresh_decade_section(root, record)
@@ -666,8 +688,11 @@ def _refresh_decade_section(root: str, out: dict) -> None:
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "decade":
+        rest = [a for a in args[1:] if not a.startswith("--")]
         return run_decade(
-            bounded="--bounded" in args[1:], graph="--graph" in args[1:]
+            bounded="--bounded" in args[1:],
+            graph="--graph" in args[1:],
+            only=set(rest) or None,
         )
     n = int(args[0]) if args and args[0].isdigit() else 10
     only = set(args[1:] if args and args[0].isdigit() else args)

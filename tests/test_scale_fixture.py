@@ -112,3 +112,13 @@ def test_decade_section_renders_legs_independently():
     text2 = "\n".join(_decade_section(rec))
     assert "Bounded-multiplicity leg" in text2
     assert "Iterative-graph leg" in text2
+
+
+def test_decade_only_filter_validates_names():
+    """run_decade(only=...) must reject names outside the selected
+    leg's op list instead of silently timing nothing."""
+    import pytest
+    from scale_check import run_decade
+
+    with pytest.raises(SystemExit, match="not in this leg"):
+        run_decade(only={"op_not_a_real_op"})
