@@ -44,24 +44,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # _DRIVER_WINDOW below; everything not listed follows in its natural
 # order, so total coverage is unchanged (all entries, all oracles).
 _DRIVER_WINDOW: list[str] = [
-    # round-7 relational spine: the 11 never-driver-windowed
-    # queries (q27/q32/q34/q36/q37/q40/q42/q45/q47-q49) lead, then
-    # the least-recently-windowed (rounds 1-2) refresh the record
-    "q27", "q32", "q34", "q36", "q37", "q40", "q42", "q45", "q47", "q48",
-    "q49", "q01", "q02", "q03", "q06", "q07", "q10", "q12", "q14", "q15",
-    # round-7 op_* slice (scripts/propose_window.py): 30
-    # never-driver-windowed entries, round-robined across operator
-    # families, plus the new op_dedup_collapse (end-to-end corpus
-    # collapse) registered this round
-    "op_ab_test", "op_abc_class", "op_acf", "op_activity_grid",
-    "op_agg_funcs", "op_approx_percentile", "op_array_funcs",
-    "op_assoc_rules", "op_assortativity", "op_auc", "op_audience_overlap",
-    "op_benford", "op_bigram_quality", "op_bitwise_funcs",
-    "op_bloom_dedup", "op_burstiness", "op_calibration", "op_chisq",
-    "op_chunk_documents", "op_clustering_coeff", "op_cohens_d",
-    "op_cohort_retention", "op_collocations", "op_compaction_plan",
-    "op_corr_matrix", "op_cusum", "op_date_funcs", "op_dedup_collapse",
-    "op_degree_stats", "op_distinctive_terms",
+    # round-8 relational spine (scripts/propose_window.py): the
+    # least-recently-windowed queries refresh the record
+    "q16", "q19", "q21", "q23", "q24", "q25", "q29", "q31", "q39", "q44",
+    "q51", "q04", "q05", "q08", "q09", "q11", "q13", "q17", "q18", "q20",
+    # round-8 op_* slice: 30 never-driver-windowed entries,
+    # round-robined across operator families; op_dedup_survivors (the
+    # round-7 emit-side composed op) gets its first driver attestation
+    "op_array_set_funcs", "op_dedup_survivors", "op_distribution_drift",
+    "op_downsample_minmax", "op_dq_rules", "op_dup_passages",
+    "op_edit_distance", "op_embedding_bucket_stats", "op_ewma",
+    "op_feature_hash", "op_funnel_latency", "op_gap_fill",
+    "op_generator_funcs", "op_group_entropy", "op_grouped_quantiles",
+    "op_hhi", "op_holt_forecast", "op_id_gaps", "op_interval_merge",
+    "op_k_suppress", "op_key_skew", "op_keyword_search", "op_kfold_splits",
+    "op_kmeans_cluster", "op_ks_test", "op_l_diversity",
+    "op_label_outliers", "op_link_predict", "op_mad_outliers",
+    "op_mannwhitney",
 ]
 
 
