@@ -737,6 +737,20 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
     return b"".join(frames)
 
 
+def _crc16_protection(hdr: bytes, side: bytes) -> int:
+    """ISO/IEC 11172-3 §2.4.3.1 CRC-16 over the protected bits:
+    header bytes 2-3 plus the whole side info, polynomial 0x8005
+    (x^16+x^15+x^2+1), initial value 0xFFFF, MSB-first."""
+    crc = 0xFFFF
+    for byte in bytes(hdr[2:4]) + bytes(side):
+        for bit in range(7, -1, -1):
+            hi = (crc >> 15) & 1
+            crc = (crc << 1) & 0xFFFF
+            if hi ^ ((byte >> bit) & 1):
+                crc ^= 0x8005
+    return crc
+
+
 def repack_with_reservoir(data: bytes, max_backptr: int = 511) -> bytes:
     """Rewrite a no-reservoir MPEG-1 Layer III stream (every frame
     ``main_data_begin`` = 0, the form :func:`encode_mp3` emits) into a
@@ -812,6 +826,12 @@ def repack_with_reservoir(data: bytes, max_backptr: int = 511) -> bytes:
         # main_data_begin is the first 9 bits of the side info
         sb[0] = (mdb >> 1) & 0xFF
         sb[1] = (sb[1] & 0x7F) | ((mdb & 1) << 7)
+        if len(hdr) == 6:
+            # CRC-protected frame: the CRC-16 covers header bytes 2-3
+            # and the side info we just patched — recompute it so
+            # conformant external decoders accept the output
+            crc = _crc16_protection(hdr, sb)
+            hdr = hdr[:4] + bytes([(crc >> 8) & 0xFF, crc & 0xFF])
         out.append(hdr + bytes(sb) + bytes(buf[off:off + len(area)]))
         off += len(area)
     return b"".join(out)
@@ -1189,8 +1209,12 @@ def _intensity_pan(
     ratio/(1+ratio) of the transmitted (left-channel) signal, right
     1/(1+ratio). is_pos 7 is the spec's 'intensity off' escape for a
     band (channels stay independent); is_pos 6 is the all-left pole
-    (tan(π/2) → ∞)."""
-    if is_pos == 7:
+    (tan(π/2) → ∞). Bands 0-10 carry 4-bit scalefactor slots, so
+    illegal is_pos 8-15 are reachable from foreign/corrupt streams —
+    the spec defines only 0-7, so anything above 7 is treated as the
+    escape (intensity off) rather than fed to tan(), which would
+    amplify the band by up to ~4.5e15 (is_pos 9 → k ≈ -1)."""
+    if is_pos >= 7:
         return
     band = c0[lo:hi].copy()
     if is_pos == 6:
@@ -1266,7 +1290,11 @@ def _decode_frame_granules(
                         "intensity stereo with short windows "
                         "not supported"
                     )
-                b0i = next(b for b in range(22) if sfb[b] >= de1)
+                # sfb has 23 entries (sfb[22] = 576); de1 past sfb[21]
+                # means the intensity region is empty (b0i = 22) — the
+                # search must span all 23 edges or it would raise bare
+                # StopIteration on such (foreign/corrupt) streams
+                b0i = next(b for b in range(23) if sfb[b] >= de1)
                 bound = sfb[b0i]
                 for b in range(b0i, 21):
                     _intensity_pan(

@@ -6,16 +6,17 @@ The Spark-side plumbing is real and tested — schemas, Arrow-batched
 the formats pure Python/numpy can handle: baseline JPEG (bundled
 ITU T.81 codec, ``jpeg.py`` — 4:4:4/4:2:2/4:2:0, the dominant
 web-corpus format), PNG (zlib inflate + unfilter), WAV PCM (wave
-module + numpy MFCCs/fingerprints), mono MPEG-1 Layer III audio
-(bundled ISO/IEC 11172-3 decode pipeline, ``mp3.py`` — see its
-docstring for the documented subset boundary), and uncompressed
-RGB-DIB AVI video (RIFF parse + numpy per-frame luma). Pillow, when
-installed, takes priority for images and widens coverage (WebP,
-progressive JPEG, …); remaining codecs (stereo/reservoir MP3,
-H.264, …) need external libraries this
-container lacks, so those either raise ``NotImplementedError``
-(strict mode) or produce a deterministic fake derived from the bytes
-(test mode). Swapping in a
+module + numpy MFCCs/fingerprints), MPEG-1 Layer III audio (bundled
+ISO/IEC 11172-3 decode pipeline, ``mp3.py`` — mono + stereo, long and
+short blocks, bit reservoir, SCFSI, M/S and intensity stereo; see
+ADR 0001 for the boundary), uncompressed RGB-DIB AVI video, and
+MJPEG-in-AVI (per-frame baseline JPEG via ``jpeg.py``'s peek-LUT
+entropy decoder). Pillow, when installed, takes priority for images
+and widens coverage (WebP, progressive JPEG, …); the remaining
+exclusions — inter-frame video codecs (H.264, …) and non-Layer-III
+MPEG audio — need external libraries this container lacks, so those
+either raise ``NotImplementedError`` (strict mode) or produce a
+deterministic fake derived from the bytes (test mode). Swapping in a
 real codec (PIL/ffmpeg) changes ONE function per modality
 (`_decode_image_impl` & co.), not the distributed plan.
 

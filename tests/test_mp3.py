@@ -633,3 +633,159 @@ def test_intensity_composes_with_reservoir():
     a, _ = decode_mp3(enc, downmix=False)
     b, _ = decode_mp3(rep, downmix=False)
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: foreign-stream robustness (round-7 ADVICE items)
+# ---------------------------------------------------------------------------
+
+
+def _frame_lengths(data: bytes):
+    """Yield (pos, frame_len) for every frame in a clean stream."""
+    from airflow_spark.operators.mp3 import _BITRATES, _RATES
+
+    pos = 0
+    while pos + 4 <= len(data):
+        b2 = data[pos + 2]
+        flen = (
+            144 * _BITRATES[(b2 >> 4) & 0xF] * 1000
+            // _RATES[(b2 >> 2) & 0x3] + ((b2 >> 1) & 1)
+        )
+        yield pos, flen
+        pos += flen
+
+
+def _patch_mode_ext(data: bytes, mode_ext: int) -> bytes:
+    """Rewrite every frame header's mode_extension (b3 bits 5-4) —
+    synthesizes 'foreign' joint-stereo streams the bundled encoder
+    never emits, e.g. intensity-flagged frames whose right channel
+    carries full-band spectral data."""
+    out = bytearray(data)
+    for pos, _flen in _frame_lengths(data):
+        out[pos + 3] = (out[pos + 3] & 0xCF) | (mode_ext << 4)
+    return bytes(out)
+
+
+def _set_bits(buf: bytearray, bitpos: int, width: int, value: int) -> None:
+    """Write ``width`` bits of ``value`` MSB-first at absolute bit
+    offset ``bitpos`` into ``buf``."""
+    for i in range(width):
+        bit = (value >> (width - 1 - i)) & 1
+        byte, off = divmod(bitpos + i, 8)
+        mask = 0x80 >> off
+        buf[byte] = (buf[byte] & ~mask) | (mask if bit else 0)
+
+
+def test_intensity_right_channel_past_band21_decodes():
+    """de1 (the right channel's zero-part start) past sfb[21] = 418
+    must yield an EMPTY intensity region (b0i = 22), not a bare
+    StopIteration escaping the Mp3DecodeError contract: sfb has 23
+    edges (sfb[22] = 576) and the bound search must span all of them.
+
+    The bundled encoder drops lines above sfb[21], so the stream is
+    crafted at the bit level: re-flag an MS stream as intensity-only
+    and patch each granule's CHANNEL-1 side info to big_values = 230
+    with region-0 table select 0 — table-0 pairs cost zero bits, so
+    the main data is untouched but the right channel's Huffman data
+    now 'ends' at line 460 > 418."""
+    lo = _tone(440.0, seconds=0.4, amp=0.6)
+    # identical channels -> the MS side channel (channel 1) carries no
+    # main data at all, so its part2_3_length is scalefactors only and
+    # the big_values patch below adds exactly the zero-bit table-0 pairs
+    enc = encode_mp3(np.stack([lo, lo], axis=1), SR)
+    foreign = bytearray(_patch_mode_ext(enc, 0b01))  # MS -> intensity
+    # stereo side-info layout (no CRC): 9 mdb + 3 private + 8 scfsi,
+    # then 59 bits per (granule, channel) block — ch1 blocks start at
+    # bits 79 (granule 0) and 197 (granule 1); within a block:
+    # part23(12) big_values(9) gg(8) sc(4) wsf(1) tsel0(5) ...
+    for pos, _flen in _frame_lengths(bytes(foreign)):
+        side0 = (pos + 4) * 8
+        for ch1_bit in (79, 197):
+            _set_bits(foreign, side0 + ch1_bit + 12, 9, 230)  # big_values
+            _set_bits(foreign, side0 + ch1_bit + 34, 1, 0)    # wsf = 0
+            _set_bits(foreign, side0 + ch1_bit + 35, 5, 0)    # tsel0 = 0
+    dec, sr = decode_mp3(bytes(foreign), downmix=False)
+    assert sr == SR and dec.shape[1] == 2
+    assert np.all(np.isfinite(dec))
+    # an empty intensity region modifies nothing: the decode must
+    # equal the same stream with joint-stereo extensions all off
+    plain = bytearray(foreign)
+    for pos, _flen in _frame_lengths(bytes(plain)):
+        plain[pos + 3] = plain[pos + 3] & 0xCF  # mode_ext = 00
+    ref, _ = decode_mp3(bytes(plain), downmix=False)
+    assert np.array_equal(dec, ref)
+    assert float(np.sqrt(np.mean(dec[10000:15000, 0] ** 2))) > 0.05
+
+
+@pytest.mark.parametrize("is_pos", [8, 9, 10, 15])
+def test_intensity_illegal_is_pos_is_intensity_off(is_pos):
+    """Bands 0-10 carry 4-bit scalefactor slots, so foreign/corrupt
+    streams can encode is_pos 8-15; the spec defines only 0-7, and
+    feeding 9 to tan() would amplify the band by ~4.5e15×.  Anything
+    above 6 is treated as the escape: intensity off, channels stay
+    independent."""
+    from airflow_spark.operators.mp3 import _intensity_pan
+
+    c0 = np.ones(32)
+    c1 = np.full(32, 2.0)
+    _intensity_pan(c0, c1, 4, 12, is_pos)
+    assert np.array_equal(c0, np.ones(32))
+    assert np.array_equal(c1, np.full(32, 2.0))
+
+
+def _with_crc(data: bytes) -> bytes:
+    """Convert a no-CRC stream into CRC-protected frames (protection
+    bit 0, 2 CRC bytes after the header), consuming 2 bytes of each
+    frame's ancillary padding so frame lengths are unchanged."""
+    from airflow_spark.operators.mp3 import (
+        _BitReader,
+        _crc16_protection,
+        _parse_side_info,
+    )
+
+    out = []
+    for pos, flen in _frame_lengths(data):
+        frame = data[pos:pos + flen]
+        nch = 1 if (frame[3] >> 6) & 0x3 == 0x3 else 2
+        side_len = 17 if nch == 1 else 32
+        side = frame[4:4 + side_len]
+        rest = frame[4 + side_len:]
+        _mdb, _scfsi, sideinfo = _parse_side_info(_BitReader(side), nch)
+        used = (sum(t[0] for g in sideinfo for t in g) + 7) // 8
+        assert used <= len(rest) - 2, "no padding slack for CRC bytes"
+        hdr = bytes([frame[0], frame[1] & 0xFE, frame[2], frame[3]])
+        crc = _crc16_protection(hdr, side)
+        out.append(hdr + bytes([crc >> 8, crc & 0xFF]) + side + rest[:-2])
+    return b"".join(out)
+
+
+def test_repack_recomputes_crc16():
+    """repack_with_reservoir patches main_data_begin in the side info,
+    which the ISO §2.4.3.1 CRC-16 covers — the rewritten frames must
+    carry a freshly computed CRC (round-7 ADVICE: stale CRCs made the
+    output invalid for conformant external decoders even though the
+    bundled decoder skips them)."""
+    from airflow_spark.operators.mp3 import (
+        _crc16_protection,
+        repack_with_reservoir,
+    )
+
+    plain = encode_mp3(_tone(440.0, seconds=0.4), SR)
+    crc_stream = _with_crc(plain)
+    a, _ = decode_mp3(plain)
+    b, _ = decode_mp3(crc_stream)
+    assert np.array_equal(a, b)  # the CRC variant is bit-equivalent
+
+    rep = repack_with_reservoir(crc_stream)
+    c, _ = decode_mp3(rep)
+    assert np.array_equal(a, c)
+    n_frames = n_reservoir = 0
+    for pos, _flen in _frame_lengths(rep):
+        assert not (rep[pos + 1] & 0x1)  # still CRC-protected
+        side = rep[pos + 6:pos + 6 + 17]
+        stored = (rep[pos + 4] << 8) | rep[pos + 5]
+        assert stored == _crc16_protection(rep[pos:pos + 4], side)
+        mdb = (side[0] << 1) | (side[1] >> 7)
+        n_reservoir += mdb > 0
+        n_frames += 1
+    assert n_frames > 1 and n_reservoir >= n_frames - 1
