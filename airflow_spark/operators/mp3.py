@@ -30,9 +30,13 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   reproduces frequencies exactly and per-band gains to within the
   prototype difference — fine for fingerprints/MFCCs, not
   sample-exact vs libmad.
-- Huffman coverage: big-values tables 0 (all-zero region) and 1,
-  count1 table B (the 4-bit one's-complement table). The encoder
-  only emits these. A stream selecting any other table raises
+- Huffman coverage: big-values tables 0 (all-zero region) and 1-9
+  (Table B.7 transcriptions validated by Kraft completeness +
+  prefix-freeness, round 8 — covering |value| ≤ 5 with region-aware
+  table switching from region0/region1_count), count1 table B (the
+  4-bit one's-complement table). The encoder emits tables 1/2/5/7
+  picked from ``quant_levels``. A stream selecting tables 10-31
+  (including the linbits escape classes 16-31) raises
   ``Mp3DecodeError`` — the strict-contract behavior the rest of the
   multimodal family uses for unsupported features.
 - MPEG-1 Layer III: mono, stereo, dual-channel, and mid/side joint
@@ -115,12 +119,76 @@ _CS = 1.0 / np.sqrt(1.0 + _CI * _CI)
 _CA = _CI * _CS
 
 #: big-values Huffman table 1 (x,y in 0..1): value -> (code, length).
-#: The only non-trivial big-values table this codec pair emits.
+#: The smallest non-trivial big-values table; the default the encoder
+#: emits (quant_levels=1).
 _HUFF_T1_ENC = {(0, 0): (0b1, 1), (0, 1): (0b001, 3),
                 (1, 0): (0b01, 2), (1, 1): (0b000, 3)}
 #: decode trie as {code_str: (x, y)} via canonical prefix walk
 _HUFF_T1_DEC = {"1": (0, 0), "001": (0, 1), "01": (1, 0),
                 "000": (1, 1)}
+
+#: ISO/IEC 11172-3 Table B.7 big-values code tables 2-9, transcribed
+#: from the public spec listing (hlen[x][y], hcod[x][y]) and validated
+#: in tests/test_mp3.py by Kraft completeness + prefix-freeness per
+#: table: a complete prefix-free code over all (x, y) symbols is a
+#: full binary tree, so any single transcription error fails one of
+#: the two checks. Tables 10-31 (incl. the linbits escape classes
+#: 16-31) remain outside the decode boundary — ADR 0001.
+_HUFF_BV_LEN: dict[int, list[list[int]]] = {
+    2: [[1, 3, 6], [3, 3, 5], [5, 5, 6]],
+    3: [[2, 2, 6], [3, 2, 5], [5, 5, 6]],
+    5: [[1, 3, 6, 7], [3, 3, 6, 7], [6, 6, 7, 8], [7, 6, 7, 8]],
+    6: [[3, 3, 5, 7], [3, 2, 4, 5], [4, 4, 5, 6], [6, 5, 6, 7]],
+    7: [[1, 3, 6, 8, 8, 9], [3, 4, 6, 7, 7, 8], [6, 5, 7, 8, 8, 9],
+        [7, 7, 8, 9, 9, 9], [7, 7, 8, 9, 9, 10], [8, 8, 9, 10, 10, 10]],
+    8: [[2, 3, 6, 8, 8, 9], [3, 2, 4, 8, 8, 8], [6, 4, 6, 8, 8, 9],
+        [8, 8, 8, 9, 9, 10], [8, 7, 8, 9, 10, 10], [9, 8, 9, 9, 11, 11]],
+    9: [[3, 3, 5, 6, 8, 9], [3, 3, 4, 5, 6, 8], [4, 4, 5, 6, 7, 8],
+        [6, 5, 6, 7, 7, 8], [7, 6, 7, 7, 8, 9], [8, 7, 8, 8, 9, 9]],
+}
+_HUFF_BV_COD: dict[int, list[list[int]]] = {
+    2: [[1, 2, 1], [3, 1, 1], [3, 2, 0]],
+    3: [[3, 2, 1], [1, 1, 1], [3, 2, 0]],
+    5: [[1, 2, 6, 5], [3, 1, 4, 4], [7, 5, 7, 1], [6, 1, 1, 0]],
+    6: [[7, 3, 5, 1], [6, 2, 3, 2], [5, 4, 4, 1], [3, 3, 2, 0]],
+    7: [[1, 2, 10, 19, 16, 10], [3, 3, 7, 10, 5, 3],
+        [11, 4, 13, 17, 8, 4], [12, 11, 18, 15, 11, 2],
+        [7, 6, 9, 14, 3, 1], [6, 4, 5, 3, 2, 0]],
+    8: [[3, 4, 6, 18, 12, 5], [5, 1, 2, 16, 9, 3],
+        [7, 3, 5, 14, 7, 3], [19, 17, 15, 13, 10, 4],
+        [13, 5, 8, 11, 5, 1], [12, 4, 4, 1, 1, 0]],
+    9: [[7, 5, 9, 14, 15, 7], [6, 4, 5, 5, 6, 7],
+        [7, 6, 8, 8, 8, 5], [15, 6, 9, 10, 5, 1],
+        [11, 7, 9, 6, 4, 1], [14, 4, 6, 2, 6, 0]],
+}
+
+
+def _build_bv_tables() -> tuple[dict, dict, dict]:
+    """(enc, dec, maxlen) lookup maps for every supported big-values
+    table: enc[t][(x, y)] -> (code, length); dec[t][bitstring] ->
+    (x, y); maxlen[t] bounds the decode trie walk."""
+    enc = {1: dict(_HUFF_T1_ENC)}
+    dec = {1: dict(_HUFF_T1_DEC)}
+    maxlen = {1: 3}
+    for t, lens in _HUFF_BV_LEN.items():
+        cods = _HUFF_BV_COD[t]
+        e: dict[tuple[int, int], tuple[int, int]] = {}
+        d: dict[str, tuple[int, int]] = {}
+        m = 0
+        for x, (lrow, crow) in enumerate(zip(lens, cods)):
+            for y, (length, code) in enumerate(zip(lrow, crow)):
+                e[(x, y)] = (code, length)
+                d[format(code, f"0{length}b")] = (x, y)
+                m = max(m, length)
+        enc[t], dec[t], maxlen[t] = e, d, m
+    return enc, dec, maxlen
+
+
+_HUFF_BV_ENC, _HUFF_BV_DEC, _HUFF_BV_MAXLEN = _build_bv_tables()
+
+#: smallest supported table covering a given max |value| (table dims:
+#: 1 -> 2x2, 2 -> 3x3, 5 -> 4x4, 7 -> 6x6)
+_BV_TABLE_FOR_MAX = {0: 1, 1: 1, 2: 2, 3: 5, 4: 7, 5: 7}
 
 
 # ---------------------------------------------------------------------------
@@ -394,11 +462,14 @@ def _quant_segments(
 
 
 def _quantize_granule(
-    lines: np.ndarray, segs: list[tuple[int, int, int, int]]
+    lines: np.ndarray, segs: list[tuple[int, int, int, int]],
+    levels: int = 1,
 ) -> tuple[np.ndarray, int, list[int]]:
     """Sign/band-energy quantizer: per quantization segment (a long
-    scalefactor band, or one window of a short band), lines at or
-    above 0.5x the segment peak become ±1, the rest 0;
+    scalefactor band, or one window of a short band), lines are
+    scaled so the segment peak maps to ``levels`` and rounded to
+    integers (``levels=1`` reduces to the historical ±1 rule: lines
+    at or above 0.5x the segment peak become ±1, the rest 0);
     ``global_gain`` carries the granule peak and per-segment
     scalefactors carry attenuation in 2^-0.5 steps (``scalefac_scale``
     0). Crude — the point of this encoder is valid fixture bitstreams
@@ -408,10 +479,12 @@ def _quantize_granule(
     peak = float(np.max(np.abs(lines)))
     if peak <= 0.0:
         return np.zeros(576, dtype=np.int64), 0, [0] * n_sf
-    # dequant magnitude for ±1 at scalefac 0 is 2^((gg-210)/4)
-    gg = int(round(210 + 4 * np.log2(peak)))
+    # dequant magnitude for value v at scalefac 0 is
+    # v^(4/3) * 2^((gg-210)/4): pick gg so the peak value `levels`
+    # reconstructs at the source peak amplitude
+    gg = int(round(210 + 4 * np.log2(peak / levels ** (4.0 / 3.0))))
     gg = max(0, min(255, gg))
-    amp = 2.0 ** ((gg - 210) / 4.0)
+    ampl = 2.0 ** ((gg - 210) / 4.0) * levels ** (4.0 / 3.0)
     q = np.zeros(576, dtype=np.int64)
     sf: list[int] = []
     for lo, hi, limit, _slen in segs:
@@ -423,7 +496,7 @@ def _quantize_granule(
             sf.append(0)
             continue
         # segment attenuation relative to the granule amp, 2^-0.5 steps
-        want = max(0.0, -2.0 * np.log2(bpeak / amp))
+        want = max(0.0, -2.0 * np.log2(bpeak / ampl))
         if want > limit + 0.5:
             # segment peak sits below the scalefactor-representable
             # floor: clamping would decode its (leakage-level) lines
@@ -431,36 +504,45 @@ def _quantize_granule(
             sf.append(0)
             continue
         sf.append(min(limit, int(round(want))))
-        keep = np.abs(seg) >= 0.5 * bpeak
-        q[lo:hi] = np.where(keep, np.sign(seg).astype(np.int64), 0)
+        # round-half-up so levels=1 keeps exactly the |x| >= 0.5*bpeak
+        # rule the single-level fixtures were attested with
+        mags = np.floor(levels * np.abs(seg) / bpeak + 0.5).astype(np.int64)
+        q[lo:hi] = np.sign(seg).astype(np.int64) * mags
     return q, gg, sf
 
 
 def _encode_granule_bits(
     w: _BitWriter, q: np.ndarray
-) -> tuple[int, int]:
-    """Huffman-code one granule: big-values region with table 1
-    covering everything through the last nonzero line (rounded up to
-    a pair boundary) — |v| ≤ 1 by construction, so table 1 suffices
-    and no count1 region is emitted (the decoder's count1/table-B
-    path is exercised by a hand-built stream in tests/test_mp3.py).
-    Returns (big_values, huffman_bit_count)."""
+) -> tuple[int, int, int]:
+    """Huffman-code one granule: big-values region covering everything
+    through the last nonzero line (rounded up to a pair boundary) with
+    the smallest Table B.7 code table whose (x, y) range spans the
+    granule's max |value| (table 1 for the historical ±1 quantizer,
+    tables 2/5/7 for quant_levels 2/3/4-5); no count1 region is
+    emitted (the decoder's count1/table-B path is exercised by a
+    hand-built stream in tests/test_mp3.py).
+    Returns (big_values, huffman_bit_count, table_select)."""
     start = len(w)
     nz = np.nonzero(q)[0]
     last = int(nz[-1]) + 1 if len(nz) else 0
-    # big-values region must end on a pair boundary and leave a tail
-    # expressible in quadruples: cover everything with big values
-    # (|v| <= 1 by construction), rounded up to a pair boundary
     big_pairs = (last + 1) // 2
+    maxv = int(np.max(np.abs(q))) if len(nz) else 0
+    if maxv > 5:
+        raise Mp3EncodeError(
+            f"quantized value {maxv} exceeds the shipped big-values "
+            "tables (max 5 — table 7)"
+        )
+    table = _BV_TABLE_FOR_MAX[maxv]
+    enc = _HUFF_BV_ENC[table]
     for p in range(big_pairs):
         x, y = int(abs(q[2 * p])), int(abs(q[2 * p + 1]))
-        code, nbits = _HUFF_T1_ENC[(x, y)]
+        code, nbits = enc[(x, y)]
         w.write(code, nbits)
         if x:
             w.write(0 if q[2 * p] > 0 else 1, 1)
         if y:
             w.write(0 if q[2 * p + 1] > 0 else 1, 1)
-    return big_pairs, len(w) - start
+    return big_pairs, len(w) - start, table
 
 
 def _unorder_short(
@@ -515,10 +597,12 @@ def _intensity_positions(
 
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                kbps: int = 128, block_type: str = "long",
-               scfsi: bool = False, intensity: bool = False) -> bytes:
+               scfsi: bool = False, intensity: bool = False,
+               quant_levels: int = 1) -> bytes:
     """Encode float PCM into an MPEG-1 Layer III CBR stream (this
-    codec pair's documented subset: no bit reservoir, Huffman tables
-    1/B). ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
+    codec pair's documented subset: no bit reservoir; big-values
+    Huffman tables 1/2/5/7 picked from ``quant_levels``, count1
+    table B). ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
     mid/side joint stereo (mode 01, mode_extension MS — the decoder's
     stereo path). ``block_type``: 'long' (default), 'short' (every
     granule block_type 2), or 'mixed' (block_type 2 with
@@ -543,6 +627,12 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         raise Mp3EncodeError(
             "intensity stereo emits long windows only (this encoder)"
         )
+    if not 1 <= int(quant_levels) <= 5:
+        raise Mp3EncodeError(
+            "quant_levels must be 1..5 (the shipped big-values tables "
+            "cover |value| <= 5)"
+        )
+    quant_levels = int(quant_levels)
     x = np.asarray(pcm, dtype=np.float64)
     if x.size == 0:
         raise Mp3EncodeError("empty PCM")
@@ -626,14 +716,18 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                 # no lines — its scalefactor slots carry per-band
                 # is_pos so the decoder reconstructs the pan
                 fl, fr = flats[g]
-                quant[g].append(_quantize_granule(fl + fr, segs))
+                quant[g].append(
+                    _quantize_granule(fl + fr, segs, quant_levels)
+                )
                 quant[g].append((
                     np.zeros(576, dtype=np.int64), 0,
                     _intensity_positions(fl, fr, segs),
                 ))
             else:
                 for ci in range(nch):
-                    quant[g].append(_quantize_granule(flats[g][ci], segs))
+                    quant[g].append(
+                        _quantize_granule(flats[g][ci], segs, quant_levels)
+                    )
         # scfsi (§2.4.2.7, long windows): share a band group when the
         # second granule's scalefactors equal the first's — the bits
         # are simply not retransmitted
@@ -669,8 +763,8 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                     if not shared:
                         w.write(int(sf[si]), slen)
                     si += 1
-                big_values, _ = _encode_granule_bits(w, q)
-                granule_bits[g].append((len(w), big_values, gg, w))
+                big_values, _, tsel = _encode_granule_bits(w, q)
+                granule_bits[g].append((len(w), big_values, gg, tsel, w))
 
         # assemble: header + side info + main data, zero-padded to the
         # CBR frame length
@@ -699,7 +793,7 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
             # band groups granule 2 reuses from granule 1
             hw.write(scfsi_frame[ci_], 4)
         for g in range(2):
-            for part23, big_values, gg, _w in granule_bits[g]:
+            for part23, big_values, gg, tsel, _w in granule_bits[g]:
                 hw.write(part23, 12)
                 hw.write(big_values, 9)
                 hw.write(gg, 8)
@@ -708,23 +802,23 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                     hw.write(1, 1)   # windows_switching_flag
                     hw.write(2, 2)   # block_type 2 (short windows)
                     hw.write(1 if mixed else 0, 1)
-                    hw.write(1, 5)   # table_select region 0 = table 1
-                    hw.write(1, 5)   # region 1
+                    hw.write(tsel, 5)  # table_select region 0
+                    hw.write(tsel, 5)  # region 1
                     hw.write(0, 3)   # subblock_gain window 0
                     hw.write(0, 3)   # window 1
                     hw.write(0, 3)   # window 2
                 else:
                     hw.write(0, 1)   # windows_switching_flag: long
-                    hw.write(1, 5)   # table_select region 0 = table 1
-                    hw.write(1, 5)   # region 1
-                    hw.write(1, 5)   # region 2
+                    hw.write(tsel, 5)  # table_select region 0
+                    hw.write(tsel, 5)  # region 1
+                    hw.write(tsel, 5)  # region 2
                     hw.write(15, 4)  # region0_count (maximal)
                     hw.write(7, 3)   # region1_count
                 hw.write(0, 1)   # preflag
                 hw.write(0, 1)   # scalefac_scale (multiplier 0.5)
                 hw.write(0, 1)   # count1table_select (unused)
         for g in range(2):
-            for _p, _b, _g, w in granule_bits[g]:
+            for _p, _b, _g, _t, w in granule_bits[g]:
                 hw._bits.extend(w._bits)
         frame = bytearray(hw.pad_to_bytes())
         if len(frame) > frame_len:
@@ -853,6 +947,7 @@ def _decode_granule(
     subblock_gain: tuple[int, int, int] = (0, 0, 0),
     scfsi: int = 0,
     prev_sf_long: np.ndarray | None = None,
+    region_bounds: tuple[int, int] = (576, 576),
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """Scalefactors + Huffman + requantize for one granule (long,
     short, or mixed windows). Returns (576 requantized spectral lines
@@ -911,26 +1006,34 @@ def _decode_granule(
 
     q = np.zeros(576, dtype=np.int64)
     pos = 0
+    reg1, reg2 = region_bounds
     for p in range(big_values):
-        # all three regions must select a supported table; region
-        # boundaries don't matter when the tables agree
-        tbl = table_selects[0]
+        # region-aware table selection (§2.4.2.7): region boundaries
+        # are line indices derived from region0/region1_count by the
+        # caller; window-switching granules have two regions only
+        if pos < reg1:
+            tbl = table_selects[0]
+        elif pos < reg2 and len(table_selects) > 2:
+            tbl = table_selects[1]
+        else:
+            tbl = table_selects[-1]
         if tbl == 0:
             x = y = 0
-        elif tbl == 1:
+        else:
+            dec = _HUFF_BV_DEC.get(tbl)
+            if dec is None:
+                raise Mp3DecodeError(
+                    f"big-values Huffman table {tbl} outside the "
+                    f"supported set {sorted(_HUFF_BV_DEC)} u {{0}}"
+                )
             node = ""
             while True:
                 node += str(r.read(1))
-                if node in _HUFF_T1_DEC:
-                    x, y = _HUFF_T1_DEC[node]
+                if node in dec:
+                    x, y = dec[node]
                     break
-                if len(node) > 3:
-                    raise Mp3DecodeError("bad table-1 code")
-        else:
-            raise Mp3DecodeError(
-                f"big-values Huffman table {tbl} outside the "
-                "supported set {0, 1}"
-            )
+                if len(node) > _HUFF_BV_MAXLEN[tbl]:
+                    raise Mp3DecodeError(f"bad table-{tbl} code")
         if x:
             x = -x if r.read(1) else x
         if y:
@@ -1186,17 +1289,21 @@ def _parse_side_info(
                 mixed = bool(r.read(1))
                 tsel = (r.read(5), r.read(5))
                 sbg = (r.read(3), r.read(3), r.read(3))
+                # implicit region counts (§2.4.2.7): region0 ends at
+                # the 8th/9th preliminary sfb entry, which both land
+                # at line 36; region1 covers the rest (no region 2)
+                r0, r1 = (7, 13) if mixed else (8, 12)
             else:
                 bt, mixed, sbg = 0, False, (0, 0, 0)
                 tsel = (r.read(5), r.read(5), r.read(5))
-                r.read(4)  # region0_count
-                r.read(3)  # region1_count
+                r0 = r.read(4)  # region0_count
+                r1 = r.read(3)  # region1_count
             pre = r.read(1)
             sfs = r.read(1)
             c1t = r.read(1)
             side[g].append(
                 (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
-                 bt, mixed, sbg)
+                 bt, mixed, sbg, r0, r1)
             )
     return mdb, scfsi, side
 
@@ -1253,7 +1360,7 @@ def _decode_frame_granules(
         decoded = []
         for ch in range(nch):
             (part23, big_values, gg, sc, tsel, pre, sfs, c1t,
-             bt, mixed, sbg) = side[g][ch]
+             bt, mixed, sbg, r0, r1) = side[g][ch]
             short = bt == 2
             ch_scfsi = scfsi[ch] if scfsi else 0
             if ch_scfsi and short:
@@ -1261,12 +1368,21 @@ def _decode_frame_granules(
                     "scfsi set on a short-window granule "
                     "(spec: long windows only)"
                 )
+            if bt != 0:
+                # window switching: two regions with the boundary at
+                # line 36 (8 long sfbs when mixed, 3 short sfb triples
+                # otherwise — both land at 36 for all MPEG-1 rates)
+                bounds = (36, 576)
+            else:
+                b1 = sfb[min(r0 + 1, 22)]
+                bounds = (b1, max(b1, sfb[min(r0 + r1 + 2, 22)]))
             flat, sf_long, data_end = _decode_granule(
                 r, part23, big_values, gg, sc, tsel, c1t, sfs, pre,
                 sfb, block_type=bt, mixed=mixed,
                 sfb_short=sfb_short, subblock_gain=sbg,
                 scfsi=ch_scfsi if g == 1 else 0,
                 prev_sf_long=gr0_sf[ch] if g == 1 else None,
+                region_bounds=bounds,
             )
             if g == 0:
                 gr0_sf[ch] = sf_long

@@ -13,9 +13,10 @@ ADR 0001 for the boundary), uncompressed RGB-DIB AVI video, and
 MJPEG-in-AVI (per-frame baseline JPEG via ``jpeg.py``'s peek-LUT
 entropy decoder). Pillow, when installed, takes priority for images
 and widens coverage (WebP, progressive JPEG, …); the remaining
-exclusions — inter-frame video codecs (H.264, …) and non-Layer-III
-MPEG audio — need external libraries this container lacks, so those
-either raise ``NotImplementedError`` (strict mode) or produce a
+exclusions — inter-frame video codecs (H.264, …), non-Layer-III MPEG
+audio, and Layer-III streams selecting big-values Huffman tables
+10-31 (ADR 0001) — need external libraries this container lacks, so
+those either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake derived from the bytes (test mode). Swapping in a
 real codec (PIL/ffmpeg) changes ONE function per modality
 (`_decode_image_impl` & co.), not the distributed plan.

@@ -3728,12 +3728,14 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # surface: shape cycles mono/long WITH SCFSI (granule 2
             # reuses granule 1's scalefactors), stereo/short, and
             # INTENSITY joint stereo (70/30 pan; mode_extension 01,
-            # per-band is_pos); every other group of each shape is
-            # additionally repacked to USE THE BIT RESERVOIR (nonzero
-            # main_data_begin back-pointers, the layout real CBR
-            # encoders emit) — bit-identical samples, different frame
-            # byte layout.
-            shape = g % 3
+            # per-band is_pos); round 8 adds MULTI-LEVEL quantization
+            # (quant_levels=5 → big-values Huffman table 7, multi-bit
+            # magnitudes with sign bits — the table 2-9 decode path);
+            # every other group of each shape is additionally repacked
+            # to USE THE BIT RESERVOIR (nonzero main_data_begin
+            # back-pointers, the layout real CBR encoders emit) —
+            # bit-identical samples, different frame byte layout.
+            shape = g % 4
             if shape == 1:
                 mp3 = mp3codec.encode_mp3(
                     _np.stack([x, x], axis=1), sr, kbps=192,
@@ -3744,9 +3746,11 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _np.stack([0.7 * x, 0.3 * x], axis=1), sr,
                     kbps=192, intensity=True,
                 )
+            elif shape == 3:
+                mp3 = mp3codec.encode_mp3(x, sr, quant_levels=5)
             else:
                 mp3 = mp3codec.encode_mp3(x, sr, scfsi=True)
-            if (g // 3) % 2:
+            if (g // 4) % 2:
                 mp3 = mp3codec.repack_with_reservoir(mp3)
             return mp3
         buf = _io.BytesIO()

@@ -132,20 +132,20 @@ def test_unsupported_features_raise_cleanly():
 
 
 def test_unsupported_huffman_table_raises():
-    """Patch a valid stream's side info to select big-values table 7:
-    the decoder must refuse with the documented boundary error, not
-    mis-decode."""
+    """Patch a valid stream's side info to select big-values table 10
+    (outside the shipped set 0-9): the decoder must refuse with the
+    documented boundary error, not mis-decode."""
     data = bytearray(encode_mp3(_tone(1000.0), SR))
     # side info layout (mono): 4B header, then 9+5+4 bits, then
     # granule 0: 12+9+8+4+1 bits before table_select — bit offset
     # within side info = 18 + 34 = 52; table_select is 3x5 bits.
-    # Patch the first table_select (value 1 -> 7).
+    # Patch the first table_select (value 1 -> 10).
     bitpos = 32 + 52  # from frame start
-    for i, bit in enumerate([0, 0, 1, 1, 1]):  # 7 in 5 bits
+    for i, bit in enumerate([0, 1, 0, 1, 0]):  # 10 in 5 bits
         p = bitpos + i
         byte, off = p // 8, 7 - (p % 8)
         data[byte] = (data[byte] & ~(1 << off)) | (bit << off)
-    with pytest.raises(Mp3DecodeError, match="table"):
+    with pytest.raises(Mp3DecodeError, match="table 10 outside"):
         decode_mp3(bytes(data))
 
 
@@ -704,6 +704,8 @@ def test_intensity_right_channel_past_band21_decodes():
             _set_bits(foreign, side0 + ch1_bit + 12, 9, 230)  # big_values
             _set_bits(foreign, side0 + ch1_bit + 34, 1, 0)    # wsf = 0
             _set_bits(foreign, side0 + ch1_bit + 35, 5, 0)    # tsel0 = 0
+            _set_bits(foreign, side0 + ch1_bit + 40, 5, 0)    # tsel1 = 0
+            _set_bits(foreign, side0 + ch1_bit + 45, 5, 0)    # tsel2 = 0
     dec, sr = decode_mp3(bytes(foreign), downmix=False)
     assert sr == SR and dec.shape[1] == 2
     assert np.all(np.isfinite(dec))
@@ -789,3 +791,144 @@ def test_repack_recomputes_crc16():
         n_reservoir += mdb > 0
         n_frames += 1
     assert n_frames > 1 and n_reservoir >= n_frames - 1
+
+
+# ---------------------------------------------------------------------------
+# Round 8: big-values Huffman tables 2-9 (ADR 0001 boundary narrowed)
+# ---------------------------------------------------------------------------
+
+
+def test_bv_tables_complete_and_prefix_free():
+    """Every shipped Table B.7 transcription must be a COMPLETE
+    prefix-free code (Kraft sum exactly 1 over all (x, y) symbols and
+    no codeword a prefix of another): a complete prefix code is a full
+    binary tree, so any single transcription error — wrong length,
+    wrong code, duplicate — fails one of the two checks."""
+    from fractions import Fraction
+
+    from airflow_spark.operators.mp3 import _HUFF_BV_DEC, _HUFF_BV_ENC
+
+    assert sorted(_HUFF_BV_ENC) == [1, 2, 3, 5, 6, 7, 8, 9]
+    for t, enc in _HUFF_BV_ENC.items():
+        n = int(len(enc) ** 0.5)
+        assert n * n == len(enc), f"table {t} not square"
+        assert set(enc) == {(x, y) for x in range(n) for y in range(n)}
+        kraft = sum(Fraction(1, 2 ** ln) for _c, ln in enc.values())
+        assert kraft == 1, f"table {t} kraft {kraft}"
+        words = sorted(
+            format(c, f"0{ln}b") for c, ln in enc.values()
+        )
+        assert len(set(words)) == len(words), f"table {t} dup code"
+        for a, b in zip(words, words[1:]):
+            assert not b.startswith(a), f"table {t}: {a} prefixes {b}"
+        # decode map is the exact inverse of the encode map
+        assert len(_HUFF_BV_DEC[t]) == len(enc)
+        for xy, (c, ln) in enc.items():
+            assert _HUFF_BV_DEC[t][format(c, f"0{ln}b")] == xy
+
+
+def _frame_tsel0(data: bytes) -> int:
+    """table_select of granule 0 region 0 of the first (mono) frame."""
+    from airflow_spark.operators.mp3 import _BitReader
+
+    r = _BitReader(data[4:36])
+    r.read(9 + 5 + 4)        # mdb, private, scfsi
+    r.read(12 + 9 + 8 + 4)   # part23, big_values, gg, sc
+    assert r.read(1) == 0    # long windows
+    return r.read(5)
+
+
+@pytest.mark.parametrize("levels,want_table", [(2, 2), (3, 5), (5, 7)])
+def test_multilevel_roundtrip_uses_bigger_tables(levels, want_table):
+    """quant_levels > 1 emits multi-bit big-values (tables 2/5/7) and
+    the decode reproduces the planted peak bin exactly — this is the
+    end-to-end attestation of the round-8 table 2-9 decode path."""
+    enc = encode_mp3(_tone(312 * SR / 8192, seconds=0.4), SR,
+                     quant_levels=levels)
+    assert _frame_tsel0(enc) == want_table
+    y, sr = decode_mp3(enc)
+    assert sr == SR
+    assert _peak_bin(y) == 312
+    assert np.all(np.isfinite(y))
+
+
+def test_multilevel_improves_two_tone_ratio():
+    """With levels=1 every kept line in a band collapses to ±1; with
+    levels=5 the within-band amplitude ORDER of two close tones in the
+    same scalefactor band survives the round trip."""
+    t = np.arange(int(SR * 0.4)) / SR
+    f1 = 300 * SR / 8192  # bins 300 and 303: same long sfb
+    f2 = 303 * SR / 8192
+    x = 0.8 * np.sin(2 * np.pi * f1 * t) + 0.35 * np.sin(2 * np.pi * f2 * t)
+    y5, _ = decode_mp3(encode_mp3(x, SR, quant_levels=5))
+    seg = y5[4000:4000 + 8192] * np.hanning(8192)
+    mag = np.abs(np.fft.rfft(seg))
+    assert mag[300] > 1.5 * mag[303] > 0  # order + separation kept
+
+
+def test_region_switching_decodes_mixed_tables():
+    """A hand-built granule whose region 0 (lines < sfb[1] = 4, i.e.
+    region0_count = 0) uses table 2 while regions 1-2 use table 1:
+    planted values land on the right lines with the right magnitudes,
+    attesting the decoder honors region0/region1_count boundaries
+    instead of applying table_select[0] everywhere."""
+    w = _BitWriter()
+    w.write(0x7FF, 11); w.write(0b11, 2); w.write(0b01, 2); w.write(1, 1)
+    w.write(9, 4)   # 128 kbps
+    w.write(0, 2)   # 44.1 kHz
+    w.write(0, 1); w.write(0, 1)
+    w.write(0b11, 2)  # mono
+    w.write(0, 2); w.write(0, 1); w.write(1, 1); w.write(0, 2)
+    w.write(0, 9)   # main_data_begin
+    w.write(0, 5); w.write(0, 4)
+    # granule 0: 4 big-value pairs; pairs 0-1 (lines 0-3) in region 0
+    # -> table 2 (values up to 2), pairs 2-3 (lines 4-7) in region 1
+    # -> table 1. Table 2 codes: (2,1)=len5 '00010', (0,2)=len6
+    # '000001'; table 1: (1,1)=len3 '000', (1,0)=len2 '01'.
+    g0_bits = (5 + 2) + (6 + 1) + (3 + 2) + (2 + 1)
+    for part23, bv, tsel0 in ((g0_bits, 4, 2), (0, 0, 0)):
+        w.write(part23, 12)
+        w.write(bv, 9)   # big_values pairs
+        w.write(210, 8)  # global_gain: unit amplitude
+        w.write(0, 4)    # scalefac_compress 0 -> slen (0, 0)
+        w.write(0, 1)    # long windows
+        w.write(tsel0, 5)  # region 0 table
+        w.write(1, 5)      # region 1 table
+        w.write(1, 5)      # region 2 table
+        w.write(0, 4)    # region0_count = 0 -> boundary at sfb[1] = 4
+        w.write(7, 3)    # region1_count
+        w.write(0, 1); w.write(0, 1)
+        w.write(1, 1)    # count1table_select = B
+    # main data, granule 0 (region 0, table 2):
+    w.write(0b00010, 5); w.write(0, 1); w.write(1, 1)  # (2,1) signs +,-
+    w.write(0b000001, 6); w.write(0, 1)                # (0,2) sign +
+    # region 1, table 1:
+    w.write(0b000, 3); w.write(1, 1); w.write(0, 1)    # (1,1) signs -,+
+    w.write(0b01, 2); w.write(0, 1)                    # (1,0) sign +
+    frame = bytearray(w.pad_to_bytes())
+    frame.extend(b"\x00" * (417 - len(frame)))
+
+    from airflow_spark.operators.mp3 import (
+        _BitReader,
+        _decode_granule,
+        _parse_side_info,
+        _SFB_LONG,
+    )
+
+    _mdb, _scfsi, side = _parse_side_info(_BitReader(bytes(frame[4:21])), 1)
+    (part23, bv, gg, sc, tsel, pre, sfs, c1t, bt, mixed, sbg,
+     r0, r1) = side[0][0]
+    assert (bv, tsel[0], tsel[1], r0) == (4, 2, 1, 0)
+    sfb = _SFB_LONG[SR]
+    flat, _sf, de = _decode_granule(
+        _BitReader(bytes(frame[21:])), part23, bv, gg, sc, tsel, c1t,
+        sfs, pre, sfb, region_bounds=(sfb[r0 + 1], sfb[r0 + r1 + 2]),
+    )
+    assert de == 8
+    two = 2.0 ** (4.0 / 3.0)
+    np.testing.assert_allclose(
+        flat[:8], [two, -1.0, 0.0, two, -1.0, 1.0, 1.0, 0.0], rtol=1e-12
+    )
+    # and the full frame decodes end-to-end
+    y, sr = decode_mp3(bytes(frame))
+    assert sr == SR and np.all(np.isfinite(y))
