@@ -838,6 +838,72 @@ def keep_best_representatives(
     )
 
 
+def collapse_and_survivors(
+    df: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **minhash_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Compute-once production composition of the corpus collapse and
+    its emit side: ONE MinHash-LSH verified pair graph and ONE
+    component labelling feed BOTH outputs, where the standalone
+    registry attestations (``op_dedup_collapse`` /
+    ``op_dedup_survivors``) deliberately recompute them independently
+    (~2× the cost — each entry is a self-contained oracle check).
+
+    Returns ``(collapse, survivors)``:
+
+    - ``collapse``: one row per multi-member duplicate cluster —
+      (keep_id = min member id, n_members, id_sum) — the collapse
+      PLAN a pipeline logs/audits before deleting anything;
+    - ``survivors``: the kept corpus — one row per surviving document
+      (keep_id, cluster_id, n_members, quality), highest
+      ``quality_col`` per cluster (ties → smallest id), singletons
+      passing through as their own one-member cluster.
+
+    Scale shape: the pair graph comes from the banded/bucket-capped
+    LSH path (never all-pairs); components run on the pairs-sized
+    graph with pointer jumping + lineage truncation
+    (:func:`dedup_clusters`); the cluster labels are persisted ONCE
+    so the two outputs share the physical computation — the caller
+    should unpersist via ``spark.catalog.clearCache()`` (or consume
+    both outputs in one job) when done."""
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_verified(
+        df, id_col=id_col, threshold=threshold, **minhash_kwargs
+    ).select("id_a", "id_b")
+    # dedup_clusters already materializes its result through the
+    # lineage-truncating checkpoint; persist() here makes the SHARING
+    # explicit so neither output recomputes the component loop
+    clusters = dedup_clusters(pairs).persist()
+    collapse = (
+        clusters.groupBy(F.col("cluster").alias("keep_id"))
+        .agg(F.count("*").alias("n_members"), F.sum("id").alias("id_sum"))
+    )
+    members = (
+        df.select(id_col, F.col(quality_col).alias("quality"))
+        .join(clusters.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster", F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        members.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col).alias("keep_id"), "cluster_id", "n_members",
+            "quality",
+        )
+    )
+    return collapse, survivors
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (inverted-index self-join)
 # ---------------------------------------------------------------------------

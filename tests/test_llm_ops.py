@@ -2879,3 +2879,50 @@ def test_video_neardup_pairs_majority_fold(spark):
     pairs = [(r.id_a, r.id_b, r.hamming)
              for r in video_neardup_pairs(df).collect()]
     assert pairs == [(1, 2, 0)]
+
+
+def test_collapse_and_survivors_compute_once_matches_standalone(spark):
+    """The production composition must (a) return exactly what the two
+    standalone registry ops compute and (b) share ONE pair graph +
+    component labelling between the outputs — the LSH pipeline runs
+    once and both physical plans read the same persisted clusters
+    frame (InMemoryTableScan) instead of re-running it."""
+    from unittest import mock
+
+    import pyspark.sql.functions as F
+
+    from airflow_spark.operators import dedup
+    from airflow_spark.operators.registry import (
+        op_dedup_collapse,
+        op_dedup_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .withColumn("quality", F.length("text").cast("long"))
+        .select("doc_id", "text", "quality")
+    )
+    real_verified = dedup.dedup_minhash_verified
+    with mock.patch.object(
+        dedup, "dedup_minhash_verified", side_effect=real_verified
+    ) as verified:
+        collapse, survivors = dedup.collapse_and_survivors(
+            docs, quality_col="quality", threshold=0.8
+        )
+        got_collapse = sorted(map(tuple, collapse.collect()))
+        got_survivors = sorted(map(tuple, survivors.collect()))
+    assert verified.call_count == 1  # one LSH pair-graph computation
+    # both outputs consume the shared persisted clusters frame
+    for out in (collapse, survivors):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    want_collapse = sorted(
+        map(tuple, op_dedup_collapse(spark, sf).collect())
+    )
+    want_survivors = sorted(
+        map(tuple, op_dedup_survivors(spark, sf).collect())
+    )
+    assert got_collapse == want_collapse and len(got_collapse) > 0
+    assert got_survivors == want_survivors and len(got_survivors) > 0
+    spark.catalog.clearCache()
