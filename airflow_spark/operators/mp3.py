@@ -30,15 +30,18 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   reproduces frequencies exactly and per-band gains to within the
   prototype difference — fine for fingerprints/MFCCs, not
   sample-exact vs libmad.
-- Huffman coverage: big-values tables 0 (all-zero region) and 1-9
-  (Table B.7 transcriptions validated by Kraft completeness +
-  prefix-freeness, round 8 — covering |value| ≤ 5 with region-aware
-  table switching from region0/region1_count), count1 table B (the
-  4-bit one's-complement table). The encoder emits tables 1/2/5/7
-  picked from ``quant_levels``. A stream selecting tables 10-31
-  (including the linbits escape classes 16-31) raises
-  ``Mp3DecodeError`` — the strict-contract behavior the rest of the
-  multimodal family uses for unsupported features.
+- Huffman coverage: big-values tables 0 (all-zero region), 1-13 and
+  15 (Table B.7 transcriptions validated by Kraft completeness +
+  prefix-freeness — any single transcription error fails one of the
+  two checks), and the full 24-31 escape family (table 24's codes +
+  per-table linbits), with region-aware table switching from
+  region0/region1_count; count1 table B (the 4-bit one's-complement
+  table). The encoder picks the smallest covering table from
+  ``quant_levels`` (1/2/5/7/10/13/15, then 24-31 via linbits).
+  Tables 16-23 — ONE shared code table whose transcription did not
+  survive validation and whose leaf space admits 200+ completions —
+  raise ``Mp3DecodeError``, the strict-contract behavior the rest of
+  the multimodal family uses for unsupported features (ADR 0001).
 - MPEG-1 Layer III: mono, stereo, dual-channel, and mid/side joint
   stereo (round 6); long, start/stop, short, and mixed windows
   (round 6); the bit reservoir (``main_data_begin`` back-pointers,
@@ -46,8 +49,8 @@ DOCUMENTED BOUNDARY (see docs/adr/0001-mp3-decode-boundary.md):
   layout nearly all real-world CBR streams use), scfsi scalefactor
   sharing between granules (round 7), and intensity stereo
   (tan(is_pos·π/12) position reconstruction, round 7; long windows).
-  The only remaining decode raises are the unshipped big-values
-  Huffman tables and genuinely corrupt streams.
+  The only remaining decode raises are big-values tables 16-23 and
+  genuinely corrupt streams.
 
 Scale posture: decode runs inside Arrow-batched ``mapInPandas``
 (`multimodal.extract_audio_features`), one payload per row, pixels/
@@ -127,13 +130,17 @@ _HUFF_T1_ENC = {(0, 0): (0b1, 1), (0, 1): (0b001, 3),
 _HUFF_T1_DEC = {"1": (0, 0), "001": (0, 1), "01": (1, 0),
                 "000": (1, 1)}
 
-#: ISO/IEC 11172-3 Table B.7 big-values code tables 2-9, transcribed
-#: from the public spec listing (hlen[x][y], hcod[x][y]) and validated
-#: in tests/test_mp3.py by Kraft completeness + prefix-freeness per
-#: table: a complete prefix-free code over all (x, y) symbols is a
-#: full binary tree, so any single transcription error fails one of
-#: the two checks. Tables 10-31 (incl. the linbits escape classes
-#: 16-31) remain outside the decode boundary — ADR 0001.
+#: ISO/IEC 11172-3 Table B.7 big-values code tables 2-13, 15 and 24,
+#: transcribed from the public spec listing (hlen[x][y], hcod[x][y])
+#: and validated in tests/test_mp3.py by Kraft completeness +
+#: prefix-freeness per table: a complete prefix-free code over all
+#: (x, y) symbols is a full binary tree, so any single transcription
+#: error fails one of the two checks. Tables 25-31 share table 24's
+#: codes (only linbits differ, `_BV_LINBITS`), so the whole escape
+#: family 24-31 ships. Tables 16-23 (one shared code table) stay
+#: outside the boundary: table 16's transcription did not survive
+#: validation and its deep-cluster leaf space admits 200+ distinct
+#: completions, so no honest reconstruction exists — ADR 0001.
 _HUFF_BV_LEN: dict[int, list[list[int]]] = {
     2: [[1, 3, 6], [3, 3, 5], [5, 5, 6]],
     3: [[2, 2, 6], [3, 2, 5], [5, 5, 6]],
@@ -145,6 +152,66 @@ _HUFF_BV_LEN: dict[int, list[list[int]]] = {
         [8, 8, 8, 9, 9, 10], [8, 7, 8, 9, 10, 10], [9, 8, 9, 9, 11, 11]],
     9: [[3, 3, 5, 6, 8, 9], [3, 3, 4, 5, 6, 8], [4, 4, 5, 6, 7, 8],
         [6, 5, 6, 7, 7, 8], [7, 6, 7, 7, 8, 9], [8, 7, 8, 8, 9, 9]],
+    10: [[1, 3, 6, 8, 9, 9, 9, 10], [3, 4, 6, 7, 8, 9, 8, 8],
+         [6, 6, 7, 8, 9, 10, 9, 9], [7, 7, 8, 9, 10, 10, 9, 10],
+         [8, 8, 9, 10, 10, 10, 10, 10], [9, 9, 10, 10, 11, 11, 10, 11],
+         [8, 8, 9, 10, 10, 10, 11, 11], [9, 8, 9, 10, 10, 11, 11, 11]],
+    11: [[2, 3, 5, 7, 8, 9, 8, 9], [3, 3, 4, 6, 8, 8, 7, 8],
+         [5, 5, 6, 7, 8, 9, 8, 8], [7, 6, 7, 9, 8, 10, 8, 9],
+         [8, 8, 8, 9, 9, 10, 9, 10], [8, 8, 9, 10, 10, 11, 10, 11],
+         [8, 7, 7, 8, 9, 10, 10, 10], [8, 7, 8, 9, 10, 10, 10, 10]],
+    12: [[4, 3, 5, 7, 8, 9, 9, 9], [3, 3, 4, 5, 7, 7, 8, 8],
+         [5, 4, 5, 6, 7, 8, 7, 8], [6, 5, 6, 6, 7, 8, 8, 8],
+         [7, 6, 7, 7, 8, 8, 8, 9], [8, 7, 8, 8, 8, 9, 8, 9],
+         [8, 7, 7, 8, 8, 9, 9, 9], [9, 8, 8, 9, 9, 9, 10, 10]],
+    13: [[1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13],
+         [3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12],
+         [6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13],
+         [7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13],
+         [8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14],
+         [9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14],
+         [9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14],
+         [10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16],
+         [9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15],
+         [10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15],
+         [10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17],
+         [11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16],
+         [11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16],
+         [12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16],
+         [13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16],
+         [12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16]],
+    15: [[3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13],
+         [4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11],
+         [5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11],
+         [6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11],
+         [7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11],
+         [8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12],
+         [9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12],
+         [9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12],
+         [9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12],
+         [9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12],
+         [10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12],
+         [10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13],
+         [11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13],
+         [11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13],
+         [12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13],
+         [12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13]],
+    24: [[4, 4, 6, 7, 8, 9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 9],
+         [4, 4, 5, 6, 7, 8, 8, 9, 9, 9, 10, 10, 10, 10, 10, 8],
+         [6, 5, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 7],
+         [7, 6, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 7],
+         [8, 7, 7, 8, 8, 8, 8, 9, 9, 9, 10, 10, 10, 10, 11, 7],
+         [9, 7, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 7],
+         [9, 8, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 7],
+         [10, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 8],
+         [10, 9, 9, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 8],
+         [10, 9, 9, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 8],
+         [11, 9, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8],
+         [11, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 8],
+         [11, 10, 10, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 8],
+         [11, 10, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8],
+         [12, 10, 10, 10, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 11, 8],
+         [8, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 8, 8, 8, 4]],
 }
 _HUFF_BV_COD: dict[int, list[list[int]]] = {
     2: [[1, 2, 1], [3, 1, 1], [3, 2, 0]],
@@ -160,6 +227,94 @@ _HUFF_BV_COD: dict[int, list[list[int]]] = {
     9: [[7, 5, 9, 14, 15, 7], [6, 4, 5, 5, 6, 7],
         [7, 6, 8, 8, 8, 5], [15, 6, 9, 10, 5, 1],
         [11, 7, 9, 6, 4, 1], [14, 4, 6, 2, 6, 0]],
+    10: [[1, 2, 10, 23, 35, 30, 12, 17], [3, 3, 8, 12, 18, 21, 12, 7],
+         [11, 9, 15, 21, 32, 40, 19, 6], [14, 13, 22, 34, 46, 23, 18, 7],
+         [20, 19, 33, 47, 27, 22, 9, 3], [31, 22, 41, 26, 21, 20, 5, 3],
+         [14, 13, 10, 11, 16, 6, 5, 1], [9, 8, 7, 8, 4, 4, 2, 0]],
+    11: [[3, 4, 10, 24, 34, 33, 21, 15], [5, 3, 4, 10, 32, 17, 11, 10],
+         [11, 7, 13, 18, 30, 31, 20, 5], [25, 11, 19, 59, 27, 18, 12, 5],
+         [35, 33, 31, 58, 30, 16, 7, 5], [28, 26, 32, 19, 17, 15, 8, 14],
+         [14, 12, 9, 13, 14, 9, 4, 1], [11, 4, 6, 6, 6, 3, 2, 0]],
+    12: [[9, 6, 16, 33, 41, 39, 38, 26], [7, 5, 6, 9, 23, 16, 26, 11],
+         [17, 7, 11, 14, 21, 30, 10, 7], [17, 10, 15, 12, 18, 28, 14, 5],
+         [32, 13, 22, 19, 18, 16, 9, 5], [40, 17, 31, 29, 17, 13, 4, 2],
+         [27, 12, 11, 15, 10, 7, 4, 1], [27, 12, 8, 12, 6, 3, 1, 0]],
+    13: [[1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19],
+         [3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14],
+         [15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16],
+         [22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14],
+         [35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24],
+         [58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17],
+         [47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15],
+         [72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42],
+         [43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16],
+         [53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11],
+         [35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22],
+         [53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7],
+         [34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5],
+         [45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3],
+         [48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2],
+         [16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1]],
+    15: [[7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81,
+          122, 63],
+         [13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36],
+         [19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33],
+         [29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29],
+         [52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27],
+         [77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38],
+         [125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30],
+         [109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21,
+          25],
+         [90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20],
+         [71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15],
+         [109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9],
+         [86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11],
+         [118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7],
+         [91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3],
+         [123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1],
+         [71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0]],
+    24: [[15, 13, 46, 80, 146, 262, 248, 434, 426, 669, 653, 649, 621,
+          517, 1032, 88],
+         [14, 12, 21, 38, 71, 130, 122, 216, 209, 198, 327, 345, 319,
+          297, 279, 42],
+         [47, 22, 41, 74, 68, 128, 120, 221, 207, 194, 182, 340, 315,
+          295, 541, 18],
+         [81, 39, 75, 70, 134, 125, 116, 220, 204, 190, 178, 325, 311,
+          293, 271, 16],
+         [147, 72, 69, 135, 127, 118, 112, 210, 200, 188, 352, 323, 306,
+          285, 540, 14],
+         [263, 66, 129, 126, 119, 114, 214, 202, 192, 180, 341, 317, 301,
+          281, 262, 12],
+         [249, 123, 121, 117, 113, 215, 206, 195, 185, 347, 330, 308,
+          291, 272, 520, 10],
+         [435, 115, 111, 109, 211, 203, 196, 187, 353, 332, 313, 298,
+          283, 531, 381, 17],
+         [427, 212, 208, 205, 201, 193, 186, 177, 169, 320, 303, 286,
+          268, 514, 377, 16],
+         [335, 199, 197, 191, 189, 181, 174, 333, 321, 305, 289, 275,
+          521, 379, 371, 11],
+         [668, 184, 183, 179, 175, 344, 331, 314, 304, 290, 277, 530,
+          383, 373, 366, 10],
+         [652, 346, 171, 168, 164, 318, 309, 299, 287, 276, 263, 513,
+          375, 368, 362, 6],
+         [648, 322, 316, 312, 307, 302, 292, 284, 269, 261, 512, 376,
+          370, 364, 359, 4],
+         [620, 300, 296, 294, 288, 282, 273, 266, 515, 380, 374, 369,
+          365, 361, 357, 2],
+         [1033, 280, 278, 274, 267, 264, 259, 382, 378, 372, 367, 363,
+          360, 358, 356, 0],
+         [43, 20, 19, 17, 15, 13, 11, 9, 7, 6, 4, 7, 5, 3, 1, 3]],
+}
+
+#: linbits per escape-family table ID (ISO Table B.7): tables 16-23
+#: share table 16's codes, 24-31 share table 24's — only linbits
+#: differ. An x or y symbol of 15 is the ESC marker: the decoder reads
+#: `linbits` extra bits and adds them to 15 before the sign bit. Only
+#: the 24-31 family decodes (table 16's codes are outside the
+#: boundary — see the transcription note above).
+_BV_LINBITS: dict[int, int] = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
 }
 
 
@@ -181,14 +336,33 @@ def _build_bv_tables() -> tuple[dict, dict, dict]:
                 d[format(code, f"0{length}b")] = (x, y)
                 m = max(m, length)
         enc[t], dec[t], maxlen[t] = e, d, m
+    # escape-family aliases: 25-31 reuse table 24's code tree (shared
+    # dict objects — only `_BV_LINBITS` distinguishes them)
+    for t in range(25, 32):
+        enc[t], dec[t], maxlen[t] = enc[24], dec[24], maxlen[24]
     return enc, dec, maxlen
 
 
 _HUFF_BV_ENC, _HUFF_BV_DEC, _HUFF_BV_MAXLEN = _build_bv_tables()
 
 #: smallest supported table covering a given max |value| (table dims:
-#: 1 -> 2x2, 2 -> 3x3, 5 -> 4x4, 7 -> 6x6)
-_BV_TABLE_FOR_MAX = {0: 1, 1: 1, 2: 2, 3: 5, 4: 7, 5: 7}
+#: 1 -> 2x2, 2 -> 3x3, 5 -> 4x4, 7 -> 6x6, 10 -> 8x8, 13/15 -> 16x16);
+#: above 15 the encoder picks from the 24-31 escape family by the
+#: smallest linbits that can carry maxv - 15 (`_esc_table_for_max`)
+_BV_TABLE_FOR_MAX = {0: 1, 1: 1, 2: 2, 3: 5, 4: 7, 5: 7,
+                     6: 10, 7: 10, 8: 13, 9: 13, 10: 13,
+                     11: 15, 12: 15, 13: 15, 14: 15, 15: 15}
+
+
+def _esc_table_for_max(maxv: int) -> int:
+    """Smallest escape-family table (24-31) whose linbits carry
+    maxv - 15; raises when even 13 linbits (table 31) cannot."""
+    for t in range(24, 32):
+        if maxv - 15 < (1 << _BV_LINBITS[t]):
+            return t
+    raise Mp3EncodeError(
+        f"quantized value {maxv} exceeds table 31's 13 linbits"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -518,28 +692,34 @@ def _encode_granule_bits(
     through the last nonzero line (rounded up to a pair boundary) with
     the smallest Table B.7 code table whose (x, y) range spans the
     granule's max |value| (table 1 for the historical ±1 quantizer,
-    tables 2/5/7 for quant_levels 2/3/4-5); no count1 region is
-    emitted (the decoder's count1/table-B path is exercised by a
-    hand-built stream in tests/test_mp3.py).
+    2/5/7/10/13/15 up to |value| 15, then the 24-31 escape family —
+    symbol 15 + linbits); no count1 region is emitted (the decoder's
+    count1/table-B path is exercised by a hand-built stream in
+    tests/test_mp3.py).
     Returns (big_values, huffman_bit_count, table_select)."""
     start = len(w)
     nz = np.nonzero(q)[0]
     last = int(nz[-1]) + 1 if len(nz) else 0
     big_pairs = (last + 1) // 2
     maxv = int(np.max(np.abs(q))) if len(nz) else 0
-    if maxv > 5:
-        raise Mp3EncodeError(
-            f"quantized value {maxv} exceeds the shipped big-values "
-            "tables (max 5 — table 7)"
-        )
-    table = _BV_TABLE_FOR_MAX[maxv]
+    if maxv <= 15:
+        table = _BV_TABLE_FOR_MAX[maxv]
+    else:
+        table = _esc_table_for_max(maxv)
     enc = _HUFF_BV_ENC[table]
+    lb = _BV_LINBITS.get(table, 0)
     for p in range(big_pairs):
         x, y = int(abs(q[2 * p])), int(abs(q[2 * p + 1]))
-        code, nbits = enc[(x, y)]
+        cx = min(x, 15) if lb else x
+        cy = min(y, 15) if lb else y
+        code, nbits = enc[(cx, cy)]
         w.write(code, nbits)
+        if lb and cx == 15:
+            w.write(x - 15, lb)
         if x:
             w.write(0 if q[2 * p] > 0 else 1, 1)
+        if lb and cy == 15:
+            w.write(y - 15, lb)
         if y:
             w.write(0 if q[2 * p + 1] > 0 else 1, 1)
     return big_pairs, len(w) - start, table
@@ -600,9 +780,10 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                scfsi: bool = False, intensity: bool = False,
                quant_levels: int = 1) -> bytes:
     """Encode float PCM into an MPEG-1 Layer III CBR stream (this
-    codec pair's documented subset: no bit reservoir; big-values
-    Huffman tables 1/2/5/7 picked from ``quant_levels``, count1
-    table B). ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
+    codec pair's documented subset: no bit reservoir; the smallest
+    covering big-values table — 1/2/5/7/10/13/15, or 24+ with linbits
+    above |value| 15 — picked from ``quant_levels``, count1 table B).
+    ``pcm`` of shape (n,) encodes mono; shape (n, 2) encodes
     mid/side joint stereo (mode 01, mode_extension MS — the decoder's
     stereo path). ``block_type``: 'long' (default), 'short' (every
     granule block_type 2), or 'mixed' (block_type 2 with
@@ -627,10 +808,10 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
         raise Mp3EncodeError(
             "intensity stereo emits long windows only (this encoder)"
         )
-    if not 1 <= int(quant_levels) <= 5:
+    if not 1 <= int(quant_levels) <= 30:
         raise Mp3EncodeError(
-            "quant_levels must be 1..5 (the shipped big-values tables "
-            "cover |value| <= 5)"
+            "quant_levels must be 1..30 (direct tables cover |value| "
+            "<= 15; table 24's 4 linbits extend to 30)"
         )
     quant_levels = int(quant_levels)
     x = np.asarray(pcm, dtype=np.float64)
@@ -1034,8 +1215,15 @@ def _decode_granule(
                     break
                 if len(node) > _HUFF_BV_MAXLEN[tbl]:
                     raise Mp3DecodeError(f"bad table-{tbl} code")
+        # escape semantics (§2.4.3.4.6): symbol 15 in a linbits table
+        # carries linbits extra magnitude bits BEFORE the sign bit
+        lb = _BV_LINBITS.get(tbl, 0)
+        if lb and x == 15:
+            x += r.read(lb)
         if x:
             x = -x if r.read(1) else x
+        if lb and y == 15:
+            y += r.read(lb)
         if y:
             y = -y if r.read(1) else y
         if pos + 2 > 576:

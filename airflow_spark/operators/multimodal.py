@@ -15,7 +15,8 @@ entropy decoder). Pillow, when installed, takes priority for images
 and widens coverage (WebP, progressive JPEG, …); the remaining
 exclusions — inter-frame video codecs (H.264, …), non-Layer-III MPEG
 audio, and Layer-III streams selecting big-values Huffman tables
-10-31 (ADR 0001) — need external libraries this container lacks, so
+16-23 (ADR 0001's one unvalidatable shared code table) — need
+external libraries this container lacks, so
 those either raise ``NotImplementedError`` (strict mode) or produce a
 deterministic fake derived from the bytes (test mode). Swapping in a
 real codec (PIL/ffmpeg) changes ONE function per modality

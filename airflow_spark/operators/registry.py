@@ -3730,12 +3730,15 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # INTENSITY joint stereo (70/30 pan; mode_extension 01,
             # per-band is_pos); round 8 adds MULTI-LEVEL quantization
             # (quant_levels=5 → big-values Huffman table 7, multi-bit
-            # magnitudes with sign bits — the table 2-9 decode path);
-            # every other group of each shape is additionally repacked
-            # to USE THE BIT RESERVOIR (nonzero main_data_begin
-            # back-pointers, the layout real CBR encoders emit) —
-            # bit-identical samples, different frame byte layout.
-            shape = g % 4
+            # magnitudes with sign bits — the table 2-9 decode path)
+            # and two deeper-table shapes: quant_levels=12 → 16x16
+            # table 15, quant_levels=22 → the 24-31 ESCAPE family
+            # (symbol 15 + linbits magnitude bits); every other group
+            # of each shape is additionally repacked to USE THE BIT
+            # RESERVOIR (nonzero main_data_begin back-pointers, the
+            # layout real CBR encoders emit) — bit-identical samples,
+            # different frame byte layout.
+            shape = g % 6
             if shape == 1:
                 mp3 = mp3codec.encode_mp3(
                     _np.stack([x, x], axis=1), sr, kbps=192,
@@ -3748,9 +3751,13 @@ def op_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             elif shape == 3:
                 mp3 = mp3codec.encode_mp3(x, sr, quant_levels=5)
+            elif shape == 4:
+                mp3 = mp3codec.encode_mp3(x, sr, quant_levels=12)
+            elif shape == 5:
+                mp3 = mp3codec.encode_mp3(x, sr, quant_levels=22)
             else:
                 mp3 = mp3codec.encode_mp3(x, sr, scfsi=True)
-            if (g // 4) % 2:
+            if (g // 6) % 2:
                 mp3 = mp3codec.repack_with_reservoir(mp3)
             return mp3
         buf = _io.BytesIO()

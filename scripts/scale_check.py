@@ -288,6 +288,10 @@ DECADE_OPS = (
     # components with pointer jumping -> per-cluster rollup; its
     # decade row attests the whole collapse, not just pair search
     "op_dedup_collapse",
+    # the emit side (round 7): same pair graph + components, plus the
+    # corpus-wide left join + per-cluster quality rank — the stage the
+    # collapse rows don't cover
+    "op_dedup_survivors",
 )
 
 #: The embedding/ANN family — the other path that must hold at 100 TB.

@@ -132,20 +132,21 @@ def test_unsupported_features_raise_cleanly():
 
 
 def test_unsupported_huffman_table_raises():
-    """Patch a valid stream's side info to select big-values table 10
-    (outside the shipped set 0-9): the decoder must refuse with the
-    documented boundary error, not mis-decode."""
+    """Patch a valid stream's side info to select big-values table 17
+    (the 16-23 family shares the one unvalidated code table): the
+    decoder must refuse with the documented boundary error, not
+    mis-decode."""
     data = bytearray(encode_mp3(_tone(1000.0), SR))
     # side info layout (mono): 4B header, then 9+5+4 bits, then
     # granule 0: 12+9+8+4+1 bits before table_select — bit offset
     # within side info = 18 + 34 = 52; table_select is 3x5 bits.
-    # Patch the first table_select (value 1 -> 10).
+    # Patch the first table_select (value 1 -> 17).
     bitpos = 32 + 52  # from frame start
-    for i, bit in enumerate([0, 1, 0, 1, 0]):  # 10 in 5 bits
+    for i, bit in enumerate([1, 0, 0, 0, 1]):  # 17 in 5 bits
         p = bitpos + i
         byte, off = p // 8, 7 - (p % 8)
         data[byte] = (data[byte] & ~(1 << off)) | (bit << off)
-    with pytest.raises(Mp3DecodeError, match="table 10 outside"):
+    with pytest.raises(Mp3DecodeError, match="table 17 outside"):
         decode_mp3(bytes(data))
 
 
@@ -808,7 +809,13 @@ def test_bv_tables_complete_and_prefix_free():
 
     from airflow_spark.operators.mp3 import _HUFF_BV_DEC, _HUFF_BV_ENC
 
-    assert sorted(_HUFF_BV_ENC) == [1, 2, 3, 5, 6, 7, 8, 9]
+    assert sorted(_HUFF_BV_ENC) == (
+        [1, 2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 15] + list(range(24, 32))
+    )
+    # the 25-31 escape aliases share table 24's dict objects
+    for t in range(25, 32):
+        assert _HUFF_BV_ENC[t] is _HUFF_BV_ENC[24]
+        assert _HUFF_BV_DEC[t] is _HUFF_BV_DEC[24]
     for t, enc in _HUFF_BV_ENC.items():
         n = int(len(enc) ** 0.5)
         assert n * n == len(enc), f"table {t} not square"
@@ -838,11 +845,16 @@ def _frame_tsel0(data: bytes) -> int:
     return r.read(5)
 
 
-@pytest.mark.parametrize("levels,want_table", [(2, 2), (3, 5), (5, 7)])
+@pytest.mark.parametrize("levels,want_table", [
+    (2, 2), (3, 5), (5, 7),
+    # round 8: the 8x8 / 16x16 direct tables and the 24-31 escape
+    # family (symbol 15 + linbits) — levels 16/30 plant |value| > 15
+    (7, 10), (10, 13), (15, 15), (16, 24), (30, 24),
+])
 def test_multilevel_roundtrip_uses_bigger_tables(levels, want_table):
-    """quant_levels > 1 emits multi-bit big-values (tables 2/5/7) and
-    the decode reproduces the planted peak bin exactly — this is the
-    end-to-end attestation of the round-8 table 2-9 decode path."""
+    """quant_levels > 1 emits multi-bit big-values and the decode
+    reproduces the planted peak bin exactly — the end-to-end
+    attestation of the table 2-15 and linbits decode paths."""
     enc = encode_mp3(_tone(312 * SR / 8192, seconds=0.4), SR,
                      quant_levels=levels)
     assert _frame_tsel0(enc) == want_table
@@ -932,3 +944,135 @@ def test_region_switching_decodes_mixed_tables():
     # and the full frame decodes end-to-end
     y, sr = decode_mp3(bytes(frame))
     assert sr == SR and np.all(np.isfinite(y))
+
+
+def _esc_frame(tsel0: int) -> bytearray:
+    """A hand-built mono frame whose granule 0 carries one big-value
+    pair coded with escape-family table ``tsel0``: x = +20 (symbol 15
+    + linbits 5), y = -17 (symbol 15 + linbits 2)."""
+    from airflow_spark.operators.mp3 import _BV_LINBITS
+
+    lb = _BV_LINBITS[tsel0]
+    w = _BitWriter()
+    w.write(0x7FF, 11); w.write(0b11, 2); w.write(0b01, 2); w.write(1, 1)
+    w.write(9, 4)   # 128 kbps
+    w.write(0, 2)   # 44.1 kHz
+    w.write(0, 1); w.write(0, 1)
+    w.write(0b11, 2)  # mono
+    w.write(0, 2); w.write(0, 1); w.write(1, 1); w.write(0, 2)
+    w.write(0, 9)   # main_data_begin
+    w.write(0, 5); w.write(0, 4)
+    # table 24 family code for (15, 15) is 4 bits ('0011'); each ESC
+    # symbol reads linbits magnitude bits then a sign bit
+    g0_bits = 4 + (lb + 1) * 2
+    for part23, bv, tsel in ((g0_bits, 1, tsel0), (0, 0, 0)):
+        w.write(part23, 12)
+        w.write(bv, 9)
+        w.write(210, 8)  # global_gain: unit amplitude
+        w.write(0, 4)    # scalefac_compress 0
+        w.write(0, 1)    # long windows
+        w.write(tsel, 5)
+        w.write(0, 5)
+        w.write(0, 5)
+        w.write(0, 4); w.write(7, 3)
+        w.write(0, 1); w.write(0, 1)
+        w.write(1, 1)    # count1table_select = B
+    w.write(0b0011, 4)   # (15, 15)
+    w.write(5, lb); w.write(0, 1)   # x = 15 + 5 = 20, sign +
+    w.write(2, lb); w.write(1, 1)   # y = 15 + 2 = 17, sign -
+    frame = bytearray(w.pad_to_bytes())
+    frame.extend(b"\x00" * (417 - len(frame)))
+    return frame
+
+
+@pytest.mark.parametrize("tsel0", [24, 27, 30, 31])
+def test_escape_family_linbits_decode_exact(tsel0):
+    """Escape tables 24-31 share one code tree but differ in linbits:
+    a planted (x, y) = (+20, -17) pair must requantize to exactly
+    (20^(4/3), -17^(4/3)) through every family member — attesting the
+    alias wiring AND the per-table linbits width on the decode path."""
+    frame = _esc_frame(tsel0)
+
+    from airflow_spark.operators.mp3 import (
+        _BitReader,
+        _decode_granule,
+        _parse_side_info,
+        _SFB_LONG,
+    )
+
+    _mdb, _scfsi, side = _parse_side_info(_BitReader(bytes(frame[4:21])), 1)
+    (part23, bv, gg, sc, tsel, pre, sfs, c1t, bt, mixed, sbg,
+     r0, r1) = side[0][0]
+    assert (bv, tsel[0]) == (1, tsel0)
+    sfb = _SFB_LONG[SR]
+    flat, _sf, _de = _decode_granule(
+        _BitReader(bytes(frame[21:])), part23, bv, gg, sc, tsel, c1t,
+        sfs, pre, sfb, region_bounds=(sfb[r0 + 1], sfb[r0 + r1 + 2]),
+    )
+    np.testing.assert_allclose(
+        flat[:3], [20.0 ** (4.0 / 3.0), -(17.0 ** (4.0 / 3.0)), 0.0],
+        rtol=1e-12,
+    )
+    y, sr = decode_mp3(bytes(frame))
+    assert sr == SR and np.all(np.isfinite(y))
+
+
+@pytest.mark.parametrize("tsel0", [16, 19, 23])
+def test_tables_16_to_23_raise_decode_error(tsel0):
+    """Tables 16-23 (the one unvalidated shared code table) stay
+    outside the decode boundary: selecting them must raise
+    Mp3DecodeError — the quarantine contract multimodal.py relies on —
+    never a bare KeyError/StopIteration that would kill a Spark task."""
+    from airflow_spark.operators.mp3 import Mp3DecodeError
+
+    with pytest.raises(Mp3DecodeError, match="table"):
+        decode_mp3(bytes(_esc_frame(tsel0)))
+
+
+def test_direct_tables_11_and_12_decode_exact():
+    """Tables 11/12 are never emitted by the encoder (13/15 win on
+    coverage), so attest them with hand-built streams: planted values
+    on the 8x8 grid decode to the exact requantized magnitudes."""
+    from airflow_spark.operators.mp3 import (
+        _BitReader,
+        _decode_granule,
+        _parse_side_info,
+        _HUFF_BV_ENC,
+        _SFB_LONG,
+    )
+
+    for tbl, (x, y) in ((11, (7, 3)), (12, (6, 5))):
+        code, nbits = _HUFF_BV_ENC[tbl][(x, y)]
+        w = _BitWriter()
+        w.write(0x7FF, 11); w.write(0b11, 2); w.write(0b01, 2)
+        w.write(1, 1); w.write(9, 4); w.write(0, 2)
+        w.write(0, 1); w.write(0, 1); w.write(0b11, 2)
+        w.write(0, 2); w.write(0, 1); w.write(1, 1); w.write(0, 2)
+        w.write(0, 9); w.write(0, 5); w.write(0, 4)
+        g0_bits = nbits + 2  # two sign bits
+        for part23, bv, tsel in ((g0_bits, 1, tbl), (0, 0, 0)):
+            w.write(part23, 12); w.write(bv, 9); w.write(210, 8)
+            w.write(0, 4); w.write(0, 1)
+            w.write(tsel, 5); w.write(0, 5); w.write(0, 5)
+            w.write(0, 4); w.write(7, 3)
+            w.write(0, 1); w.write(0, 1); w.write(1, 1)
+        w.write(code, nbits)
+        w.write(0, 1)  # x positive
+        w.write(1, 1)  # y negative
+        frame = bytearray(w.pad_to_bytes())
+        frame.extend(b"\x00" * (417 - len(frame)))
+        _mdb, _scfsi, side = _parse_side_info(
+            _BitReader(bytes(frame[4:21])), 1
+        )
+        (part23, bv, gg, sc, tsel, pre, sfs, c1t, bt, mixed, sbg,
+         r0, r1) = side[0][0]
+        sfb = _SFB_LONG[SR]
+        flat, _sf, _de = _decode_granule(
+            _BitReader(bytes(frame[21:])), part23, bv, gg, sc, tsel,
+            c1t, sfs, pre, sfb,
+            region_bounds=(sfb[r0 + 1], sfb[r0 + r1 + 2]),
+        )
+        np.testing.assert_allclose(
+            flat[:2], [x ** (4.0 / 3.0), -(y ** (4.0 / 3.0))],
+            rtol=1e-12,
+        )
