@@ -504,7 +504,15 @@ def _write_report(root: str, record: dict) -> None:
         "  by design, so ~10x state is the correct (bounded) shape;",
         "  growth tracking events-per-user instead would be the leak.",
         "  last_seen additionally evicts alerted-quiet keys, so its",
-        "  steady-state population is live keys only.",
+        "  steady-state population is live keys only. It is also the one",
+        "  Python-state hot path in the suite (`applyInPandasWithState`),",
+        "  which is why its rows/s ceiling sits near ~57k vs ~1M for the",
+        "  JVM-native shapes: every micro-batch crosses the Arrow boundary",
+        "  per key group. That is the documented cost of custom stateful",
+        "  logic in Python; a deployment that needs this monitor at higher",
+        "  rates should recompose it from JVM primitives (windowed max",
+        "  event-time per key + a stream-stream join against the alert",
+        "  horizon) at the cost of the custom eviction semantics.",
         "- `incremental_dedup_ingest` (8 scheduler fires of the",
         "  availableNow exactly-once ingest, 2 new files per fire):",
         "  its \"state\" column is the HISTORY corpus each batch",
