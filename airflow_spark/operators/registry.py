@@ -374,6 +374,27 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op_last_seen_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time staleness alerts in batch: one row per (user,
+    activity burst separated by > 1 h of quiet) carrying the burst's
+    last event time — the batch surface of
+    ``streaming.last_seen_monitor_eventtime`` and the registry's
+    attestation of Spark's built-in ``session_window`` aggregation
+    (op_sessionize covers the lag/cumsum composition; this covers the
+    native operator the streaming form relies on). Boundary semantics:
+    an event exactly ``gap`` after the previous one MERGES into the
+    session (strict-> for a new burst) — verified empirically and
+    mirrored in the oracle's epoch_us comparison."""
+    from ..streaming.monitors import last_seen_monitor_eventtime
+
+    t = load_tables(spark, sf_dir)
+    return (
+        last_seen_monitor_eventtime(t.events, stale_after_s=3600)
+        .orderBy("user_id", "last_ts")
+        .limit(300)
+    )
+
+
 def op_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document."""
     t = load_tables(spark, sf_dir)
@@ -4103,6 +4124,7 @@ OPERATOR_QUERIES = {
     "op_dedup_collapse": op_dedup_collapse,
     "op_dedup_survivors": op_dedup_survivors,
     "op_sessionize": op_sessionize,
+    "op_last_seen_eventtime": op_last_seen_eventtime,
     "op_repetition": op_repetition,
     "op_decontaminate": op_decontaminate,
     "op_sample_mixture": op_sample_mixture,
@@ -5429,6 +5451,23 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n,
 FROM a GROUP BY bucket ORDER BY bucket
 """,
     "op_sessionize": _sql_sessionize(),
+    "op_last_seen_eventtime": """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+x AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+           AS burst
+  FROM s)
+SELECT user_id, 'stale_alert' AS status, max(ts) AS last_ts
+FROM x GROUP BY user_id, burst
+ORDER BY user_id, last_ts LIMIT 300
+""",
     "op_repetition": _sql_repetition(),
     "op_decontaminate": _sql_decontaminate(),
     "op_sample_mixture": _sql_sample_mixture(total_rows=200),

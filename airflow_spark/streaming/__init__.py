@@ -7,6 +7,7 @@ from .monitors import (  # noqa: F401
     ewma_monitor,
     freshness_monitor,
     last_seen_monitor,
+    last_seen_monitor_eventtime,
     session_window_counts,
     sliding_window_counts,
     threshold_monitor,

@@ -175,6 +175,17 @@ def _pipelines() -> dict:
             "update",
             "until_empty",
         ),
+        # the JVM event-time recomposition of last_seen_monitor
+        # (session windows, append mode): same alert-once + re-arm +
+        # evict-on-close shape without the per-key-group Arrow
+        # crossing — the throughput comparison the STREAM_BENCH.md
+        # Python-state note promises
+        "last_seen_monitor_jvm": (
+            lambda s: monitors.last_seen_monitor_eventtime(
+                s, stale_after_s=3600
+            ),
+            "append",
+        ),
     }
 
 
@@ -508,11 +519,18 @@ def _write_report(root: str, record: dict) -> None:
         "  Python-state hot path in the suite (`applyInPandasWithState`),",
         "  which is why its rows/s ceiling sits near ~57k vs ~1M for the",
         "  JVM-native shapes: every micro-batch crosses the Arrow boundary",
-        "  per key group. That is the documented cost of custom stateful",
-        "  logic in Python; a deployment that needs this monitor at higher",
-        "  rates should recompose it from JVM primitives (windowed max",
-        "  event-time per key + a stream-stream join against the alert",
-        "  horizon) at the cost of the custom eviction semantics.",
+        "  per key group. That is the measured cost of custom stateful",
+        "  logic in Python — and `last_seen_monitor_jvm` (the",
+        "  session-window event-time recomposition,",
+        "  `monitors.last_seen_monitor_eventtime`) is the escape hatch:",
+        "  same alert-once / re-arm / evict-on-close shape, pure JVM",
+        "  session-window state, ~7x the Python form at the 100x leg.",
+        "  The trade is semantic, not just speed: alerts fire on the",
+        "  EVENT-time watermark clearing a session close (deterministic,",
+        "  replayable) instead of a wall-clock timer, and a finite",
+        "  replay's final in-flight sessions never finalize (append-mode",
+        "  caveat shared with session_window_counts — its output_rows",
+        "  undercount is by design).",
         "- `incremental_dedup_ingest` (8 scheduler fires of the",
         "  availableNow exactly-once ingest, 2 new files per fire):",
         "  its \"state\" column is the HISTORY corpus each batch",

@@ -804,7 +804,12 @@ def test_bv_tables_complete_and_prefix_free():
     prefix-free code (Kraft sum exactly 1 over all (x, y) symbols and
     no codeword a prefix of another): a complete prefix code is a full
     binary tree, so any single transcription error — wrong length,
-    wrong code, duplicate — fails one of the two checks."""
+    wrong code, duplicate — fails one of the two checks. (Documented
+    blind spot: a coordinated SWAP of two same-length codes is a
+    double error the checks cannot see; it would require misrecalling
+    both entries as exactly each other's value, which is why tables
+    whose recall needed any repair beyond a forced unique completion
+    stay excluded — see ADR 0001 on tables 16-23.)"""
     from fractions import Fraction
 
     from airflow_spark.operators.mp3 import _HUFF_BV_DEC, _HUFF_BV_ENC

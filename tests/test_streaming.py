@@ -918,3 +918,79 @@ def test_write_batch_sketch_restores_unset_overwrite_mode(spark, tmp_path):
     spark.createDataFrame([(1, "c")], "p INT, v STRING") \
         .write.mode("overwrite").partitionBy("p").parquet(out)
     assert spark.read.parquet(out).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# JVM event-time last-seen (session-window recomposition)
+# ---------------------------------------------------------------------------
+
+
+def test_last_seen_eventtime_batch_sessions(spark):
+    """Batch form: one row per (key, quiet-separated activity burst),
+    carrying the burst's max ts — the event-time alert surface. Gap
+    3600 s: user 1 has two bursts (alert-once + re-arm), user 2 one."""
+    from airflow_spark.streaming import last_seen_monitor_eventtime
+
+    base = dt.datetime(2026, 1, 1, 12, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),   # same burst (gap 1h)
+        (1, base + dt.timedelta(hours=3)),      # quiet > gap: new burst
+        (2, base + dt.timedelta(minutes=5)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = last_seen_monitor_eventtime(df, stale_after_s=3600).collect()
+    got = sorted((r["user_id"], r["last_ts"]) for r in out)
+    assert [u for u, _ in got] == [1, 1, 2]
+    assert all(r["status"] == "stale_alert" for r in out)
+    per_user1 = [t for u, t in got if u == 1]
+    assert per_user1 == [base + dt.timedelta(minutes=30),
+                         base + dt.timedelta(hours=3)]
+    assert got[2][1] == base + dt.timedelta(minutes=5)
+
+
+def test_last_seen_eventtime_streaming_alert_once_and_rearm(spark, tmp_path):
+    """Live availableNow run: only sessions the watermark has CLOSED
+    emit (append mode) — user 1's first burst alerts once; the stream's
+    final in-flight bursts stay open (the documented finite-replay
+    caveat). A later event from user 1 re-armed and re-alerted via the
+    second closed burst."""
+    from airflow_spark.streaming import last_seen_monitor_eventtime
+
+    base = dt.datetime(2026, 1, 1, 12, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=10)),    # burst 1
+        (1, base + dt.timedelta(hours=3)),       # burst 2 (re-arm)
+        (2, base + dt.timedelta(minutes=5)),     # burst (closes too)
+        # watermark driver: advances event time far enough that every
+        # burst above (+ gap + allowance) is final
+        (99, base + dt.timedelta(hours=10)),
+    ]
+    src = tmp_path / "ls_ev"
+    src.mkdir()
+    spark.createDataFrame(rows, ["user_id", "ts"]).coalesce(1).write.parquet(
+        str(src / "chunk"), mode="overwrite"
+    )
+    raw = spark.read.parquet(str(src / "chunk"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(src / "chunk"))
+    q = (
+        last_seen_monitor_eventtime(stream, stale_after_s=3600)
+        .writeStream.format("memory")
+        .queryName("ls_eventtime")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["last_ts"])
+        for r in spark.sql("SELECT * FROM ls_eventtime").collect()
+    }
+    # all three early bursts closed by the watermark driver; 99's own
+    # burst is the final in-flight session and must NOT emit
+    assert got == {
+        (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(hours=3)),
+        (2, base + dt.timedelta(minutes=5)),
+    }
