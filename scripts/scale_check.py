@@ -272,6 +272,9 @@ def _ops():
         "op_ttr",
         "op_acf",
         "op_group_entropy",
+        # round 8: the session_window-based staleness op — its growth
+        # axis is events (sessions merge JVM-side; state ~ active keys)
+        "op_last_seen_eventtime",
     ]
     return {n: r.OPERATOR_QUERIES[n] for n in names}
 
