@@ -96,7 +96,10 @@ BASE_SUSPECTS = [(13, 15), (14, 8), (14, 9), (14, 14)]
 def validate():
     """Step 1: show the transcription fails validation (Kraft == 1,
     but collisions exist)."""
-    codes: dict[str, tuple[int, int]] = {}
+    # list of symbols per codeword, so duplicate AND prefix findings
+    # name EVERY (x, y) involved — a single-slot dict would keep only
+    # the last-seen symbol and mislabel which entries conflict
+    codes: dict[str, list[tuple[int, int]]] = {}
     kraft = 0.0
     errs = []
     for x in range(16):
@@ -104,8 +107,10 @@ def validate():
             ln, cd = T16_LENS[x][y], T16_CODS[x][y]
             bits = format(cd, f"0{ln}b")
             if bits in codes:
-                errs.append(f"duplicate {bits}: {codes[bits]} vs {(x, y)}")
-            codes[bits] = (x, y)
+                errs.append(
+                    f"duplicate {bits}: {codes[bits] + [(x, y)]}"
+                )
+            codes.setdefault(bits, []).append((x, y))
             kraft += 2.0 ** -ln
     keys = sorted(codes)
     for i, a in enumerate(keys):

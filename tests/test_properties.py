@@ -142,7 +142,18 @@ def test_kmv_merge_equals_direct_sketch(spark, values, k, n_groups):
             sketches.kmv_merge(per_group, [], k=k), k
         ).collect()[0]
         assert est["n_kept"] == n_distinct
-        assert est["distinct_est"] == float(n_distinct)
+        if n_distinct < k:
+            # n_kept < k ⇒ the sketch IS the distinct set: exact
+            assert est["distinct_est"] == float(n_distinct)
+        else:
+            # n_distinct == k saturates the sketch — indistinguishable
+            # from "more than k", so the estimator switches to
+            # (k−1)·2⁶⁰/h_k; assert it lands within the KMV relative
+            # error bound (~1/√k) of the truth instead of exactness
+            assert abs(est["distinct_est"] - k) <= 3.0 * k / (k**0.5), (
+                est["distinct_est"],
+                k,
+            )
 
 
 @settings(max_examples=10, deadline=None)
