@@ -2651,7 +2651,13 @@ def op_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown double-exponential trend forecast per user (two stacked
     EWMA folds over a trailing frame — the decomposition that keeps
-    Holt-style smoothing a pure codegen window expression)."""
+    Holt-style smoothing a pure codegen window expression).
+
+    Attested tie-safely: with α=0.5 the fold is pure IEEE ``*``/``+``
+    (bit-identical across engines), so the hashed columns are exact
+    fixed-point BIGINTs ``floor(x·2^20)`` — no ``round(double, d)``
+    boundary for a different engine build to land on (the r8 driver
+    flake was exactly such a 6th-decimal tie)."""
     t = load_tables(spark, sf_dir)
     out = timeseries.double_exponential_forecast(
         t.events.where(F.col("user_id") < 10),
@@ -2662,15 +2668,18 @@ def op_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_rows=8,
         horizon=1,
         order_cols=["event_id"],
+        quantize_pow2=20,
     )
     return (
         out.select(
             "user_id",
             "ts",
-            F.round("value", 4).alias("value"),
-            "s1",
-            "s2",
-            "forecast",
+            F.floor(F.col("value") * F.lit(float(2**20))).alias(
+                "value_fp"
+            ),
+            "s1_fp",
+            "s2_fp",
+            "forecast_fp",
         )
         .orderBy("user_id", "ts")
         .limit(300)
@@ -5686,11 +5695,14 @@ c AS (SELECT user_id, ts, value, n, s1,
 d AS (SELECT user_id, ts, value, n, s1,
              list_reduce(l2, (acc, x) -> acc * 0.5 + 0.5 * x) AS s2
       FROM c)
-SELECT user_id, ts, round(value, 4) AS value,
-       round(s1, 6) AS s1, round(s2, 6) AS s2,
+SELECT user_id, ts,
+       CAST(floor(value * 1048576.0) AS BIGINT) AS value_fp,
+       CAST(floor(s1 * 1048576.0) AS BIGINT) AS s1_fp,
+       CAST(floor(s2 * 1048576.0) AS BIGINT) AS s2_fp,
        CASE WHEN n >= 2
-            THEN round((2.0 * s1 - s2) + 1.0 * (1.0 * (s1 - s2)), 4)
-       END AS forecast
+            THEN CAST(floor(((2.0 * s1 - s2) + 1.0 * (1.0 * (s1 - s2)))
+                            * 1048576.0) AS BIGINT)
+       END AS forecast_fp
 FROM d ORDER BY user_id, ts LIMIT 300
 """,
     "op_rolling_corr": """

@@ -683,6 +683,7 @@ def double_exponential_forecast(
     window_rows: int = 8,
     horizon: int = 1,
     order_cols: list[str] | None = None,
+    quantize_pow2: int | None = None,
 ) -> DataFrame:
     """Brown's double exponential smoothing: trend-aware one-pass
     forecast from two stacked EWMA folds — S1 = EWMA(x),
@@ -694,7 +695,15 @@ def double_exponential_forecast(
 
     Same bounded-frame restart contract as ``ewma``; rows whose frame
     has a single element carry a NULL forecast (no trend evidence).
-    Prefer binary-exact α (0.5, 0.25) for cross-engine hashing."""
+    Prefer binary-exact α (0.5, 0.25) for cross-engine hashing.
+
+    ``quantize_pow2=q`` replaces the decimal-rounded double outputs
+    with tie-safe fixed-point BIGINTs ``floor(x · 2^q)``: with a
+    binary-exact α the fold is pure IEEE ``*``/``+`` (bit-identical on
+    every compliant engine), scaling by a power of two is exact, and
+    floor is exact — so the attested integers carry NO rounding-tie
+    surface, unlike ``round(x, d)`` whose tie handling differs across
+    engine builds (the class of the r8 driver hash flake)."""
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = (
         Window.partitionBy(key_col)
@@ -717,6 +726,24 @@ def double_exponential_forecast(
     s2 = fold(F.collect_list("__s1").over(w))
     level = 2.0 * F.col("__s1") - F.col("__s2")
     trend = F.lit(alpha / (1.0 - alpha)) * (F.col("__s1") - F.col("__s2"))
+    if quantize_pow2 is not None:
+        scale = F.lit(float(2**quantize_pow2))
+        return (
+            staged.withColumn("__s2", s2)
+            .select(
+                key_col,
+                ts_col,
+                value_col,
+                F.floor(F.col("__s1") * scale).alias("s1_fp"),
+                F.floor(F.col("__s2") * scale).alias("s2_fp"),
+                F.when(
+                    F.col("__n") >= 2,
+                    F.floor(
+                        (level + F.lit(float(horizon)) * trend) * scale
+                    ),
+                ).alias("forecast_fp"),
+            )
+        )
     return (
         staged.withColumn("__s2", s2)
         .select(
