@@ -44,23 +44,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # _DRIVER_WINDOW below; everything not listed follows in its natural
 # order, so total coverage is unchanged (all entries, all oracles).
 _DRIVER_WINDOW: list[str] = [
-    # round-8 relational spine (scripts/propose_window.py): the
-    # least-recently-windowed queries refresh the record
-    "q16", "q19", "q21", "q23", "q24", "q25", "q29", "q31", "q39", "q44",
-    "q51", "q04", "q05", "q08", "q09", "q11", "q13", "q17", "q18", "q20",
-    # round-8 op_* slice: 30 never-driver-windowed entries,
-    # round-robined across operator families; op_dedup_survivors (the
-    # round-7 emit-side composed op) gets its first driver attestation
-    "op_array_set_funcs", "op_dedup_survivors", "op_distribution_drift",
-    "op_downsample_minmax", "op_dq_rules", "op_dup_passages",
-    "op_edit_distance", "op_embedding_bucket_stats", "op_ewma",
-    "op_feature_hash", "op_funnel_latency", "op_gap_fill",
-    "op_generator_funcs", "op_group_entropy", "op_grouped_quantiles",
-    "op_hhi", "op_holt_forecast", "op_id_gaps", "op_interval_merge",
-    "op_k_suppress", "op_key_skew", "op_keyword_search", "op_kfold_splits",
-    "op_kmeans_cluster", "op_ks_test", "op_l_diversity",
-    "op_label_outliers", "op_link_predict", "op_mad_outliers",
-    "op_mannwhitney",
+    # round-9 relational spine (scripts/propose_window.py), with
+    # q27/q47 swapped in for q14/q15: both were restated tie-safely
+    # this round (tie_audit hazards), so their new hashes need fresh
+    # driver attestation
+    "q22", "q26", "q28", "q30", "q33", "q35", "q38", "q41", "q43", "q46",
+    "q50", "q01", "q02", "q03", "q06", "q07", "q10", "q12", "q27", "q47",
+    # round-9 op_* slice: never-driver-windowed entries round-robined
+    # across families, plus the six ops restated tie-safely this round
+    # (op_holt_forecast — the r8 red row — op_percentile,
+    # op_approx_percentile, op_winsorize, op_agg_funcs, op_repetition)
+    # and op_rolling_corr from the same rounded-fold family
+    "op_embedding_outliers", "op_last_seen_eventtime", "op_map_funcs",
+    "op_mmr_diversify", "op_mode", "op_ngram_novelty",
+    "op_normalize_per_key", "op_null_funcs", "op_ohlc", "op_pack_offsets",
+    "op_peak_hours", "op_period_growth", "op_pii_stats", "op_power_users",
+    "op_profile", "op_quality_score", "op_quantile_bins", "op_reciprocity",
+    "op_ref_integrity", "op_regexp_funcs", "op_repetition",
+    "op_retrieval_eval", "op_robust_scale", "op_rolling_corr",
+    "op_seasonal_baseline", "op_holt_forecast", "op_percentile",
+    "op_approx_percentile", "op_winsorize", "op_agg_funcs",
 ]
 
 

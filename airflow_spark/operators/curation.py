@@ -14,7 +14,7 @@ engine useful for corpus work at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count_ws, tokens_ws, word_shingles
@@ -22,7 +22,10 @@ from .width import ensure_wide
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decimals: int | None = 4,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals:
 
@@ -34,7 +37,17 @@ def repetition_signals(
     Shape: the unigram signal is a pure projection; the bigram signal
     explodes bigrams into a (doc, bigram) count agg — partial-combine
     shuffles (id, 8-byte hash)-sized rows, then one windowed max per
-    doc. Documents with < 2 tokens get 0.0 for both."""
+    doc. Documents with < 2 tokens get 0.0 for both.
+
+    ``decimals=None`` skips the output rounding (the ratios are single
+    correctly-rounded IEEE divisions of exact integers, so unrounded
+    they are bit-identical cross-engine — what tie-safe attestation
+    needs, since small-integer ratios like 7/32 land exactly on
+    d-decimal rounding ties)."""
+
+    def rnd(col: Column) -> Column:
+        return col if decimals is None else F.round(col, decimals)
+
     toks = tokens_ws(F.lower(F.col(text_col)))
     base = ensure_wide(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -44,7 +57,7 @@ def repetition_signals(
     )
     dup_word = F.when(
         F.col("n_tok") > 0,
-        F.round(1.0 - F.col("n_distinct") / F.col("n_tok"), 4),
+        rnd(1.0 - F.col("n_distinct") / F.col("n_tok")),
     ).otherwise(F.lit(0.0))
     uni = base.select("id", dup_word.alias("dup_word_frac"), "bigrams")
     bg = uni.select("id", F.explode("bigrams").alias("bg"))
@@ -52,7 +65,7 @@ def repetition_signals(
     per_doc = counts.groupBy("id").agg(
         F.max("c").alias("top_c"), F.sum("c").alias("tot_c")
     )
-    top_frac = F.round(F.col("top_c") / F.col("tot_c"), 4)
+    top_frac = rnd(F.col("top_c") / F.col("tot_c"))
     return (
         uni.drop("bigrams")
         .join(per_doc, "id", "left")

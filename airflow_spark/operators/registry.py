@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, register_views
@@ -309,17 +309,47 @@ def op_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def op_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles per key (Spark percentile ≡ DuckDB
-    quantile_cont, verified)."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t.events.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50"),
-            F.round(F.percentile("value", F.lit(0.95)), 2).alias("p95"),
+def _percentile_anchors(events: DataFrame, qs: dict[str, float]) -> DataFrame:
+    """Per event_type: group size ``n`` plus, for each named quantile,
+    the two BRACKETING data values at sorted ranks floor(q·(n−1))+1 and
+    ceil(q·(n−1))+1 — together they determine the exact continuous
+    percentile (value = lo + frac·(hi−lo)), but every attested cell is
+    a raw parquet double, bit-identical cross-engine. The interpolated
+    midpoint itself is NOT hashed: cents-granular values put it exactly
+    on a %.2f rounding tie where engine round() builds legitimately
+    disagree (the r8 holt-class flake; found by scripts/tie_audit.py)."""
+    wk = Window.partitionBy("event_type")
+    ranked = (
+        events.select("event_type", "value")
+        .withColumn("__rn", F.row_number().over(wk.orderBy("value")))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+    )
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for name, q in qs.items():
+        pos = F.lit(q) * (F.col("__n") - 1).cast("double")
+        lo_idx = F.floor(pos) + 1
+        hi_idx = F.ceil(pos) + 1
+        aggs.append(
+            F.max(F.when(F.col("__rn") == lo_idx, F.col("value"))).alias(
+                f"{name}_lo"
+            )
         )
-        .orderBy("event_type")
+        aggs.append(
+            F.max(F.when(F.col("__rn") == hi_idx, F.col("value"))).alias(
+                f"{name}_hi"
+            )
+        )
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def op_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per key, attested tie-safely via
+    their bracketing sorted-rank data values (see
+    :func:`_percentile_anchors`; semantic equivalence to
+    ``F.percentile`` is property-tested)."""
+    t = load_tables(spark, sf_dir)
+    return _percentile_anchors(t.events, {"p50": 0.5, "p95": 0.95}).orderBy(
+        "event_type"
     )
 
 
@@ -396,9 +426,26 @@ def op_last_seen_eventtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals per document."""
+    """Gopher-style repetition signals per document, attested as
+    tie-safe fixed point: the ratios are single correctly-rounded IEEE
+    divisions of exact integers (bit-identical cross-engine), but
+    small-integer ratios like 7/32 land exactly on 4-decimal rounding
+    ties where engine round() builds disagree (tie_audit warn) — so
+    the hash sees floor(x·2^20) BIGINTs instead."""
     t = load_tables(spark, sf_dir)
-    return curation.repetition_signals(t.documents).orderBy("id").limit(200)
+    scale = F.lit(float(2**20))
+    return (
+        curation.repetition_signals(t.documents, decimals=None)
+        .select(
+            "id",
+            F.floor(F.col("dup_word_frac") * scale).alias("dup_word_fp"),
+            F.floor(F.col("top_bigram_frac") * scale).alias(
+                "top_bigram_fp"
+            ),
+        )
+        .orderBy("id")
+        .limit(200)
+    )
 
 
 def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,22 +766,30 @@ def op_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization: clip event values into the group's
-    [p05, p95] — exact grouped percentiles broadcast back as clip
-    bounds, then a pure projection (the outlier-capping pass before
-    loss-weighting / normalization). Flag-free output so an FP tie at
-    a boundary can't flip a column the hash sees."""
+    [p05, p95] — DISCRETE percentile bounds (smallest value whose
+    cume_dist reaches q, i.e. actual data values) broadcast back as
+    clip limits, then a pure projection (the outlier-capping pass
+    before loss-weighting / normalization). Discrete bounds keep every
+    output cell a raw parquet double: interpolated bounds put clipped
+    rows exactly on a %.2f rounding tie for cents data (the r8
+    holt-class hash flake; found by scripts/tie_audit.py), so nothing
+    here is rounded at all."""
     t = load_tables(spark, sf_dir)
-    pct = t.events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("__lo"),
-        F.percentile("value", F.lit(0.95)).alias("__hi"),
+    w = Window.partitionBy("event_type").orderBy("value")
+    cd = t.events.select("event_type", "value").withColumn(
+        "__cd", F.cume_dist().over(w)
+    )
+    pct = cd.groupBy("event_type").agg(
+        F.min(F.when(F.col("__cd") >= 0.05, F.col("value"))).alias("__lo"),
+        F.min(F.when(F.col("__cd") >= 0.95, F.col("value"))).alias("__hi"),
     )
     return (
         t.events.join(F.broadcast(pct), "event_type")
         .select(
             "event_id",
             "event_type",
-            F.round(
-                F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")), 2
+            F.least(
+                F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")
             ).alias("v_winsorized"),
         )
         .orderBy("event_id")
@@ -1160,7 +1215,10 @@ def op_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     where exact percentile interpolates between samples but the
     sketch returns an actual sample: measured worst-case 4.0% at
     n=199, 0.6% at n=2k, 0.2% at n=20k). Oracle emits literal TRUE
-    for the booleans — hash matches iff the sketch met the bound."""
+    for the booleans — hash matches iff the sketch met the bound.
+    The exact quantiles are attested via bracketing rank anchors
+    (raw data doubles) rather than the interpolated midpoint, which
+    sits exactly on a %.2f rounding tie for cents data (tie_audit)."""
     t = load_tables(spark, sf_dir)
 
     def ok(q: float) -> Column:
@@ -1168,15 +1226,12 @@ def op_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact = F.percentile("value", F.lit(q))
         return F.abs(approx - exact) <= F.lit(0.05) * F.abs(exact)
 
-    return (
-        t.events.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", F.lit(0.5)), 2).alias("p50_exact"),
-            F.round(F.percentile("value", F.lit(0.95)), 2).alias("p95_exact"),
-            ok(0.5).alias("p50_ok"),
-            ok(0.95).alias("p95_ok"),
-        )
-        .orderBy("event_type")
+    anchors = _percentile_anchors(t.events, {"p50": 0.5, "p95": 0.95})
+    bounds = t.events.groupBy("event_type").agg(
+        ok(0.5).alias("p50_ok"), ok(0.95).alias("p95_ok")
+    )
+    return anchors.join(F.broadcast(bounds), "event_type").orderBy(
+        "event_type"
     )
 
 
@@ -2145,7 +2200,12 @@ def op_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern aggregate breadth: count_if / bool_and / bool_or /
     max_by / median per event_type. max_by's ordering key is made
     UNIQUE (cents·10¹⁰ + event_id — monotone in (value, id)) because
-    an argmax on a tied key is nondeterministic in both engines."""
+    an argmax on a tied key is nondeterministic in both engines.
+    Median is attested as half-cents (round(median·200) BIGINT):
+    cents-granular values make the even-count midpoint an exact
+    half-cent, i.e. exactly on a %.2f rounding tie where engine
+    round() builds disagree — scaled by 200 it is an exact integer,
+    ulps away from any tie (tie_audit class fix)."""
     t = load_tables(spark, sf_dir)
     key = (
         F.round(F.col("value") * 100).cast("bigint")
@@ -2159,7 +2219,9 @@ def op_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("value") > 0).alias("all_pos"),
             F.bool_or(F.col("value") > 450).alias("any_huge"),
             F.max_by("event_id", key).alias("top_event"),
-            F.round(F.median("value"), 2).alias("med"),
+            F.round(F.median("value") * 200, 0)
+            .cast("long")
+            .alias("med_halfcents"),
         )
         .orderBy("event_type")
     )
@@ -4827,9 +4889,11 @@ c AS (SELECT id, bg, count(*) AS c FROM bg GROUP BY id, bg),
 pd AS (SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS tot_c
        FROM c GROUP BY id)
 SELECT u.id AS id,
-       CASE WHEN n_tok > 0 THEN round(1.0 - n_distinct / n_tok, 4)
-            ELSE 0.0 END AS dup_word_frac,
-       coalesce(round(top_c / tot_c, 4), 0.0) AS top_bigram_frac
+       CAST(floor(CASE WHEN n_tok > 0 THEN 1.0 - n_distinct / n_tok
+                       ELSE 0.0 END * 1048576.0) AS BIGINT)
+           AS dup_word_fp,
+       CAST(floor(coalesce(top_c / tot_c, 0.0) * 1048576.0) AS BIGINT)
+           AS top_bigram_fp
 FROM uni u LEFT JOIN pd ON pd.id = u.id
 ORDER BY u.id LIMIT 200
 """
@@ -5953,10 +6017,26 @@ WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
                       WHERE o2.o_custkey = o.o_custkey)
 ORDER BY o_orderkey LIMIT 200
 """,
+    # Exact continuous percentiles attested via bracketing rank
+    # anchors (raw data doubles — tie-free), not the interpolated
+    # midpoint (which lands exactly on a %.2f rounding tie for cents
+    # data; see scripts/tie_audit.py).
     "op_percentile": """
-SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50,
-       round(quantile_cont(value, 0.95), 2) AS p95
-FROM events GROUP BY event_type ORDER BY event_type
+WITH r AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_lo,
+       max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_hi,
+       max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p95_lo,
+       max(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p95_hi
+FROM r GROUP BY event_type ORDER BY event_type
 """,
     # Derived check: exact distinct count + literal TRUE; the Spark
     # side computes TRUE iff the HLL estimate is within 2x rsd.
@@ -5965,14 +6045,26 @@ SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
        TRUE AS within_tol
 FROM orders
 """,
-    # Derived check: exact quantiles (same spelling as op_percentile)
-    # + literal TRUE accuracy booleans for the GK sketch.
+    # Derived check: exact-quantile rank anchors (same tie-safe
+    # spelling as op_percentile) + literal TRUE accuracy booleans for
+    # the GK sketch.
     "op_approx_percentile": """
-SELECT event_type,
-       round(quantile_cont(value, 0.5), 2) AS p50_exact,
-       round(quantile_cont(value, 0.95), 2) AS p95_exact,
+WITH r AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_lo,
+       max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_hi,
+       max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p95_lo,
+       max(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p95_hi,
        TRUE AS p50_ok, TRUE AS p95_ok
-FROM events GROUP BY event_type ORDER BY event_type
+FROM r GROUP BY event_type ORDER BY event_type
 """,
     "op_string_funcs": """
 SELECT p_partkey, trim(p_name) AS t, lpad(p_brand, 12, '_') AS padded,
@@ -6195,13 +6287,20 @@ SELECT event_id, e.event_type,
 FROM events e JOIN q USING (event_type)
 ORDER BY event_id LIMIT 200
 """,
+    # Discrete (data-valued) clip bounds: every output cell is a raw
+    # parquet double — interpolated bounds sit exactly on a %.2f
+    # rounding tie for cents data (tie_audit class fix).
     "op_winsorize": """
-WITH p AS (SELECT event_type,
-                  quantile_cont(value, 0.05) AS lo,
-                  quantile_cont(value, 0.95) AS hi
-           FROM events GROUP BY event_type)
+WITH c AS (SELECT event_type, value,
+                  cume_dist() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS cd
+           FROM events),
+p AS (SELECT event_type,
+             min(CASE WHEN cd >= 0.05 THEN value END) AS lo,
+             min(CASE WHEN cd >= 0.95 THEN value END) AS hi
+      FROM c GROUP BY event_type)
 SELECT event_id, e.event_type,
-       round(least(greatest(value, lo), hi), 2) AS v_winsorized
+       least(greatest(value, lo), hi) AS v_winsorized
 FROM events e JOIN p USING (event_type)
 ORDER BY event_id LIMIT 200
 """,
@@ -6509,7 +6608,7 @@ SELECT event_type,
        max_by(event_id,
               CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id)
            AS top_event,
-       round(median(value), 2) AS med
+       CAST(round(median(value) * 200, 0) AS BIGINT) AS med_halfcents
 FROM events GROUP BY event_type ORDER BY event_type
 """,
     # Rolling median: same bounded collect+sort list spelling; the

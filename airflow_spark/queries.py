@@ -378,13 +378,16 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM op: text stats per language (corpus profiling)."""
+    """LLM op: text stats per language (corpus profiling). The mean is
+    attested as the exact integer pair (sum_chars, docs) — avg =
+    sum/docs is derivable, but hashing the rounded quotient put a
+    value exactly on a %.2f rounding tie (tie_audit class fix)."""
     t = load_tables(spark, sf_dir)
     return (
         t.documents.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("sum_chars"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
@@ -928,7 +931,13 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_suppkey",
             "s_name",
-            F.round("unit_cost", 2).alias("unit_cost"),
+            # tie-safe attestation: unit_cost is ONE correctly-rounded
+            # IEEE division (bit-identical cross-engine), so exact
+            # power-of-two fixed point has no rounding-tie surface —
+            # round(x, 2) landed values exactly on a %.2f tie
+            F.floor(F.col("unit_cost") * F.lit(float(2**20))).alias(
+                "unit_cost_fp"
+            ),
         )
         .orderBy("p_partkey")
         .limit(100)
@@ -965,10 +974,18 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
+            # profit terms are price(2dp)·(1−disc(2dp)) → the true sum
+            # is an exact multiple of 1e-4; scaled by 1e4 it is an
+            # integer that per-group FP accumulation error (≪ 0.5)
+            # cannot move across a rounding boundary — unlike
+            # round(x, 2), which landed sums exactly on a %.2f tie
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                2,
-            ).alias("profit")
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 10000,
+                0,
+            )
+            .cast("long")
+            .alias("profit_dm")
         )
         .orderBy("nation", F.col("o_year").desc())
     )
@@ -1224,7 +1241,7 @@ FROM documents GROUP BY substr(text, 1, 12) HAVING count(*) > 1
 ORDER BY keep_id
 """,
     "q27": """
-SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars,
+SELECT lang, count(*) AS docs, sum(n_chars) AS sum_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
@@ -1454,13 +1471,14 @@ r AS (
                             ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
   FROM cost)
 SELECT p_partkey, p_name, s_suppkey, s_name,
-       round(unit_cost, 2) AS unit_cost
+       CAST(floor(unit_cost * 1048576.0) AS BIGINT) AS unit_cost_fp
 FROM r WHERE rn = 1 ORDER BY p_partkey LIMIT 100
 """,
     "q47": """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000,
+                  0) AS BIGINT) AS profit_dm
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -59,6 +59,10 @@ for sf in sf0.001 sf0.01 sf0.1; do
        "CORRECTNESS_LOCAL_r${ROUND}_${sf}.json"
 done
 echo "round-close snapshots written for round ${ROUND}"
+# rounding-tie distance audit (DuckDB-only, all 3 sfs): fails on any
+# attested double column whose pre-round value sits on a round() tie
+# that straddles a %.2f boundary — the r7 cusum / r8 holt flake class
+python3 scripts/tie_audit.py > TIE_AUDIT.json
 python3 scripts/plan_report.py
 python3 scripts/scale_check.py 10
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \

@@ -1104,6 +1104,44 @@ def test_salted_join_outer_matches_plain_join(spark):
         assert got == want, how
 
 
+def test_percentile_anchors_determine_continuous_percentile(spark):
+    """The tie-safe rank-anchor attestation (n, q_lo, q_hi) must
+    DETERMINE the exact continuous percentile: interpolating
+    lo + frac·(hi−lo) at frac = q·(n−1) − floor(q·(n−1)) reproduces
+    F.percentile for every group and both quantiles — so restating
+    the hashed columns lost no semantic coverage."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from airflow_spark.catalog import load_tables
+    from airflow_spark.operators.registry import op_percentile
+
+    sf = "/root/testdata/sf0.001"
+    anchors = {r["event_type"]: r for r in op_percentile(spark, sf).collect()}
+    t = load_tables(spark, sf)
+    exact = {
+        r["event_type"]: r
+        for r in t.events.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(anchors) == set(exact) and anchors
+    for et, a in anchors.items():
+        for name, q in (("p50", 0.5), ("p95", 0.95)):
+            pos = q * (a["n"] - 1)
+            frac = pos - math.floor(pos)
+            lo, hi = a[f"{name}_lo"], a[f"{name}_hi"]
+            interp = lo + frac * (hi - lo)
+            assert interp == pytest.approx(exact[et][name], abs=1e-9), (
+                et,
+                name,
+            )
+
+
 def test_approx_percentile_within_tolerance(spark):
     """The quantile sketch must sit within the GK error bound of the
     exact percentile on a known distribution. The registry op now
