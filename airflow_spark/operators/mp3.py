@@ -775,6 +775,32 @@ def _intensity_positions(
     return out
 
 
+def patch_table_select(data: bytes, table: int) -> bytes:
+    """Fixture utility (quarantine probe + tests): overwrite granule
+    0's region-0 ``table_select`` in the FIRST frame of a mono,
+    long-block, CRC-less stream (the exact layout ``encode_mp3``
+    emits) — used to synthesize streams selecting the honestly
+    excluded big-values tables 16–23 without needing an encoder that
+    can produce them. Bit offset: 32 (header) + 9 (main_data_begin) +
+    5 (private, mono) + 4 (scfsi) + 12 + 9 + 8 + 4 + 1
+    (part2_3/big_values/gain/sfc/window_switching) = 84."""
+    if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE6) != 0xE2:
+        raise Mp3EncodeError("not an MPEG-1 Layer III frame")
+    if not data[1] & 0x01:
+        raise Mp3EncodeError("CRC-protected stream: layout differs")
+    if (data[3] >> 6) != 0b11:
+        raise Mp3EncodeError("not mono: side-info layout differs")
+    buf = bytearray(data)
+    for i, pos in enumerate(range(84, 89)):
+        byte, off = divmod(pos, 8)
+        mask = 0x80 >> off
+        if (table >> (4 - i)) & 1:
+            buf[byte] |= mask
+        else:
+            buf[byte] &= ~mask
+    return bytes(buf)
+
+
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 44100,
                kbps: int = 128, block_type: str = "long",
                scfsi: bool = False, intensity: bool = False,

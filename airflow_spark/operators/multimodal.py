@@ -635,7 +635,112 @@ def _mfcc(samples, sr: int, n_coef: int = 13, max_s: float = 10.0):
     return (logmel @ basis.T).mean(axis=0)
 
 
-def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
+# -- optional external audio decoder (the Pillow pattern, audio form) -------
+
+#: one-slot override for tests / deployments with a custom codec:
+#: ``bytes -> (mono float ndarray in [-1, 1], sample_rate)`` or None.
+#: ``False`` = unresolved (resolve lazily per process — executors each
+#: resolve their own, so presence detection works cluster-wide).
+_EXTERNAL_AUDIO_DECODER: object = False
+
+
+def set_external_audio_decoder(fn) -> None:
+    """Install (or clear, with ``None``) the process-default external
+    audio decoder used when a payload falls outside the bundled
+    WAV/Layer-III subset — e.g. MP3 streams selecting big-values
+    Huffman tables 16–23 (ADR 0001's one honest decode exclusion).
+
+    This sets PROCESS state: Spark Python workers are separate
+    processes, so a driver-side install never reaches a mapInPandas
+    task. To ship a custom decoder to executors, pass it explicitly as
+    ``external_decoder=`` on :func:`extract_audio_features` /
+    :func:`audio_quarantine_report` (it travels in the serialized task
+    closure); the default ``"auto"`` resolves audioread/ffmpeg
+    presence independently inside each worker process."""
+    global _EXTERNAL_AUDIO_DECODER
+    _EXTERNAL_AUDIO_DECODER = fn
+
+
+def _resolve_external_audio_decoder():
+    """audioread (if importable) else the ffmpeg binary (if on PATH),
+    else None. Resolved once per process and cached."""
+    global _EXTERNAL_AUDIO_DECODER
+    if _EXTERNAL_AUDIO_DECODER is not False:
+        return _EXTERNAL_AUDIO_DECODER
+    fn = None
+    try:
+        import audioread  # noqa: F401
+
+        fn = _audioread_decode
+    except ImportError:
+        import shutil
+
+        if shutil.which("ffmpeg"):
+            fn = _ffmpeg_decode
+    _EXTERNAL_AUDIO_DECODER = fn
+    return fn
+
+
+def _audioread_decode(data: bytes):
+    """Decode via audioread (needs a real file path): mono float PCM."""
+    import os
+    import tempfile
+
+    import audioread
+    import numpy as np
+
+    tmp = tempfile.NamedTemporaryFile(suffix=".audio", delete=False)
+    try:
+        tmp.write(data)
+        tmp.close()
+        with audioread.audio_open(tmp.name) as f:
+            sr, nch = f.samplerate, f.channels
+            raw = b"".join(f)
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        if nch > 1:
+            x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+        return x, int(sr)
+    except Exception:  # noqa: BLE001 — undecodable payload → not ours
+        return None
+    finally:
+        os.unlink(tmp.name)
+
+
+def _ffmpeg_decode(data: bytes, sr: int = 16000):
+    """Decode via the ffmpeg binary: 16 kHz mono s16le from stdin."""
+    import subprocess
+
+    import numpy as np
+
+    try:
+        out = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "s16le",
+             "-ac", "1", "-ar", str(sr), "pipe:1"],
+            input=data,
+            capture_output=True,
+            timeout=60,
+            check=True,
+        ).stdout
+    except Exception:  # noqa: BLE001 — undecodable payload → not ours
+        return None
+    if not out:
+        return None
+    x = np.frombuffer(out, dtype="<i2").astype(np.float64) / 32768.0
+    return x, sr
+
+
+def _try_external_audio_decode(data: bytes, external_decoder="auto"):
+    fn = (
+        _resolve_external_audio_decoder()
+        if external_decoder == "auto"
+        else external_decoder
+    )
+    return fn(data) if fn is not None else None
+
+
+def _decode_audio_impl(
+    data: bytes, meta: dict, strict: bool = False, external_decoder="auto"
+) -> dict:
     """Audio decode: REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy
     MFCCs — no external codec needed) and for the bundled MPEG-1
     Layer III subset (``mp3.decode_mp3``: mono/stereo/joint-stereo
@@ -663,11 +768,23 @@ def _decode_audio_impl(data: bytes, meta: dict, strict: bool = False) -> dict:
             "mfcc": [float(c) for c in _mfcc(x, sr)],
         }
     except Mp3DecodeError:
-        pass  # not MP3, or outside the bundled subset: stub contract
+        # not MP3, or outside the bundled subset (e.g. big-values
+        # Huffman tables 16-23): try the optional external decoder
+        # before falling to the strict raise / stub contract
+        ext = _try_external_audio_decode(data, external_decoder)
+        if ext is not None:
+            x, sr = ext
+            return {
+                "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
+                "sample_rate": int(sr),
+                "mfcc": [float(c) for c in _mfcc(x, sr)],
+            }
     if strict:
         raise NotImplementedError(
             "audio decode beyond WAV/PCM and the bundled mono Layer-III "
-            "subset requires a codec (e.g. ffmpeg); not available here "
+            "subset requires a codec (e.g. ffmpeg / audioread, picked "
+            "up automatically when present, or one installed via "
+            "set_external_audio_decoder); none available here "
             "(metadata-level ingest for any MP3 is available via "
             "extract_audio_metadata)"
         )
@@ -693,9 +810,15 @@ def extract_audio_features(
     data_col: str = "data",
     id_col: str = "media_id",
     strict: bool = False,
+    external_decoder="auto",
 ) -> DataFrame:
     """Arrow-batched audio feature extraction (same plumbing contract
-    as extract_image_features: features out, payload stays behind)."""
+    as extract_image_features: features out, payload stays behind).
+
+    ``external_decoder``: ``"auto"`` (default) resolves audioread /
+    ffmpeg presence inside each Python worker; ``None`` disables
+    external rescue; a callable ships in the task closure (how a
+    custom codec reaches executors — see set_external_audio_decoder)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -708,7 +831,9 @@ def extract_audio_features(
                     "duration_ms": None if pd.isna(dur) else int(dur),
                     "sample_rate": None if pd.isna(sr) else int(sr),
                 }
-                dec = _decode_audio_impl(raw, meta, strict=strict)
+                dec = _decode_audio_impl(
+                    raw, meta, strict=strict, external_decoder=external_decoder
+                )
                 out.append(
                     {
                         "media_id": int(mid),
@@ -733,6 +858,101 @@ def extract_audio_features(
         ).withColumn("__sr", F.lit(None).cast("int"))
     return src.select(id_col, data_col, "__dur", "__sr").mapInPandas(
         _extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
+AUDIO_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+
+def _classify_mp3_error(msg: str) -> str:
+    if "outside the supported set" in msg:
+        return "unsupported_huffman_table"
+    if "no MPEG audio frames" in msg:
+        return "unsupported_format"
+    return "corrupt_stream"
+
+
+def audio_quarantine_report(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    try_external: bool = True,
+    external_decoder="auto",
+) -> DataFrame:
+    """Pre-run corpus probe: for every audio payload, whether the
+    bundled decoder handles it ``inline``, the optional external
+    decoder (audioread/ffmpeg, see :func:`set_external_audio_decoder`)
+    rescues it (``external``), or it would ``quarantine`` — and why
+    (``unsupported_huffman_table`` = the MP3 big-values tables 16–23
+    exclusion, ``unsupported_format``, ``corrupt_stream``). Run this
+    BEFORE a feature-extraction job over an externally-sourced corpus
+    to see the quarantine rate the ADR-0001 decode boundary implies.
+
+    Same Arrow-batched ``mapInPandas`` plumbing as the extractors;
+    probing stops at the first decode error, so it is cheaper than the
+    feature pass it predicts."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import Mp3DecodeError, decode_mp3
+
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                fmt, status, reason = "unknown", "quarantined", None
+                if _decode_wav(raw) is not None:
+                    fmt, status = "wav", "inline"
+                else:
+                    try:
+                        decode_mp3(raw)
+                        fmt, status = "mp3", "inline"
+                    except Mp3DecodeError as ex:
+                        reason = _classify_mp3_error(str(ex))
+                        fmt = (
+                            "mp3"
+                            if _parse_mp3_metadata(raw) is not None
+                            else "unknown"
+                        )
+                        if (
+                            try_external
+                            and _try_external_audio_decode(
+                                raw, external_decoder
+                            )
+                            is not None
+                        ):
+                            status, reason = "external", None
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "fmt": fmt,
+                        "status": status,
+                        "reason": reason,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_QUARANTINE_SCHEMA]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(
+        _probe, AUDIO_QUARANTINE_SCHEMA
+    )
+
+
+def audio_quarantine_rates(report: DataFrame) -> DataFrame:
+    """Aggregate a :func:`audio_quarantine_report` into per
+    (fmt, status, reason) counts — exact integers, so the summary is
+    oracle-attestable without any ratio rounding."""
+    return (
+        report.groupBy("fmt", "status", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("fmt", "status", "reason")
     )
 
 

@@ -1181,17 +1181,22 @@ def op_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense hourly resample + forward fill for users 0-9 (bucket-avg
-    of observed values; gaps carry the last observation, flagged)."""
+    """Dense hourly resample + forward fill for users 0-9 — gaps carry
+    the last observation, flagged. The carried observation is attested
+    as the exact integer pair (sum·100 cents, count): the bucket MEAN
+    of cents data is a half-cent, exactly on a %.2f rounding tie where
+    engine round() builds disagree (tie_audit hazard at sf0.01/0.1);
+    the pair determines the mean and has no FP surface at all."""
     t = load_tables(spark, sf_dir)
     return (
-        timeseries.gap_fill(t.events.where(F.col("user_id") < 10))
-        .select(
-            "user_id",
-            "bucket",
-            F.round("value", 2).alias("value"),
-            "was_filled",
+        timeseries.gap_fill(
+            t.events.where(F.col("user_id") < 10),
+            agg_cols={
+                "v_cents": F.round(F.sum("value") * 100, 0).cast("long"),
+                "n_obs": F.count(F.lit(1)),
+            },
         )
+        .select("user_id", "bucket", "v_cents", "n_obs", "was_filled")
         .orderBy("user_id", "bucket")
         .limit(500)
     )
@@ -3256,7 +3261,11 @@ def op_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive STL-lite decomposition (trend = centered 24h MA,
     seasonal = hour-of-day mean of the detrended series, residual) of
     the purchase stream's hourly rate — what anomaly thresholds should
-    watch instead of raw counts."""
+    watch instead of raw counts. Attested via the interior-seasonal
+    exact-integer spelling (see ``seasonal_decompose_hourly``): every
+    component is exact integers + one final IEEE division, so the
+    doubles are bit-identical cross-engine and carry no rounding-tie
+    surface (tie_audit warned on the float-fold spelling at sf0.1)."""
     t = load_tables(spark, sf_dir)
     return (
         timeseries.seasonal_decompose_hourly(
@@ -3264,6 +3273,7 @@ def op_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "ts",
             trend_window=24,
+            interior_seasonal=True,
         )
         .limit(300)
     )
@@ -3691,6 +3701,76 @@ def op_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def op_audio_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quarantine-rate probe for the ADR-0001 audio decode
+    boundary (``multimodal.audio_quarantine_report`` → exact-count
+    rates): every 13th document synthesizes one of four deterministic
+    payload classes by ``(doc_id // 13) % 4`` — a RIFF/WAVE PCM file
+    (inline), a supported Layer-III stream (``encode_mp3`` tone,
+    inline), the SAME stream with granule-0's side-info table_select
+    patched to 16 (the honestly-excluded big-values Huffman tables
+    16–23 → quarantined, ``unsupported_huffman_table``), and a foreign
+    container (OggS magic → quarantined, ``unsupported_format``).
+    External rescue is disabled so the verdicts attest the bundled
+    boundary itself; the oracle derives the class → (fmt, status,
+    reason) mapping and counts from the id arithmetic alone, so the
+    hash attests both the classifier and the patched stream really
+    exercising the table-16 raise."""
+    import numpy as _np
+    import pandas as _pd
+
+    from . import mp3 as mp3codec
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t.documents.select(F.col("doc_id").alias("media_id"))
+        .where(F.col("doc_id") % 13 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _synth(batches):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"\x00\x01" * 320)
+        wav_bytes = buf.getvalue()
+        sr = 44100
+        tt = _np.arange(int(sr * 0.04)) / sr
+        good_mp3 = mp3codec.encode_mp3(
+            0.5 * _np.sin(2 * _np.pi * 1000.0 * tt), sr
+        )
+        bad_mp3 = mp3codec.patch_table_select(good_mp3, 16)
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                cls = (int(m) // 13) % 4
+                if cls == 0:
+                    payloads.append(wav_bytes)
+                elif cls == 1:
+                    payloads.append(good_mp3)
+                elif cls == 2:
+                    payloads.append(bad_mp3)
+                else:
+                    payloads.append(
+                        b"OggS" + bytes([int(m) % 251] * 64)
+                    )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "data": payloads}
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    report = multimodal.audio_quarantine_report(
+        payloads, try_external=False
+    )
+    return multimodal.audio_quarantine_rates(report)
+
+
 def op_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate detection attested end-to-end
     (``multimodal.image_neardup_pairs``: real BMP pixel decode →
@@ -4073,6 +4153,7 @@ def op_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,
     "op_audio_fingerprint": op_audio_fingerprint,
+    "op_audio_quarantine": op_audio_quarantine,
     "op_image_neardup": op_image_neardup,
     "op_audio_neardup": op_audio_neardup,
     "op_video_neardup": op_video_neardup,
@@ -5296,6 +5377,25 @@ JOIN documents b ON b.doc_id = a.doc_id + 6
 WHERE a.doc_id % 12 = 0
 ORDER BY id_a, id_b
 """,
+    # Quarantine-probe closed form (registry.op_audio_quarantine):
+    # the synthesized class -> (fmt, status, reason) mapping and its
+    # exact counts derived from the id arithmetic alone — a count
+    # mismatch means the probe misclassified a payload (e.g. the
+    # patched table-16 stream did NOT hit the tables-16-23 raise).
+    "op_audio_quarantine": """
+WITH probe AS (SELECT (CAST(doc_id // 13 AS BIGINT) % 4) AS cls
+               FROM documents WHERE doc_id % 13 = 0)
+SELECT CASE WHEN cls = 0 THEN 'wav'
+            WHEN cls = 3 THEN 'unknown' ELSE 'mp3' END AS fmt,
+       CASE WHEN cls IN (0, 1) THEN 'inline'
+            ELSE 'quarantined' END AS status,
+       CASE WHEN cls = 2 THEN 'unsupported_huffman_table'
+            WHEN cls = 3 THEN 'unsupported_format' END AS reason,
+       CAST(count(*) AS BIGINT) AS n
+FROM probe
+GROUP BY fmt, status, reason
+ORDER BY fmt, status, reason
+""",
     # Planted cross-codec audio-pair closed form
     # (registry.op_audio_neardup): the WAV member and the Layer-III
     # member of each pair fingerprint to the same planted bin. Written
@@ -6350,20 +6450,25 @@ GROUP BY r_name ORDER BY r_name
 """,
     "op_gap_fill": """
 WITH actual AS (
-  SELECT user_id, date_trunc('hour', ts) AS bucket, avg(value) AS v
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(round(sum(value) * 100, 0) AS BIGINT) AS vc,
+         CAST(count(*) AS BIGINT) AS nb
   FROM events WHERE user_id < 10 GROUP BY user_id, date_trunc('hour', ts)),
 bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
            FROM actual GROUP BY user_id),
 spine AS (SELECT user_id,
                  unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
           FROM bounds),
-j AS (SELECT s.user_id, s.bucket, a.v
+j AS (SELECT s.user_id, s.bucket, a.vc, a.nb
       FROM spine s LEFT JOIN actual a USING (user_id, bucket))
 SELECT user_id, bucket,
-       round(last_value(v IGNORE NULLS) OVER (
+       last_value(vc IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value,
-       (v IS NULL) AS was_filled
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cents,
+       last_value(nb IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_obs,
+       (vc IS NULL) AS was_filled
 FROM j ORDER BY user_id, bucket LIMIT 500
 """,
     "op_label_outliers": """
@@ -7830,21 +7935,21 @@ hourly AS (SELECT spine.event_type, spine.h,
                   CAST(coalesce(c, 0) AS DOUBLE) AS c
            FROM spine LEFT JOIN hourly0 USING (event_type, h)),
 tr AS (SELECT event_type, h, extract(hour FROM h) AS hod, c,
-              avg(c) OVER w AS trend,
-              count(*) OVER w AS n_window
+              CAST(sum(c) OVER w AS BIGINT) AS s,
+              CAST(count(*) OVER w AS BIGINT) AS n_window
        FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-se AS (SELECT event_type, hod, avg(c - trend) AS seasonal
-       FROM tr GROUP BY event_type, hod)
+se AS (SELECT event_type, hod,
+              CAST(sum(25 * CAST(c AS BIGINT) - s) AS BIGINT) AS num,
+              CAST(25 * count(*) AS BIGINT) AS den
+       FROM tr WHERE n_window = 25 GROUP BY event_type, hod)
 SELECT tr.event_type, h, CAST(c AS BIGINT) AS n_events,
-       CASE WHEN abs(trend) < 1e-9 THEN 0.0
-            ELSE round(trend, 4) END AS trend,
-       CASE WHEN abs(seasonal) < 1e-9 THEN 0.0
-            ELSE round(seasonal, 4) END AS seasonal,
-       CASE WHEN abs(c - trend - seasonal) < 1e-9 THEN 0.0
-            ELSE round(c - trend - seasonal, 4) END AS residual,
-       CAST(n_window AS BIGINT) AS n_window
-FROM tr JOIN se ON tr.event_type = se.event_type AND tr.hod = se.hod
+       CAST(s AS DOUBLE) / CAST(n_window AS DOUBLE) AS trend,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS seasonal,
+       c - CAST(s AS DOUBLE) / CAST(n_window AS DOUBLE)
+         - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS residual,
+       n_window
+FROM tr LEFT JOIN se ON tr.event_type = se.event_type AND tr.hod = se.hod
 ORDER BY tr.event_type, h LIMIT 300
 """
 

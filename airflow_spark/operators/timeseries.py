@@ -193,6 +193,7 @@ def gap_fill(
     value_col: str = "value",
     bucket: str = "hour",
     step: str = "INTERVAL 1 HOUR",
+    agg_cols: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Resample an event stream onto a dense per-key time grid with
     forward fill: bucket-average the observed values, explode each
@@ -202,13 +203,22 @@ def gap_fill(
     (``last(..., ignorenulls)`` over an unbounded-preceding ROWS
     frame). Output: (key, bucket, value, was_filled).
 
+    ``agg_cols`` overrides the per-bucket aggregates: a mapping of
+    output name → aggregate Column, every one forward-filled together
+    (used e.g. to carry the exact (sum·100, count) integer pair
+    instead of the rounded bucket mean — the mean of cents data is a
+    half-cent, exactly on a %.2f rounding tie; tie_audit class fix).
+
     Scale: one grouped agg + one per-key window — both shuffle on the
     key; the spine explode adds rows proportional to each key's time
     span, never |keys| × global range.
     """
+    if agg_cols is None:
+        agg_cols = {"value": F.avg(value_col)}
+    names = list(agg_cols)
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     actual = df.groupBy(F.col(key_col), b).agg(
-        F.avg(value_col).alias("__v")
+        *[expr.alias(f"__{n}") for n, expr in agg_cols.items()]
     )
     bounds = actual.groupBy(key_col).agg(
         F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
@@ -228,8 +238,11 @@ def gap_fill(
     return j.select(
         key_col,
         "bucket",
-        F.last("__v", ignorenulls=True).over(w).alias("value"),
-        F.col("__v").isNull().alias("was_filled"),
+        *[
+            F.last(f"__{n}", ignorenulls=True).over(w).alias(n)
+            for n in names
+        ],
+        F.col(f"__{names[0]}").isNull().alias("was_filled"),
     )
 
 
@@ -1049,6 +1062,7 @@ def seasonal_decompose_hourly(
     key_col: str = "event_type",
     ts_col: str = "ts",
     trend_window: int = 24,
+    interior_seasonal: bool = False,
 ) -> DataFrame:
     """Additive STL-lite decomposition of each key's hourly rate:
     count = trend (centered moving average over ``trend_window + 1``
@@ -1064,7 +1078,19 @@ def seasonal_decompose_hourly(
     (``dense_hourly_counts`` — a sparse frame would let the centered
     MA silently bridge multi-day gaps as if adjacent). Edge hours
     without a full centered window use the partial average (standard
-    practice; flagged via n_window)."""
+    practice; flagged via n_window).
+
+    ``interior_seasonal=True`` estimates the hour-of-day means from
+    FULL-window rows only and computes every component through exact
+    integer arithmetic with one final IEEE division — counts and
+    window sums are exact integers, so trend = S/n and
+    seasonal = Σ(full·c − S) / (full·m) are bit-identical on every
+    compliant engine and need no rounding or zero-snapping at all
+    (the default spelling's seasonal mean is an order-dependent float
+    fold whose 4-decimal rounding can land on a %.2f tie — the
+    tie_audit hazard class). Statistically this is the textbook STL
+    choice anyway: edge trend estimates are biased, so interior rows
+    should carry the seasonal fit."""
     hourly = dense_hourly_counts(df, key_col, ts_col)
     half = trend_window // 2
     w_ma = (
@@ -1072,6 +1098,46 @@ def seasonal_decompose_hourly(
         .orderBy("h")
         .rowsBetween(-half, half)
     )
+    if interior_seasonal:
+        full = 2 * half + 1
+        trended = hourly.select(
+            key_col,
+            "h",
+            F.hour("h").alias("hod"),
+            "c",
+            F.sum("c").over(w_ma).cast("long").alias("__s"),
+            F.count(F.lit(1)).over(w_ma).cast("long").alias("n_window"),
+        )
+        trend = F.col("__s").cast("double") / F.col("n_window").cast(
+            "double"
+        )
+        seas = (
+            trended.where(F.col("n_window") == full)
+            .groupBy(key_col, "hod")
+            .agg(
+                F.sum(
+                    F.lit(full) * F.col("c").cast("long") - F.col("__s")
+                ).alias("__num"),
+                (F.count(F.lit(1)) * full).cast("long").alias("__den"),
+            )
+        )
+        seasonal = F.col("__num").cast("double") / F.col("__den").cast(
+            "double"
+        )
+        resid = F.col("c") - trend - seasonal
+        return (
+            trended.join(F.broadcast(seas), [key_col, "hod"], "left")
+            .select(
+                key_col,
+                "h",
+                F.col("c").cast("bigint").alias("n_events"),
+                trend.alias("trend"),
+                seasonal.alias("seasonal"),
+                resid.alias("residual"),
+                "n_window",
+            )
+            .orderBy(key_col, "h")
+        )
     trended = hourly.select(
         key_col,
         "h",

@@ -1263,6 +1263,78 @@ def test_non_wav_audio_still_stubs(spark):
         multimodal.extract_audio_features(df, strict=True).collect()
 
 
+def _table16_stream():
+    """A valid encoder stream patched to select big-values table 16 —
+    the honestly-excluded Huffman range (ADR 0001)."""
+    import numpy as np
+
+    from airflow_spark.operators import mp3
+
+    sr = 44100
+    t = np.arange(int(sr * 0.04)) / sr
+    return mp3.patch_table_select(
+        mp3.encode_mp3(0.5 * np.sin(2 * np.pi * 1000.0 * t), sr), 16
+    )
+
+
+def test_external_audio_decoder_rescues_excluded_stream(spark):
+    """The pluggable external-decoder seam: a stream selecting the
+    excluded table-16 range quarantines with external rescue disabled,
+    and decodes REAL features once a decoder is passed (a fake here —
+    the closure-shipping wiring is what's under test; the real-ffmpeg
+    path has its own skip-if-absent test). The quarantine probe must
+    report the same transition."""
+    import numpy as np
+
+    payload = _table16_stream()
+    df = spark.createDataFrame([(1, payload)], "media_id LONG, data BINARY")
+
+    # no decoder -> strict raises, probe quarantines with the
+    # table-16-specific reason
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_audio_features(
+            df, strict=True, external_decoder=None
+        ).collect()
+    probe = multimodal.audio_quarantine_report(
+        df, try_external=False
+    ).first()
+    assert probe["fmt"] == "mp3"
+    assert probe["status"] == "quarantined"
+    assert probe["reason"] == "unsupported_huffman_table"
+
+    # decoder passed -> ships in the task closure to the Python
+    # workers; strict decodes, probe says 'external'
+    sr = 8000
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(sr // 2) / sr)
+    fake = lambda data: (tone, sr)  # noqa: E731
+    row = multimodal.extract_audio_features(
+        df, strict=True, external_decoder=fake
+    ).first()
+    assert row["sample_rate"] == sr
+    assert abs(row["duration_ms"] - 500) <= 1
+    assert len(row["mfcc"]) == 13
+    probe2 = multimodal.audio_quarantine_report(
+        df, external_decoder=fake
+    ).first()
+    assert probe2["status"] == "external" and probe2["reason"] is None
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="ffmpeg binary not on PATH",
+)
+def test_ffmpeg_external_decoder_real(spark):
+    """With a real ffmpeg present, the excluded stream decodes through
+    the subprocess hook end-to-end (no fake) — and 'auto' resolution
+    inside the workers finds it without any explicit wiring."""
+    payload = _table16_stream()
+    df = spark.createDataFrame([(1, payload)], "media_id LONG, data BINARY")
+    row = multimodal.extract_audio_features(df, strict=True).first()
+    assert row["sample_rate"] == 16000 and len(row["mfcc"]) == 13
+    probe = multimodal.audio_quarantine_report(df).first()
+    assert probe["status"] == "external"
+
+
 def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
     from airflow_spark.operators.sampling import weighted_sample
 
