@@ -92,9 +92,21 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
+    #   3. anything >= 1.5x its prior recording re-runs even below the
+    #      flag gate's 1 s delta floor — sub-2 s rows like r8's
+    #      q31/q37/q42 shipped ~2x inflated in BENCH_FULL (never
+    #      flagged, never retimed) and polluted the artifact future
+    #      rounds diff against.
     flagged = set(_flag_regressions(timings, sf) or {})
+    prior_rec = _prior_recording(sf)
+    prior_qs = prior_rec["queries"] if prior_rec else {}
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if t <= 2.0 and name not in flagged:
+        drifted = (
+            name in prior_qs
+            and prior_qs[name] > 0
+            and t / prior_qs[name] >= 1.5
+        )
+        if t <= 2.0 and name not in flagged and not drifted:
             continue
         _retime(name)
     # confirmation pass: anything STILL flagged after min-of-two gets

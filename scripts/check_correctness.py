@@ -37,9 +37,11 @@ def main() -> int:
     memos = oracle_memo_plans()
     t0 = time.time()
     results, failures = {}, []
+    timings: dict[str, float] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
+        q0 = time.time()
         try:
             if name in sqls:
                 rec = compare(spark, sf_dir, name, qs[name](spark, sf_dir),
@@ -53,7 +55,9 @@ def main() -> int:
             results[name] = f"ERROR:{type(ex).__name__}"
             failures.append((name, str(ex)[:200]))
         finally:
+            timings[name] = round(time.time() - q0, 2)
             spark.catalog.clearCache()  # drop per-op persisted indexes
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
     print(json.dumps({
         "sf_dir": sf_dir,
         "elapsed_s": round(time.time() - t0, 1),
@@ -62,6 +66,7 @@ def main() -> int:
         "n_failures": len(failures),
         "digest": _family_digest(results),
         "never_windowed": _never_windowed(qs),
+        "slowest": slowest,
         "results": results,
     }, indent=2))
     for name, detail in failures:

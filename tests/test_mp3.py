@@ -1081,3 +1081,54 @@ def test_direct_tables_11_and_12_decode_exact():
             flat[:2], [x ** (4.0 / 3.0), -(y ** (4.0 / 3.0))],
             rtol=1e-12,
         )
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="ffmpeg (independent encoder) not on PATH",
+)
+def test_foreign_encoder_golden_stream_spectrum():
+    """Foreign-stream interop attestation (closes the same-length-swap
+    blind spot documented in test_bv_tables_complete_and_prefix_free
+    for whatever tables the foreign encoder actually selects): encode
+    a bin-centered tone with an INDEPENDENT encoder (ffmpeg/libmp3lame
+    — none of our tables, none of our bit-writing), decode the bytes
+    with OUR decoder, and assert the dominant spectral bin survives
+    the round trip. If the foreign stream selects the excluded tables
+    16-23 the decode raises and the test SKIPS — that is the honest
+    boundary (ADR 0001), and the external-decoder hook is the
+    production path for such corpora."""
+    import subprocess
+
+    from airflow_spark.operators.mp3 import Mp3DecodeError, decode_mp3
+
+    sr, nfft = 44100, 8192
+    bin_k = 172  # ~926 Hz, mid-band
+    t = np.arange(int(sr * 0.5)) / sr
+    tone = 0.6 * np.sin(2 * np.pi * (bin_k * sr / nfft) * t)
+    pcm = (tone * 32767).astype("<i2").tobytes()
+    try:
+        enc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "s16le", "-ar", str(sr),
+             "-ac", "1", "-i", "pipe:0", "-codec:a", "libmp3lame",
+             "-b:a", "128k", "-f", "mp3", "pipe:1"],
+            input=pcm, capture_output=True, timeout=120, check=True,
+        ).stdout
+    except subprocess.CalledProcessError:
+        pytest.skip("ffmpeg lacks libmp3lame")
+    # strip any ID3v2 header ffmpeg prepends (decode_mp3 wants frames)
+    if enc[:3] == b"ID3":
+        size = (
+            (enc[6] << 21) | (enc[7] << 14) | (enc[8] << 7) | enc[9]
+        )
+        enc = enc[10 + size:]
+    try:
+        y, got_sr = decode_mp3(enc)
+    except Mp3DecodeError as ex:
+        if "outside the supported set" in str(ex):
+            pytest.skip(f"foreign stream selects excluded tables: {ex}")
+        raise
+    assert got_sr == sr
+    seg = y[4000:4000 + nfft] * np.hanning(nfft)
+    peak = int(np.argmax(np.abs(np.fft.rfft(seg))))
+    assert abs(peak - bin_k) <= 1, (peak, bin_k)
