@@ -4769,11 +4769,13 @@ def _sql_dedup_minhash() -> str:
 def _sql_closure_prefix(threshold: float = 0.8) -> str:
     """The exact-all-pairs Jaccard + ``WITH RECURSIVE`` min-label
     reachability closure shared VERBATIM by the collapse and survivors
-    oracles (ends with the ``comp(id, cluster)`` CTE). Factored out so
-    the local check harness can materialize it ONCE per (sf_dir,
-    threshold) — the closure dominated the sf0.1 verify chain when the
-    two twins each recomputed it (round-7 judge advisory) — while the
-    driver-visible strings stay fully self-contained."""
+    oracles (ends with the ``comp(id, cluster)`` CTE). The
+    driver-visible strings stay fully self-contained; the local check
+    harness instead memoizes the all-pairs PAIR TABLE once per
+    (sf_dir, threshold) and runs ``_MEMO_CLOSURE`` over it — see
+    ``oracle_memo_plans`` for why pairs-level materialization beats
+    closure-level (round-9: DuckDB plans the shingle self-join ~4x
+    slower under WITH RECURSIVE)."""
     return f"""
 WITH RECURSIVE
 t AS (SELECT doc_id AS id, {_SQL_CHAR_SHINGLES} AS shs FROM documents),
@@ -4836,25 +4838,53 @@ def _sql_dedup_survivors(threshold: float = 0.8) -> str:
     return _sql_closure_prefix(threshold) + "," + _SQL_SURVIVORS_TAIL
 
 
+#: min-label reachability closure over the memoized pair table — the
+#: same edges/reach/comp text as ``_sql_closure_prefix`` with ``pairs``
+#: fed from ``__memo`` instead of recomputing the all-pairs Jaccard.
+_MEMO_CLOSURE = """
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM __memo),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b AS s, id_a AS d FROM pairs),
+reach(id, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
+
+
 def oracle_memo_plans() -> dict[str, tuple[str, str, str]]:
     """Local-harness memoization plans: entry name → (cache key,
     materialize SELECT, rewritten SELECT over the ``__memo`` view).
 
-    The rewritten form is equivalent BY CONSTRUCTION: the driver-facing
-    oracle string is ``prefix + tail`` and the rewrite replaces exactly
-    the prefix's ``comp`` CTE with the materialized table, reusing the
-    same tail text. Only the local check harness uses these — the
-    driver always runs the self-contained ``oracle_sql()`` strings."""
-    key = "dedup_closure_0.8"
-    materialize = _sql_closure_prefix(0.8) + "\nSELECT id, cluster FROM comp"
+    The memo is the exact all-pairs Jaccard ≥ 0.8 pair table (char
+    5-gram shingles) — the text shared VERBATIM by the minhash oracle
+    and, as its ``pairs`` CTE (ids only; the threshold filter uses the
+    unrounded quotient in both spellings), by the collapse/survivors
+    closure prefix. Materializing the pairs ALONE matters beyond
+    sharing: embedded under ``WITH RECURSIVE`` DuckDB plans the
+    shingle self-join ~4x slower than standalone (measured 390 s vs
+    100 s at sf0.1), so even the single-op closure is faster this way.
+    The rewritten forms are equivalent by construction: the
+    driver-facing strings are ``pairs-text + tail`` and the rewrites
+    replace exactly the pairs text with the materialized table. Only
+    the local check harness uses these — the driver always runs the
+    self-contained ``oracle_sql()`` strings."""
+    key = "dedup_jpairs_0.8"
+    materialize = _sql_dedup_minhash()
     return {
+        "op_dedup_minhash": (
+            key, materialize,
+            "SELECT id_a, id_b, jaccard FROM __memo "
+            "ORDER BY id_a, id_b",
+        ),
         "op_dedup_collapse": (
             key, materialize,
-            "WITH comp AS (SELECT * FROM __memo)" + _SQL_COLLAPSE_TAIL,
+            _MEMO_CLOSURE + _SQL_COLLAPSE_TAIL,
         ),
         "op_dedup_survivors": (
             key, materialize,
-            "WITH comp AS (SELECT * FROM __memo)," + _SQL_SURVIVORS_TAIL,
+            _MEMO_CLOSURE + "," + _SQL_SURVIVORS_TAIL,
         ),
     }
 

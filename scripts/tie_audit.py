@@ -245,15 +245,26 @@ def main() -> int:
         sf = os.path.basename(sf_dir.rstrip("/"))
         con = oracle.duckdb_connection(sf_dir)
         memo_done: set[str] = set()
+        memo_sqls: dict[str, str] = {}
         try:
-            for name in sorted(sqls):
-                sql = sqls[name]
-                if name in memos:
+            audit_list = list(sorted(sqls))
+            for name in audit_list:
+                if name.startswith("__memo:"):
+                    sql = memo_sqls[name]
+                elif name in memos:
                     key, mat_sql, rew_sql = memos[name]
                     if key not in memo_done:
                         con.register("__memo", con.execute(mat_sql).arrow())
                         memo_done.add(key)
+                        # rounds hidden inside the materialization (the
+                        # rewrite selects pre-rounded memo columns) keep
+                        # audit coverage via a pseudo-entry
+                        pseudo = f"__memo:{key}"
+                        memo_sqls[pseudo] = mat_sql
+                        audit_list.append(pseudo)
                     sql = rew_sql
+                else:
+                    sql = sqls[name]
                 audited_sql, aliases, probes, notes = rewrite(sql)
                 ent = report["ops"].setdefault(
                     name, {"columns": {}, "unaudited": notes}

@@ -103,7 +103,11 @@ def test_oracle_memo_plans_equivalent(sf_smoke):
     )
 
     plans = oracle_memo_plans()
-    assert set(plans) == {"op_dedup_collapse", "op_dedup_survivors"}
+    assert set(plans) == {
+        "op_dedup_collapse",
+        "op_dedup_survivors",
+        "op_dedup_minhash",
+    }
     for name, (key, materialize_sql, rewritten_sql) in plans.items():
         con = duckdb_connection(sf_smoke)
         try:
