@@ -785,7 +785,11 @@ def patch_table_select(data: bytes, table: int) -> bytes:
     5 (private, mono) + 4 (scfsi) + 12 + 9 + 8 + 4 + 1
     (part2_3/big_values/gain/sfc/window_switching) = 84."""
     if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE6) != 0xE2:
-        raise Mp3EncodeError("not an MPEG-1 Layer III frame")
+        raise Mp3EncodeError("not an MPEG Layer III frame")
+    if (data[1] >> 3) & 0x03 != 0x03:
+        # MPEG-2/2.5 side info has an 8-bit main_data_begin and
+        # different field widths — bit 84 would NOT be table_select
+        raise Mp3EncodeError("not MPEG-1: side-info layout differs")
     if not data[1] & 0x01:
         raise Mp3EncodeError("CRC-protected stream: layout differs")
     if (data[3] >> 6) != 0b11:

@@ -750,35 +750,27 @@ def _decode_audio_impl(
     0001 for the exact boundary); other formats follow the stub
     contract (strict raises; otherwise a deterministic fake derived
     from the payload hash, preserving declared metadata)."""
-    wav = _decode_wav(data)
-    if wav is not None:
-        x, sr = wav
+    def _features(x, sr) -> dict:
         return {
             "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
             "sample_rate": int(sr),
             "mfcc": [float(c) for c in _mfcc(x, sr)],
         }
+
+    wav = _decode_wav(data)
+    if wav is not None:
+        return _features(*wav)
     try:
         from .mp3 import Mp3DecodeError, decode_mp3
 
-        x, sr = decode_mp3(data)
-        return {
-            "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
-            "sample_rate": int(sr),
-            "mfcc": [float(c) for c in _mfcc(x, sr)],
-        }
+        return _features(*decode_mp3(data))
     except Mp3DecodeError:
         # not MP3, or outside the bundled subset (e.g. big-values
         # Huffman tables 16-23): try the optional external decoder
         # before falling to the strict raise / stub contract
         ext = _try_external_audio_decode(data, external_decoder)
         if ext is not None:
-            x, sr = ext
-            return {
-                "duration_ms": int(round(1000.0 * len(x) / sr)) if sr else 0,
-                "sample_rate": int(sr),
-                "mfcc": [float(c) for c in _mfcc(x, sr)],
-            }
+            return _features(*ext)
     if strict:
         raise NotImplementedError(
             "audio decode beyond WAV/PCM and the bundled mono Layer-III "

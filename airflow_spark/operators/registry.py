@@ -317,10 +317,21 @@ def _percentile_anchors(events: DataFrame, qs: dict[str, float]) -> DataFrame:
     a raw parquet double, bit-identical cross-engine. The interpolated
     midpoint itself is NOT hashed: cents-granular values put it exactly
     on a %.2f rounding tie where engine round() builds legitimately
-    disagree (the r8 holt-class flake; found by scripts/tie_audit.py)."""
+    disagree (the r8 holt-class flake; found by scripts/tie_audit.py).
+
+    Scale posture: rank-per-group windows sort each group on one
+    reducer — the same memory shape as Spark's exact ``percentile``
+    buffer, fine for attestation and low-cardinality groups; the
+    100 TB quantile path stays ``op_approx_percentile``'s mergeable GK
+    sketch (whose accuracy THESE anchors attest)."""
     wk = Window.partitionBy("event_type")
     ranked = (
+        # NULLs out BEFORE ranking: F.percentile ignores them, and the
+        # engines rank them on opposite ends (Spark NULLS FIRST,
+        # DuckDB NULLS LAST) — with any NULL present the anchors would
+        # silently pick different data values per engine
         events.select("event_type", "value")
+        .where(F.col("value").isNotNull())
         .withColumn("__rn", F.row_number().over(wk.orderBy("value")))
         .withColumn("__n", F.count(F.lit(1)).over(wk))
     )
@@ -776,8 +787,14 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is rounded at all."""
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("value")
-    cd = t.events.select("event_type", "value").withColumn(
-        "__cd", F.cume_dist().over(w)
+    # NULLs out before ranking — the engines sort them on opposite
+    # ends, which would shift every cume_dist value (same guard as
+    # _percentile_anchors); NULL rows still pass through the clip
+    # projection unchanged (least/greatest propagate NULL)
+    cd = (
+        t.events.select("event_type", "value")
+        .where(F.col("value").isNotNull())
+        .withColumn("__cd", F.cume_dist().over(w))
     )
     pct = cd.groupBy("event_type").agg(
         F.min(F.when(F.col("__cd") >= 0.05, F.col("value"))).alias("__lo"),
@@ -4736,6 +4753,34 @@ _SQL_WORD_SHINGLES = (
 )
 
 
+def _sql_percentile_anchors(extra_cols: str = "") -> str:
+    """Oracle twin of ``_percentile_anchors`` (p50/p95 over
+    events.value): group size + the bracketing sorted-rank data values
+    that determine each exact continuous percentile — every attested
+    cell a raw parquet double, no interpolated midpoint to land on a
+    %.2f rounding tie. NULLs are filtered BEFORE ranking (Spark sorts
+    them first, DuckDB last — with any NULL the two engines would rank
+    every real value differently). ``extra_cols`` appends columns to
+    the final SELECT (op_approx_percentile's accuracy booleans)."""
+    return f"""
+WITH r AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_lo,
+       max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_hi,
+       max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p95_lo,
+       max(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p95_hi{extra_cols}
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _sql_exact_jaccard_pairs(shingle_expr: str, threshold: float,
                              pre: str = "") -> str:
     """All-pairs exact Jaccard ≥ threshold over per-doc distinct shingle
@@ -6151,23 +6196,7 @@ ORDER BY o_orderkey LIMIT 200
     # anchors (raw data doubles — tie-free), not the interpolated
     # midpoint (which lands exactly on a %.2f rounding tie for cents
     # data; see scripts/tie_audit.py).
-    "op_percentile": """
-WITH r AS (SELECT event_type, value,
-                  row_number() OVER (PARTITION BY event_type
-                                     ORDER BY value) AS rn,
-                  count(*) OVER (PARTITION BY event_type) AS n
-           FROM events)
-SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p50_lo,
-       max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p50_hi,
-       max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p95_lo,
-       max(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p95_hi
-FROM r GROUP BY event_type ORDER BY event_type
-""",
+    "op_percentile": _sql_percentile_anchors(),
     # Derived check: exact distinct count + literal TRUE; the Spark
     # side computes TRUE iff the HLL estimate is within 2x rsd.
     "op_approx_count_distinct": """
@@ -6178,24 +6207,9 @@ FROM orders
     # Derived check: exact-quantile rank anchors (same tie-safe
     # spelling as op_percentile) + literal TRUE accuracy booleans for
     # the GK sketch.
-    "op_approx_percentile": """
-WITH r AS (SELECT event_type, value,
-                  row_number() OVER (PARTITION BY event_type
-                                     ORDER BY value) AS rn,
-                  count(*) OVER (PARTITION BY event_type) AS n
-           FROM events)
-SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p50_lo,
-       max(CASE WHEN rn = CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p50_hi,
-       max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p95_lo,
-       max(CASE WHEN rn = CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1
-                THEN value END) AS p95_hi,
-       TRUE AS p50_ok, TRUE AS p95_ok
-FROM r GROUP BY event_type ORDER BY event_type
-""",
+    "op_approx_percentile": _sql_percentile_anchors(
+        ",\n       TRUE AS p50_ok, TRUE AS p95_ok"
+    ),
     "op_string_funcs": """
 SELECT p_partkey, trim(p_name) AS t, lpad(p_brand, 12, '_') AS padded,
        replace(p_name, ' ', '-') AS dashed,
@@ -6424,7 +6438,7 @@ ORDER BY event_id LIMIT 200
 WITH c AS (SELECT event_type, value,
                   cume_dist() OVER (PARTITION BY event_type
                                     ORDER BY value) AS cd
-           FROM events),
+           FROM events WHERE value IS NOT NULL),
 p AS (SELECT event_type,
              min(CASE WHEN cd >= 0.05 THEN value END) AS lo,
              min(CASE WHEN cd >= 0.95 THEN value END) AS hi

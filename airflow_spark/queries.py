@@ -974,18 +974,20 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
-            # profit terms are price(2dp)·(1−disc(2dp)) → the true sum
-            # is an exact multiple of 1e-4; scaled by 1e4 it is an
-            # integer that per-group FP accumulation error (≪ 0.5)
-            # cannot move across a rounding boundary — unlike
-            # round(x, 2), which landed sums exactly on a %.2f tie
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                * 10000,
-                0,
-            )
-            .cast("long")
-            .alias("profit_dm")
+            # profit in exact 1e-4 units via pure integer arithmetic:
+            # price and discount are 2-decimal data, so round(x·100)
+            # recovers their exact cents (the product is within ulps
+            # of an integer — never at a .5 tie), and the BIGINT sum
+            # of cents_p·(100−cents_d) is EXACT at any scale — no FP
+            # accumulation for a rounding boundary to flake on, unlike
+            # round(sum, 2), which landed sums exactly on a %.2f tie
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
+                )
+            ).alias("profit_dm")
         )
         .orderBy("nation", F.col("o_year").desc())
     )
@@ -1477,8 +1479,9 @@ FROM r WHERE rn = 1 ORDER BY p_partkey LIMIT 100
     "q47": """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000,
-                  0) AS BIGINT) AS profit_dm
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS profit_dm
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

@@ -81,6 +81,9 @@ def find_round_calls(sql: str) -> list[tuple[int, int, str, int]]:
             dtxt = sql[top_commas[0] + 1 : end].strip()
             if re.fullmatch(r"-?\d+", dtxt):
                 calls.append((j, end + 1, expr, int(dtxt)))
+        elif not top_commas:
+            # single-argument round(x) == round(x, 0) — same tie class
+            calls.append((j, end + 1, sql[k + 1 : end].strip(), 0))
         i = end + 1
     return calls
 

@@ -148,9 +148,12 @@ def test_kmv_merge_equals_direct_sketch(spark, values, k, n_groups):
         else:
             # n_distinct == k saturates the sketch — indistinguishable
             # from "more than k", so the estimator switches to
-            # (k−1)·2⁶⁰/h_k; assert it lands within the KMV relative
-            # error bound (~1/√k) of the truth instead of exactness
-            assert abs(est["distinct_est"] - k) <= 3.0 * k / (k**0.5), (
+            # (k−1)·2⁶⁰/h_k. Deterministic-ish bounds, NOT a sigma
+            # band (hypothesis draws fresh hashes every run): the
+            # estimate is ≥ k−1 by construction (h_k ≤ 2⁶⁰), and
+            # P(est > 2.5k) = ((k−1)/2.5k)^k ≈ 1.5e-7 at k=16 — no
+            # realistic flake surface
+            assert k - 1 <= est["distinct_est"] <= 2.5 * k, (
                 est["distinct_est"],
                 k,
             )
