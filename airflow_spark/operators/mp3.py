@@ -794,6 +794,13 @@ def patch_table_select(data: bytes, table: int) -> bytes:
         raise Mp3EncodeError("CRC-protected stream: layout differs")
     if (data[3] >> 6) != 0b11:
         raise Mp3EncodeError("not mono: side-info layout differs")
+    # bit 83 = granule-0 windows_switching_flag: when set, bits 84-88
+    # are block_type/mixed_block_flag + a partial table_select, NOT
+    # the long-block region-0 table_select this function targets
+    if data[10] & 0x10:
+        raise Mp3EncodeError(
+            "window-switching granule: table_select sits elsewhere"
+        )
     buf = bytearray(data)
     for i, pos in enumerate(range(84, 89)):
         byte, off = divmod(pos, 8)

@@ -637,18 +637,24 @@ def _mfcc(samples, sr: int, n_coef: int = 13, max_s: float = 10.0):
 
 # -- optional external audio decoder (the Pillow pattern, audio form) -------
 
-#: one-slot override for tests / deployments with a custom codec:
-#: ``bytes -> (mono float ndarray in [-1, 1], sample_rate)`` or None.
-#: ``False`` = unresolved (resolve lazily per process — executors each
-#: resolve their own, so presence detection works cluster-wide).
-_EXTERNAL_AUDIO_DECODER: object = False
+#: one-slot OVERRIDE for tests / deployments with a custom codec:
+#: ``bytes -> (mono float ndarray in [-1, 1], sample_rate)``. ``None``
+#: means no override — "auto" falls through to presence resolution.
+_EXTERNAL_AUDIO_DECODER = None
+#: cache for the auto-resolved default (``False`` = not yet resolved;
+#: kept separate from the override so clearing an override restores
+#: auto resolution instead of pinning rescue off for the process).
+_RESOLVED_DEFAULT: object = False
 
 
 def set_external_audio_decoder(fn) -> None:
-    """Install (or clear, with ``None``) the process-default external
-    audio decoder used when a payload falls outside the bundled
-    WAV/Layer-III subset — e.g. MP3 streams selecting big-values
-    Huffman tables 16–23 (ADR 0001's one honest decode exclusion).
+    """Install (or clear, with ``None``) a process-level OVERRIDE of
+    the external audio decoder used when a payload falls outside the
+    bundled WAV/Layer-III subset — e.g. MP3 streams selecting
+    big-values Huffman tables 16–23 (ADR 0001's one honest decode
+    exclusion). Clearing restores the ``"auto"`` default (audioread /
+    ffmpeg presence resolution); to DISABLE rescue for a call, pass
+    ``external_decoder=None`` on the extractor instead.
 
     This sets PROCESS state: Spark Python workers are separate
     processes, so a driver-side install never reaches a mapInPandas
@@ -662,11 +668,14 @@ def set_external_audio_decoder(fn) -> None:
 
 
 def _resolve_external_audio_decoder():
-    """audioread (if importable) else the ffmpeg binary (if on PATH),
-    else None. Resolved once per process and cached."""
-    global _EXTERNAL_AUDIO_DECODER
-    if _EXTERNAL_AUDIO_DECODER is not False:
+    """The installed override, else audioread (if importable), else
+    the ffmpeg binary (if on PATH), else None. Presence resolution
+    happens once per process and is cached."""
+    global _RESOLVED_DEFAULT
+    if _EXTERNAL_AUDIO_DECODER is not None:
         return _EXTERNAL_AUDIO_DECODER
+    if _RESOLVED_DEFAULT is not False:
+        return _RESOLVED_DEFAULT
     fn = None
     try:
         import audioread  # noqa: F401
@@ -677,7 +686,7 @@ def _resolve_external_audio_decoder():
 
         if shutil.which("ffmpeg"):
             fn = _ffmpeg_decode
-    _EXTERNAL_AUDIO_DECODER = fn
+    _RESOLVED_DEFAULT = fn
     return fn
 
 

@@ -789,8 +789,7 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("value")
     # NULLs out before ranking — the engines sort them on opposite
     # ends, which would shift every cume_dist value (same guard as
-    # _percentile_anchors); NULL rows still pass through the clip
-    # projection unchanged (least/greatest propagate NULL)
+    # _percentile_anchors)
     cd = (
         t.events.select("event_type", "value")
         .where(F.col("value").isNotNull())
@@ -800,15 +799,16 @@ def op_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("__cd") >= 0.05, F.col("value"))).alias("__lo"),
         F.min(F.when(F.col("__cd") >= 0.95, F.col("value"))).alias("__hi"),
     )
+    # NULL measurements stay NULL explicitly: least/greatest SKIP
+    # nulls in both engines (they don't propagate), so an unguarded
+    # clip would silently fabricate the p05 bound for a NULL value
+    clip = F.when(
+        F.col("value").isNotNull(),
+        F.least(F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")),
+    )
     return (
         t.events.join(F.broadcast(pct), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            F.least(
-                F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")
-            ).alias("v_winsorized"),
-        )
+        .select("event_id", "event_type", clip.alias("v_winsorized"))
         .orderBy("event_id")
         .limit(200)
     )
@@ -6444,7 +6444,8 @@ p AS (SELECT event_type,
              min(CASE WHEN cd >= 0.95 THEN value END) AS hi
       FROM c GROUP BY event_type)
 SELECT event_id, e.event_type,
-       least(greatest(value, lo), hi) AS v_winsorized
+       CASE WHEN value IS NOT NULL
+            THEN least(greatest(value, lo), hi) END AS v_winsorized
 FROM events e JOIN p USING (event_type)
 ORDER BY event_id LIMIT 200
 """,

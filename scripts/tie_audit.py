@@ -81,6 +81,10 @@ def find_round_calls(sql: str) -> list[tuple[int, int, str, int]]:
             dtxt = sql[top_commas[0] + 1 : end].strip()
             if re.fullmatch(r"-?\d+", dtxt):
                 calls.append((j, end + 1, expr, int(dtxt)))
+            else:
+                # non-literal decimals: can't audit, but MUST be
+                # visible in the report (decimals=None sentinel)
+                calls.append((j, end + 1, expr, None))
         elif not top_commas:
             # single-argument round(x) == round(x, 0) — same tie class
             calls.append((j, end + 1, sql[k + 1 : end].strip(), 0))
@@ -167,6 +171,13 @@ def rewrite(
     edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
     appends: list[str] = []
     for start, end, expr, d in calls:
+        if d is None:
+            notes.append(
+                f"non-literal decimals round(...) at char {start} — "
+                "cannot audit"
+            )
+            continue
+        in_final = span is not None and span[0] <= start < span[1]
         m = _ALIAS_RE.match(sql[end:])
         if m and m.group(3).lower() not in _TYPE_WORDS:
             alias = m.group(3)
@@ -175,7 +186,16 @@ def rewrite(
                 continue
             audited[alias] = d
             edits.append((start, end, f"CAST(({expr}) AS DOUBLE)"))
-        elif span and span[0] <= start < span[1]:
+            if not in_final:
+                # a CTE-internal round feeding downstream logic: the
+                # replacement measures the pre-round values but the
+                # audited query's downstream sees UNROUNDED values, so
+                # the measured population is approximate — say so
+                notes.append(
+                    f"replaced CTE-internal round(..., {d}) AS {alias}"
+                    " — audited population approximate"
+                )
+        elif in_final:
             col = f"__tie{len(probes)}"
             probes.append((col, d))
             appends.append(f", {_dist_expr(expr, d)} AS {col}")

@@ -3036,3 +3036,18 @@ def test_collapse_and_survivors_compute_once_matches_standalone(spark):
     assert got_collapse == want_collapse and len(got_collapse) > 0
     assert got_survivors == want_survivors and len(got_survivors) > 0
     spark.catalog.clearCache()
+
+
+def test_external_decoder_override_clear_restores_auto(monkeypatch):
+    """set_external_audio_decoder(None) must restore AUTO resolution,
+    not pin rescue off for the process — the override slot and the
+    resolver's presence cache are separate states."""
+    sentinel = object()
+    monkeypatch.setattr(multimodal, "_RESOLVED_DEFAULT", sentinel)
+    monkeypatch.setattr(multimodal, "_EXTERNAL_AUDIO_DECODER", None)
+
+    custom = lambda data: None  # noqa: E731
+    multimodal.set_external_audio_decoder(custom)
+    assert multimodal._resolve_external_audio_decoder() is custom
+    multimodal.set_external_audio_decoder(None)
+    assert multimodal._resolve_external_audio_decoder() is sentinel

@@ -1132,3 +1132,21 @@ def test_foreign_encoder_golden_stream_spectrum():
     seg = y[4000:4000 + nfft] * np.hanning(nfft)
     peak = int(np.argmax(np.abs(np.fft.rfft(seg))))
     assert abs(peak - bin_k) <= 1, (peak, bin_k)
+
+
+def test_patch_table_select_rejects_window_switching():
+    """Bits 84-88 are only region-0 table_select in a LONG-block
+    granule; a short/window-switching frame passes the header guards
+    but must raise instead of silently patching block_type bits."""
+    from airflow_spark.operators.mp3 import (
+        Mp3EncodeError,
+        encode_mp3,
+        patch_table_select,
+    )
+
+    t = np.arange(int(SR * 0.04)) / SR
+    enc = encode_mp3(
+        0.5 * np.sin(2 * np.pi * 1000.0 * t), SR, block_type="short"
+    )
+    with pytest.raises(Mp3EncodeError, match="window-switching"):
+        patch_table_select(enc, 16)
