@@ -946,14 +946,71 @@ def audio_quarantine_report(
     )
 
 
-def audio_quarantine_rates(report: DataFrame) -> DataFrame:
-    """Aggregate a :func:`audio_quarantine_report` into per
-    (fmt, status, reason) counts — exact integers, so the summary is
-    oracle-attestable without any ratio rounding."""
+def quarantine_rates(report: DataFrame) -> DataFrame:
+    """Aggregate a quarantine report (audio or video — any frame with
+    fmt/status/reason columns) into per (fmt, status, reason) counts —
+    exact integers, so the summary is oracle-attestable without any
+    ratio rounding."""
     return (
         report.groupBy("fmt", "status", "reason")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("fmt", "status", "reason")
+    )
+
+
+#: back-compat name from round 9's audio-first probe
+audio_quarantine_rates = quarantine_rates
+
+
+def video_quarantine_report(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video twin of :func:`audio_quarantine_report` for the ADR-0002
+    decode boundary: per payload, whether the bundled engine
+    frame-decodes it ``inline`` (AVI with uncompressed DIB or
+    Motion-JPEG streams) or it would ``quarantine`` — and why
+    (``unsupported_codec`` = inter-frame codecs like H.264/VP9, which
+    stay metadata-only permanently; ``no_frames``;
+    ``unsupported_container``). MP4/ISO-BMFF payloads always report
+    ``unsupported_codec`` (the box walk is metadata-level by design).
+    Run BEFORE a frame-feature pass over an externally-sourced corpus
+    to see what fraction the boundary affects."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                raw = bytes(data)
+                fmt, status, reason = "unknown", "quarantined", None
+                avi = _parse_avi(raw)
+                if avi is not None:
+                    fmt = "avi"
+                    if _avi_decodable(avi):
+                        status = "inline"
+                    elif not avi.get("frames"):
+                        reason = "no_frames"
+                    else:
+                        reason = "unsupported_codec"
+                elif _parse_mp4_metadata(raw) is not None:
+                    fmt, reason = "mp4", "unsupported_codec"
+                else:
+                    reason = "unsupported_container"
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "fmt": fmt,
+                        "status": status,
+                        "reason": reason,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_QUARANTINE_SCHEMA]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(
+        _probe, AUDIO_QUARANTINE_SCHEMA
     )
 
 

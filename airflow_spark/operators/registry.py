@@ -3788,6 +3788,100 @@ def op_audio_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_quarantine_rates(report)
 
 
+def op_video_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quarantine-rate probe for the ADR-0002 video decode
+    boundary (``multimodal.video_quarantine_report`` → exact-count
+    rates): every 17th document synthesizes one of four deterministic
+    payload classes by ``(doc_id // 17) % 4`` — an uncompressed DIB
+    AVI (frame-decodable → inline), the SAME container with an H264
+    fourcc (inter-frame codec → quarantined, ``unsupported_codec``),
+    a minimal ISO-BMFF MP4 (box walk is metadata-only by design →
+    quarantined, ``unsupported_codec``), and a foreign container
+    (→ ``unsupported_container``). The oracle derives the class →
+    (fmt, status, reason) counts from the id arithmetic alone, so the
+    hash attests the classifier AND that the H264 container really
+    fails ``_avi_decodable`` rather than silently pixel-decoding."""
+    import struct as _struct
+
+    import numpy as _np
+    import pandas as _pd
+
+    from . import multimodal
+
+    t = load_tables(spark, sf_dir)
+    ids = (
+        t.documents.select(F.col("doc_id").alias("media_id"))
+        .where(F.col("doc_id") % 17 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + _struct.pack("<I", len(body)) + body + pad
+
+    def _lst(ltype: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", ltype + body)
+
+    def _avi(codec: bytes, compression: int, frame: bytes) -> bytes:
+        w, h = 16, 8
+        avih = _struct.pack(
+            "<IIIIIIIIIIIIII",
+            33366, 0, 0, 0, 1, 0, 1, 0, w, h, 0, 0, 0, 0,
+        )
+        strh = _struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"vids", codec, 0, 0, 0, 0,
+            1, 30, 0, 1, 0, 0, 0, 0, 0, 0, 0,
+        )
+        strf = _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, compression, 0, 0, 0, 0, 0
+        )
+        hdrl = _lst(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        )
+        cid = b"00db" if compression == 0 else b"00dc"
+        movi = _lst(b"movi", _chunk(cid, frame))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+    def _mp4() -> bytes:
+        ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big"))
+        mvhd = _box(b"mvhd", bytes(12) + (1000).to_bytes(4, "big")
+                    + (2000).to_bytes(4, "big") + bytes(80))
+        return ftyp + _box(b"moov", mvhd)
+
+    def _synth(batches):
+        w, h = 16, 8
+        stride = ((w * 3 + 3) // 4) * 4
+        rows = _np.zeros((h, stride), dtype=_np.uint8)
+        rows[:, : w * 3] = 128
+        dib = _avi(b"DIB ", 0, rows.tobytes())
+        h264 = _avi(b"H264", 0x34363248, b"\x00\x00\x00\x01" + b"\x65" * 64)
+        mp4 = _mp4()
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                cls = (int(m) // 17) % 4
+                payloads.append(
+                    dib if cls == 0
+                    else h264 if cls == 1
+                    else mp4 if cls == 2
+                    else b"FLV\x01" + bytes([int(m) % 251] * 32)
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "data": payloads}
+            )
+
+    payloads = ids.mapInPandas(_synth, "media_id LONG, data BINARY")
+    return multimodal.quarantine_rates(
+        multimodal.video_quarantine_report(payloads)
+    )
+
+
 def op_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate detection attested end-to-end
     (``multimodal.image_neardup_pairs``: real BMP pixel decode →
@@ -4171,6 +4265,7 @@ OPERATOR_QUERIES = {
     "op_audio_metadata": op_audio_metadata,
     "op_audio_fingerprint": op_audio_fingerprint,
     "op_audio_quarantine": op_audio_quarantine,
+    "op_video_quarantine": op_video_quarantine,
     "op_image_neardup": op_image_neardup,
     "op_audio_neardup": op_audio_neardup,
     "op_video_neardup": op_video_neardup,
@@ -5466,6 +5561,21 @@ SELECT CASE WHEN cls = 0 THEN 'wav'
             ELSE 'quarantined' END AS status,
        CASE WHEN cls = 2 THEN 'unsupported_huffman_table'
             WHEN cls = 3 THEN 'unsupported_format' END AS reason,
+       CAST(count(*) AS BIGINT) AS n
+FROM probe
+GROUP BY fmt, status, reason
+ORDER BY fmt, status, reason
+""",
+    # Video quarantine-probe closed form (registry.op_video_quarantine)
+    # — same id-arithmetic pattern as the audio probe.
+    "op_video_quarantine": """
+WITH probe AS (SELECT (CAST(doc_id // 17 AS BIGINT) % 4) AS cls
+               FROM documents WHERE doc_id % 17 = 0)
+SELECT CASE WHEN cls IN (0, 1) THEN 'avi'
+            WHEN cls = 2 THEN 'mp4' ELSE 'unknown' END AS fmt,
+       CASE WHEN cls = 0 THEN 'inline' ELSE 'quarantined' END AS status,
+       CASE WHEN cls IN (1, 2) THEN 'unsupported_codec'
+            WHEN cls = 3 THEN 'unsupported_container' END AS reason,
        CAST(count(*) AS BIGINT) AS n
 FROM probe
 GROUP BY fmt, status, reason

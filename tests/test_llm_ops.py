@@ -3051,3 +3051,69 @@ def test_external_decoder_override_clear_restores_auto(monkeypatch):
     assert multimodal._resolve_external_audio_decoder() is custom
     multimodal.set_external_audio_decoder(None)
     assert multimodal._resolve_external_audio_decoder() is sentinel
+
+
+def test_video_quarantine_report_classes(spark):
+    """The ADR-0002 probe must classify every decode-boundary class:
+    DIB and Motion-JPEG AVIs inline (both bundled pixel paths), an
+    inter-frame-codec AVI and an MP4 as unsupported_codec, and a
+    foreign container as unsupported_container."""
+    import struct
+
+    import numpy as np
+
+    from airflow_spark.operators.jpeg import encode_baseline_jpeg
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    def avi(codec, compression, cid, frame):
+        w, h = 16, 8
+        avih = struct.pack(
+            "<IIIIIIIIIIIIII", 33366, 0, 0, 0, 1, 0, 1, 0, w, h, 0, 0, 0, 0
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", b"vids", codec, 0, 0, 0, 0,
+            1, 30, 0, 1, 0, 0, 0, 0, 0, 0, 0,
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, compression, 0, 0, 0, 0, 0
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        body = b"AVI " + hdrl + lst(b"movi", chunk(cid, frame))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w, h = 16, 8
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = 128
+    dib = avi(b"DIB ", 0, b"00db", rows.tobytes())
+    mjpg = avi(
+        b"MJPG", 0x47504A4D, b"00dc",
+        encode_baseline_jpeg(np.full((h, w), 128, np.uint8), quality=85),
+    )
+    h264 = avi(b"H264", 0x34363248, b"00dc", b"\x00\x00\x00\x01" + b"\x65" * 32)
+    mp4 = (
+        (16).to_bytes(4, "big") + b"ftyp" + b"isom" + (0).to_bytes(4, "big")
+    )
+    df = spark.createDataFrame(
+        [(1, dib), (2, mjpg), (3, h264), (4, mp4), (5, b"FLV\x01garbage")],
+        "media_id LONG, data BINARY",
+    )
+    got = {
+        r["media_id"]: (r["fmt"], r["status"], r["reason"])
+        for r in multimodal.video_quarantine_report(df).collect()
+    }
+    assert got[1] == ("avi", "inline", None)
+    assert got[2] == ("avi", "inline", None)
+    assert got[3] == ("avi", "quarantined", "unsupported_codec")
+    assert got[4] == ("mp4", "quarantined", "unsupported_codec")
+    assert got[5] == ("unknown", "quarantined", "unsupported_container")
