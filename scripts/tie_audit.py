@@ -26,6 +26,20 @@ Output: TIE_AUDIT.json with per-op per-column minimum distances and a
 ``hazards`` list that verify_all.sh fails on. Usage:
 
     python scripts/tie_audit.py [sf_dir ...]   # default: all 3 sfs
+
+Analyzed residual classes the generic audit does not cover (verified
+manually, round 9):
+- round() as a GROUP/ORDER key: op_mode / op_window_funcs2 /
+  op_topk_with_ties use d=0 on raw or single-division doubles (no
+  scaling step — both engines round half away from zero on the SAME
+  double, deterministic); op_abc_class / q48 order by round(sum of
+  cents data, 2), whose true value is an exact cents multiple, so the
+  scaled product is ulps from an integer, never near a tie.
+- CASE/WHERE thresholds on unrounded quotients: op_abc_class's
+  0.8/0.95 class bounds and op_zscore_anomalies' |z| >= 3.0 gate were
+  measured at all 3 sfs — minimum data distance 6.4e-6 vs cross-engine
+  quotient divergence ~1e-13 (zscore: nearest |z| is 3 rounding steps
+  from the gate), margin >= 1e7.
 """
 
 from __future__ import annotations
