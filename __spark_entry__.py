@@ -44,26 +44,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # _DRIVER_WINDOW below; everything not listed follows in its natural
 # order, so total coverage is unchanged (all entries, all oracles).
 _DRIVER_WINDOW: list[str] = [
-    # round-9 relational spine (scripts/propose_window.py), with
-    # q27/q47 swapped in for q14/q15: both were restated tie-safely
-    # this round (tie_audit hazards), so their new hashes need fresh
-    # driver attestation
-    "q22", "q26", "q28", "q30", "q33", "q35", "q38", "q41", "q43", "q46",
-    "q50", "q01", "q02", "q03", "q06", "q07", "q10", "q12", "q27", "q47",
-    # round-9 op_* slice: never-driver-windowed entries round-robined
-    # across families, plus the six ops restated tie-safely this round
-    # (op_holt_forecast — the r8 red row — op_percentile,
-    # op_approx_percentile, op_winsorize, op_agg_funcs, op_repetition)
-    # and op_rolling_corr from the same rounded-fold family
-    "op_embedding_outliers", "op_last_seen_eventtime", "op_map_funcs",
-    "op_mmr_diversify", "op_mode", "op_ngram_novelty",
-    "op_normalize_per_key", "op_null_funcs", "op_ohlc", "op_pack_offsets",
-    "op_peak_hours", "op_period_growth", "op_pii_stats", "op_power_users",
-    "op_profile", "op_quality_score", "op_quantile_bins", "op_reciprocity",
-    "op_ref_integrity", "op_regexp_funcs", "op_repetition",
-    "op_retrieval_eval", "op_robust_scale", "op_rolling_corr",
-    "op_seasonal_baseline", "op_holt_forecast", "op_percentile",
-    "op_approx_percentile", "op_winsorize", "op_agg_funcs",
+    # round-10 window, front-loaded by priority in case the driver
+    # samples < 50: (1) q27 — round 9's only red row, restated with
+    # CAST(sum AS BIGINT) in its oracle (the HUGEINT hash divergence;
+    # see scripts/oracle_type_gate.py) — needs its fresh green row
+    # first; (2) ALL 37 never-driver-windowed registry entries
+    # (CORRECTNESS_LOCAL_r9 never_windowed list — the op_s*..op_z*
+    # alphabetical tail plus both new decode-boundary quarantine
+    # probes), draining the attestation backlog to zero; (3) a
+    # 12-entry relational refresh, least-recently-windowed first
+    # (scripts/propose_window.py order) — all 12 already hold green
+    # rows from rounds 6-8, so they are the safest tail to truncate.
+    "q27",
+    "op_audio_quarantine", "op_embedding_quantize", "op_rolling_median",
+    "op_rolling_stats", "op_rollup_aggregate", "op_sample_mixture",
+    "op_seasonal_zscore", "op_seasonality_strength", "op_segment_dedup",
+    "op_share", "op_sorted_neighborhood", "op_split_by_group", "op_srm",
+    "op_stable_ids", "op_state_durations", "op_string_agg",
+    "op_struct_json_roundtrip", "op_temperature_mix", "op_text_clean",
+    "op_theil", "op_time_weighted_avg", "op_top_paths",
+    "op_transition_probs", "op_try_funcs", "op_ttr", "op_unigram_logprob",
+    "op_url_normalize", "op_video_quarantine", "op_vocab_coverage",
+    "op_weighted_quantile", "op_weighted_sample", "op_weighted_sample_group",
+    "op_window_funcs", "op_window_funcs2", "op_xcorr", "op_zipf_fit",
+    "op_zscore_anomalies",
+    "q14", "q15", "q32", "q34", "q36", "q37", "q40", "q42", "q45", "q48",
+    "q49", "q04",
 ]
 
 

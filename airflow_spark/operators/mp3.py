@@ -786,6 +786,10 @@ def patch_table_select(data: bytes, table: int) -> bytes:
     (part2_3/big_values/gain/sfc/window_switching) = 84."""
     if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE6) != 0xE2:
         raise Mp3EncodeError("not an MPEG Layer III frame")
+    if len(data) < 12:
+        # bits 84-88 live in bytes 10-11 and the window-switching
+        # check reads byte 10 — a header-only buffer must not IndexError
+        raise Mp3EncodeError("truncated frame: side info incomplete")
     if (data[1] >> 3) & 0x03 != 0x03:
         # MPEG-2/2.5 side info has an 8-bit main_data_begin and
         # different field widths — bit 84 would NOT be table_select

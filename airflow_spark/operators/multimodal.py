@@ -657,12 +657,15 @@ def set_external_audio_decoder(fn) -> None:
     ``external_decoder=None`` on the extractor instead.
 
     This sets PROCESS state: Spark Python workers are separate
-    processes, so a driver-side install never reaches a mapInPandas
-    task. To ship a custom decoder to executors, pass it explicitly as
-    ``external_decoder=`` on :func:`extract_audio_features` /
-    :func:`audio_quarantine_report` (it travels in the serialized task
-    closure); the default ``"auto"`` resolves audioread/ffmpeg
-    presence independently inside each worker process."""
+    processes, so the global itself never reaches a mapInPandas task.
+    The DataFrame entry points (:func:`extract_audio_features` /
+    :func:`audio_quarantine_report`) therefore resolve ``"auto"`` ONCE
+    on the driver at call time and ship the resolved callable in the
+    serialized task closure — so an install made here (on the driver,
+    before the call) does take effect on executors, uniformly. For a
+    single call you can equivalently pass ``external_decoder=`` on
+    the extractor. Only code that calls ``_decode_audio_impl``
+    directly inside a worker would see per-process resolution."""
     global _EXTERNAL_AUDIO_DECODER
     _EXTERNAL_AUDIO_DECODER = fn
 
@@ -817,9 +820,18 @@ def extract_audio_features(
     as extract_image_features: features out, payload stays behind).
 
     ``external_decoder``: ``"auto"`` (default) resolves audioread /
-    ffmpeg presence inside each Python worker; ``None`` disables
-    external rescue; a callable ships in the task closure (how a
-    custom codec reaches executors — see set_external_audio_decoder)."""
+    ffmpeg presence ONCE, on the driver, at call time — the resolved
+    decision (a module-level callable or None) ships in the task
+    closure, so every worker applies the same rescue policy and the
+    same payload cannot yield real MFCCs on one executor and stub
+    features on another within a job. A worker missing the
+    driver-chosen binary degrades gracefully (decode attempt fails →
+    stub/strict path) — that is a provisioning gap, not a policy
+    change. ``None`` disables external rescue; a callable ships in the
+    task closure (how a custom codec reaches executors — see
+    set_external_audio_decoder)."""
+    if external_decoder == "auto":
+        external_decoder = _resolve_external_audio_decoder()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -898,7 +910,11 @@ def audio_quarantine_report(
 
     Same Arrow-batched ``mapInPandas`` plumbing as the extractors;
     probing stops at the first decode error, so it is cheaper than the
-    feature pass it predicts."""
+    feature pass it predicts. ``external_decoder="auto"`` resolves on
+    the driver at call time (see extract_audio_features) so the probe
+    reports one uniform rescue policy for the whole corpus."""
+    if external_decoder == "auto":
+        external_decoder = _resolve_external_audio_decoder()
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .mp3 import Mp3DecodeError, decode_mp3
@@ -951,10 +967,14 @@ def quarantine_rates(report: DataFrame) -> DataFrame:
     fmt/status/reason columns) into per (fmt, status, reason) counts —
     exact integers, so the summary is oracle-attestable without any
     ratio rounding."""
+    # reason is NULL for inline/external rows; Spark sorts NULLS FIRST
+    # and DuckDB NULLS LAST by default, so pin NULLS LAST on the reason
+    # key to keep the attested row order stable even if one (fmt,
+    # status) pair ever carries mixed NULL/non-NULL reasons
     return (
         report.groupBy("fmt", "status", "reason")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("fmt", "status", "reason")
+        .orderBy("fmt", "status", F.asc_nulls_last("reason"))
     )
 
 

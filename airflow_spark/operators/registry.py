@@ -5564,7 +5564,7 @@ SELECT CASE WHEN cls = 0 THEN 'wav'
        CAST(count(*) AS BIGINT) AS n
 FROM probe
 GROUP BY fmt, status, reason
-ORDER BY fmt, status, reason
+ORDER BY fmt, status, reason NULLS LAST
 """,
     # Video quarantine-probe closed form (registry.op_video_quarantine)
     # — same id-arithmetic pattern as the audio probe.
@@ -5579,7 +5579,7 @@ SELECT CASE WHEN cls IN (0, 1) THEN 'avi'
        CAST(count(*) AS BIGINT) AS n
 FROM probe
 GROUP BY fmt, status, reason
-ORDER BY fmt, status, reason
+ORDER BY fmt, status, reason NULLS LAST
 """,
     # Planted cross-codec audio-pair closed form
     # (registry.op_audio_neardup): the WAV member and the Layer-III

@@ -1243,7 +1243,7 @@ FROM documents GROUP BY substr(text, 1, 12) HAVING count(*) > 1
 ORDER BY keep_id
 """,
     "q27": """
-SELECT lang, count(*) AS docs, sum(n_chars) AS sum_chars,
+SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,

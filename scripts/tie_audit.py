@@ -353,6 +353,12 @@ def main() -> int:
             con.close()
         print(f"{sf}: audited", file=sys.stderr)
 
+    # rewrite() notes are static per-op but can surface once per SQL
+    # occurrence / per scale pass — dedupe (order-preserving) so each
+    # distinct note appears once in the report
+    for v in report["ops"].values():
+        v["unaudited"] = list(dict.fromkeys(v["unaudited"]))
+
     n_cols = sum(len(v["columns"]) for v in report["ops"].values())
     report["n_ops_with_rounds"] = sum(
         1 for v in report["ops"].values() if v["columns"]

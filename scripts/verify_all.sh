@@ -4,6 +4,8 @@
 # Spark drivers at once). ~50 min total at sf0.1 on local[32].
 #
 #   1. lint gate                     (seconds)
+#   1b. oracle output-type gate      (seconds; DESCRIBE all oracles,
+#                                     fail on HUGEINT/DECIMAL output)
 #   2. full test suite               (~12 min)
 #   3. full-registry oracle, sf0.001 (~3 min; writes committed artifact)
 #   4. full-registry oracle, sf0.01  (~6 min; writes committed artifact)
@@ -23,6 +25,11 @@ set -e
 cd "$(dirname "$0")/.."
 
 ./scripts/lint.sh
+# oracle output-type gate (DuckDB DESCRIBE, ~2 s): no attested oracle
+# may emit HUGEINT/DECIMAL — the driver's fetch path renders wide
+# ints/decimals differently than the local type-blind normalizer (the
+# q27 round-9 red row class)
+python3 scripts/oracle_type_gate.py
 python3 -m pytest tests/ -q
 python3 scripts/check_correctness.py /root/testdata/sf0.001 \
     > CORRECTNESS_LOCAL_sf0.001.json

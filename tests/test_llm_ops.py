@@ -3053,6 +3053,31 @@ def test_external_decoder_override_clear_restores_auto(monkeypatch):
     assert multimodal._resolve_external_audio_decoder() is sentinel
 
 
+def test_auto_decoder_resolves_on_driver_and_ships_in_closure(spark):
+    """``external_decoder="auto"`` must resolve ONCE, on the driver, at
+    call time: a decoder installed with set_external_audio_decoder on
+    the driver reaches the mapInPandas workers because the RESOLVED
+    callable ships in the task closure — per-worker PATH/import
+    presence no longer decides (the round-9 per-process resolution
+    made the same payload stub on one executor and decode on another
+    in a heterogeneous cluster)."""
+    import numpy as np
+
+    payload = _table16_stream()
+    df = spark.createDataFrame([(1, payload)], "media_id LONG, data BINARY")
+    sr = 8000
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(sr // 2) / sr)
+    multimodal.set_external_audio_decoder(lambda data: (tone, sr))
+    try:
+        # default "auto" — no explicit external_decoder= pass-through
+        row = multimodal.extract_audio_features(df, strict=True).first()
+        assert row["sample_rate"] == sr
+        probe = multimodal.audio_quarantine_report(df).first()
+        assert probe["status"] == "external"
+    finally:
+        multimodal.set_external_audio_decoder(None)
+
+
 def test_video_quarantine_report_classes(spark):
     """The ADR-0002 probe must classify every decode-boundary class:
     DIB and Motion-JPEG AVIs inline (both bundled pixel paths), an

@@ -1150,3 +1150,20 @@ def test_patch_table_select_rejects_window_switching():
     )
     with pytest.raises(Mp3EncodeError, match="window-switching"):
         patch_table_select(enc, 16)
+
+
+def test_patch_table_select_rejects_truncated_frame():
+    """A buffer that passes the 4-byte header checks but ends before
+    the side-info bytes the patch reads/writes (bytes 10-11) must
+    raise Mp3EncodeError, not IndexError."""
+    from airflow_spark.operators.mp3 import (
+        Mp3EncodeError,
+        encode_mp3,
+        patch_table_select,
+    )
+
+    t = np.arange(int(SR * 0.04)) / SR
+    enc = encode_mp3(0.5 * np.sin(2 * np.pi * 1000.0 * t), SR)
+    for cut in (4, 8, 11):
+        with pytest.raises(Mp3EncodeError, match="truncated"):
+            patch_table_select(enc[:cut], 16)
