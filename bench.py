@@ -301,7 +301,12 @@ _SEMANTIC_CHANGES = {
         "final rounds entirely, and leaked the invariants + last "
         "checkpoint into the session. Same logical plan per round; "
         "the delta is honest materialization + per-action overhead "
-        "on a 300-node fixture graph."
+        "on a 300-node fixture graph. Rounds 9-10 both flagged ~1.6x "
+        "on this row; profiled 4x back-to-back it is a JIT warm-up "
+        "curve (17.4 -> 6.7 -> 5.3 -> 4.6 s) — the iterative "
+        "multi-stage job amortizes codegen/JIT over more runs than "
+        "min-of-two covers; steady state tracked the board factor "
+        "both rounds (graph.py unchanged since r8)."
     ),
     "op_personalized_pagerank": (
         "same round-5 cache-contract change as op_pagerank"

@@ -90,3 +90,38 @@ def test_round_robin_spread_on_synthetic_ledger(monkeypatch):
     assert len(picked_ops) == N_OPS
     fams = {_family(n) for n in picked_ops}
     assert len(fams) >= min(N_OPS, 15)
+
+
+def test_active_driver_window_is_valid_and_ledgered():
+    """The ACTIVE window in __spark_entry__._DRIVER_WINDOW (not just
+    the proposer's output) must be 50 deduplicated registry names —
+    a typo'd entry silently drops out of the windowed head (``if k in
+    full``), wasting a driver slot — every entry must carry an oracle
+    (driver rows should be hash-attested, never rows-only), and the
+    newest DRIVER_WINDOWS.json ledger round must record exactly this
+    window, since never-windowed accounting and COVERAGE.md claims
+    derive from the ledger."""
+    import __spark_entry__ as e
+
+    window = e._DRIVER_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    registry = e.queries()
+    missing = [n for n in window if n not in registry]
+    assert not missing, f"window names absent from registry: {missing}"
+    sqls = e.oracle_sql()
+    unhashed = [n for n in window if n not in sqls]
+    assert not unhashed, f"window entries without an oracle: {unhashed}"
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "DRIVER_WINDOWS.json")) as f:
+        ledger = {k: v for k, v in json.load(f).items() if k.startswith("r")}
+    newest = max(ledger, key=lambda k: int(k[1:]))
+    assert ledger[newest] == window, (
+        f"ledger {newest} does not match the active _DRIVER_WINDOW"
+    )
+
+    # the windowed head must actually lead the queries() dict order —
+    # the driver samples a prefix, so any reordering bug breaks the
+    # attestation plan silently
+    assert list(registry)[: len(window)] == window
