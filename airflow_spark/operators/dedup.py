@@ -291,11 +291,18 @@ def verify_pairs_exact_jaccard(
     ``containment = common / min(|A|, |B|)`` column (same inputs, one
     extra projection).
 
-    Scale shape: the shingle explode is *restricted to candidate ids*
-    via a semi-join before it happens, so the exact computation touches
-    only the (tiny) candidate subset of the corpus, never all
-    documents. Pairs sharing zero shingles drop out (their Jaccard is 0
-    — below any useful threshold)."""
+    Scale shape: shingling is *restricted to candidate ids* via a
+    semi-join, so the exact computation touches only the (tiny)
+    candidate subset of the corpus, never all documents — and each
+    doc's distinct-shingle SET travels as one array row (bounded by
+    doc length), never as exploded (id, shingle) rows. The
+    intersection is one JVM hash-set ``array_intersect`` per pair —
+    the same verification shape :func:`ngram_jaccard_pairs_prefix`
+    ships — which replaces the former explode → shingle-keyed join →
+    per-pair count-aggregate → two size joins (four extra exchanges,
+    with the widest one keyed on shingle text). Pairs sharing zero
+    shingles drop out (their Jaccard is 0 — below any useful
+    threshold)."""
     from ..functions.text import word_shingles
 
     mk = char_shingles if mode == "char" else word_shingles
@@ -304,30 +311,33 @@ def verify_pairs_exact_jaccard(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # semi-join BEFORE the explode: Catalyst does not push a join
-    # through a Generate, so restricting afterwards would still
-    # shingle-explode the entire corpus — the exact cost this
-    # function exists to avoid
-    sh = (
+    # semi-join BEFORE shingling: Catalyst cannot prune rows through
+    # the shingle expression, so restricting afterwards would still
+    # shingle the entire corpus — the exact cost this function exists
+    # to avoid. The set frame feeds both join sides: persist so the
+    # shingling runs once.
+    sets = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(ids, "id", "left_semi")
         .select(
             "id",
-            F.explode(F.array_distinct(mk(F.col("__t"), shingle_k))).alias("sh"),
+            F.array_distinct(mk(F.col("__t"), shingle_k)).alias("shs"),
         )
         .persist()
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    common = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = pairs.join(
+        sets.select(F.col("id").alias("id_a"), F.col("shs").alias("__sa")),
+        "id_a",
+    ).join(
+        sets.select(F.col("id").alias("id_b"), F.col("shs").alias("__sb")),
+        "id_b",
+    ).select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+        F.size("__sa").alias("n_a"),
+        F.size("__sb").alias("n_b"),
+    ).where(F.col("n_common") > 0)
     cols = [
         F.col("id_a"),
         F.col("id_b"),
@@ -341,7 +351,7 @@ def verify_pairs_exact_jaccard(
             2,
             (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
         )
-    return common.join(sa, "id_a").join(sb, "id_b").select(*cols)
+    return joined.select(*cols)
 
 
 def dedup_minhash_verified(
@@ -699,7 +709,10 @@ def _write_sig_version(store_path: str) -> None:
 
 
 def dedup_clusters(
-    pairs: DataFrame, max_iters: int = 20, require_convergence: bool = True
+    pairs: DataFrame,
+    max_iters: int = 20,
+    require_convergence: bool = True,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph (id_a, id_b) →
     (id, cluster) with cluster = min id of the component (the survivor
@@ -719,20 +732,31 @@ def dedup_clusters(
     changed labels). If the fixpoint is not reached within
     ``max_iters``, partial clusters would silently retain duplicates —
     so that raises unless ``require_convergence=False`` (then it warns
-    and returns the partial labels)."""
+    and returns the partial labels).
+
+    ``pairs_distinct=True`` skips the defensive ``distinct`` on the
+    symmetric edge frame: a canonical ``id_a < id_b`` pair list that is
+    itself duplicate-free produces a reversed union that is disjoint by
+    construction, so the dedup shuffle would be a pure no-op pass over
+    the heaviest frame in the loop (every LSH pair generator in this
+    module emits exactly that shape)."""
     from .graph import _materialize_truncated
 
-    edges = _materialize_truncated(
-        pairs.select("id_a", "id_b")
-        .union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-        .distinct()
+    edges_raw = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    labels = _materialize_truncated(
+    if not pairs_distinct:
+        edges_raw = edges_raw.distinct()
+    edges = _materialize_truncated(edges_raw)
+    # the seed labelling is read exactly once (round 1's join) — fold
+    # it into that round's job instead of materializing it separately
+    labels = (
         edges.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
     )
     converged = False
+    prev_round: DataFrame | None = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -746,10 +770,13 @@ def dedup_clusters(
             F.least(
                 F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
             ).alias("cluster"),
+            F.col("cluster").alias("__prev"),
         )
         # pointer jumping: label ← label(label). Labels are always ids
         # of same-component nodes, so the self-join stays inside the
-        # component while halving the remaining chain depth.
+        # component while halving the remaining chain depth. The OLD
+        # label rides along as __prev so the convergence probe is a
+        # filter over the materialized frame, not a join of two rounds.
         new_labels = _materialize_truncated(
             propagated.alias("a")
             .join(
@@ -765,16 +792,20 @@ def dedup_clusters(
                     F.col("a.cluster"),
                     F.coalesce(F.col("pcluster"), F.col("a.cluster")),
                 ).alias("cluster"),
+                F.col("a.__prev").alias("__prev"),
             )
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
+            new_labels.where(F.col("cluster") != F.col("__prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # round k is materialized (eagerly, above) — round k-1's
+        # checkpoint blocks are dead weight from here
+        if prev_round is not None:
+            prev_round.unpersist()
+        prev_round = new_labels
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             converged = True
             break
@@ -785,10 +816,16 @@ def dedup_clusters(
             "partial labels would keep extra duplicates"
         )
         if require_convergence:
+            edges.unpersist()
+            if prev_round is not None:
+                prev_round.unpersist()
             raise RuntimeError(msg + " — raise max_iters")
         import warnings
 
         warnings.warn(msg, stacklevel=2)
+    # the returned labels read only the final round's checkpoint; the
+    # edge frame's blocks are consumed
+    edges.unpersist()
     return labels
 
 
@@ -877,7 +914,9 @@ def collapse_and_survivors(
     # dedup_clusters already materializes its result through the
     # lineage-truncating checkpoint; persist() here makes the SHARING
     # explicit so neither output recomputes the component loop
-    clusters = dedup_clusters(pairs).persist()
+    # (pairs_distinct: the verified pair list is canonical id_a<id_b
+    # and duplicate-free by construction)
+    clusters = dedup_clusters(pairs, pairs_distinct=True).persist()
     collapse = (
         clusters.groupBy(F.col("cluster").alias("keep_id"))
         .agg(F.count("*").alias("n_members"), F.sum("id").alias("id_sum"))

@@ -29,29 +29,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# subclass the CLASSIC DataFrame: pyspark.sql.DataFrame is a
+# classic/connect dispatcher in 4.x whose __new__ would not honor a
+# plain subclass (this engine always runs a classic local JVM session)
+from pyspark.sql.classic.dataframe import (  # noqa: E402
+    DataFrame as _ClassicDataFrame,
+)
+
+
+class _TruncatedFrame(_ClassicDataFrame):
+    """A localCheckpoint-backed materialized frame whose ``unpersist()``
+    releases the pinned checkpoint blocks. After unpersist the frame is
+    NOT recomputable (its lineage was truncated away) — callers only
+    ever unpersist superseded or fully-consumed iteration frames."""
+
+    def __init__(self, df: DataFrame, jrdd) -> None:
+        super().__init__(df._jdf, df.sparkSession)
+        self._ckpt_jrdd = jrdd
+
+    def unpersist(self, blocking: bool = False) -> DataFrame:
+        self._ckpt_jrdd.unpersist(blocking)
+        return self
+
+
 def _materialize_truncated(df: DataFrame) -> DataFrame:
-    """Materialize an iteration checkpoint AND truncate its lineage
-    via reliable ``checkpoint(eager=True)``: a plain persist caches
-    the data but Catalyst still re-analyzes the full N-round logical
-    plan on every later action, so planning cost grows with rounds —
-    measured 2.4x on a 10-round PageRank whose final frame was
-    persisted but not truncated. A reliable checkpoint writes the
-    rows to the checkpoint dir instead of pinning block-manager
-    entries, so the persistent-RDD ledger stays EMPTY (better than
-    the persist contract) and the frame survives executor loss on a
-    real cluster. Deployments point ``setCheckpointDir`` at durable
-    shared storage; when unset (e.g. the external driver's plain
-    session) a per-process tempdir is installed here — correct in
-    local mode. ``spark.cleaner.referenceTracking.cleanCheckpoints=
-    true`` lets the context GC files as RDDs are collected (set by
-    ``session.get_session``; externally-built sessions may have it
-    off, and the conf is fixed at context start), so the install
-    also registers an atexit sweep of the per-process dir — files
-    can't accumulate past process lifetime either way."""
+    """Materialize an iteration checkpoint AND truncate its lineage:
+    a plain persist caches the data but Catalyst still re-analyzes the
+    full N-round logical plan on every later action, so planning cost
+    grows with rounds — measured 2.4x on a 10-round PageRank whose
+    final frame was persisted but not truncated (and 95 s of pure
+    planning on an untruncated component loop at sf0.1).
+
+    Default mechanism: ``localCheckpoint(eager=True)`` — ONE job that
+    computes the segment once and pins the blocks executor-local, no
+    second write pass and no round-trip through the checkpoint
+    filesystem. That is the right trade for iteration checkpoints at
+    any scale: losing an executor mid-loop just re-runs the loop job,
+    and the per-round latency the reliable path adds (a full second
+    materialization job + a distributed-FS write + read-back) is paid
+    EVERY round on EVERY graph. Blocks are freed by the context
+    cleaner when the frame becomes unreachable
+    (``spark.cleaner.referenceTracking`` is on by default).
+
+    ``SPARK_GRAFT_RELIABLE_CKPT=1`` restores reliable
+    ``checkpoint(eager=True)`` for deployments whose loops are so long
+    that recomputing a lost segment costs more than the per-round
+    write tax (the frame then survives executor loss). Deployments
+    point ``setCheckpointDir`` at durable shared storage; when unset a
+    per-process tempdir is installed (correct in local mode), with an
+    atexit sweep so files never outlive the process."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CKPT", "") not in ("1", "true"):
+        lc = df.localCheckpoint(eager=True)
+        try:
+            # DataFrame.unpersist only clears CacheManager entries, and
+            # a localCheckpoint never registers one — its blocks are
+            # pinned on the RDD itself. Grab that RDD (the LogicalRDD
+            # leaf the checkpoint produced) so the returned frame's
+            # unpersist() actually releases the blocks and the
+            # persistent-RDD ledger returns to baseline (the iterative
+            # ops' cache contract, pinned by tests/test_graph.py).
+            jrdd = lc._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return lc  # plan shape changed underneath us: keep blocks,
+            #            the context cleaner frees them on GC
+        return _TruncatedFrame(lc, jrdd)
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         import atexit
-        import os
         import shutil
         import tempfile
 
@@ -129,15 +175,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
         )
-        ranks = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + damping * F.coalesce(F.col("__c"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if symmetric:
+            # every node of a symmetric graph has an in-edge, so the
+            # contribution aggregate already covers the whole node set
+            # — the |V| left join below would be a no-op exchange+join
+            # per round (verified: identical ranks with/without)
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit((1.0 - damping) / n) + damping * F.col("__c")
+                ).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
         # persist only every 4th round: a per-round persist forces a
         # materialization barrier each iteration (measured 5× slower
         # at 1.2M edges × 3 rounds), while UNBOUNDED lineage makes
@@ -191,46 +249,53 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("component"))
     )
+    prev_mat: DataFrame | None = None
     for _ in range(max_iters):
-        # each node adopts min(own label, neighbors' labels)
+        # each node adopts min(own label, neighbors' labels); the OLD
+        # label rides along as __prev so convergence is a filter over
+        # the just-materialized frame — not a separate shuffle join of
+        # two cached rounds (one fewer exchange per round)
         neigh = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("component").alias("__m"))
             .withColumnRenamed("a", "node")
         )
-        new = (
+        mat = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("__m"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("__prev"),
             )
             .persist()
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            mat.where(F.col("component") != F.col("__prev")).limit(1).count()
         )
-        # `changed` materialized `new`; the superseded label frame's
-        # cache is dead weight from here — drop it (long runs would
-        # otherwise hold one cached frame per round)
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new
+        # the probe materialized `mat`; the superseded round's cache is
+        # dead weight from here — drop it (long runs would otherwise
+        # hold one cached frame per round)
+        if prev_mat is not None:
+            prev_mat.unpersist()
+        prev_mat = mat
+        labels = mat.select("node", "component")
         if changed == 0:
-            # labels is persisted AND materialized (the convergence
-            # probe ran on it); drop the loop-invariant adjacency so
-            # the returned frame owns the only remaining cache
+            # cache contract: the RETURNED frame must own the one
+            # remaining cache (callers unpersist it directly), so
+            # re-persist the two-column projection — materializing it
+            # only re-reads the final round's cached blocks — then
+            # drop that round's cache and the loop-invariant adjacency
+            out = labels.persist()
+            out.count()
+            mat.unpersist()
             sym.unpersist()
-            return labels
+            return out
     sym.unpersist()
-    if labels.is_cached:
-        labels.unpersist()
+    if prev_mat is not None:
+        prev_mat.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters)"
@@ -612,10 +677,12 @@ def personalized_pagerank(
     # same round shape as ``pagerank``
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(outdeg, "src").persist()
-    in_sources = F.col("node").isin(srcs)
-    teleport = F.when(
-        in_sources, F.lit(1.0 / len(srcs))
-    ).otherwise(F.lit(0.0))
+    def teleport_of(col):
+        return F.when(
+            col.isin(srcs), F.lit(1.0 / len(srcs))
+        ).otherwise(F.lit(0.0))
+
+    teleport = teleport_of(F.col("node"))
     ranks = nodes.select("node", teleport.alias("rank"))
     prev_ckpt: DataFrame | None = None
     for i in range(iters):
@@ -624,15 +691,25 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("__c"))
         )
-        ranks = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                (1.0 - damping) * teleport
-                + damping * F.coalesce(F.col("__c"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if symmetric:
+            # symmetric ⇒ contrib covers every node; see ``pagerank``
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (
+                    (1.0 - damping) * teleport_of(F.col("dst"))
+                    + damping * F.col("__c")
+                ).alias("rank"),
+            )
+        else:
+            ranks = nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (
+                    (1.0 - damping) * teleport
+                    + damping * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("rank"),
+            )
         # periodic truncated checkpoint — see ``pagerank``
         if (i + 1) % 4 == 0 and i + 1 < iters:
             ranks = _materialize_truncated(ranks)

@@ -1290,7 +1290,9 @@ def op_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.dedup_minhash_verified(t.documents, threshold=0.8).select(
         "id_a", "id_b"
     )
-    clusters = dedup.dedup_clusters(pairs)  # (id, cluster = min id)
+    # canonical id_a<id_b verified pairs are duplicate-free: skip the
+    # defensive distinct on the symmetric edge frame
+    clusters = dedup.dedup_clusters(pairs, pairs_distinct=True)
     return (
         clusters.groupBy(F.col("cluster").alias("keep_id"))
         .agg(
@@ -1323,7 +1325,7 @@ def op_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.dedup_minhash_verified(t.documents, threshold=0.8).select(
         "id_a", "id_b"
     )
-    clusters = dedup.dedup_clusters(pairs)  # (id, cluster = min id)
+    clusters = dedup.dedup_clusters(pairs, pairs_distinct=True)
     members = (
         t.documents.select(
             "doc_id", F.length("text").cast("long").alias("quality")
