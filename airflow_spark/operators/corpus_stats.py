@@ -201,12 +201,20 @@ def ngram_novelty(
     scale).
     """
     df = ensure_wide(df, id_col)  # shingling must not run one-core
-    per_doc = df.select(
-        F.col(id_col).alias("id"),
-        F.size(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).cast("bigint").alias("n_shingles"),
-    ).where(F.col("n_shingles") > 0)  # shingle-less docs were never rows
+    # drop shingle-less docs on the CHEAP equivalent predicate (a doc
+    # has ≥1 word n-gram iff it has ≥ n tokens): filtering on
+    # n_shingles itself makes Catalyst push the filter below the
+    # projection WITH a full copy of the shingle expression — the
+    # heaviest expression in the op would run twice per row
+    per_doc = (
+        df.where(F.size(tokens_ws(F.col(text_col))) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(
+                F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            ).cast("bigint").alias("n_shingles"),
+        )
+    )
     first_seen = (
         df.select(
             F.col(id_col).alias("id"),

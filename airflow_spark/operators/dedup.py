@@ -201,12 +201,18 @@ def minhash_candidate_pairs(
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
         .select("band_id", "band_hash")
     )
+    # sort ONCE in its own projection: inlining array_sort at every
+    # reference inside the nested pair-enumeration lambdas made codegen
+    # re-emit (and re-run) the sort per member — measured 16.5 s cold /
+    # 2 s warm for ~1k pairs on the simhash twin of this block; with
+    # the sorted array bound to an attribute it is sorted once and the
+    # generated code shrinks to the enumeration itself
     buckets = (
         banded.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
         .groupBy("band_id", "band_hash")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
     )
-    ids_sorted = F.array_sort("ids")
+    ids_sorted = F.col("ids")
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -539,12 +545,19 @@ def simhash_neardup_pairs(
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
         .select("band", "chunk")
     )
+    # sort once, outside the nested enumeration lambdas — see the
+    # identical rewrite in minhash_candidate_pairs (an inlined
+    # array_sort re-ran per member and dominated the op's wall)
     buckets = (
         banded.join(ok, ["band", "chunk"], "left_semi")
         .groupBy("band", "chunk")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("docs"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("id", "simhash"))
+            ).alias("docs")
+        )
     )
-    docs_sorted = F.array_sort("docs")
+    docs_sorted = F.col("docs")
     pairs = (
         buckets.select(
             F.explode(

@@ -391,9 +391,14 @@ def semantic_dedup(
     buckets = (
         b.join(ok, ["bucket"], "left_semi")
         .groupBy("bucket")
-        .agg(F.collect_list(F.struct("id", "v")).alias("docs"))
+        .agg(
+            # sort once outside the enumeration lambdas (see
+            # dedup.minhash_candidate_pairs: an inlined array_sort
+            # re-ran per member inside the nested transform)
+            F.array_sort(F.collect_list(F.struct("id", "v"))).alias("docs")
+        )
     )
-    docs_sorted = F.array_sort("docs")
+    docs_sorted = F.col("docs")
     pairs = (
         buckets.select(
             F.explode(
@@ -473,9 +478,14 @@ def cosine_neardup_pairs(
     buckets = (
         b.join(ok, ["bucket"], "left_semi")
         .groupBy("bucket")
-        .agg(F.collect_list(F.struct("id", "v")).alias("docs"))
+        .agg(
+            # sort once outside the enumeration lambdas (see
+            # dedup.minhash_candidate_pairs: an inlined array_sort
+            # re-ran per member inside the nested transform)
+            F.array_sort(F.collect_list(F.struct("id", "v"))).alias("docs")
+        )
     )
-    docs_sorted = F.array_sort("docs")
+    docs_sorted = F.col("docs")
     pairs = buckets.select(
         F.explode(
             F.flatten(

@@ -826,8 +826,14 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiple distinct aggs expand the input (one replica per agg)
     # before the shuffle — the (order, supplier) pre-aggregation gets
     # the same answer with ONE pass and no Expand, ~2x faster here
+    # ONE exchange feeds both stacked groupBys: hash-partitioning on
+    # l_orderkey satisfies the (l_orderkey, l_suppkey) clustering of
+    # the first aggregate AND the l_orderkey clustering of the second,
+    # so neither inserts its own shuffle (guide-§2.4 exchange sharing;
+    # plan: 3 Exchanges -> 2)
     per_supp = (
         t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late.cast("int")).alias("__late"))
     )
