@@ -50,22 +50,52 @@ def bigram_lift(
     """Top-k word-bigram collocations by lift = c_xy·N / (c_x·c_y)
     (monotone in PMI). Bigram counts keep multiplicity (one explode,
     map-side combine); unigram counts and N are broadcast. Determinism:
-    exact integer counts, one double division, ties by bigram text."""
+    exact integer counts, one double division, ties by bigram text.
+
+    One corpus pass: the unigram AND bigram streams explode out of a
+    single tokenization (bigrams are adjacent-token joins of the same
+    token array ``word_shingles`` would rebuild from scratch), tagged
+    1/2 and counted in ONE map-side-combined aggregate. The previous
+    two-branch spelling tokenized the corpus twice — once per count
+    family — and the tokenizer is the dominant cost of the op. The
+    combined count frame is vocabulary-sized; persisting it makes the
+    three consumers (bigram table, unigram lookup, total scalar) read
+    it instead of re-walking the corpus."""
     docs = ensure_wide(docs)  # 1-file scans would tokenize on one core
-    toks = docs.select(tokens_ws(F.lower(F.col(text_col))).alias("toks"))
-    uni = (
-        toks.select(F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c1"))
+    toks = tokens_ws(F.lower(F.col(text_col)))
+
+    def tagged(ts):
+        unis = F.transform(
+            ts, lambda t: F.struct(F.lit(1).alias("n"), t.alias("term"))
+        )
+        m = F.size(ts) - F.lit(1)
+        bis = F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.struct(
+                    F.lit(2).alias("n"),
+                    F.concat_ws(" ", F.slice(ts, i, 2)).alias("term"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,term:string>>"))
+        return F.concat(unis, bis)
+
+    terms = docs.select(
+        F.explode(
+            F.flatten(F.transform(F.array(toks), tagged))
+        ).alias("t")
+    ).select(F.col("t.n").alias("n"), F.col("t.term").alias("term"))
+    counts = (
+        terms.groupBy("n", "term").agg(F.count("*").alias("c")).persist()
+    )
+    uni = counts.where(F.col("n") == 1).select(
+        F.col("term").alias("tok"), F.col("c").alias("c1")
     )
     total = uni.agg(F.sum("c1").alias("n_total"))
     bi = (
-        docs.select(
-            F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
-        )
-        .groupBy("bigram")
-        .agg(F.count("*").alias("c_xy"))
-        .where(F.col("c_xy") >= min_count)
+        counts.where((F.col("n") == 2) & (F.col("c") >= min_count))
+        .select(F.col("term").alias("bigram"), F.col("c").alias("c_xy"))
         .withColumn("x", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("y", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
     )

@@ -327,7 +327,12 @@ def tfidf_keyword_search(
     # corpus size as a 1-row broadcast, not a driver-side .count() —
     # keeps the whole computation one lazy plan / one job
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: df(t) AND the scored join both read tf, and an
+    # unpersisted plan re-tokenizes the corpus per consumer; tf is
+    # bounded by |terms| × matched docs — trivially cacheable
+    tf = (
+        toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
     dfreq = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
     idf = F.log(F.col("__n").cast("double") / F.col("df"))
     scored = (
@@ -376,7 +381,13 @@ def bm25_keyword_search(
             F.avg(token_count_ws(lowered)).alias("__avgdl"),
         )
     )
-    tf = toks.groupBy("id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted for the same two-consumer reason as in
+    # tfidf_keyword_search (df(t) + scored join)
+    tf = (
+        toks.groupBy("id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
     idf = F.log(
         1
@@ -764,7 +775,11 @@ def distinctive_terms(
     Shape: one explode → (group, token) hash count (map-side combine)
     → token group-frequency and per-group totals derived from that
     same small frame → window top-k per group. The corpus is read
-    once; everything after the first aggregate is vocabulary-sized."""
+    once; everything after the first aggregate is vocabulary-sized —
+    ``gt`` is PERSISTED because four consumers read it (totals, group
+    document-frequency, the group count, and the scored join) and an
+    unpersisted plan re-tokenizes the corpus once per consumer (the
+    dominant cost of the op, measured 4× the one-pass wall)."""
     gt = (
         ensure_wide(df, id_col)
         .select(
@@ -774,6 +789,7 @@ def distinctive_terms(
         .groupBy("grp", "tok")
         .agg(F.count(F.lit(1)).alias("ctf"))
         .where(F.col("ctf") >= min_count)
+        .persist()
     )
     totals = gt.groupBy("grp").agg(F.sum("ctf").alias("gtot"))
     dfg = gt.groupBy("tok").agg(F.count(F.lit(1)).alias("df_groups"))

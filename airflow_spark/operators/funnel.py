@@ -195,7 +195,12 @@ def association_rules(
     from the basket-keyed self-join (cost Σ basket_size², never
     |items|² over the catalog); per-item basket counts are tiny and
     broadcast; N is a broadcast scalar. All scores are single IEEE
-    divisions of exact integer counts — oracle-portable."""
+    divisions of exact integer counts — oracle-portable. ``baskets``
+    is PERSISTED: four consumers read it (the N scalar, the item
+    counts, and both sides of the pair self-join) and an unpersisted
+    plan re-runs the sessionize window + distinct once per consumer —
+    4 corpus passes for a frame that is itself corpus-bounded and
+    tiny after the distinct."""
     from ..operators.timeseries import sessionize
 
     s = sessionize(df, user_col, ts_col, gap_minutes)
@@ -207,6 +212,7 @@ def association_rules(
             F.col(item_col).alias("item"),
         )
         .distinct()
+        .persist()
     )
     n_baskets = baskets.select("bid").distinct().agg(
         F.count(F.lit(1)).alias("n_b")

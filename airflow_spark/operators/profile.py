@@ -68,33 +68,57 @@ def sequence_gaps(df: DataFrame, id_col: str) -> DataFrame:
     arrived?"). Returns one row per gap: (gap_start, gap_end, n_missing)
     where the bounds are the first and last MISSING ids.
 
-    Scale shape: the corpus-sized work is two hash anti self-joins
-    (an id is a gap BOUNDARY iff id+1 / id−1 is absent) — never a
-    global sort of the id set. Only the boundary rows (one per gap)
-    reach the pairing windows, so the single-partition sort there is
-    bounded by the number of gaps, not the table. Integer-exact."""
+    Scale shape: ONE corpus-sized pass — each id emits three (value,
+    flag) marks (itself=1, successor=2, predecessor=4) into a single
+    map-side-combined ``bit_or`` aggregate, and a value is a gap
+    boundary iff its flags say "absent but a neighbor is present"
+    (flag 1 clear, flag 2 resp. 4 set). Never a global sort of the id
+    set. This replaces the previous two hash anti self-joins over an
+    UNPERSISTED distinct-id frame, which re-read the table and re-ran
+    the distinct once per join side (4 corpus passes, 10 Exchanges →
+    1 corpus pass, 4). Duplicate input ids are harmless (bit_or is
+    idempotent), so the distinct() disappears into the aggregate. Only
+    the boundary rows (one per gap) reach the pairing windows, so the
+    single-partition sort there is bounded by the number of gaps, not
+    the table. Integer-exact."""
     from pyspark.sql import Window
 
-    ids = df.select(F.col(id_col).cast("long").alias("__id")).distinct()
+    idc = df.select(F.col(id_col).cast("long").alias("__id"))
     bounds = F.broadcast(
-        ids.agg(F.min("__id").alias("__mn"), F.max("__id").alias("__mx"))
+        idc.agg(F.min("__id").alias("__mn"), F.max("__id").alias("__mx"))
     )
-    succ = ids.select((F.col("__id") + 1).alias("__id"))
-    pred = ids.select((F.col("__id") - 1).alias("__id"))
-    # id whose successor is absent opens a gap at id+1 (unless it is
+    marks = idc.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("__id").alias("v"), F.lit(1).alias("f")),
+                F.struct((F.col("__id") + 1).alias("v"), F.lit(2).alias("f")),
+                F.struct((F.col("__id") - 1).alias("v"), F.lit(4).alias("f")),
+            )
+        ).alias("m")
+    ).select(F.col("m.v").alias("v"), F.col("m.f").alias("f"))
+    # boundary rows only: v absent (flag 1 clear) with ≥1 neighbor
+    # present — one row per gap edge; persisted because starts AND
+    # ends filter it (tiny: gap-count-sized)
+    boundary = (
+        marks.groupBy("v")
+        .agg(F.bit_or("f").alias("fl"))
+        .where((F.col("fl") % 2) == 0)
+        .persist()
+    )
+    # id whose successor is absent opens a gap at id+1 (unless past
     # the global max); id whose predecessor is absent closes the
-    # previous gap at id-1 (unless it is the global min)
+    # previous gap at id-1 (unless before the global min)
     starts = (
-        ids.join(pred.hint("shuffle_hash"), "__id", "left_anti")
+        boundary.where(F.col("fl").bitwiseAND(2) != 0)
         .crossJoin(bounds)
-        .where(F.col("__id") < F.col("__mx"))
-        .select((F.col("__id") + 1).alias("gap_start"))
+        .where(F.col("v") <= F.col("__mx"))
+        .select(F.col("v").alias("gap_start"))
     )
     ends = (
-        ids.join(succ.hint("shuffle_hash"), "__id", "left_anti")
+        boundary.where(F.col("fl").bitwiseAND(4) != 0)
         .crossJoin(bounds)
-        .where(F.col("__id") > F.col("__mn"))
-        .select((F.col("__id") - 1).alias("gap_end"))
+        .where(F.col("v") >= F.col("__mn"))
+        .select(F.col("v").alias("gap_end"))
     )
     # pairing the k-th gap start with the k-th gap end needs a GLOBAL
     # rank over the boundary rows — a single-partition sort, fine

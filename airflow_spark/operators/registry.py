@@ -3101,21 +3101,26 @@ def op_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy over a-z
     (corpus-quality signal: ~0 = degenerate repetition). Pure
-    length/replace projection — no explode, no shuffle, whole-stage
-    codegen end to end (width-guarded: 52 string scans per row is the
-    kind of per-row weight a 1-file scan would run on one core)."""
+    length/replace projection — no explode, no shuffle (width-guarded:
+    52 string scans per row is the kind of per-row weight a 1-file
+    scan would run on one core). The empty-doc filter is the CHEAP
+    exactly-equivalent predicate ``lower(text) rlike '[a-z]'``
+    (n_letters counts a–z occurrences in lower(text), so n_letters > 0
+    iff that class matches): filtering on n_letters itself makes
+    Catalyst push a full copy of the 26-letter expression tree below
+    the projection and every row pays it twice."""
     from .width import ensure_wide
 
     t = load_tables(spark, sf_dir)
     n_letters, ent = text.char_entropy_col("text")
     return (
         ensure_wide(t.documents, "doc_id")
+        .where(F.lower(F.col("text")).rlike("[a-z]"))
         .select(
             "doc_id",
             n_letters.alias("n_letters"),
             F.round(ent, 4).alias("entropy_bits"),
         )
-        .where(F.col("n_letters") > 0)
         .orderBy("doc_id")
         .limit(200)
     )
