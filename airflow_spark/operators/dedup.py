@@ -760,51 +760,66 @@ def dedup_clusters(
     )
     if not pairs_distinct:
         edges_raw = edges_raw.distinct()
-    edges = _materialize_truncated(edges_raw)
-    # the seed labelling is read exactly once (round 1's join) — fold
-    # it into that round's job instead of materializing it separately
-    labels = (
-        edges.select(F.col("id_a").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
+    # SELF-LOOP FOLD: append one (id, id) row per node so the per-round
+    # neighbor-min aggregate sees the node's OWN label through its
+    # self-loop — least(own, nbr_min) then needs no |V|-sized left join
+    # against the label frame (one join gone per round), and round 1
+    # needs no join at ALL (labels start as identity, so min(id_b) over
+    # neighbors ∪ self IS the propagated label). The old label for the
+    # convergence probe is recovered inside the same aggregate as
+    # min(label WHERE id_b = id_a) — exactly the self-loop row.
+    nodes = edges_raw.select(F.col("id_a").alias("id")).distinct()
+    edges = _materialize_truncated(
+        edges_raw.union(
+            nodes.select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+        )
     )
+    labels: DataFrame | None = None  # None ⇒ identity (round 1)
     converged = False
     prev_round: DataFrame | None = None
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.id_b == labels.id)
-            .groupBy("id_a")
-            .agg(F.min("cluster").alias("nbr_min"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.id == neighbor_min.id_a, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
-            ).alias("cluster"),
-            F.col("cluster").alias("__prev"),
-        )
+        if labels is None:
+            propagated = edges.groupBy("id_a").agg(
+                F.min("id_b").alias("cluster"),
+                F.min(
+                    F.when(F.col("id_b") == F.col("id_a"), F.col("id_b"))
+                ).alias("__prev"),
+            )
+        else:
+            propagated = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("id_b"), F.col("cluster").alias("__lb")
+                    ),
+                    "id_b",
+                )
+                .groupBy("id_a")
+                .agg(
+                    F.min("__lb").alias("cluster"),
+                    F.min(
+                        F.when(F.col("id_b") == F.col("id_a"), F.col("__lb"))
+                    ).alias("__prev"),
+                )
+            )
         # pointer jumping: label ← label(label). Labels are always ids
         # of same-component nodes, so the self-join stays inside the
-        # component while halving the remaining chain depth. The OLD
-        # label rides along as __prev so the convergence probe is a
-        # filter over the materialized frame, not a join of two rounds.
+        # component while halving the remaining chain depth. Every
+        # label IS a node id and every node appears in ``propagated``
+        # (self-loops guarantee it), so the jump join is safely INNER.
+        # The OLD label rides along as __prev so the convergence probe
+        # is a filter over the materialized frame, not a join of two
+        # rounds.
         new_labels = _materialize_truncated(
             propagated.alias("a")
             .join(
                 propagated.select(
-                    F.col("id").alias("pid"), F.col("cluster").alias("pcluster")
+                    F.col("id_a").alias("pid"), F.col("cluster").alias("pcluster")
                 ),
                 F.col("a.cluster") == F.col("pid"),
-                "left",
             )
             .select(
-                F.col("a.id").alias("id"),
-                F.least(
-                    F.col("a.cluster"),
-                    F.coalesce(F.col("pcluster"), F.col("a.cluster")),
-                ).alias("cluster"),
+                F.col("a.id_a").alias("id"),
+                F.least(F.col("a.cluster"), F.col("pcluster")).alias("cluster"),
                 F.col("a.__prev").alias("__prev"),
             )
         )

@@ -236,42 +236,66 @@ def connected_components(
     not reach a fixpoint (silent partial labels would be wrong answers
     — same contract as ``dedup.dedup_clusters``).
     """
-    sym = (
+    sym_raw = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
         .distinct()
+    )
+    # SELF-LOOP FOLD (same restructure as dedup.dedup_clusters): one
+    # (node, node) row per node lets the per-round min aggregate see
+    # the node's OWN label through its self-loop — min over neighbors
+    # ∪ self IS least(own, neighbor-min), so the |V|-sized left join
+    # against the label frame disappears from every round, and round 1
+    # (identity labels) needs no join at all. The old label for the
+    # convergence probe is min(label WHERE b = a) — the self-loop row
+    # — one extra aggregate buffer instead of a join.
+    nodes = sym_raw.select(F.col("a").alias("n")).distinct()
+    sym = (
+        sym_raw.unionByName(
+            nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
+        )
         .persist()  # loop invariant: every round joins against it
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-    )
+    labels: DataFrame | None = None  # None ⇒ identity (round 1)
     prev_mat: DataFrame | None = None
     for _ in range(max_iters):
         # each node adopts min(own label, neighbors' labels); the OLD
         # label rides along as __prev so convergence is a filter over
         # the just-materialized frame — not a separate shuffle join of
-        # two cached rounds (one fewer exchange per round)
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("component").alias("__m"))
-            .withColumnRenamed("a", "node")
-        )
-        mat = (
-            labels.join(neigh, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__m"), F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("__prev"),
+        # two cached rounds
+        if labels is None:
+            mat = (
+                sym.groupBy("a")
+                .agg(
+                    F.min("b").alias("component"),
+                    F.min(F.when(F.col("b") == F.col("a"), F.col("b"))).alias(
+                        "__prev"
+                    ),
+                )
+                .withColumnRenamed("a", "node")
+                .persist()
             )
-            .persist()
-        )
+        else:
+            mat = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("b"),
+                        F.col("component").alias("__lb"),
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(
+                    F.min("__lb").alias("component"),
+                    F.min(F.when(F.col("b") == F.col("a"), F.col("__lb"))).alias(
+                        "__prev"
+                    ),
+                )
+                .withColumnRenamed("a", "node")
+                .persist()
+            )
         changed = (
             mat.where(F.col("component") != F.col("__prev")).limit(1).count()
         )
