@@ -200,7 +200,11 @@ def pagerank(
         # materialization barrier each iteration (measured 5× slower
         # at 1.2M edges × 3 rounds), while UNBOUNDED lineage makes
         # planning superlinear past a handful of rounds — periodic
-        # truncation is the middle that scales to both axes
+        # truncation is the middle that scales to both axes. (Skipping
+        # the mid-loop checkpoint for short runs was measured and
+        # REJECTED: 5-iteration PageRank ran 4.66 s → 5.43 s without it
+        # — re-analyzing the deeper plan at every AQE stage costs more
+        # than the one barrier saves.)
         if (i + 1) % 4 == 0 and i + 1 < iters:
             # materialize the new checkpoint WITH lineage truncation
             # (planning cost would otherwise grow superlinearly with
@@ -234,7 +238,11 @@ def connected_components(
 
     Rounds needed = graph diameter; raises if ``max_iters`` rounds do
     not reach a fixpoint (silent partial labels would be wrong answers
-    — same contract as ``dedup.dedup_clusters``).
+    — same contract as ``dedup.dedup_clusters``). Deliberately NO
+    pointer jumping here (unlike ``dedup.dedup_clusters``): on the
+    dense low-diameter graphs this op serves, the jump's extra
+    |V|-keyed join per round measured strictly slower (2.5 s vs 1.8 s
+    at sf0.1) because it cannot cut a round count that is already ~4.
     """
     sym_raw = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -488,6 +496,13 @@ def bfs_distances(
     )
     dist = spark.createDataFrame([(source, 0)], "node bigint, dist int")
     frontier = dist
+    # (A lazy probe-free variant for small depths was measured and
+    # REJECTED: each round references the previous frontier and the
+    # accumulator more than once, and AQE does NOT reuse the repeated
+    # subtrees across its runtime query stages, so the depth-3 op
+    # recomputed early rounds exponentially — 10.4 s vs 3.9 s, 54 jobs
+    # vs 26. The per-round persist + emptiness probe below is what
+    # keeps every round computed exactly once.)
     frontiers: list[DataFrame] = []
     for d in range(1, max_depth + 1):
         nxt = (
@@ -570,7 +585,12 @@ def sssp_bounded(
         # the relaxation only ever reads the latest dist frame, so
         # keeping old rounds pinned is pure leak (same hygiene as
         # pagerank's periodic checkpoints); EVERY round now, so the
-        # penultimate frame no longer outlives the loop
+        # penultimate frame no longer outlives the loop. (A lazy
+        # no-materialization variant was measured and REJECTED: each
+        # round references the previous dist twice — join + union — and
+        # AQE does NOT reuse the repeated subtree across its runtime
+        # query stages, so the 3-round op recomputed early rounds
+        # exponentially: 5.4 s vs 2.8 s, 29 jobs vs 21.)
         dist.count()
         if prev is not None:
             prev.unpersist()
