@@ -111,16 +111,24 @@ def minhash_signatures(
     mk = char_shingles if mode == "char" else word_shingles
     shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
-        # hash the shingle STRING once; the k salted hashes then mix
-        # the 8-byte value (xxhash64 over (int, long)) instead of
-        # re-hashing variable-length text k times. Measured on sf0.1
-        # char-5/k=128: signature stage 9.3s -> 4.3s cold (simpler
-        # codegen), ~equal warm — same independence structure (each
-        # salt reseeds the avalanche)
-        F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias(
-            "sh"
-        ),
-    ).select("id", F.xxhash64("sh").alias("sh"))
+        # hash each shingle STRING once, INSIDE the array, and dedupe
+        # the 8-byte hash values instead of the strings: the k salted
+        # hashes then mix the long (xxhash64 over (int, long)) rather
+        # than re-hashing variable-length text k times, the distinct
+        # compares longs rather than strings, and the exploded rows
+        # carry 8 bytes each. A hash collision merging two distinct
+        # shingles cannot change any signature component — min over
+        # the multiset of hashed values equals min over its set.
+        # Measured sf0.1 char-5/k=128 (noop, 4 runs): 2.23 s -> 1.83 s
+        # warm, 9.3 s -> 2.9 s cold; signatures bit-identical.
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    mk(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("sh"),
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
         for i in range(num_hashes)
