@@ -329,13 +329,20 @@ def verify_pairs_exact_jaccard(
     # the shingle expression, so restricting afterwards would still
     # shingle the entire corpus — the exact cost this function exists
     # to avoid. The set frame feeds both join sides: persist so the
-    # shingling runs once.
+    # shingling runs once. Sets are hashed INSIDE the array and deduped
+    # as 8-byte longs (the ngram_jaccard_pairs_prefix convention): the
+    # per-pair intersection compares longs, and the cached/joined
+    # arrays carry 8 bytes per shingle instead of text.
     sets = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .join(ids, "id", "left_semi")
         .select(
             "id",
-            F.array_distinct(mk(F.col("__t"), shingle_k)).alias("shs"),
+            F.array_distinct(
+                F.transform(
+                    mk(F.col("__t"), shingle_k), lambda s: F.xxhash64(s)
+                )
+            ).alias("shs"),
         )
         .persist()
     )
@@ -1068,10 +1075,22 @@ def ngram_jaccard_pairs(
 
     mk = char_shingles if mode == "char" else word_shingles
     # the inverted index feeds doc sizes, shingle DF counts, and both
-    # join sides — persist so shingling runs once, not four times
+    # join sides — persist so shingling runs once, not four times.
+    # Shingles are hashed INSIDE the array and deduped as 8-byte longs
+    # (the convention ngram_jaccard_pairs_prefix already ships): the
+    # self-join key — the widest shuffle here — carries 8 bytes instead
+    # of shingle text, and the distinct compares longs. Set sizes and
+    # intersections are then hash-domain counts, identical on any
+    # corpus without a 64-bit shingle collision (~1e-13 per doc pair).
     shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    mk(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("sh"),
     ).persist()
     if candidate_budget is not None:
         n_cand = _candidate_pair_count(shingled, "sh", df_cap)
@@ -1155,13 +1174,20 @@ def ngram_jaccard_pairs_prefix(
     from ..functions.text import word_shingles
 
     mk = char_shingles if mode == "char" else word_shingles
+    # hash INSIDE the array and dedupe the longs (cheaper than string
+    # dedup followed by a post-explode hash projection; same values)
     shingled = (
         _ensure_parallelism(df, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(mk(F.col(text_col), shingle_k))).alias("sh"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        mk(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+                    )
+                )
+            ).alias("h"),
         )
-        .select("id", F.xxhash64("sh").alias("h"))
         .persist()
     )
     sh_df = shingled.groupBy("h").agg(F.count(F.lit(1)).alias("sh_df"))
@@ -1267,10 +1293,17 @@ def ngram_containment_pairs(
     """
     from ..functions.text import word_shingles
 
+    # hash-in-array + dedupe-as-longs, exactly as ngram_jaccard_pairs:
+    # the shingle self-join shuffles 8-byte keys, never n-gram text
     shingled = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col(text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
         ).alias("sh"),
     ).persist()
     if candidate_budget is not None:
