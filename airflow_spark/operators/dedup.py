@@ -184,6 +184,13 @@ def minhash_candidate_pairs(
     """
     n_hashes_col = F.size("sig")
     rows_per_band = (n_hashes_col / num_bands).cast("int")
+    # hash the band SLICE directly (xxhash64 folds array elements) —
+    # the old spelling cast the slice array<bigint> → array<string> →
+    # string, building 32 strings per doc just to feed the hash. The
+    # bucket ids change but bucket MEMBERSHIP does not: equal slices
+    # hash equal under any function, so no true pair is lost, and the
+    # ~2^-64 chance of two different slices colliding only ADDS a
+    # candidate that the estimate/exact verification stages discard.
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -192,9 +199,7 @@ def minhash_candidate_pairs(
                 lambda b: F.xxhash64(
                     F.lit("band:"),
                     b,
-                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                    .cast("array<string>")
-                    .cast("string"),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
                 ),
             )
         ).alias("band_id", "band_hash"),
