@@ -603,23 +603,23 @@ def op_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-10 rolling stats per user over event values."""
+    """Trailing-10 rolling stats per user over event values.
+
+    Attested tie-safely (the r10 driver red row was ``round(avg, 4)``
+    landing on an exact 4th-decimal half-tie — TIE_AUDIT
+    ``min_scaled_dist: 0.0`` at sf0.01): all doubles are restated as
+    exact fixed-point BIGINTs ``floor(x·2^20)`` and the mean as the
+    integer pair ``(roll_sum_fp, n_w)``, so no ``round(double, d)``
+    half-tie or windowed-avg accumulation order can flip the hash."""
     t = load_tables(spark, sf_dir)
     out = timeseries.rolling_stats(
-        t.events.where(F.col("user_id") < 20), "user_id", "ts", "value"
+        t.events.where(F.col("user_id") < 20),
+        "user_id",
+        "ts",
+        "value",
+        quantize_pow2=20,
     )
-    return (
-        out.select(
-            "user_id",
-            "ts",
-            F.round("value", 4).alias("value"),
-            "roll_mean",
-            F.round("roll_min", 4).alias("roll_min"),
-            F.round("roll_max", 4).alias("roll_max"),
-        )
-        .orderBy("user_id", "ts")
-        .limit(300)
-    )
+    return out.orderBy("user_id", "ts").limit(300)
 
 
 def op_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,9 +1263,16 @@ def op_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Jaccard in SQL; equality also attests banding recall = 1.0
     on this corpus (verified locally before declaring)."""
     t = load_tables(spark, sf_dir)
+    # jaccard is ONE IEEE division of identical BIGINT counts on both
+    # engines; floor(x*2^20) is exact, so the attested BIGINT carries
+    # no round(double, d) half-tie surface (r10 tie-audit hardening)
     return (
         dedup.dedup_minhash_verified(t.documents, threshold=0.8)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("jaccard") * F.lit(1048576.0)).alias("jaccard_fp"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -1378,7 +1385,11 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.documents, threshold=0.8, mode="word", shingle_k=3,
             on_over_budget="lsh",
         )
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("jaccard") * F.lit(1048576.0)).alias("jaccard_fp"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -1394,7 +1405,11 @@ def op_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.documents, threshold=0.8, mode="word", shingle_k=3,
             on_over_budget="lsh",
         )
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("jaccard") * F.lit(1048576.0)).alias("jaccard_fp"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -1411,8 +1426,10 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round("containment", 4).alias("containment"),
-            F.round("jaccard", 4).alias("jaccard"),
+            F.floor(F.col("containment") * F.lit(1048576.0)).alias(
+                "containment_fp"
+            ),
+            F.floor(F.col("jaccard") * F.lit(1048576.0)).alias("jaccard_fp"),
         )
         .orderBy("id_a", "id_b")
         .limit(300)
@@ -1895,7 +1912,12 @@ def op_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             F.ntile(4).over(w).alias("quartile"),
             F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            # cume_dist = k/n lands machine-exactly on 4th-decimal
+            # half-ties for dyadic partition sizes (r10 tie audit);
+            # floor fixed-point of the single-division double is exact
+            F.floor(F.cume_dist().over(w) * F.lit(1048576.0)).alias(
+                "cume_fp"
+            ),
             F.nth_value("c_custkey", 2)
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .alias("second_poorest"),
@@ -2065,7 +2087,9 @@ def op_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-10 EWMA (α=0.25 — binary-exact weights) per user over
     event values; the collect+fold spelling reproduces bit-for-bit in
-    the oracle's list_reduce."""
+    the oracle's list_reduce, and the fold is attested as the tie-safe
+    fixed-point BIGINT ``floor(x·2^20)`` (the r10 tie audit found
+    exact 6th-decimal half-ties in the rounded spelling)."""
     t = load_tables(spark, sf_dir)
     out = timeseries.ewma(
         t.events.where(F.col("user_id") < 20),
@@ -2075,9 +2099,10 @@ def op_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.25,
         window_rows=10,
         order_cols=["event_id"],
+        quantize_pow2=20,
     )
     return out.select(
-        "user_id", "ts", F.round("value", 4).alias("value"), "ewma"
+        "user_id", "ts", F.round("value", 4).alias("value"), "ewma_fp"
     ).orderBy("user_id", "ts").limit(300)
 
 
@@ -3133,7 +3158,9 @@ def op_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text.with_readability``)."""
     t = load_tables(spark, sf_dir)
     return (
-        text.with_readability(t.documents.select("doc_id", "text"))
+        text.with_readability(
+            t.documents.select("doc_id", "text"), quantize_pow2=20
+        )
         .drop("text")
         .orderBy("doc_id")
         .limit(300)
@@ -3146,7 +3173,7 @@ def op_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     count → per-doc re-agg, both map-side combinable."""
     t = load_tables(spark, sf_dir)
     return (
-        text.type_token_stats(t.documents)
+        text.type_token_stats(t.documents, quantize_pow2=20)
         .orderBy("id")
         .limit(300)
     )
@@ -4901,7 +4928,8 @@ j AS (SELECT id_a, id_b,
              n_common / (sa.n_sh + sb.n_sh - n_common) AS jac
       FROM common JOIN sizes sa ON sa.id = common.id_a
                   JOIN sizes sb ON sb.id = common.id_b)
-SELECT id_a, id_b, round(jac, 4) AS jaccard
+SELECT id_a, id_b,
+       CAST(floor(jac * 1048576.0) AS BIGINT) AS jaccard_fp
 FROM j WHERE jac >= {threshold} ORDER BY id_a, id_b
 """
 
@@ -5022,7 +5050,7 @@ def oracle_memo_plans() -> dict[str, tuple[str, str, str]]:
     return {
         "op_dedup_minhash": (
             key, materialize,
-            "SELECT id_a, id_b, jaccard FROM __memo "
+            "SELECT id_a, id_b, jaccard_fp FROM __memo "
             "ORDER BY id_a, id_b",
         ),
         "op_dedup_collapse": (
@@ -5068,7 +5096,9 @@ j AS (SELECT id_a, id_b,
              n_common / (sa.n_sh + sb.n_sh - n_common) AS jac
       FROM common JOIN sizes sa ON sa.id = common.id_a
                   JOIN sizes sb ON sb.id = common.id_b)
-SELECT id_a, id_b, round(cont, 4) AS containment, round(jac, 4) AS jaccard
+SELECT id_a, id_b,
+       CAST(floor(cont * 1048576.0) AS BIGINT) AS containment_fp,
+       CAST(floor(jac * 1048576.0) AS BIGINT) AS jaccard_fp
 FROM j WHERE cont >= {threshold} ORDER BY id_a, id_b LIMIT {k}
 """
 
@@ -5235,10 +5265,13 @@ SELECT id, score FROM s ORDER BY score DESC, id LIMIT {k}
 
 
 _SQL_ROLLING = """
-SELECT user_id, ts, round(value, 4) AS value,
-       round(avg(value) OVER w, 4) AS roll_mean,
-       round(min(value) OVER w, 4) AS roll_min,
-       round(max(value) OVER w, 4) AS roll_max
+SELECT user_id, ts,
+       CAST(floor(value * 1048576.0) AS BIGINT) AS value_fp,
+       CAST(sum(CAST(floor(value * 1048576.0) AS BIGINT)) OVER w
+            AS BIGINT) AS roll_sum_fp,
+       count(*) OVER w AS n_w,
+       min(CAST(floor(value * 1048576.0) AS BIGINT)) OVER w AS roll_min_fp,
+       max(CAST(floor(value * 1048576.0) AS BIGINT)) OVER w AS roll_max_fp
 FROM events WHERE user_id < 20
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
@@ -5781,7 +5814,7 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 SELECT c_custkey, c_nationkey,
        ntile(4) OVER w AS quartile,
        round(percent_rank() OVER w, 4) AS pct_rank,
-       round(cume_dist() OVER w, 4) AS cume,
+       CAST(floor(cume_dist() OVER w * 1048576.0) AS BIGINT) AS cume_fp,
        nth_value(c_custkey, 2) OVER
          (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS second_poorest
@@ -6921,8 +6954,8 @@ ORDER BY event_type
     # and 1-α=0.75 are binary-exact so the multiplies match Spark's.
     "op_ewma": """
 SELECT user_id, ts, round(value, 4) AS value,
-       round(list_reduce(l, (acc, x) -> acc * 0.75 + 0.25 * x), 6)
-           AS ewma
+       CAST(floor(list_reduce(l, (acc, x) -> acc * 0.75 + 0.25 * x)
+                  * 1048576.0) AS BIGINT) AS ewma_fp
 FROM (SELECT user_id, ts, value,
              list(value) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id
@@ -7546,10 +7579,11 @@ SELECT doc_id,
        CAST(w AS BIGINT) AS n_words,
        CAST(s AS BIGINT) AS n_sentences,
        CAST(y AS BIGINT) AS n_syllables,
-       round(206.835
+       CAST(floor((206.835
              - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
-             - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 4)
-         AS flesch_ease
+             - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+             * 1048576.0) AS BIGINT)
+         AS flesch_fp
 FROM m ORDER BY doc_id LIMIT 300
 """
 
@@ -7563,9 +7597,10 @@ SELECT id,
   CAST(sum(c) AS BIGINT) AS n_tokens,
   CAST(count(*) AS BIGINT) AS n_types,
   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
-  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        / CAST(sum(c) AS DOUBLE), 4) AS hapax_frac
+  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             * 1048576.0) AS BIGINT) AS ttr_fp,
+  CAST(floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE) * 1048576.0) AS BIGINT) AS hapax_fp
 FROM c GROUP BY id ORDER BY id LIMIT 300
 """
 
@@ -7816,11 +7851,11 @@ WITH g AS (SELECT user_id,
 nz AS (SELECT user_id, g FROM g WHERE g IS NOT NULL),
 a AS (SELECT user_id,
              CAST(count(*) AS BIGINT) AS n_gaps,
-             round(avg(g), 4) AS mean_gap_s,
+             CAST(sum(CAST(g AS BIGINT)) AS BIGINT) AS gap_sum_s,
              (stddev_samp(g) - avg(g))
                / nullif(stddev_samp(g) + avg(g), 0.0) AS b
       FROM nz GROUP BY user_id HAVING count(*) >= 2)
-SELECT user_id, n_gaps, mean_gap_s,
+SELECT user_id, n_gaps, gap_sum_s,
        CASE WHEN abs(b) < 1e-6 THEN 0.0 ELSE round(b, 6) END AS burstiness
 FROM a ORDER BY user_id LIMIT 300
 """

@@ -274,7 +274,11 @@ def char_entropy_col(
 # ---------------------------------------------------------------------------
 
 
-def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_readability(
+    df: DataFrame,
+    text_col: str = "text",
+    quantize_pow2: int | None = None,
+) -> DataFrame:
     """Flesch reading-ease score (206.835 − 1.015·words/sentences −
     84.6·syllables/words) with a vowel-group syllable estimate — the
     classic grade-level proxy used alongside the Gopher-style rules in
@@ -300,16 +304,27 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         - F.lit(84.6)
             * (n_syllables.cast("double") / n_words.cast("double"))
     )
-    return (
+    out = (
         df.withColumn("n_words", n_words.cast("bigint"))
         .withColumn("n_sentences", n_sentences.cast("bigint"))
         .withColumn("n_syllables", n_syllables.cast("bigint"))
-        .withColumn("flesch_ease", F.round(fre, 4))
     )
+    if quantize_pow2 is not None:
+        # tie-safe attestation form: the formula is a fixed sequence of
+        # IEEE ops over identical integer counts on both engines, so
+        # the double is bit-identical and floor(x·2^q) is exact — no
+        # round(double, d) half-tie surface (r10 tie-audit hardening)
+        return out.withColumn(
+            "flesch_fp", F.floor(fre * F.lit(float(2**quantize_pow2)))
+        )
+    return out.withColumn("flesch_ease", F.round(fre, 4))
 
 
 def type_token_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize_pow2: int | None = None,
 ) -> DataFrame:
     """Lexical diversity per document: token count, vocabulary size
     (types), type-token ratio, and hapax-legomenon fraction (share of
@@ -328,6 +343,22 @@ def type_token_stats(
     n_tokens = F.sum("c").cast("bigint")
     n_types = F.count(F.lit(1)).cast("bigint")
     n_hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint")
+    if quantize_pow2 is not None:
+        # tie-safe attestation form: each ratio is ONE IEEE division of
+        # identical BIGINTs on both engines; floor(x·2^q) is exact, so
+        # the attested integers carry no round() half-tie surface
+        scale = F.lit(float(2**quantize_pow2))
+        return per_tok.groupBy("id").agg(
+            n_tokens.alias("n_tokens"),
+            n_types.alias("n_types"),
+            n_hapax.alias("n_hapax"),
+            F.floor(
+                n_types.cast("double") / n_tokens.cast("double") * scale
+            ).alias("ttr_fp"),
+            F.floor(
+                n_hapax.cast("double") / n_tokens.cast("double") * scale
+            ).alias("hapax_fp"),
+        )
     return per_tok.groupBy("id").agg(
         n_tokens.alias("n_tokens"),
         n_types.alias("n_types"),

@@ -66,14 +66,36 @@ def rolling_stats(
     ts_col: str,
     value_col: str,
     window_rows: int = 10,
+    quantize_pow2: int | None = None,
 ) -> DataFrame:
     """Trailing-N rolling mean/min/max per key (ROWS frame — rank-based,
-    no time-range scan)."""
+    no time-range scan).
+
+    ``quantize_pow2=q`` replaces the decimal-rounded double outputs with
+    tie-safe exact integers: each value is quantized once to the BIGINT
+    ``floor(x · 2^q)`` (power-of-two scaling and floor are exact IEEE
+    ops on the same input bits in every engine), and the rolling mean
+    is restated as the integer pair ``(roll_sum_fp, n_w)`` — a BIGINT
+    sum is associative and exact, so it is immune both to the engines'
+    windowed-avg accumulation order (segment tree vs sequential) and to
+    their differing ``round(double, d)`` half-tie conventions (the r8 /
+    r10 driver hash-flake class; see ``double_exponential_forecast``)."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col)
         .rowsBetween(-(window_rows - 1), 0)
     )
+    if quantize_pow2 is not None:
+        v_fp = F.floor(F.col(value_col) * F.lit(float(2**quantize_pow2)))
+        return df.select(
+            key_col,
+            ts_col,
+            v_fp.alias("value_fp"),
+            F.sum(v_fp).over(w).alias("roll_sum_fp"),
+            F.count(F.lit(1)).over(w).alias("n_w"),
+            F.min(v_fp).over(w).alias("roll_min_fp"),
+            F.max(v_fp).over(w).alias("roll_max_fp"),
+        )
     return df.select(
         key_col,
         ts_col,
@@ -254,6 +276,7 @@ def ewma(
     alpha: float = 0.25,
     window_rows: int = 10,
     order_cols: list[str] | None = None,
+    quantize_pow2: int | None = None,
 ) -> DataFrame:
     """Exponentially-weighted moving average per key, restarted at the
     head of a trailing ``window_rows`` frame: the recursive
@@ -287,6 +310,18 @@ def ewma(
         F.element_at(arr, 1),
         lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
     )
+    if quantize_pow2 is not None:
+        # tie-safe attestation form (see double_exponential_forecast):
+        # the fold is bit-identical cross-engine with binary-exact α,
+        # and floor(x·2^q) carries no round(double, d) half-tie surface
+        return df.select(
+            key_col,
+            ts_col,
+            value_col,
+            F.floor(folded * F.lit(float(2**quantize_pow2))).alias(
+                "ewma_fp"
+            ),
+        )
     return df.select(
         key_col,
         ts_col,
@@ -965,14 +1000,22 @@ def burstiness(
 
     One window shuffle on the key produces the lag column; one grouped
     aggregate computes μ/σ/B. All-zero gaps → σ+μ = 0 → NULL via
-    try_divide."""
+    try_divide.
+
+    The gap total is attested as the exact BIGINT ``gap_sum_s`` (gaps
+    are integer seconds; an integer sum is associative, so it carries
+    none of the accumulation-order / round-half-tie surface a rounded
+    ``avg`` double does — the r10 tie audit found the old
+    ``round(avg(g), 4)`` sitting machine-exactly on a 4th-decimal tie).
+    The mean is ``gap_sum_s / n_gaps``."""
     w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
     ts = F.unix_timestamp(F.col(ts_col))
-    gap = (ts - F.lag(ts).over(w)).cast("double")
+    gap = ts - F.lag(ts).over(w)
     gaps = df.select(F.col(key_col), gap.alias("g")).where(
         F.col("g").isNotNull()
     )
-    mu, sd = F.avg("g"), F.stddev_samp("g")
+    gd = F.col("g").cast("double")
+    mu, sd = F.avg(gd), F.stddev_samp(gd)
     # snap_zero: a Poisson-like cadence sits at B ≈ 0 where the sign
     # is FP noise
     b = snap_zero(F.try_divide(sd - mu, sd + mu))
@@ -980,7 +1023,7 @@ def burstiness(
         gaps.groupBy(key_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
-            F.round(mu, 4).alias("mean_gap_s"),
+            F.sum("g").cast("bigint").alias("gap_sum_s"),
             b.alias("burstiness"),
         )
         .where(F.col("n_gaps") >= min_gaps)

@@ -125,6 +125,17 @@ def main() -> None:
         "queries": timings,
         "pipelines": pipeline_timings,
         "sf": sf,
+        # Evidence that the $SPARK_GRAFT_CPUS / $SPARK_GRAFT_SF_DIR
+        # contract is honored (PERF_r10 flagged suspect_cpus_ignored
+        # because nothing in the output proved it): the session's
+        # EFFECTIVE master and scheduler parallelism, straight from the
+        # running SparkContext, next to the resolved env inputs.
+        "env": {
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "cpus": cpus,
+            "sf_dir": sf_dir,
+        },
     }
     regressions = _flag_regressions(timings, sf)
     if regressions is not None:
@@ -188,8 +199,11 @@ def compact_line(out: dict, max_bytes: int = 1950) -> str:
         )
         text = json.dumps(line, separators=(",", ":"))
     if len(text) > max_bytes:
+        # "env" survives every shed: it is the scaling-leg evidence the
+        # driver reads from this line (effective master/parallelism)
         line = {k: line[k] for k in
-                ("metric", "value", "unit", "sf", "n_queries", "detail")
+                ("metric", "value", "unit", "sf", "env", "n_queries",
+                 "detail")
                 if k in line}
         text = json.dumps(line, separators=(",", ":"))
     return text

@@ -58,6 +58,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # for d<=6 columns with generous margin)
 NEAR_TIE_SCALED = 1e-4
 
+# values sitting machine-exactly ON the .5 tie (dist below this) are a
+# hazard REGARDLESS of the %.2f-straddle heuristic: the two round()
+# candidates differ in the d-th decimal, and any consumer that hashes
+# at finer granularity than %.2f (the external driver's normalization
+# is not ours to assume) flips on them. This closed the r10 blind spot:
+# op_rolling_stats.roll_mean had min_scaled_dist 0.0 at sf0.01 yet
+# n_hazards 0, and the driver's hash diverged exactly there.
+EXACT_TIE_SCALED = 1e-9
+
 
 def find_round_calls(sql: str) -> list[tuple[int, int, str, int]]:
     """All ``round(EXPR, <int literal>)`` call spans in ``sql``:
@@ -247,7 +256,8 @@ def analyze(values: list, d: int) -> dict:
             sign = -1.0 if v < 0 else 1.0
             lo = sign * math.floor(s) / scale
             hi = sign * (math.floor(s) + 1) / scale
-            if fmt2(lo) != fmt2(hi):
+            # exact ties are hazards unconditionally (see EXACT_TIE_SCALED)
+            if dist < EXACT_TIE_SCALED or fmt2(lo) != fmt2(hi):
                 hazards.append(v)
     return {
         "min_scaled_dist": min_dist,

@@ -32,6 +32,10 @@ def _fake_out(n_ops: int, n_q: int = 49) -> dict:
             "prior_total_shared": 100.0, "current_total_shared": 80.0,
             "ratio": 0.8, "n_new_queries": 7,
         },
+        "env": {
+            "master": "local[32]", "default_parallelism": 32,
+            "cpus": 32, "sf_dir": "/root/testdata/sf0.1",
+        },
     }
 
 
@@ -44,6 +48,9 @@ def test_compact_line_fits_window_at_current_and_10x_registry():
         assert parsed["value"] > 0
         assert parsed["n_queries"] == n_ops + 49
         assert len(parsed.get("regressions", {})) <= 5
+        # the scaling-leg evidence must survive every shed tier
+        assert parsed["env"]["master"] == "local[32]"
+        assert parsed["env"]["default_parallelism"] == 32
 
 
 def test_compact_line_drops_headline_before_overflowing():

@@ -141,6 +141,25 @@ def test_rolling_stats_window_shape(spark):
     assert out[4]["roll_min"] == 2.0 and out[4]["roll_max"] == 4.0
 
 
+def test_rolling_stats_quantized_integer_pair(spark):
+    """Tie-safe restatement (r10 driver red row): fixed-point BIGINTs
+    floor(x*2^q) and the mean as the exact integer pair (sum, n)."""
+    rows = [(1, _ts(i), float(i) + 0.5) for i in range(4)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = sorted(
+        timeseries.rolling_stats(
+            df, "user_id", "ts", "value", window_rows=3, quantize_pow2=20
+        ).collect(),
+        key=lambda r: r["ts"],
+    )
+    s = 2**20
+    assert out[0]["value_fp"] == s // 2 and out[0]["n_w"] == 1
+    # frame at row 3: values 1.5, 2.5, 3.5 -> sum 7.5, min 1.5, max 3.5
+    assert out[3]["roll_sum_fp"] == 15 * s // 2 and out[3]["n_w"] == 3
+    assert out[3]["roll_min_fp"] == 3 * s // 2
+    assert out[3]["roll_max_fp"] == 7 * s // 2
+
+
 def test_zscore_flags_outlier_only(spark):
     rows = [(i, "a", 10.0 + (i % 3) * 0.1) for i in range(30)] + [(99, "a", 1000.0)]
     df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
