@@ -775,11 +775,28 @@ def dedup_clusters(
     module emits exactly that shape)."""
     from .graph import _materialize_truncated
 
-    edges_raw = pairs.select("id_a", "id_b").union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    # Evaluate the pair frame EXACTLY ONCE. The pair plan is usually
+    # the whole LSH + exact-verify pipeline; the old spelling
+    # (pairs ∪ pairs-reversed, then nodes derived from that union and
+    # unioned back for self-loops) referenced the pairs subtree FOUR
+    # times inside the one edge-materialization job, and Spark does not
+    # reuse repeated unpersisted subtrees — every reference re-ran the
+    # un-cached tail of the pipeline (measured ~2 s of the collapse
+    # rows at sf0.1). Both directions now come from one explode over a
+    # single pass, materialized before the node set is derived from it.
+    sym_raw = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a"), F.col("id_b")),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.id_a", "e.id_b")
     if not pairs_distinct:
-        edges_raw = edges_raw.distinct()
+        sym_raw = sym_raw.distinct()
+    sym = _materialize_truncated(sym_raw)
     # SELF-LOOP FOLD: append one (id, id) row per node so the per-round
     # neighbor-min aggregate sees the node's OWN label through its
     # self-loop — least(own, nbr_min) then needs no |V|-sized left join
@@ -788,12 +805,15 @@ def dedup_clusters(
     # neighbors ∪ self IS the propagated label). The old label for the
     # convergence probe is recovered inside the same aggregate as
     # min(label WHERE id_b = id_a) — exactly the self-loop row.
-    nodes = edges_raw.select(F.col("id_a").alias("id")).distinct()
-    edges = _materialize_truncated(
-        edges_raw.union(
-            nodes.select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+    # The loop rows are materialized separately (|V|-sized, read from
+    # the sym checkpoint) and the per-round edge frame is the LAZY
+    # union of the two checkpoints — no second |E|-sized copy.
+    loops = _materialize_truncated(
+        sym.select(F.col("id_a")).distinct().select(
+            "id_a", F.col("id_a").alias("id_b")
         )
     )
+    edges = sym.unionByName(loops)
     labels: DataFrame | None = None  # None ⇒ identity (round 1)
     converged = False
     prev_round: DataFrame | None = None
@@ -821,6 +841,10 @@ def dedup_clusters(
                     ).alias("__prev"),
                 )
             )
+        # the jump join consumes ``propagated`` on BOTH sides and Spark
+        # does not reuse repeated unpersisted subtrees, so without this
+        # checkpoint each round ran the edges⋈labels aggregate twice
+        propagated = _materialize_truncated(propagated)
         # pointer jumping: label ← label(label). Labels are always ids
         # of same-component nodes, so the self-join stays inside the
         # component while halving the remaining chain depth. Every
@@ -843,6 +867,9 @@ def dedup_clusters(
                 F.col("a.__prev").alias("__prev"),
             )
         )
+        # new_labels is materialized — the jump input's blocks are
+        # dead weight from here
+        propagated.unpersist()
         changed = (
             new_labels.where(F.col("cluster") != F.col("__prev"))
             .limit(1)
@@ -864,7 +891,8 @@ def dedup_clusters(
             "partial labels would keep extra duplicates"
         )
         if require_convergence:
-            edges.unpersist()
+            sym.unpersist()
+            loops.unpersist()
             if prev_round is not None:
                 prev_round.unpersist()
             raise RuntimeError(msg + " — raise max_iters")
@@ -872,8 +900,9 @@ def dedup_clusters(
 
         warnings.warn(msg, stacklevel=2)
     # the returned labels read only the final round's checkpoint; the
-    # edge frame's blocks are consumed
-    edges.unpersist()
+    # edge checkpoints' blocks are consumed
+    sym.unpersist()
+    loops.unpersist()
     return labels
 
 

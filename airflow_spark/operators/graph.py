@@ -151,7 +151,14 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
-    e = e.repartition("src")
+    # materialize the partitioned edge frame ONCE before anything is
+    # derived from it: nodes, outdeg and e_deg all reference ``e``, and
+    # Spark re-evaluates repeated unpersisted subtrees — with a real
+    # join feeding the edge list (op_pagerank: orders⋈lineitem +
+    # distinct) the input pipeline ran up to 4× across those
+    # materializations. localCheckpoint preserves the hash partitioning
+    # on src, so the per-round join still needs no exchange.
+    e = _materialize_truncated(e.repartition("src"))
     if symmetric:
         nodes = e.select(F.col("src").alias("node")).distinct().persist()
     else:
@@ -224,6 +231,7 @@ def pagerank(
         prev_ckpt.unpersist()
     nodes.unpersist()
     e_deg.unpersist()
+    e.unpersist()
     return ranks
 
 
@@ -244,12 +252,29 @@ def connected_components(
     |V|-keyed join per round measured strictly slower (2.5 s vs 1.8 s
     at sf0.1) because it cannot cut a round count that is already ~4.
     """
+    # Evaluate the edge frame EXACTLY ONCE (same restructure as
+    # dedup.dedup_clusters): the old spelling (edges ∪ edges-reversed,
+    # nodes derived from that union, self-loops unioned back)
+    # referenced the input subtree four times inside the first
+    # materialization, and Spark does not reuse repeated unpersisted
+    # subtrees — a window- or join-derived edge list re-ran that many
+    # times. Both directions come from one explode over a single pass.
     sym_raw = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .distinct()
+        .persist()  # both the self-loop derivation and round 1 read it
     )
     # SELF-LOOP FOLD (same restructure as dedup.dedup_clusters): one
     # (node, node) row per node lets the per-round min aggregate see
@@ -324,8 +349,10 @@ def connected_components(
             out.count()
             mat.unpersist()
             sym.unpersist()
+            sym_raw.unpersist()
             return out
     sym.unpersist()
+    sym_raw.unpersist()
     if prev_mat is not None:
         prev_mat.unpersist()
     raise RuntimeError(
@@ -698,7 +725,8 @@ def personalized_pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
-    e = e.repartition("src")
+    # single-eval edge materialization — same rationale as ``pagerank``
+    e = _materialize_truncated(e.repartition("src"))
     if symmetric:
         nodes = e.select(F.col("src").alias("node")).distinct().persist()
     else:
@@ -713,7 +741,8 @@ def personalized_pagerank(
     # count over the already-persisted node set
     n_found = nodes.where(F.col("node").isin(srcs)).count()
     if n_found != len(srcs):
-        nodes.unpersist()  # error path: don't leak the invariant cache
+        nodes.unpersist()  # error path: don't leak the invariant caches
+        e.unpersist()
         raise ValueError(
             f"{len(srcs) - n_found} source id(s) absent from the edge list"
         )
@@ -767,6 +796,7 @@ def personalized_pagerank(
         prev_ckpt.unpersist()
     nodes.unpersist()
     e_deg.unpersist()
+    e.unpersist()
     return ranks
 
 

@@ -1829,11 +1829,20 @@ def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both directions from ONE explode pass — a self-union would
+    # evaluate the orders⋈lineitem+distinct subtree twice
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # distinct+symmetric hold by construction: pairs is distinct and
-    # the reversed union is disjoint (even->odd vs odd->even node ids)
+    # the reversed direction is disjoint (even->odd vs odd->even ids)
     return (
         graph.pagerank(edges, iters=3, edges_distinct=True, symmetric=True)
         .select("node", F.round("rank", 6).alias("rank"))
@@ -2583,11 +2592,19 @@ def op_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    # same bipartite even/odd construction as op_pagerank: the union
-    # is disjoint-distinct and symmetric by design
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # same bipartite even/odd construction as op_pagerank: one explode
+    # pass is disjoint-distinct and symmetric by design (a self-union
+    # would evaluate the orders⋈lineitem+distinct subtree twice)
     out = graph.personalized_pagerank(
         sym, [0, 2, 4], iters=3, edges_distinct=True, symmetric=True
     )
