@@ -516,8 +516,19 @@ def bfs_distances(
         .distinct()
     )
     adj = (
-        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
-        .unionAll(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+                    ),
+                    F.struct(
+                        F.col("hi").alias("node"), F.col("lo").alias("nbr")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
         .repartition("node")
         .persist()
     )
@@ -589,10 +600,23 @@ def sssp_bounded(
         .distinct()
     )
     adj = (
-        und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"), "w")
-        .unionAll(
-            und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"), "w")
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("lo").alias("node"),
+                        F.col("hi").alias("nbr"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("hi").alias("node"),
+                        F.col("lo").alias("nbr"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.node", "e.nbr", "e.w")
         .repartition("node")
         .persist()
     )

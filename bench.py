@@ -346,6 +346,26 @@ _SEMANTIC_CHANGES = {
         "reservoir (ADR 0001 round-7 extensions) — extra encode work "
         "per payload, same decode semantics."
     ),
+    "op_image_neardup": (
+        "round-11 profile of the round-10 1.75x flag (code unchanged "
+        "since r9): 5 back-to-back runs measure 11.5 -> 4.1 -> 4.3 -> "
+        "4.1 -> 4.6 s — the same JIT warm-up curve recorded for "
+        "op_pagerank (the codec+mapInPandas path amortizes "
+        "codegen/JIT over more runs than min-of-two covers); steady "
+        "state tracks the board factor."
+    ),
+    "op_link_predict": (
+        "round-11 profile of the round-10 1.59x flag (code unchanged "
+        "since r9): run-to-run swings of 2.4 - 6.7 s with the plan "
+        "unchanged — GC/tenancy variance on a sub-second-compute row "
+        "whose wall is dominated by 7 small AQE stages. An explode "
+        "rewrite of the symmetric-adjacency union was measured and "
+        "REJECTED (min 3.3/3.7 s vs 2.4/2.9 s for the union shape "
+        "across two 6-run A/Bs — AQE already reuses the distinct's "
+        "exchange stage, and the union halves plan as parallel "
+        "broadcast stages), as was persist() of the canonical edge "
+        "frame in round 10 (1.88 -> 3.71 s)."
+    ),
     "op_dedup_collapse": (
         "new in round 7 (no prior recording): composed corpus "
         "collapse — MinHash-verified pairs, min-label components, "
