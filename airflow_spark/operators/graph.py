@@ -259,7 +259,7 @@ def connected_components(
     # materialization, and Spark does not reuse repeated unpersisted
     # subtrees — a window- or join-derived edge list re-ran that many
     # times. Both directions come from one explode over a single pass.
-    sym_raw = (
+    sym_raw = _materialize_truncated(
         edges.select(
             F.explode(
                 F.array(
@@ -274,7 +274,6 @@ def connected_components(
         )
         .select("e.a", "e.b")
         .distinct()
-        .persist()  # both the self-loop derivation and round 1 read it
     )
     # SELF-LOOP FOLD (same restructure as dedup.dedup_clusters): one
     # (node, node) row per node lets the per-round min aggregate see
@@ -283,14 +282,17 @@ def connected_components(
     # against the label frame disappears from every round, and round 1
     # (identity labels) needs no join at all. The old label for the
     # convergence probe is min(label WHERE b = a) — the self-loop row
-    # — one extra aggregate buffer instead of a join.
-    nodes = sym_raw.select(F.col("a").alias("n")).distinct()
-    sym = (
-        sym_raw.unionByName(
-            nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
+    # — one extra aggregate buffer instead of a join. Both invariants
+    # are checkpointed (lineage-truncated) and the per-round edge frame
+    # is their LAZY union — no second |E|-sized copy, and every later
+    # round's plan stays two LogicalRDD leaves instead of re-printing
+    # the whole input pipeline per reference.
+    loops = _materialize_truncated(
+        sym_raw.select(F.col("a").alias("n")).distinct().select(
+            F.col("n").alias("a"), F.col("n").alias("b")
         )
-        .persist()  # loop invariant: every round joins against it
     )
+    sym = sym_raw.unionByName(loops)
     labels: DataFrame | None = None  # None ⇒ identity (round 1)
     prev_mat: DataFrame | None = None
     for _ in range(max_iters):
@@ -348,11 +350,11 @@ def connected_components(
             out = labels.persist()
             out.count()
             mat.unpersist()
-            sym.unpersist()
             sym_raw.unpersist()
+            loops.unpersist()
             return out
-    sym.unpersist()
     sym_raw.unpersist()
+    loops.unpersist()
     if prev_mat is not None:
         prev_mat.unpersist()
     raise RuntimeError(
