@@ -44,32 +44,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # _DRIVER_WINDOW below; everything not listed follows in its natural
 # order, so total coverage is unchanged (all entries, all oracles).
 _DRIVER_WINDOW: list[str] = [
-    # round-10 window, front-loaded by priority in case the driver
-    # samples < 50: (1) q27 — round 9's only red row, restated with
-    # CAST(sum AS BIGINT) in its oracle (the HUGEINT hash divergence;
-    # see scripts/oracle_type_gate.py) — needs its fresh green row
-    # first; (2) ALL 37 never-driver-windowed registry entries
-    # (CORRECTNESS_LOCAL_r9 never_windowed list — the op_s*..op_z*
-    # alphabetical tail plus both new decode-boundary quarantine
-    # probes), draining the attestation backlog to zero; (3) a
-    # 12-entry relational refresh, least-recently-windowed first
-    # (scripts/propose_window.py order) — all 12 already hold green
-    # rows from rounds 6-8, so they are the safest tail to truncate.
-    "q27",
-    "op_audio_quarantine", "op_embedding_quantize", "op_rolling_median",
-    "op_rolling_stats", "op_rollup_aggregate", "op_sample_mixture",
-    "op_seasonal_zscore", "op_seasonality_strength", "op_segment_dedup",
-    "op_share", "op_sorted_neighborhood", "op_split_by_group", "op_srm",
-    "op_stable_ids", "op_state_durations", "op_string_agg",
-    "op_struct_json_roundtrip", "op_temperature_mix", "op_text_clean",
-    "op_theil", "op_time_weighted_avg", "op_top_paths",
-    "op_transition_probs", "op_try_funcs", "op_ttr", "op_unigram_logprob",
-    "op_url_normalize", "op_video_quarantine", "op_vocab_coverage",
-    "op_weighted_quantile", "op_weighted_sample", "op_weighted_sample_group",
-    "op_window_funcs", "op_window_funcs2", "op_xcorr", "op_zipf_fit",
-    "op_zscore_anomalies",
-    "q14", "q15", "q32", "q34", "q36", "q37", "q40", "q42", "q45", "q48",
-    "q49", "q04",
+    # round-11 window, front-loaded by priority in case the driver
+    # samples < 50: (1) op_rolling_stats — round 10's only red row,
+    # restated tie-safely (fixed-point BIGINTs + integer (sum, n)
+    # pair) — needs its fresh green row first; (2) the nine other ops
+    # whose exact-tie rounded columns the hardened tie audit flagged
+    # and this round restated as *_fp integers — every one changed
+    # output representation, so every one needs re-attestation;
+    # (3) the ops whose plans this round's optimizations touched
+    # (single-eval edge pipelines, per-round jump checkpoint);
+    # (4) the relational spine + op rotation from
+    # scripts/propose_window.py (least-recently-windowed first).
+    "op_rolling_stats",
+    "op_ewma", "op_ttr", "op_readability", "op_burstiness",
+    "op_window_funcs", "op_dedup_minhash", "op_dedup_ngram_jaccard",
+    "op_dedup_jaccard_prefix", "op_dedup_containment",
+    "op_dedup_collapse", "op_dedup_survivors", "op_pagerank",
+    "op_personalized_pagerank", "op_connected_components",
+    "op_bfs_distances", "op_sssp",
+    "q05", "q08", "q09", "q11", "q13", "q16", "q17", "q18", "q19",
+    "q20", "q21", "q23", "q24", "q25", "q29", "q31", "q39", "q44",
+    "q51", "q01",
+    "op_above_own_avg", "op_approx_count_distinct", "op_fingerprint",
+    "op_json_extract", "op_sequence_pack", "op_stratified_take",
+    "op_string_funcs", "op_token_count", "op_char_entropy", "op_gini",
+    "op_histogram", "op_pareto_front", "op_rfm",
 ]
 
 
