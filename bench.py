@@ -206,6 +206,15 @@ def compact_line(out: dict, max_bytes: int = 1950) -> str:
                  "detail")
                 if k in line}
         text = json.dumps(line, separators=(",", ":"))
+    if len(text) > max_bytes and "env" in line:
+        # env's sf_dir is the only unbounded string left (an absolute
+        # path from $SPARK_GRAFT_SF_DIR) — keep the tail, which carries
+        # the sf name, so a pathological path cannot push the line past
+        # the driver's 2000-byte stdout window
+        env = dict(line["env"])
+        env["sf_dir"] = "..." + str(env.get("sf_dir", ""))[-48:]
+        line["env"] = env
+        text = json.dumps(line, separators=(",", ":"))
     return text
 
 

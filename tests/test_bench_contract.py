@@ -61,6 +61,19 @@ def test_compact_line_drops_headline_before_overflowing():
     assert "value" in parsed and parsed["detail"] == "BENCH_FULL.json"
 
 
+def test_compact_line_truncates_pathological_sf_dir():
+    """env survives every shed, so its one unbounded string (sf_dir)
+    must be truncated rather than push the line past the driver's
+    2000-byte stdout window."""
+    out = _fake_out(10, n_q=400)
+    out["env"]["sf_dir"] = "/ci/" + "deeply/nested/" * 140 + "sf0.1"
+    text = bench.compact_line(out)
+    assert len(text) <= 1950
+    parsed = json.loads(text)
+    assert parsed["env"]["master"] == "local[32]"
+    assert parsed["env"]["sf_dir"].endswith("sf0.1")
+
+
 def test_flag_regressions_requires_absolute_and_relative_growth(monkeypatch):
     prior = {"round": "3", "queries": {
         "op_jitter": 0.31,   # +0.55 s — cold-cache jitter, not a plan change
