@@ -311,9 +311,12 @@ def verify_pairs_exact_jaccard(
 ) -> DataFrame:
     """Exact Jaccard for the given candidate pairs — the verification
     leg of candidate-generation dedup (MinHash banding proposes, this
-    disposes). ``include_containment`` adds the asymmetric
-    ``containment = common / min(|A|, |B|)`` column (same inputs, one
-    extra projection).
+    disposes). Values are computed in the 64-bit shingle-hash domain
+    (sets of ``xxhash64(shingle)``), so a cross-doc hash collision can
+    in principle perturb a count — probability ~2^-64 per shingle pair,
+    ~1e-13 per doc pair on these set sizes. ``include_containment``
+    adds the asymmetric ``containment = common / min(|A|, |B|)`` column
+    (same inputs, one extra projection).
 
     Scale shape: shingling is *restricted to candidate ids* via a
     semi-join, so the exact computation touches only the (tiny)
@@ -1084,7 +1087,8 @@ def ngram_jaccard_pairs(
     on_over_budget: str = "raise",
 ) -> DataFrame:
     """Exact Jaccard over n-gram shingle sets for every pair sharing at
-    least one (non-stop) shingle.
+    least one (non-stop) shingle. Computed in the 64-bit shingle-hash
+    domain (collision probability ~2^-64 per shingle pair).
 
     ``mode='char'`` uses k-char shingles; ``mode='word'`` uses k-word
     shingles — far more selective on small-vocabulary text (char
@@ -1308,7 +1312,9 @@ def ngram_containment_pairs(
     on_over_budget: str = "raise",
 ) -> DataFrame:
     """Asymmetric near-dup: containment = |A ∩ B| / min(|A|, |B|) over
-    word n-gram sets. Catches SUBSET duplication — a short doc quoted
+    word n-gram sets, computed in the 64-bit shingle-hash domain
+    (collision probability ~2^-64 per shingle pair). Catches SUBSET
+    duplication — a short doc quoted
     wholesale inside a much longer one — which symmetric Jaccard
     misses (|A ∩ B| / |A ∪ B| stays small when |B| ≫ |A|). Returns
     both scores so the gap (high containment, low jaccard) flags the
